@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing counts full plan execution (collect of the final, small result) —
+the scan/shuffle/agg work, not driver-side result transfer of big data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from nagios_custom_etl_spark.plans import all_queries
+from nagios_custom_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/agg flagship plus the heaviest operators as they
+# land. Names must exist in the registry.
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def main() -> None:
+    spark = get_spark("nagios-custom-etl-spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # one warm-up to exclude JVM/session init from per-query numbers
+    registry[names[0]].fn(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

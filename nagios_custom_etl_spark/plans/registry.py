@@ -1,0 +1,45 @@
+"""Registry plumbing for named queries and their DuckDB oracles.
+
+Convention (the driver compares sorted-by-name columns by value hash):
+  * alias every computed column identically in Spark and SQL;
+  * money/measure aggregates go through exact DECIMAL arithmetic and are
+    cast to DOUBLE at the end, so Spark and DuckDB produce bit-identical
+    doubles (double-sum association order can differ between engines —
+    decimal sums cannot);
+  * timestamps in output are formatted to strings (engines disagree on
+    native timestamp hashing/precision).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_REGISTRY)
