@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -72,6 +73,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     missing = set(EXPECTED_COLUMNS[name]) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long (see session.py); the data
+        # is µs-aligned, so integer-divide to µs — no double round-trip
+        # (epoch-ns exceeds double's exact-integer range).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -69,3 +69,506 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (SURVEY §2.3). All predicates are Catalyst-pushable
+# into the parquet scan — at 100 TB these are scan-time row-group skips,
+# not post-scan filters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_p2_project_inlist",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    doc="P1 projection + P2 IN-list filter (reference extract.py:140 shape).",
+)
+def p1_p2_project_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "p3_substring_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE contains(lower(p_name), 'widget') AND p_type = 'PROMO'
+    """,
+    doc="P3 case-normalized substring filter (reference load_to_db.py:36 shape).",
+)
+def p3_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).contains("widget") & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "p5_p6_validity_filter",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE value IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      AND event_id % 10 = 0
+    """,
+    doc="P5 not-null + P6 parse-validity filters + F13 JSON extraction "
+    "(reference url_service_status_InfluxDB_insert.py:97-105).",
+)
+def p5_p6_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(F.col("value").isNotNull() & prop_k.isNotNull() & (F.col("event_id") % 10 == 0))
+        .select("event_id", "event_type", prop_k.alias("prop_k"))
+    )
+
+
+@register(
+    "p7_time_range_agg",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS month_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="P7 time-range predicate pushed to scan (reference extract.py:28-31) + monthly rollup.",
+)
+def p7_time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 14, 2).alias("month_total"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4). Dimension sides are broadcast — no shuffle of the
+# fact table; at 100 TB only genuinely large-large joins shuffle, on their
+# keys, with AQE skew handling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc="J1 left semi join — set membership (reference url_...py:54,64).",
+)
+def j1_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "j2_left_broadcast_enrich",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(c.c_name, 'unknown') AS cust_name,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 = 0
+    """,
+    doc="J2 broadcast left-outer enrichment with defaults "
+    "(reference url_...py:71-95 dict-lookup join).",
+)
+def j2_left_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("unknown")).alias("cust_name"),
+        F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+    )
+
+
+@register(
+    "j3_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    """,
+    doc="J3 anti join — the reference's cross-run dedup mechanism (extract.py:115-132).",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    doc="J4 cross join — hosts × static services shape (reference extract.py:50,107-111).",
+)
+def j4_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "j5_multiway_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc="J5 multiway equi join (TPC-H Q5 shape): fact table joins broadcast dims.",
+)
+def j5_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # customer/nation/region are dimensions: broadcast, no fact shuffle
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5): hash agg, distinct, rollup/cube/grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_by_group",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A1 counts per group + conditional count (reference hosts_to_csv.py:21,37).",
+)
+def a1_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a2_distinct_count",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A2 exact distinct count per group (expand+two-phase agg in Spark).",
+)
+def a2_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "a3_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design → rows-only
+    doc="A2-approx: approx_count_distinct (HLL++) — the 100 TB-scale variant "
+    "of a2; value asserted within rsd in tests/test_relational.py.",
+)
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a4_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="A-ext rollup: hierarchical subtotals (SURVEY §2.5 Ext).",
+)
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", 12, 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "a5_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="A-ext cube: all grouping combinations (SURVEY §2.5 Ext).",
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@register(
+    "a6_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="A-ext grouping sets via the SQL surface (spark.sql == same Catalyst plan).",
+)
+def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / limits (SURVEY §2.6 W1–W4). Window shuffles once on the
+# partition key; the per-key sort is local. Top-k is TakeOrderedAndProject —
+# no global sort materialization at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="W1 latest-per-key (as-of): current status per service (reference README.md:9 intent).",
+)
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "w2_status_change_detection",
+    oracle="""
+    SELECT user_id, event_id, prev_type, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ) WHERE prev_type IS NOT NULL AND prev_type <> event_type AND event_id % 5 = 0
+    ORDER BY user_id, event_id
+    """,
+    doc="W2 lag-based status-change detection (state transitions per host/service).",
+)
+def w2_status_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+            & (F.col("event_id") % 5 == 0)
+        )
+        .select("user_id", "event_id", "prev_type", "event_type")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w3_rolling_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling_avg
+    FROM events
+    WHERE user_id < 3
+    ORDER BY user_id, event_id
+    """,
+    doc="W3 sliding-frame rolling average of a metric (SURVEY §2.6 W3).",
+)
+def w3_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+                "rolling_avg"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w4_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+    doc="W4 top-k: TakeOrderedAndProject — per-partition heap + merge, no global sort.",
+)
+def w4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_acctbal").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 SO1–SO3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "so1_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    doc="SO1 bag difference — the reference's current−last dedup shape (extract.py:119,127).",
+)
+def so1_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return early.exceptAll(late)
+
+
+@register(
+    "so2_union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="SO2 union (reference extract.py:111,153 extend) + distinct.",
+)
+def so2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.unionByName(o).distinct()
+
+
+@register(
+    "so3_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="SO3 set intersection (membership-key mechanics of J1).",
+)
+def so3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)

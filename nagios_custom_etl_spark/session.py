@@ -35,6 +35,10 @@ def get_spark(app_name: str = "nagios_custom_etl_spark", cpus: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the events fixture is written with TIMESTAMP(NANOS) which the
+        # vectorized parquet reader rejects; read as long and convert in
+        # the catalog (values are µs-aligned, verified in FIXTURES data).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: driver is the only JVM; leave headroom for the OS.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
