@@ -45,7 +45,7 @@ def davg(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
 
 def numeric_normalize(col: str | Column, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    d = c.cast("double")  # non-numeric strings cast to null (Spark default)
+    d = c.try_cast("double")  # non-numeric -> null (ANSI-safe, like try/except ValueError)
     d = F.when(F.isnan(d), F.lit(None)).otherwise(d)
     # reference uses f"{v:.2f}" (half-even on the shortest decimal repr);
     # bround is HALF_EVEN — the matching semantic.
