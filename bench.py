@@ -18,10 +18,18 @@ from nagios_custom_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the scan/agg flagship plus the heaviest operators as they
-# land. Names must exist in the registry.
+# Headline set: the scan/agg flagship plus the heaviest operator families
+# (multiway join, window, exact dedup, near-dup LSH, similarity search,
+# time windows, pivot). Names must exist in the registry.
 HEADLINE = [
     "q1_pricing_summary",
+    "j5_multiway_revenue_by_nation",
+    "w1_latest_per_key",
+    "t2_pivot_wide",
+    "x1_exact_dedup",
+    "x2b_minhash_lsh_neardup",
+    "x3_cosine_topk",
+    "x6_tumbling_window",
 ]
 
 

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (SURVEY §2.12 X3).
+
+Three tiers, all DataFrame-native:
+  * brute-force cosine top-k — the exact baseline; one scan, one top-k
+    (TakeOrderedAndProject), no shuffle of the full table;
+  * sign-LSH bucketed near-dup / search — candidates from an equi-join
+    on deterministic hyperplane-sign buckets;
+  * IVF (inverted file) — k-means coarse centroids (pyspark.ml), search
+    probes the closest n_probe cells: at 100 TB the partition-pruned scan
+    reads only probed cells when the table is written partitioned by
+    ``cell_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.functions.vector import (
+    as_double_array,
+    cosine,
+    dot,
+    norm,
+    random_projection_signs,
+)
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against one query vector
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The query is a literal array (broadcast by value into the plan); the
+    result uses TakeOrderedAndProject — per-partition heaps, no global
+    sort. Ties break by id for determinism.
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    sim = cosine(vec_col, q).alias("cos_sim")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    q_vec_col: str,
+    q_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY query row (small query side).
+
+    broadcast(queries) × vectors → per-query window top-k. Query side
+    must fit in a broadcast (the usual ANN serving shape); for
+    query-side ≈ table-side use the LSH/IVF paths instead.
+    """
+    from pyspark.sql.window import Window as W
+
+    v = vectors.select(F.col(id_col).alias("nbr_id"), as_double_array(vec_col).alias("_v"))
+    q = queries.select(F.col(q_id_col).alias("query_id"), as_double_array(q_vec_col).alias("_q"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id", "nbr_id", cosine(F.col("_v"), F.col("_q")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("nbr_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed near-duplicate pairs (embedding-cosine near-dup, X1/X3)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine >= threshold, candidates via sign-LSH buckets.
+
+    n_tables independent 8-plane sign buckets; a pair collides in table t
+    with probability (1 - theta/pi)^n_planes — multiple tables recover
+    recall. Exact cosine verifies candidates.
+    """
+    base = df.select(F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v"))
+    bucketed = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        random_projection_signs(F.col("_v"), n_planes, seed + t, dim).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_v", "b.table_id", "b.bucket")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted-file ANN index
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign each vector to its nearest of n_cells k-means centroids.
+
+    Returns (assigned df with cell_id, centroids). At scale the assigned
+    table is written ``partitionBy("cell_id")`` so searches prune cells
+    at the file-listing level.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_arr")
+    ).withColumn("features", array_to_vector("_arr"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(
+        F.col("_id").alias(id_col), F.col("_arr").alias(vec_col), "cell_id"
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact cosine within them.
+
+    Driver picks probe cells from the (tiny) centroid list; the scan
+    filter ``cell_id IN (...)`` partition-prunes when the index table is
+    partitioned by cell_id.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda c: -cos(centroids[c], query_vec))[:n_probe]
+    q = F.lit(query_vec).cast("array<double>")
+    return (
+        assigned.filter(F.col("cell_id").isin(probe))
+        .select(F.col(id_col), cosine(vec_col, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

@@ -9,3 +9,4 @@ from nagios_custom_etl_spark.plans.registry import Query, all_queries, register 
 # Importing the plan modules populates the registry.
 from nagios_custom_etl_spark.plans import relational  # noqa: F401,E402
 from nagios_custom_etl_spark.plans import scalar_etl  # noqa: F401,E402
+from nagios_custom_etl_spark.plans import extensions  # noqa: F401,E402

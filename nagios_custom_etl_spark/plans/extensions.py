@@ -1,0 +1,418 @@
+"""Extension-operator queries (SURVEY §2.12 X1–X6): dedup, similarity
+search, text analysis, multimodal columns, time windows. Exercised on the
+``documents`` / ``embeddings`` / ``events`` fixtures; SQL-expressible ones
+carry DuckDB oracles, probabilistic/LSH ones are rows-only here and
+recall-tested against exact baselines in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.functions.text import (
+    lang_id,
+    normalized_fingerprint,
+    quality_metrics,
+    tokens,
+)
+from nagios_custom_etl_spark.functions.vector import cosine
+from nagios_custom_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from nagios_custom_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_build,
+    ivf_search,
+)
+from nagios_custom_etl_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint
+    """,
+    doc="X1 exact dedup: normalized-text fingerprint, deterministic min-id "
+    "keeper, copy counts (generalizes reference extract.py:115-132 J3).",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "x1b_dedup_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dupes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="X1 dedup statistics per language partition.",
+)
+def x1b_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = normalized_fingerprint("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(fp).alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct(fp)).alias("n_dupes"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-duplicate detection
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+
+
+@register(
+    "x2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON shared.id_a = sa.doc_id
+    JOIN sizes sb ON shared.id_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="X2 exact n-gram Jaccard near-dup pairs via inverted shingle index "
+    "— the oracle-checkable exact counterpart of MinHash-LSH.",
+)
+def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+
+
+@register(
+    "x2b_minhash_lsh_neardup",
+    oracle=None,  # probabilistic candidate recall — verified vs exact in tests
+    doc="X2 MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact "
+    "Jaccard verify. Rows-only here; recall vs the exact pair set is "
+    "asserted in tests/test_dedup.py.",
+)
+def x2b_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x2c_simhash_neardup",
+    oracle=None,  # engine-specific hash basis — planted-dup behavior in tests
+    doc="X2 SimHash near-dup at Hamming<=3 with 16-bit pigeonhole banding.",
+)
+def x2c_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim_r
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+    LIMIT 10
+    """,
+    doc="X3 brute-force cosine top-k (exact ANN baseline). Similarity is "
+    "rounded to 6dp in the output to absorb engine-side fp formula "
+    "differences; ranking uses the unrounded value.",
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = cosine_topk(em, "embedding", "vec_id", qvec, k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
+@register(
+    "x3b_embedding_neardup_lsh",
+    oracle="""
+    -- planted near-dups: each vector's 0.9-scaled copy at vec_id+1000000.
+    -- scaling preserves direction ⇒ cosine exactly 1 and identical sign-LSH
+    -- buckets, so LSH recall is total; no organic fixture pair reaches 0.85
+    -- (max pairwise cosine ≈ 0.48).
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim_r
+    FROM embeddings
+    """,
+    doc="X3/X1 embedding-cosine near-dup pairs via multi-table sign-LSH "
+    "buckets + exact cosine verify, demonstrated on planted scaled copies.",
+)
+def x3b_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.vector import as_double_array
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("embedding")
+    )
+    copies = em.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9).alias("embedding"),
+    )
+    return (
+        embedding_near_dup_pairs(
+            em.unionByName(copies),
+            "embedding",
+            "vec_id",
+            dim=64,
+            threshold=0.85,
+            n_planes=8,
+            n_tables=6,
+        )
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "x3c_ann_ivf",
+    oracle=None,  # k-means cell boundaries are engine-specific; recall in tests
+    doc="X3 IVF approximate search: k-means coarse cells (pyspark.ml), "
+    "n_probe nearest cells scanned exactly. The scale path: index table "
+    "partitioned by cell_id → partition-pruned probes.",
+)
+def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    hits = ivf_search(assigned, centroids, "embedding", "vec_id", qvec, k=10, n_probe=3)
+    return hits.select("vec_id", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           length(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / greatest(length(toks), 1) AS avg_token_len
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 20 = 0)
+    ORDER BY doc_id
+    """,
+    doc="X4 token counting: whitespace tokens, distinct tokens, mean length.",
+)
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    m = quality_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct_tokens"].alias("n_distinct_tokens"),
+        m["avg_token_len"].alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4b_quality_filter",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(CASE WHEN n_chars BETWEEN 100 AND 5000
+                       AND length(list_filter(string_split(text, ' '), t -> t <> '')) >= 20
+                      THEN 1 END) AS n_quality
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="X4 quality scoring/filtering: length + token-count gates per lang "
+    "(punct/stopword ratios exercised in tests — fixture text has no punct).",
+)
+def x4b_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_quality = (
+        F.col("n_chars").between(100, 5000) & (F.size(tokens("text")) >= 20)
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(is_quality, 1)).alias("n_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x4c_lang_id",
+    oracle=None,  # heuristic is engine-portable but verbose in SQL; tests pin it
+    doc="X4 language ID: marker-lexicon hit scoring over distinct tokens, "
+    "argmax with deterministic ties, 'und' below threshold.",
+)
+def x4c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select("doc_id", "lang", lang_id("text").alias("predicted_lang")).orderBy("doc_id")
+
+
+@register(
+    "x4d_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_fingerprints,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="X4 document fingerprinting (normalized sha256) aggregated by source.",
+)
+def x4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count_distinct(normalized_fingerprint("text")).alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal columns: opaque binary payload + typed metadata.
+# The fixture set has no media table, so the payload is derived (text →
+# bytes) — the *plumbing* (binary columns, magic sniffing, size metadata)
+# is the operator under test; real decode lives in operators/multimodal.py
+# behind mapInPandas with a stubbed codec.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x5_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substring(text, 1, 4) AS magic,
+           CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id
+    """,
+    doc="X5 multimodal plumbing: opaque binary payload column + typed "
+    "metadata (byte length, magic prefix, size class) — schema-first, "
+    "decode stubbed in operators/multimodal.py.",
+)
+def x5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.substring("text", 1, 4).alias("magic"),
+        F.when(F.octet_length(payload) > 300, "large").otherwise("small").alias("size_class"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X6 — time windows over the events stream table (batch semantics here;
+# streaming variants in streaming/ops.py with identical window logic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x6_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="X6/ST tumbling 10-minute window aggregate — same window() operator "
+    "drives the Structured Streaming variant.",
+)
+def x6_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.scalar import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 12, 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "x6b_session_window",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gapped
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_start
+    """,
+    doc="X6 session windows (30-min gap): session_window() in Spark vs the "
+    "classic lag/cumsum sessionization as the oracle — same semantics.",
+)
+def x6b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

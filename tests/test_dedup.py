@@ -1,0 +1,110 @@
+"""Deterministic unit fixtures for the probabilistic dedup operators
+(SURVEY §5.3): planted duplicates with known Jaccard; LSH recall vs the
+exact pair set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different text about spark query engines and columnar storage"),
+        (4, "another unrelated document discussing benchmark suites and optimizers"),
+        (5, base.upper()),  # normalized-exact dup of 0 (case only)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(planted):
+    out = exact_dedup(planted, "doc_id", "text").collect()
+    by_keeper = {r["doc_id"]: r["n_copies"] for r in out}
+    # 0, 1 and 5 share a normalized fingerprint; keeper is min id = 0
+    assert by_keeper[0] == 3
+    assert by_keeper[3] == 1 and by_keeper[4] == 1
+    assert 1 not in by_keeper and 5 not in by_keeper
+
+
+def test_ngram_jaccard_planted(planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted, "doc_id", "text", 0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # one-word change
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_lsh_recall_on_planted(planted):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(planted, "doc_id", "text", 0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(planted, "doc_id", "text", threshold=0.6).collect()
+    }
+    # verified output can never contain false positives
+    assert approx <= exact
+    # high-similarity planted pairs must be recalled
+    assert (0, 1) in approx and (0, 2) in approx
+
+
+def test_minhash_lsh_recall_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        # 32 hashes / 8 bands: P(candidate | j=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.40,
+        # rising steeply with j; fixture near-dups are designed high-j.
+        assert recall >= 0.5, f"LSH recall {recall:.2f} on {len(exact)} exact pairs"
+
+
+def test_simhash_planted(spark, planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(planted, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 3) not in pairs  # unrelated text stays apart
+
+    # 16-bit banding *guarantees* recall only at hamming<=3 (pigeonhole over
+    # 4 bands); a one-token edit in a long doc flips few bits — must be found.
+    long_base = " ".join(f"word{i}" for i in range(200))
+    long_rows = spark.createDataFrame(
+        [(10, long_base), (11, long_base.replace("word100", "changed"))],
+        "doc_id long, text string",
+    )
+    long_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(long_rows, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert (10, 11) in long_pairs and long_pairs[(10, 11)] <= 3
+
+
+def test_lsh_candidates_no_self_pairs(planted):
+    cands = lsh_candidate_pairs(planted, "doc_id", "text").collect()
+    assert all(r["id_a"] < r["id_b"] for r in cands)

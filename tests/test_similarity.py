@@ -1,0 +1,97 @@
+"""Similarity-search tests: planted nearest neighbors with known cosine
+ranking; LSH/IVF recall vs the exact brute-force baseline (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_join,
+    embedding_near_dup_pairs,
+    ivf_build,
+    ivf_search,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (0, unit(1.0, 0.0, 0.0, 0.0)),
+        (1, unit(0.99, 0.1, 0.0, 0.0)),   # closest to 0
+        (2, unit(0.8, 0.6, 0.0, 0.0)),    # second
+        (3, unit(0.0, 1.0, 0.0, 0.0)),    # orthogonal
+        (4, unit(-1.0, 0.0, 0.0, 0.0)),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_planted_ranking(planted_vectors):
+    out = cosine_topk(planted_vectors, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+    assert out[1]["cos_sim"] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.1**2))
+
+
+def test_cosine_topk_join_per_query(planted_vectors):
+    queries = planted_vectors.filter(F.col("vec_id").isin(0, 3))
+    out = cosine_topk_join(
+        planted_vectors, queries, "embedding", "vec_id", "embedding", "vec_id", k=2
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["nbr_id"])
+    assert per_q[0] == [0, 1]
+    assert per_q[3][0] == 3
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    # exact pair set via self-join (small fixture — the brute-force oracle)
+    from nagios_custom_etl_spark.functions.vector import as_double_array, cosine
+
+    base = em.select(F.col("vec_id").alias("_id"), as_double_array("embedding").alias("_v"))
+    a, b = base.alias("a"), base.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.85)
+        .collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            em, "embedding", "vec_id", dim=64, threshold=0.85, n_planes=8, n_tables=6
+        ).collect()
+    }
+    assert approx <= exact  # exact-verify ⇒ no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"sign-LSH recall {recall:.2f} on {len(exact)} pairs"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_ids = [r["vec_id"] for r in cosine_topk(em, "embedding", "vec_id", qvec, k=10).collect()]
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    ivf_ids = [
+        r["vec_id"]
+        for r in ivf_search(assigned, centroids, "embedding", "vec_id", qvec, k=10, n_probe=3).collect()
+    ]
+    overlap = len(set(exact_ids) & set(ivf_ids)) / 10
+    assert ivf_ids[0] == 0  # the query vector itself lives in a probed cell
+    assert overlap >= 0.5, f"IVF@3/8 recall {overlap:.2f} vs brute force"

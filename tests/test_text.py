@@ -1,0 +1,83 @@
+"""Text-analysis function tests: deterministic behavior pinning for the
+expressions that back X4 queries (lang-id, quality metrics, shingles,
+fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    normalized_fingerprint,
+    quality_metrics,
+    rolling_hashes,
+    tokens,
+    word_shingles,
+)
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d"), (1, "x y"), (2, "")], "id long, text string")
+    out = df.select(
+        "id",
+        tokens("text").alias("toks"),
+        word_shingles("text", 3).alias("sh"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    assert rows[0]["toks"] == ["a", "b", "c", "d"]
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == ["x y"]  # shorter than n → single whole-text shingle
+    assert rows[2]["toks"] == []
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was happy"),
+            (1, "der hund ist nicht in der küche und sie"),
+            (2, "el perro es un animal que vive en la casa"),
+            (3, "zz qq xx vv"),  # no markers
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["pl"] for r in df.select("id", lang_id("text").alias("pl")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_metrics_values(spark):
+    df = spark.createDataFrame([(0, "the cat, the hat!")], "id long, text string")
+    m = quality_metrics("text")
+    r = df.select(*[v.alias(k) for k, v in m.items()]).head()
+    assert r["n_chars"] == 17
+    assert r["n_tokens"] == 4
+    assert r["n_distinct_tokens"] == 3  # the, cat,, hat! → 'the' repeats... tokens include punct
+    assert r["punct_ratio"] > 0
+    assert 0 < r["stopword_ratio"] <= 1
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(0, "don't stop-me now!")], "id long, text string")
+    n = df.select(bpe_ish_token_count("text").alias("n")).head()["n"]
+    # don | ' | t | stop | - | me | now | !
+    assert n == 8
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, " HELLO  WORLD ")],
+        "id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(normalized_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert len(fps[0]) == 64  # sha256 hex
+
+
+def test_rolling_hashes_shape(spark):
+    df = spark.createDataFrame([(0, "abcdefghij")], "id long, text string")
+    hs = df.select(rolling_hashes("text", 8).alias("h")).head()["h"]
+    assert len(hs) == 3  # 10 - 8 + 1
+    assert len(set(hs)) == 3
