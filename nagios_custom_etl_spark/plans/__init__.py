@@ -10,3 +10,4 @@ from nagios_custom_etl_spark.plans.registry import Query, all_queries, register 
 from nagios_custom_etl_spark.plans import relational  # noqa: F401,E402
 from nagios_custom_etl_spark.plans import scalar_etl  # noqa: F401,E402
 from nagios_custom_etl_spark.plans import extensions  # noqa: F401,E402
+from nagios_custom_etl_spark.plans import streaming_queries  # noqa: F401,E402

@@ -1,0 +1,152 @@
+"""Streaming queries (SURVEY §2.9 ST1–ST6) registered on the driver
+contract. Each runs a real Structured Streaming query over the events
+fixture with Trigger.AvailableNow into a memory sink, then returns the
+materialized result — deterministic, so most carry DuckDB oracles that
+encode the watermark-emission semantics explicitly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.plans.registry import register
+from nagios_custom_etl_spark.streaming.ops import (
+    cross_run_dedup,
+    late_data_gate,
+    read_events_stream,
+    route_column,
+    routed_parquet_sink,
+    run_to_memory,
+    stream_static_enrich,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "st1_stream_tumbling_window",
+    oracle="""
+    -- append-mode emission: a window emits iff window_end <= watermark,
+    -- and the final watermark after AvailableNow is max(ts) - 0s.
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+    HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           <= (SELECT max(ts) FROM events)
+    ORDER BY 1, 2
+    """,
+    doc="ST1/ST2: watermarked tumbling-window streaming aggregate, run to "
+    "completion with Trigger.AvailableNow (the cron-compatible trigger).",
+)
+def st1_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    name = run_to_memory(tumbling_window_counts(stream, watermark="0 seconds"))
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
+    "st2_watermark_dedup",
+    oracle="""
+    -- the duplicated leg is eliminated by dropDuplicatesWithinWatermark:
+    -- exactly one row per event_id survives (reference extract.py:115-132)
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ST4: cross-run dedup as dropDuplicatesWithinWatermark over a "
+    "stream that re-delivers the first 200 events (the 25h-overlap shape).",
+)
+def st2_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    replay = read_events_stream(spark, sf_dir).filter(F.col("event_id") < 200)
+    deduped = cross_run_dedup(stream.unionByName(replay), watermark="25 hours")
+    name = run_to_memory(deduped.select("event_id", "event_type"))
+    return spark.table(name).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "st3_stream_static_enrich",
+    oracle="""
+    SELECT CASE WHEN user_id < 8 THEN 'tracked' ELSE 'untracked' END AS cohort,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="ST3+ST6: late-data completeness gate then per-batch stream-static "
+    "broadcast enrichment against a slowly-changing dimension.",
+)
+def st3_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = late_data_gate(read_events_stream(spark, sf_dir))
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") < 8)
+        .withColumn("cohort", F.lit("tracked"))
+    )
+    enriched = stream_static_enrich(stream, static_dim).select(
+        F.coalesce("cohort", F.lit("untracked")).alias("cohort")
+    )
+    name = run_to_memory(enriched)
+    return spark.table(name).groupBy("cohort").agg(F.count(F.lit(1)).alias("n")).orderBy("cohort")
+
+
+@register(
+    "st4_routed_foreachbatch_sink",
+    oracle="""
+    SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+                WHEN event_type = 'error' THEN 'alerts'
+                WHEN event_type IN ('click','view') THEN 'traffic'
+                ELSE 'unrouted' END AS route,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="ST5/K4: foreachBatch content-routed sink (the streaming form of "
+    "load_to_db.py's 4-table fan-out) — one partitioned write per batch, "
+    "idempotent layout; counts read back from the sink.",
+)
+def st4_routed_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = tempfile.mkdtemp(prefix="routed_sink_")
+    ckpt = tempfile.mkdtemp(prefix="routed_ckpt_")
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(routed_parquet_sink(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("route")
+    )
+
+
+@register(
+    "st5_session_window_stream",
+    oracle=None,  # session merge emission across micro-batches: rows-only
+    doc="X6/ST: session windows (30-min gap) computed on the stream with a "
+    "watermark; batch equivalence is oracle-checked by x6b_session_window.",
+)
+def st5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = run_to_memory(sessions)
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -1,0 +1,122 @@
+"""ETL-semantics streaming tests (SURVEY §5.4): the reference's
+25h-overlap cross-run dedup, late-data policy, and routed fan-out, on
+Nagios-shaped synthetic data driven through real streaming queries."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.streaming.ops import (
+    cross_run_dedup,
+    late_data_gate,
+    read_events_stream,
+    routed_parquet_sink,
+    run_to_memory,
+    tumbling_window_counts,
+)
+
+
+@pytest.fixture()
+def nagios_runs_dir(spark):
+    """Two extract 'runs' as parquet files in one source dir: run2 re-delivers
+    run1's last 2 hours (the 25h-lookback overlap, extract.py:29-31)."""
+    d = tempfile.mkdtemp(prefix="nagios_runs_")
+
+    def rows(run_start_h, run_end_h, host):
+        return [
+            (host, "CPU Usage", f"2024-01-01 {h:02d}:00:00", float(h))
+            for h in range(run_start_h, run_end_h)
+        ]
+
+    schema = "host_name string, service_name string, ts_str string, cpu double"
+    run1 = spark.createDataFrame(rows(0, 12, "web01"), schema)
+    run2 = spark.createDataFrame(rows(10, 22, "web01"), schema)  # 2h overlap
+    run1.withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=1")
+    run2.withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=2")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cross_run_overlap_dedup(spark, nagios_runs_dir):
+    schema = spark.read.parquet(f"{nagios_runs_dir}/run=1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{nagios_runs_dir}/run=*")
+    )
+    deduped = (
+        stream.withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["host_name", "service_name", "ts"])
+    )
+    name = run_to_memory(deduped)
+    out = spark.table(name)
+    # 22 distinct hours survive; the 2 overlap rows are dropped exactly once
+    assert out.count() == 22
+    assert out.select("ts").distinct().count() == 22
+
+
+def test_late_data_gate_drops_incomplete(spark, sf_dir):
+    stream = late_data_gate(read_events_stream(spark, sf_dir))
+    name = run_to_memory(stream.select("event_id"))
+    got = spark.table(name).count()
+    # fixture has no nulls: the gate must be a pass-through there
+    from nagios_custom_etl_spark.catalog import load_table
+
+    assert got == load_table(spark, sf_dir, "events").count()
+
+
+def test_routed_sink_fanout_totals(spark, sf_dir):
+    """T5 invariant (load_to_db.py:34-48): per-route counts sum to the
+    input count; unrouted rows are routed to 'unrouted', never lost."""
+    out_dir = tempfile.mkdtemp(prefix="fanout_")
+    ckpt = tempfile.mkdtemp(prefix="fanout_ckpt_")
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(routed_parquet_sink(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    routed = spark.read.parquet(out_dir)
+    from nagios_custom_etl_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert routed.count() == total
+    per_route = {r["route"]: r["n"] for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_route) <= {"revenue", "alerts", "traffic", "unrouted"}
+    assert sum(per_route.values()) == total
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir):
+    """The streaming window aggregate (emitted windows only) must be a
+    prefix of the batch window aggregate over the same data."""
+    from nagios_custom_etl_spark.catalog import load_table
+
+    stream_name = run_to_memory(
+        tumbling_window_counts(read_events_stream(spark, sf_dir), watermark="0 seconds")
+    )
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"] for r in spark.table(stream_name).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert streamed  # something emitted
+    assert set(streamed) <= set(batch)
+    assert all(batch[k] == v for k, v in streamed.items())
