@@ -67,9 +67,14 @@ def epoch_to_datetime_str(col: str | Column) -> Column:
 
 
 def datetime_str_to_epoch(col: str | Column) -> Column:
-    """'yyyy-MM-dd HH:mm:ss' string -> epoch seconds; null on parse failure (F3+P6)."""
+    """'yyyy-MM-dd HH:mm:ss' string -> epoch seconds; null on parse failure (F3+P6).
+
+    try_to_timestamp, not unix_timestamp(str): ANSI mode makes the latter
+    throw on garbage, but the reference treats parse failure as
+    drop-the-row (url_...py:101-105).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_timestamp(c, MSSQL_DT2_FMT)
+    return F.unix_timestamp(F.try_to_timestamp(c, F.lit(MSSQL_DT2_FMT)))
 
 
 def ts_str(col: str | Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:

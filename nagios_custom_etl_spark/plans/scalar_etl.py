@@ -365,3 +365,30 @@ def ep3_status_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "s4_rest_rrd_extract",
+    oracle=None,  # source data is synthesized by the offline fetcher, not a fixture table
+    doc="S4 REST RRD source end-to-end: custom Python DataSource with "
+    "(host,service) partitioning + start-ts/keyspace filter pushdown, "
+    "composed into the EP2 pivot + completeness gate. Offline demo "
+    "fetcher (deterministic) — the production fetcher is the same code "
+    "with requests.",
+)
+def s4_rest_rrd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.etl.nagios import rrd_points_to_wide
+    from nagios_custom_etl_spark.sources.rest import register_sources
+
+    register_sources(spark)
+    raw = (
+        spark.read.format("nagios_rrd")
+        .option("endpoint", "https://nagios.example/api/v1/objects/rrdexport")
+        .option("fetcher", "nagios_custom_etl_spark.sources.rest:demo_fetcher")
+        .option("hosts", "web01,web02,db01")
+        .option("start_ts", "1700000000")
+        .load()
+        .filter(F.col("t") >= 1700003600)  # pushed into the request params
+    )
+    wide = rrd_points_to_wide(raw)
+    return wide["CPU Usage"].orderBy("host_name", "timestamp")

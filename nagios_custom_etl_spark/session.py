@@ -39,6 +39,8 @@ def get_spark(app_name: str = "nagios_custom_etl_spark", cpus: int | None = None
         # vectorized parquet reader rejects; read as long and convert in
         # the catalog (values are µs-aligned, verified in FIXTURES data).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # allow Python data sources (sources/rest.py) to receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: driver is the only JVM; leave headroom for the OS.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests (SURVEY §2.12 X5): binary payload schema,
+Arrow-batched feature extraction with the stubbed codec, frame-sample
+fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+
+
+def test_media_schema_contract(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    assert dict(media.dtypes) == {
+        "media_id": "bigint",
+        "payload": "binary",
+        "meta": "struct<mime:string,source:string,n_bytes:bigint>",
+    }
+
+
+def test_extract_features_fake_codec(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = documents_as_media(docs)
+    feats = extract_features(media, codec="fake")
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["magic_hex"]) == 8  # 4 bytes hex
+        assert 64 <= r["width"] < 64 + 1920
+        assert 64 <= r["height"] < 64 + 1080
+    # determinism: same bytes → same checksum across runs
+    again = {r["media_id"]: r["checksum"] for r in extract_features(media, codec="fake").collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in rows)
+
+
+def test_real_codec_is_stubbed(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, codec="real").collect()
+
+
+def test_frame_sample_bounded_fanout(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(20))
+    frames = frame_sample(media, every_n_bytes=64, max_frames=8)
+    per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(1 <= r["n"] <= 8 for r in per_media)
+    offs = frames.filter(F.col("media_id") == per_media[0]["media_id"]).collect()
+    assert [r["byte_offset"] for r in sorted(offs, key=lambda r: r["frame_no"])] == [
+        64 * i for i in range(len(offs))
+    ]

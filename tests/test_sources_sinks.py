@@ -1,0 +1,136 @@
+"""Custom source/sink tests (SURVEY §2.1/§2.2): the REST data source with
+partitioning + filter pushdown (offline demo fetcher), the routed JDBC
+sink contract, and InfluxDB line-protocol rendering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThanOrEqual, In, EqualTo, IsNotNull
+
+from nagios_custom_etl_spark.etl.nagios import SERVICE_KEYS
+from nagios_custom_etl_spark.sinks.influx import influx_batch_writer, line_protocol
+from nagios_custom_etl_spark.sinks.jdbc_routed import ROUTE_TABLES, write_routed
+from nagios_custom_etl_spark.sources.rest import NagiosRrdReader, register_sources
+
+DEMO_FETCHER = "nagios_custom_etl_spark.sources.rest:demo_fetcher"
+
+
+def _rrd_df(spark, hosts="web01,web02", **opts):
+    register_sources(spark)
+    reader = (
+        spark.read.format("nagios_rrd")
+        .option("endpoint", "https://nagios.example/api/v1/objects/rrdexport")
+        .option("fetcher", DEMO_FETCHER)
+        .option("hosts", hosts)
+        .option("start_ts", "1700000000")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_rest_source_reads_all_pairs(spark):
+    df = _rrd_df(spark)
+    # 2 hosts × 10 services × 6 points
+    assert df.count() == 2 * len(SERVICE_KEYS) * 6
+    assert df.schema.simpleString() == (
+        "struct<host_name:string,service_name:string,t:bigint,v:array<string>>"
+    )
+    row = df.filter((F.col("host_name") == "web01") & (F.col("service_name") == "CPU Usage")).head()
+    assert len(row["v"]) == 1  # value arity follows SERVICE_KEYS
+
+
+def test_rest_source_filter_pushdown_plan(spark):
+    df = _rrd_df(spark).filter(
+        (F.col("t") >= 1700003600) & (F.col("service_name") == "CPU Usage")
+    )
+    # pushdown prunes the keyspace: only CPU rows with tightened start
+    rows = df.collect()
+    assert {r["service_name"] for r in rows} == {"CPU Usage"}
+    assert min(r["t"] for r in rows) >= 1700003600
+
+
+def test_rest_reader_pushdown_unit():
+    reader = NagiosRrdReader(
+        {
+            "endpoint": "x",
+            "hosts": "a,b,c",
+            "start_ts": "100",
+            "num_partitions": "2",
+        }
+    )
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("t",), 500),
+                In(("host_name",), ("a", "c")),
+                EqualTo(("service_name",), "CPU Usage"),
+                IsNotNull(("v",)),  # unsupported → returned to Spark
+            ]
+        )
+    )
+    assert reader.start_ts == 500
+    assert reader.hosts == ["a", "c"]
+    assert reader.services == ["CPU Usage"]
+    assert len(leftover) == 1 and isinstance(leftover[0], IsNotNull)
+    parts = reader.partitions()
+    assert sum(len(p.pairs) for p in parts) == 2  # (a|c) × CPU Usage
+
+
+def test_routed_jdbc_sink_contract(spark):
+    rows = [
+        ("web01", "2024-01-01 00:00:00", "CPU Usage", 1.0),
+        ("web01", "2024-01-01 00:00:00", "Memory Usage", 2.0),
+        ("web01", "2024-01-01 00:00:00", "Disk Usage root", 3.0),
+        ("web01", "2024-01-01 00:00:00", "Mystery", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "host_name string, timestamp string, service_name string, value double")
+    written: dict[str, int] = {}
+    counts = write_routed(df, lambda part, table: written.__setitem__(table, part.count()))
+    assert counts == {"cpu": 1, "memory": 1, "disk": 1, "swap": 0, "unrouted": 1}
+    # empty route (swap) skipped; unrouted logged, not written
+    assert written == {"host_cpu_usage": 1, "host_mem_usage": 1, "host_disk_usage": 1}
+    assert set(written) <= set(ROUTE_TABLES.values())
+
+
+def test_influx_line_protocol_rendering(spark):
+    df = spark.createDataFrame(
+        [("web 01", "disk=root", "OK", 0, 42.5, 1704103200)],
+        "host string, svc string, status string, code int, load double, ts long",
+    )
+    line = df.select(
+        line_protocol(
+            "service_status",
+            tags={"host": F.col("host"), "svc": F.col("svc")},
+            fields={
+                "status": ("str", F.col("status")),
+                "code": ("int", F.col("code")),
+                "load": ("float", F.col("load")),
+            },
+            time_s=F.col("ts"),
+        ).alias("line")
+    ).head()["line"]
+    assert line == (
+        'service_status,host=web\\ 01,svc=disk\\=root '
+        'status="OK",code=0i,load=42.5 1704103200'
+    )
+
+
+def test_influx_batch_writer_posts_batches(spark):
+    df = spark.createDataFrame([(f"m v={i}i 1",) for i in range(7)], "line string")
+    import tempfile, os, glob, json
+
+    out = tempfile.mkdtemp(prefix="influx_post_")
+
+    def post(lines):  # executor-side: write each batch to a file
+        import uuid
+
+        with open(os.path.join(out, uuid.uuid4().hex), "w") as f:
+            json.dump(lines, f)
+
+    influx_batch_writer(post, batch_size=3)(df.repartition(2), batch_id=0)
+    posted = []
+    for p in glob.glob(f"{out}/*"):
+        with open(p) as f:
+            posted.extend(json.load(f))
+    assert sorted(posted) == sorted(r["line"] for r in df.collect())
