@@ -31,16 +31,27 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0))
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (for MinHash/Jaccard).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
 
-    Implemented as a sequence-indexed slide over the token array — all
-    built-in higher-order functions, no UDF.
+    PERF: ``toks`` is referenced inside a HOF lambda, where Catalyst
+    re-evaluates free references per element — pass a *materialized
+    column* (project the token array in a prior select), not the raw
+    tokenization expression, or shingling degrades to O(tokens²).
     """
-    toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (for MinHash/Jaccard).
+
+    Single-expression convenience form; for bulk pipelines prefer
+    ``select(tokens(...).alias("_toks"))`` then ``shingles_from_tokens``
+    (see its PERF note).
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nagios_custom_etl_spark.functions.text import normalized_fingerprint, tokens, word_shingles
+from nagios_custom_etl_spark.functions.text import (
+    normalized_fingerprint,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(_id, _sh array<string>) with a two-step projection: tokens are
+    materialized first so shingle assembly references a bound column —
+    see shingles_from_tokens' PERF note (O(n) vs O(n²))."""
+    return df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).select(
+        "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
+    )
 
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
@@ -44,16 +58,42 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(text_col: str | Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """array<bigint> MinHash signature over word-shingle sets.
+    """array<bigint> MinHash signature over word-shingle sets, as one
+    Column expression (for single-pass per-row use).
 
-    One xxhash64 per (seed, shingle); min per seed. Pure expressions —
-    evaluated per row with no shuffle.
+    NOTE: inside nested HOF lambdas Catalyst does not share the shingle
+    subexpression across the num_hashes iterations — for bulk signatures
+    use ``minhash_signatures`` (explode + codegen'd min aggregates), which
+    computes shingles once and partial-aggregates map-side.
     """
     sh = word_shingles(text_col, shingle_n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s))),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_id, _sig array<bigint>) MinHash signatures — the scale path.
+
+    explode(shingles) → num_hashes codegen'd MIN aggregates (xxhash64 per
+    seed) → array. Shingling runs once per document; the only shuffle is
+    the per-doc aggregation, with map-side partial MIN combine, so the
+    exchanged rows are already one-per-(doc, aggregate).
+    """
+    exploded = _shingle_rows(df, id_col, text_col, shingle_n).select(
+        "_id", F.explode("_sh").alias("_s")
+    )
+    mins = exploded.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.lit(seed), F.col("_s"))).alias(f"_h{seed}") for seed in range(num_hashes)]
+    )
+    return mins.select("_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("_sig"))
 
 
 def lsh_candidate_pairs(
@@ -71,7 +111,6 @@ def lsh_candidate_pairs(
     Jaccard j is emitted: 1 - (1 - j^(num_hashes/bands))^bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -87,10 +126,12 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = (
-        df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-        .select("_id", F.explode(F.array(*band_structs)).alias("band"))
-        .select("_id", "band.band_id", "band.band_hash")
+    # cache the (tiny) signature table: it feeds both sides of the bucket
+    # self-join — without it the signature aggregation runs twice. At
+    # 100 TB this is a persist(DISK_ONLY) or a checkpointed table.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "_id", "band.band_id", "band.band_hash"
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -114,8 +155,26 @@ def jaccard_verify(
     threshold: float,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact word-shingle Jaccard for candidate pairs; keeps >= threshold."""
-    sh = df.select(F.col(id_col).alias("_jid"), word_shingles(text_col, shingle_n).alias("_sh"))
+    """Exact word-shingle Jaccard for candidate pairs; keeps >= threshold.
+
+    Shingles are computed only for documents that appear in a candidate
+    pair (semi-join restriction) — at scale the candidate set is orders of
+    magnitude smaller than the corpus.
+    """
+    # pairs feeds three consumers (id restriction + both join sides):
+    # materialize once instead of re-running the LSH bucket join thrice
+    pairs = pairs.cache()
+    wanted = (
+        pairs.select(F.col("id_a").alias("_jid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_jid")))
+        .distinct()
+    )
+    sh = (
+        _shingle_rows(df, id_col, text_col, shingle_n)
+        .withColumnRenamed("_id", "_jid")
+        .join(F.broadcast(wanted), "_jid", "left_semi")
+        .cache()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
@@ -163,9 +222,8 @@ def ngram_jaccard_pairs(
     scale, a stopword-ish shingle can fan out; cap it with a document
     frequency filter if needed (not required on the fixtures).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
+        "_id", F.explode("_sh").alias("shingle")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -230,6 +288,35 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, sim) 64-bit SimHash per document — the scale path.
+
+    explode(tokens) → one xxhash64 per token → 64 codegen'd conditional
+    SUM aggregates (bit votes, map-side combined) → sign-bit assembly.
+    Documents with no tokens get simhash 0 (left join + coalesce).
+    """
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")).select(
+        "_id", F.xxhash64("_t").alias("_h")
+    )
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(64):
+        weight = F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint")
+        sim = sim + F.when(F.col(f"_b{b}") > 0, weight).otherwise(F.lit(0).cast("bigint"))
+    sigs = votes.select("_id", sim.alias("sim"))
+    all_ids = df.select(F.col(id_col).alias("_id"))
+    return all_ids.join(sigs, "_id", "left").select(
+        "_id", F.coalesce("sim", F.lit(0).cast("bigint")).alias("sim")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -240,7 +327,7 @@ def simhash_near_dup_pairs(
     so candidates come from an equi-join on (band_id, band_value), never a
     cross join.
     """
-    sigs = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("sim"))
+    sigs = simhash_signatures(df, id_col, text_col).cache()
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
