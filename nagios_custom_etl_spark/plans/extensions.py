@@ -416,3 +416,63 @@ def x6b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "x7_training_data_pipeline",
+    oracle="""
+    -- end-to-end LLM training-data curation pass, SQL-oracle form:
+    -- quality gate -> lang selection -> exact-dedup keeper -> stats
+    WITH fingerprinted AS (
+      SELECT doc_id, lang, n_chars,
+             length(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE lang IN ('en', 'de', 'es', 'fr')
+        AND n_chars BETWEEN 100 AND 5000
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fingerprinted
+      WHERE n_tokens >= 20
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept WHERE rn = 1
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="X1+X4 composite: the 100 TB training-data curation pass — quality "
+    "gates (length + token count), language selection, exact dedup with "
+    "deterministic keeper, corpus token accounting — one lazy plan, one "
+    "shuffle per stage boundary.",
+)
+def x7_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(
+        F.col("lang").isin("en", "de", "es", "fr") & F.col("n_chars").between(100, 5000)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        tokens("text").alias("_toks"),
+        normalized_fingerprint("text").alias("fp"),
+    )
+    with_counts = gated.select(
+        "doc_id", "lang", "n_chars", "fp", F.size("_toks").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    keeper = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    return (
+        with_counts.withColumn("rn", keeper)
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -572,3 +572,46 @@ def so3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return urgent.intersect(low)
+
+
+@register(
+    "a7_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5) AS median_bal,
+           quantile_cont(c_acctbal, 0.9) AS p90_bal,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="A-ext exact percentiles (interpolated), min/max per group "
+    "(SURVEY §2.5 Ext; approx variant in a3/a8).",
+)
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.percentile("c_acctbal", 0.5).alias("median_bal"),
+            F.percentile("c_acctbal", 0.9).alias("p90_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "a8_approx_percentile",
+    oracle=None,  # sketch-based (KLL/GK) — engine-specific by design
+    doc="A-ext approx_percentile — the sketch path for 100 TB where exact "
+    "percentile's full sort is not worth it; bounds vs exact asserted in "
+    "tests/test_relational.py.",
+)
+def a8_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"))
+        .orderBy("l_returnflag")
+    )

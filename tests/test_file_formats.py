@@ -1,0 +1,104 @@
+"""S1/S2 scans and K1/K2/K3 sinks (SURVEY §2.1-§2.2): CSV and JSON
+round-trips with declared schemas — never inference in the pipeline path
+(the reference's schema-on-read is the bug class we remove)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nagios_custom_etl_spark.catalog import load_table
+
+HOSTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host_name", T.StringType(), False),
+        T.StructField("host_group", T.StringType(), True),
+    ]
+)
+
+
+def test_csv_roundtrip_with_declared_schema(spark):
+    """K2 sink (hosts_to_csv.py:48) then S1 scan (extract.py:138-140)."""
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    df = spark.createDataFrame(
+        [("web01", "linux-servers"), ("win01", "windows-servers")], HOSTS_SCHEMA
+    )
+    df.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.schema(HOSTS_SCHEMA).option("header", True).csv(d)
+    # file sources surface everything nullable; names+types are the contract
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in HOSTS_SCHEMA.fields
+    ]
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_roundtrip_events(spark, sf_dir):
+    """K1 JSON sink (extract.py:145-156) then S2 JSON scan
+    (load_to_db.py:22-23), declared schema, no inference."""
+    d = tempfile.mkdtemp(prefix="json_rt_")
+    ev = load_table(spark, sf_dir, "events").limit(100).select(
+        "event_id", "event_type", "value", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+    ev.write.mode("overwrite").json(d)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_str", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(d)
+    assert back.count() == 100
+    assert {r["event_id"] for r in back.collect()} == {r["event_id"] for r in ev.collect()}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multiline_json_array_scan(spark):
+    """S2's exact reference shape: one pretty-printed JSON *array* file
+    (extract.py:156 json.dump of a list)."""
+    import json, os
+
+    d = tempfile.mkdtemp(prefix="json_arr_")
+    payload = [
+        {"host_name": "web01", "timestamp": "2024-01-01 00:00:00", "service_name": "CPU Usage", "percent_used": 40.5},
+        {"host_name": "web02", "timestamp": "2024-01-01 00:00:00", "service_name": "CPU Usage", "percent_used": 12.25},
+    ]
+    with open(os.path.join(d, "data_extract.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    schema = T.StructType(
+        [
+            T.StructField("host_name", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("service_name", T.StringType()),
+            T.StructField("percent_used", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("multiLine", True).json(d)
+    assert back.count() == 2
+    assert {r["percent_used"] for r in back.collect()} == {40.5, 12.25}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir):
+    """Scale-path sink: partitionBy(route) parquet; reading one partition
+    must scan only that partition's files (PartitionFilters in the plan)."""
+    d = tempfile.mkdtemp(prefix="part_sink_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("route", F.when(F.col("event_type") == "error", "alerts").otherwise("rest")) \
+        .write.mode("overwrite").partitionBy("route").parquet(d)
+    one = spark.read.parquet(d).filter(F.col("route") == "alerts")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "route" in plan
+    n_alerts = one.count()
+    assert n_alerts == ev.filter(F.col("event_type") == "error").count()
+    shutil.rmtree(d, ignore_errors=True)
