@@ -476,3 +476,99 @@ def x7_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x4e_tfidf",
+    oracle="""
+    -- pure-SQL tf-idf with smoothed idf = ln((N+1)/(df+1)) + 1
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE lang = 'en')
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf_r
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC, tf.doc_id, tf.term
+    LIMIT 25
+    """,
+    doc="X4 tf-idf as pure DataFrame ops (term counts + smoothed idf join) "
+    "— no ml-lib hashing, so scores are exact and oracle-checkable. "
+    "Rounded to 6dp in output to absorb libm ln() last-ulp differences.",
+)
+def x4e_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny driver-side scalar, like the oracle's CTE
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("_tfidf")
+    )
+    return (
+        scored.orderBy(F.desc("_tfidf"), "doc_id", "term")
+        .limit(25)
+        .select("doc_id", "term", F.round("_tfidf", 6).alias("tfidf_r"))
+    )
+
+
+@register(
+    "x6c_znormalized_metric",
+    oracle="""
+    -- two-pass z-normalization with exact-decimal moments so both engines
+    -- see identical doubles: mean = dec-sum/n; var from decimal(30,10)
+    -- squared deviations (deterministic double->decimal rounding per row)
+    WITH stats AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+             COUNT(*) AS n
+      FROM events WHERE user_id < 5 GROUP BY user_id
+    ),
+    sq AS (
+      SELECT e.user_id, e.event_id, e.value, s.mean_v, s.n,
+             CAST((e.value - s.mean_v) * (e.value - s.mean_v) AS DECIMAL(30,10)) AS dev2
+      FROM events e JOIN stats s USING (user_id) WHERE e.user_id < 5
+    ),
+    var_ AS (
+      SELECT user_id, CAST(SUM(dev2) AS DOUBLE) / (MAX(n) - 1) AS var_v
+      FROM sq GROUP BY user_id
+    )
+    SELECT sq.event_id, sq.user_id,
+           round((sq.value - sq.mean_v) / sqrt(var_.var_v), 4) AS zscore_r
+    FROM sq JOIN var_ USING (user_id)
+    WHERE sq.event_id % 7 = 0
+    ORDER BY sq.user_id, sq.event_id
+    """,
+    doc="X6 z-normalized metric values per key (the normalization step of "
+    "z-normalized stream-similarity distance) with engine-exact moments.",
+)
+def x6c_znormalized_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.scalar import dsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    stats = ev.groupBy("user_id").agg(
+        (dsum("value", 12, 2) / F.count(F.lit(1))).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = ev.join(F.broadcast(stats), "user_id")
+    dev2 = ((F.col("value") - F.col("mean_v")) * (F.col("value") - F.col("mean_v"))).cast(
+        "decimal(30,10)"
+    )
+    var_ = (
+        joined.groupBy("user_id")
+        .agg((F.sum(dev2).cast("double") / (F.max("n") - 1)).alias("var_v"))
+    )
+    return (
+        joined.join(F.broadcast(var_), "user_id")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("mean_v")) / F.sqrt("var_v"), 4).alias("zscore_r"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,90 @@
+"""Relational-operator assertions beyond the oracle harness: approximate
+aggregates bounded against exact values, and physical-plan quality (the
+plans we'd want at 100 TB, not just plans that pass)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.plans import all_queries
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count_distinct("l_orderkey").alias("n")).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in all_queries()["a3_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, f"{k}: approx {approx[k]} vs exact {n}"
+
+
+def test_approx_percentile_within_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("m"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_median_price"]
+        for r in all_queries()["a8_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    for k, m in exact.items():
+        assert abs(approx[k] - m) / m < 0.05, f"{k}: approx {approx[k]} vs exact {m}"
+
+
+# ---------------------------------------------------------------------------
+# plan quality — the .explain discipline
+# ---------------------------------------------------------------------------
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    assert "HashAggregate" in plan  # partial+final hash agg, not sort-based
+
+
+def test_j5_dimensions_broadcast(spark, sf_dir):
+    plan = plan_of(all_queries()["j5_multiway_revenue_by_nation"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region never shuffle the fact side
+    assert "CartesianProduct" not in plan
+
+
+def test_w4_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(all_queries()["w4_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+
+
+def test_semi_and_anti_join_physical(spark, sf_dir):
+    semi = plan_of(all_queries()["j1_semi_join"].fn(spark, sf_dir))
+    anti = plan_of(all_queries()["j3_anti_join"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_lsh_candidate_join_is_equi_not_cross(spark, sf_dir):
+    from nagios_custom_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(lsh_candidate_pairs(d, "doc_id", "text"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
