@@ -572,3 +572,39 @@ def x6c_znormalized_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "x8_asof_join",
+    oracle="""
+    -- DuckDB has a native ASOF JOIN; the Spark side composes it from
+    -- union + last_value(ignorenulls) over a per-key window (one shuffle)
+    SELECT e.event_id, e.user_id,
+           strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup_ts
+    FROM (SELECT * FROM events WHERE event_type <> 'signup' AND event_id % 11 = 0) e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') m
+      ON e.user_id = m.user_id AND e.ts >= m.ts
+    ORDER BY e.event_id
+    """,
+    doc="J-ext backward as-of join (latest marker at-or-before each event): "
+    "union + last_value window composition — one key shuffle, no range "
+    "explosion, no per-group pandas. Oracle: DuckDB native ASOF JOIN.",
+)
+def x8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.joins import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter((F.col("event_type") != "signup") & (F.col("event_id") % 11 == 0)).select(
+        "event_id", "user_id", "ts"
+    )
+    markers = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("marker_ts")
+    )
+    joined = asof_join_backward(
+        left, markers, ["user_id"], "ts", "marker_ts", ["marker_ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("marker_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
+    ).orderBy("event_id")

@@ -150,3 +150,50 @@ def st5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = run_to_memory(sessions)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "st6_stateful_error_streaks",
+    oracle="""
+    -- batch oracle for the stateful streak operator: runs of consecutive
+    -- errors per user via the gaps-and-islands pattern; one row per
+    -- prefix of each run that reaches length >= 3 (the operator emits on
+    -- reach and on each extension)
+    WITH runs AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS grp
+      FROM events
+    ),
+    errors AS (
+      SELECT user_id, event_id, ts, grp,
+             ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY event_id) AS pos,
+             MIN(event_id) OVER (PARTITION BY user_id, grp) AS start_id
+      FROM runs WHERE event_type = 'error'
+    )
+    SELECT user_id, CAST(pos AS INTEGER) AS streak_len, start_id AS streak_start_id,
+           event_id AS streak_end_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts_str
+    FROM errors WHERE pos >= 3
+    ORDER BY user_id, streak_end_id
+    """,
+    doc="ST-ext custom stateful operator: applyInPandasWithState error-"
+    "streak detector (O(1) state per key, checkpointed across batches); "
+    "oracle = batch gaps-and-islands equivalent.",
+)
+def st6_stateful_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.streaming.stateful import error_streaks
+
+    stream = read_events_stream(spark, sf_dir)
+    name = run_to_memory(error_streaks(stream, threshold=3))
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "streak_len",
+            "streak_start_id",
+            "streak_end_id",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts_str"),
+        )
+        .orderBy("user_id", "streak_end_id")
+    )

@@ -1,0 +1,86 @@
+"""Scale-path join strategies: bucketed co-located joins (no shuffle),
+salted skew joins (correctness under replication), as-of join semantics."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.operators.joins import asof_join_backward, salted_join
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """bucketBy(orderkey) both sides → the sort-merge join reads
+    co-located buckets with NO Exchange on either side."""
+    warehouse = tempfile.mkdtemp(prefix="bucketed_wh_")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").option("path", f"{warehouse}/li").bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").option("path", f"{warehouse}/o").bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("o_bucketed")
+    # disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — only the partition layout."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    plain = li.join(parts, "l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).head()
+    salted = salted_join(li, parts, "l_partkey", salt_buckets=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).head()
+    assert plain["n"] == salted["n"]
+    assert plain["q"] == pytest.approx(salted["q"])
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 11:00:00"), (3, 20, "2024-01-01 09:00:00")],
+        "event_id long, user_id long, ts_str string",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    markers = spark.createDataFrame(
+        [(10, "2024-01-01 09:30:00"), (10, "2024-01-01 10:30:00"), (99, "2024-01-01 00:00:00")],
+        "user_id long, mts_str string",
+    ).withColumn("marker_ts", F.to_timestamp("mts_str")).drop("mts_str")
+    out = {
+        r["event_id"]: r["marker_ts"]
+        for r in asof_join_backward(left, markers, ["user_id"], "ts", "marker_ts", ["marker_ts"]).collect()
+    }
+    assert str(out[1]) == "2024-01-01 09:30:00"  # latest at-or-before 10:00
+    assert str(out[2]) == "2024-01-01 10:30:00"  # advanced to the newer marker
+    assert out[3] is None  # no marker before 09:00 for user 20
