@@ -23,6 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # time windows, pivot). Names must exist in the registry.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
     "j5_multiway_revenue_by_nation",
     "w1_latest_per_key",
     "t2_pivot_wide",
@@ -30,6 +32,8 @@ HEADLINE = [
     "x2b_minhash_lsh_neardup",
     "x3_cosine_topk",
     "x6_tumbling_window",
+    "x7_training_data_pipeline",
+    "x8_asof_join",
 ]
 
 

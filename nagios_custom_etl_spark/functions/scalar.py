@@ -131,3 +131,24 @@ def entries_to_map(entries_col: str | Column) -> Column:
 def canonical_row_hash(*cols: Column | str) -> Column:
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return F.sha2(F.concat_ws("|", *[c.cast("string") for c in cs]), 256)
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 — now/interval arithmetic and date stamps (extract.py:28-31,
+# load_to_db.py:17). `now` is injectable so pipelines are testable and
+# re-runnable (the reference's implicit wall-clock is why its runs aren't
+# reproducible).
+# ---------------------------------------------------------------------------
+
+
+def lookback_window_start(hours: int = 25, now: Column | None = None) -> Column:
+    """Epoch seconds of now - N hours — the reference's 25h lookback
+    (extract.py:29-31), rounded like its round(timestamp())."""
+    base = now if now is not None else F.current_timestamp()
+    return F.round(F.unix_timestamp(base) - hours * 3600).cast("long")
+
+
+def datestamp(now: Column | None = None) -> Column:
+    """'yyyyMMdd' stamp for backup naming (load_to_db.py:17)."""
+    base = now if now is not None else F.current_date()
+    return F.date_format(base, "yyyyMMdd")

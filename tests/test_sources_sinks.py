@@ -134,3 +134,39 @@ def test_influx_batch_writer_posts_batches(spark):
         with open(p) as f:
             posted.extend(json.load(f))
     assert sorted(posted) == sorted(r["line"] for r in df.collect())
+
+
+def test_fetch_objects_df(spark):
+    from pyspark.sql import types as T
+
+    from nagios_custom_etl_spark.sources.rest import fetch_objects_df
+
+    def fake(endpoint, params):
+        assert params["apikey"] == "k"
+        return [
+            {"host_name": "web01", "service_description": "HTTP"},
+            {"host_name": "web02", "service_description": "SSH"},
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("host_name", T.StringType()),
+            T.StructField("service_description", T.StringType()),
+        ]
+    )
+    df = fetch_objects_df(spark, "https://x/api", {"apikey": "k"}, schema, fetcher=fake)
+    assert {r["host_name"] for r in df.collect()} == {"web01", "web02"}
+
+
+def test_f4_f5_time_helpers(spark):
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.functions.scalar import datestamp, lookback_window_start
+
+    fixed = F.to_timestamp(F.lit("2024-01-02 01:00:00"))
+    row = spark.range(1).select(
+        lookback_window_start(25, now=fixed).alias("start"),
+        datestamp(now=fixed).alias("stamp"),
+    ).head()
+    assert row["start"] == 1704157200 - 25 * 3600  # 2024-01-02 01:00:00 UTC - 25h
+    assert row["stamp"] == "20240102"
