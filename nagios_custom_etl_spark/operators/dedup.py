@@ -90,8 +90,12 @@ def minhash_signatures(
     exploded = _shingle_rows(df, id_col, text_col, shingle_n).select(
         "_id", F.explode("_sh").alias("_s")
     )
-    mins = exploded.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.lit(seed), F.col("_s"))).alias(f"_h{seed}") for seed in range(num_hashes)]
+    # hash the shingle STRING once; the num_hashes family then hashes the
+    # resulting long (fixed 8 bytes) per seed — ~string_len/8 cheaper than
+    # re-hashing the string per seed, same uniformity.
+    based = exploded.select("_id", F.xxhash64("_s").alias("_h"))
+    mins = based.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.lit(seed), F.col("_h"))).alias(f"_h{seed}") for seed in range(num_hashes)]
     )
     return mins.select("_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("_sig"))
 

@@ -279,11 +279,39 @@ def x4b_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle() -> str:
+    """Generate the DuckDB form of functions.text.lang_id: same marker
+    lexicons, same first-at-max-in-sorted-order tie semantics."""
+    from nagios_custom_etl_spark.functions.text import LANG_MARKERS
+
+    score_cols = ",\n             ".join(
+        f"length(list_intersect(toks, {[w for w in markers.split()]})) AS s_{lang}"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    winner = " ".join(f"WHEN s_{lang} = gmax THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {score_cols}
+      FROM (SELECT doc_id, lang,
+                   list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+            FROM documents WHERE doc_id % 10 = 0)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN gmax < 1 THEN 'und' {winner} END AS predicted_lang
+    FROM (SELECT *, {gmax} AS gmax FROM scored)
+    ORDER BY doc_id
+    """
+
+
 @register(
     "x4c_lang_id",
-    oracle=None,  # heuristic is engine-portable but verbose in SQL; tests pin it
+    oracle=_lang_id_oracle(),
     doc="X4 language ID: marker-lexicon hit scoring over distinct tokens, "
-    "argmax with deterministic ties, 'und' below threshold.",
+    "argmax with deterministic first-in-order ties, 'und' below threshold; "
+    "oracle generated from the same lexicons.",
 )
 def x4c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
