@@ -132,9 +132,34 @@ def st4_routed_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st5_session_window_stream",
-    oracle=None,  # session merge emission across micro-batches: rows-only
-    doc="X6/ST: session windows (30-min gap) computed on the stream with a "
-    "watermark; batch equivalence is oracle-checked by x6b_session_window.",
+    oracle="""
+    -- append-mode emission: a session emits iff its end (last event +
+    -- gap) <= final watermark = max(ts) - 0s; verified empirically and
+    -- by definition of session_window watermark eviction
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM gapped
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, seq
+    HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT max(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+    doc="X6/ST: session windows (30-min gap) on the stream; oracle is the "
+    "lag/cumsum sessionization restricted to watermark-evicted sessions.",
 )
 def st5_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): the scalar layer's semantics pinned
+against pure-Python reference implementations on randomized inputs.
+Each property generates a batch of examples and runs ONE Spark job over
+the whole batch (per-example Spark roundtrips would be seconds each)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.functions.scalar import canonical_row_hash, numeric_normalize
+from nagios_custom_etl_spark.functions.text import tokens
+
+
+def ref_numeric_normalize(s: str) -> float | None:
+    """The reference's convert_to_int semantics (extract.py:53-61):
+    float(); NaN -> None; ValueError -> None; f'{v:.2f}' re-parse."""
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    if math.isnan(v):
+        return None
+    return float(f"{v:.2f}")
+
+
+finite_floats = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+numeric_strings = st.one_of(
+    finite_floats.map(repr),
+    st.just("NaN"),
+    st.text(alphabet="abcxyz-., ", min_size=0, max_size=8),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(numeric_strings, min_size=1, max_size=50))
+def test_numeric_normalize_matches_reference(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, s string")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", numeric_normalize("s").alias("out")).collect()
+    }
+    for i, v in enumerate(values):
+        expected = ref_numeric_normalize(v)
+        if expected is None:
+            assert got[i] is None, f"{v!r}: expected null, got {got[i]}"
+        else:
+            assert got[i] == expected, f"{v!r}: {got[i]} != {expected}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet=" abçñ中\t", min_size=0, max_size=30), min_size=1, max_size=30))
+def test_tokens_match_python_split(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["toks"] for r in df.select("i", tokens("t").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t.split(), f"{t!r}: {got[i]} != {t.split()}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-(2**31), 2**31), st.text(min_size=0, max_size=20)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonical_row_hash_matches_python_sha256(spark, rows):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, a long, b string"
+    )
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", canonical_row_hash("a", "b").alias("h")).collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        expected = hashlib.sha256(f"{a}|{b}".encode()).hexdigest()
+        assert got[i] == expected
