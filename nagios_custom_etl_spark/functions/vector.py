@@ -66,3 +66,34 @@ def random_projection_signs(a: str | Column, n_planes: int, seed: int, dim: int)
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the storage/bandwidth scale path: 4x smaller vectors
+# (and 4x less shuffle) at a small recall cost; all built-in expressions.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(a: str | Column, scale: float) -> Column:
+    """Symmetric int8 quantization: round(x/scale) clamped to [-127, 127].
+
+    ``scale`` ≈ max|x|/127 for the column (compute once per corpus; a
+    fixed calibration constant at serving time, never a per-batch shuffle).
+    """
+    return F.transform(
+        as_double_array(a),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / F.lit(scale)).cast("int"))
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_int8(q: str | Column, scale: float) -> Column:
+    c = _c(q)
+    return F.transform(c, lambda x: x.cast("double") * F.lit(scale))
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 vectors (exact in long arithmetic)."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long")))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)

@@ -636,3 +636,40 @@ def x8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("marker_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "x6d_sliding_window",
+    oracle="""
+    -- sliding windows (width 10m, slide 5m): each event belongs to exactly
+    -- two windows — its 5m bucket and the one 5m earlier
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value
+      FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY w_start, event_type ORDER BY 1, 2
+    """,
+    doc="X6/ST sliding windows (10m width, 5m slide): Spark's window() "
+    "replicates each row into width/slide windows; oracle assigns the "
+    "same two buckets explicitly.",
+)
+def x6d_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.scalar import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 12, 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -95,3 +95,43 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     overlap = len(set(exact_ids) & set(ivf_ids)) / 10
     assert ivf_ids[0] == 0  # the query vector itself lives in a probed cell
     assert overlap >= 0.5, f"IVF@3/8 recall {overlap:.2f} vs brute force"
+
+
+def test_int8_quantized_topk_recall(spark, sf_dir):
+    """Quantized cosine ranking must closely track the exact ranking:
+    top-10 overlap >= 8/10 on the fixture embeddings (values ~N(0, 0.1),
+    scale calibrated from the corpus max)."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.functions.vector import (
+        as_double_array,
+        int8_dot,
+        quantize_int8,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    max_abs = em.select(
+        F.max(F.array_max(F.transform(as_double_array("embedding"), F.abs))).alias("m")
+    ).head()["m"]
+    scale = max_abs / 127.0
+    qdf = em.select("vec_id", quantize_int8("embedding", scale).alias("q")).cache()
+    qvec = qdf.filter(F.col("vec_id") == 0).head()["q"]
+    qlit = F.lit([int(x) for x in qvec]).cast("array<tinyint>")
+    # int dot with the quantized query, normalized by int norms → cosine-ish
+    scored = qdf.select(
+        "vec_id",
+        (
+            int8_dot(F.col("q"), qlit).cast("double")
+            / (
+                F.sqrt(int8_dot(F.col("q"), F.col("q")).cast("double"))
+                * F.sqrt(int8_dot(qlit, qlit).cast("double"))
+            )
+        ).alias("qcos"),
+    )
+    q_top = [r["vec_id"] for r in scored.orderBy(F.desc("qcos"), "vec_id").limit(10).collect()]
+    qvec_f = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_top = [
+        r["vec_id"] for r in cosine_topk(em, "embedding", "vec_id", qvec_f, k=10).collect()
+    ]
+    assert q_top[0] == 0
+    assert len(set(q_top) & set(exact_top)) >= 8, (q_top, exact_top)
