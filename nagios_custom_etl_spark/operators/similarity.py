@@ -19,8 +19,6 @@ from pyspark.sql import functions as F
 from nagios_custom_etl_spark.functions.vector import (
     as_double_array,
     cosine,
-    dot,
-    norm,
     random_projection_signs,
 )
 
@@ -149,7 +147,7 @@ def ivf_build(
     at the file-listing level.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = df.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_arr")

@@ -17,7 +17,6 @@ from nagios_custom_etl_spark.functions.text import (
     quality_metrics,
     tokens,
 )
-from nagios_custom_etl_spark.functions.vector import cosine
 from nagios_custom_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,

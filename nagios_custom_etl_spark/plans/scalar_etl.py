@@ -12,7 +12,6 @@ from nagios_custom_etl_spark.catalog import load_table
 from nagios_custom_etl_spark.functions.scalar import (
     canonical_row_hash,
     categorical_decode,
-    dec,
     dsum,
     epoch_to_datetime_str,
     map_get_default,

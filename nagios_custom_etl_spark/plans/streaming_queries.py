@@ -18,7 +18,6 @@ from nagios_custom_etl_spark.streaming.ops import (
     cross_run_dedup,
     late_data_gate,
     read_events_stream,
-    route_column,
     routed_parquet_sink,
     run_to_memory,
     stream_static_enrich,

@@ -5,7 +5,6 @@ cross-run dedup, EP3 status points, T5 routing."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.etl.nagios import (
     HOSTGROUP_MEMBERS_SCHEMA,

@@ -8,7 +8,6 @@ from __future__ import annotations
 import math
 
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.functions.scalar import canonical_row_hash, numeric_normalize
 from nagios_custom_etl_spark.functions.text import tokens

@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.streaming.ops import (
-    cross_run_dedup,
     late_data_gate,
     read_events_stream,
     routed_parquet_sink,

@@ -4,8 +4,6 @@ fingerprints)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from nagios_custom_etl_spark.functions.text import (
     bpe_ish_token_count,
     lang_id,
