@@ -672,3 +672,34 @@ def x6d_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "x3e_topk_per_query",
+    oracle="""
+    -- per-query exact top-3 neighbors for a small query set
+    SELECT query_id, nbr_id, rank
+    FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]) DESC,
+                        v.vec_id
+             ) AS rank
+      FROM embeddings v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="X3 batched ANN serving shape: exact top-k for every query row via "
+    "broadcast(queries) x vectors + per-query window — ranks only in the "
+    "output (engine-identical), similarities validated in tests.",
+)
+def x3e_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_join
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    out = cosine_topk_join(em, queries, "embedding", "vec_id", "embedding", "vec_id", k=3)
+    return out.select("query_id", "nbr_id", "rank").orderBy("query_id", "rank")

@@ -390,11 +390,12 @@ def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A-ext grouping sets via the SQL surface (spark.sql == same Catalyst plan).",
 )
 def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # engine-private view name: never clobber a caller-registered 'lineitem'
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_nces_lineitem_gs")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        FROM lineitem
+        FROM _nces_lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
@@ -728,4 +729,45 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
         .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    oracle="""
+    -- TPC-H Q22 shape: scalar subquery threshold + anti join
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (above-average balance) "
+    "+ anti join (no recent orders) + grouped rollup. The scalar avg is "
+    "computed in double on both engines from the same rows — identical.",
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    # scalar subquery: tiny aggregate, evaluated once and folded into the
+    # filter (Spark runs it as a subquery broadcast — no driver collect
+    # needed; here we inline via crossJoin of the 1-row aggregate)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal", 12, 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
     )
