@@ -771,3 +771,55 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "t7_unpivot",
+    oracle="""
+    -- wide -> long (the inverse of T2): one row per (key, metric, value)
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DECIMAL(12,2))::DOUBLE
+      FROM part
+    ) WHERE p_partkey % 10 = 0
+    ORDER BY p_partkey, metric
+    """,
+    doc="T2-inverse unpivot (wide metric columns -> long (key, metric, "
+    "value)) via stack() — the internal long form of SURVEY §1.3(b).",
+)
+def t7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+                "'p_retailprice', CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)) "
+                "AS (metric, val)"
+            ),
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "w6_ntile_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+           round(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="W2-ext analytic functions: ntile quartiles + percent_rank over a "
+    "deterministic total order.",
+)
+def w6_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    ).orderBy("c_custkey")
