@@ -26,7 +26,14 @@ def asof_join_backward(
     window: ONE shuffle on the key, no range-explosion join, no
     per-group pandas (`merge_asof` would drop to Python). State per key is
     a single running value — this is the 100 TB-safe shape.
+
+    Constraint: non-key column names must not collide between ``left`` and
+    ``right`` (both sides are unioned into one schema); rename before
+    calling, as with any join producing ambiguous columns.
     """
+    overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(f"asof_join_backward: ambiguous non-key columns {sorted(overlap)}")
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
     for v in value_cols:
         l_tagged = l_tagged.withColumn(v, F.lit(None).cast(dict(right.dtypes)[v]))
