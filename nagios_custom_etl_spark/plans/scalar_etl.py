@@ -391,3 +391,53 @@ def s4_rest_rrd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wide = rrd_points_to_wide(raw)
     return wide["CPU Usage"].orderBy("host_name", "timestamp")
+
+
+@register(
+    "f16_string_date_toolkit",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INTEGER) AS prio_num,
+           dayofweek(o_orderdate) + 1 AS order_dow,           -- duckdb dow: 0=Sun; spark: 1=Sun
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS month_idx,
+           upper(substring(o_orderpriority, 3)) AS prio_label
+    FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey
+    """,
+    doc="F8/F9-ext string+date toolkit: regexp capture-group extraction, "
+    "day-of-week (engine numbering normalized), day diffs, month "
+    "indexing, substring/upper — all codegen'd builtins.",
+)
+def f16_string_date_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("prio_num"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        ((F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)).alias("month_idx"),
+        F.upper(F.substring("o_orderpriority", 3, 100)).alias("prio_label"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "f17_posexplode",
+    oracle="""
+    -- positional explode: (row, index, element); duckdb via range indexing
+    SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS dim_val
+    FROM embeddings, range(1, 6) r(i)
+    WHERE vec_id % 100 = 0
+    ORDER BY vec_id, pos
+    """,
+    doc="T1-ext positional explode (posexplode) of the first 5 embedding "
+    "dimensions — index-carrying fan-out, the generator form of F10.",
+)
+def f17_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+    return (
+        em.select("vec_id", F.posexplode(F.slice("embedding", 1, 5)).alias("pos", "dim_val"))
+        .select("vec_id", "pos", F.col("dim_val").cast("double").alias("dim_val"))
+        .orderBy("vec_id", "pos")
+    )
