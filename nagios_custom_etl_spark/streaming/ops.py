@@ -139,3 +139,51 @@ def run_to_memory(df: DataFrame, query_name: str | None = None) -> str:
     )
     q.awaitTermination()
     return name
+
+
+def incremental_rollup_sink(out_dir: str):
+    """Continuous-aggregate upsert sink: each micro-batch's *updated*
+    windows replace exactly their own partitions (partitionBy the window
+    key + dynamic partition overwrite). The materialized table therefore
+    converges to the full rollup without ever rewriting untouched
+    windows — the hypertable/continuous-aggregate maintenance pattern.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def incremental_rollup(spark: SparkSession, source: DataFrame, out_dir: str, ckpt: str):
+    """10-minute rollup maintained incrementally (update output mode:
+    only windows touched by the batch are emitted and upserted)."""
+    agg = (
+        source.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(incremental_rollup_sink(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # partition-column type inference may read window_start back as a
+    # timestamp — normalize to the written string form
+    return spark.read.parquet(out_dir).withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )

@@ -34,8 +34,9 @@ def nagios_runs_dir(spark):
     schema = "host_name string, service_name string, ts_str string, cpu double"
     run1 = spark.createDataFrame(rows(0, 12, "web01"), schema)
     run2 = spark.createDataFrame(rows(10, 22, "web01"), schema)  # 2h overlap
-    run1.withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=1")
-    run2.withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=2")
+    # one file per run => one micro-batch per run, in run order
+    run1.coalesce(1).withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=1")
+    run2.coalesce(1).withColumn("ts", F.to_timestamp("ts_str")).write.parquet(f"{d}/run=2")
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -119,3 +120,38 @@ def test_tumbling_window_stream_matches_batch(spark, sf_dir):
     assert streamed  # something emitted
     assert set(streamed) <= set(batch)
     assert all(batch[k] == v for k, v in streamed.items())
+
+
+def test_incremental_rollup_multibatch_upsert(spark, nagios_runs_dir):
+    """Two micro-batches with overlapping hours: the overlapped window's
+    partition must be overwritten (not duplicated) and the final
+    materialized rollup must equal the batch rollup over all data."""
+    from nagios_custom_etl_spark.streaming.ops import incremental_rollup
+
+    schema = spark.read.parquet(f"{nagios_runs_dir}/run=1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{nagios_runs_dir}/run=*")
+        .withColumnRenamed("cpu", "value")
+        .withColumn("event_type", F.col("service_name"))
+    )
+    out = tempfile.mkdtemp(prefix="rollup_mb_")
+    ckpt = tempfile.mkdtemp(prefix="rollup_mb_ckpt_")
+    rolled = incremental_rollup(spark, stream, out, ckpt)
+
+    both = spark.read.parquet(f"{nagios_runs_dir}/run=*").withColumnRenamed("cpu", "value")
+    expected = {
+        (r["ws"], r["n"]): r["tv"]
+        for r in both.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n", "tv")
+        .collect()
+    }
+    got = {
+        (r["window_start"], r["n"]): r["total_value"] for r in rolled.collect()
+    }
+    # NOTE: the overlap rows are duplicated in the raw union (no dedup in
+    # this test) — the invariant under test is pure upsert convergence:
+    # same windows, same counts, same sums as the batch aggregate.
+    assert got == expected
