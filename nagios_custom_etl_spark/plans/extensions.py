@@ -703,3 +703,39 @@ def x3e_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < 5)
     out = cosine_topk_join(em, queries, "embedding", "vec_id", "embedding", "vec_id", k=3)
     return out.select("query_id", "nbr_id", "rank").orderBy("query_id", "rank")
+
+
+@register(
+    "x9_robust_zscore_pandas",
+    oracle="""
+    -- grouped-map pandas parity: median/MAD in SQL (quantile_cont matches
+    -- pandas' linear-interpolated median)
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med_v
+      FROM events WHERE user_id < 4 GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m USING (user_id) WHERE e.user_id < 4
+      GROUP BY e.user_id
+    )
+    SELECT e.user_id, e.event_id,
+           round((e.value - m.med_v) / (1.4826 * d.mad_v), 6) AS robust_z_r
+    FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+    WHERE e.user_id < 4 AND d.mad_v > 0 AND e.event_id % 9 = 0
+    ORDER BY e.user_id, e.event_id
+    """,
+    doc="§2.11 escape hatch: applyInPandas grouped-map robust z-score "
+    "(median/MAD per key) — the sanctioned slow path, oracle-checked "
+    "against the SQL rank-statistics equivalent.",
+)
+def x9_robust_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.pandas_ops import robust_zscore
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 4)
+    out = robust_zscore(ev, "user_id", "value")
+    return (
+        out.filter(F.col("robust_z").isNotNull() & (F.col("event_id") % 9 == 0))
+        .select("user_id", "event_id", F.round("robust_z", 6).alias("robust_z_r"))
+        .orderBy("user_id", "event_id")
+    )
