@@ -891,3 +891,301 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    -- TPC-H Q19 shape: OR-of-ANDs across join sides
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates spanning the "
+    "join — single-side conjuncts are pushed below the join by Catalyst.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#21") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (SURVEY §2.13: "Spark builtins cover 100%").
+# Each is written as the decorrelated DataFrame plan Catalyst would produce
+# from the SQL form: EXISTS -> left semi, NOT EXISTS/NOT IN -> left anti,
+# correlated scalar agg -> grouped agg + equi join. At 100 TB the grouped
+# side is orders-of-magnitude smaller than the fact scan, so the rejoin is
+# broadcast where the key domain is small (part/supplier) and a shuffled
+# hash join on the fact key otherwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_exists_order_priority",
+    oracle="""
+    -- TPC-H Q4 shape: EXISTS correlated subquery with non-equi conjunct
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS with a non-equi correlated conjunct -> left "
+    "semi join on the order key with the l_shipdate > o_orderdate residual.",
+)
+def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q11_supplier_revenue_share",
+    oracle="""
+    -- TPC-H Q11 shape: HAVING against a global scalar subquery.
+    -- Threshold comparison kept in exact DECIMAL (20*rev > total), so the
+    -- boundary cannot flip on double association order.
+    WITH sup_rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, CAST(rev AS DOUBLE) AS revenue
+    FROM sup_rev
+    WHERE 20 * rev > (SELECT SUM(rev) FROM sup_rev)
+    ORDER BY l_suppkey
+    """,
+    doc="TPC-H Q11 shape: per-key aggregate filtered by share of the global "
+    "total (scalar subquery). One shuffle on l_suppkey; the global total is "
+    "a broadcast single-row cross join over the already-aggregated rows.",
+)
+def q11_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    sup_rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("rev"))
+    total = sup_rev.agg(F.sum("rev").alias("total_rev"))
+    return (
+        sup_rev.join(F.broadcast(total))
+        .filter(F.lit(20) * F.col("rev") > F.col("total_rev"))
+        .select("l_suppkey", F.col("rev").cast("double").alias("revenue"))
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    -- TPC-H Q13 shape: left outer join with ON-clause filter, two-level agg
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count ORDER BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join preserving customers with zero orders "
+    "(COUNT(col) skips the null-extended rows), then a distribution over "
+    "the per-customer counts. Two shuffles (c_custkey, then c_count) — the "
+    "second input is one row per customer, tiny relative to the fact scan.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist")).orderBy("c_count")
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    -- TPC-H Q15 shape: aggregated CTE reused by a scalar-max subquery
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: max-over-aggregate selection. The revenue CTE is "
+    "cached (used by both the max and the join); the scalar max joins back "
+    "as a broadcast single row; equality is on exact DECIMAL.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_expr).alias("total_rev"))
+    ).cache()
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_cnt_notin",
+    oracle="""
+    -- TPC-H Q16 shape: NOT IN subquery + grouped COUNT(DISTINCT)
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type ORDER BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: NOT IN -> left anti against the (non-null-key) "
+    "excluded-supplier set, broadcast both the exclusion list and part dim, "
+    "then grouped distinct count (two-phase partial-distinct aggregate).",
+)
+def q16_supplier_cnt_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_brand", "p_type")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    -- TPC-H Q21 shape: EXISTS + correlated NOT EXISTS on the same fact
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY s_name
+    """,
+    doc="TPC-H Q21 shape: the supplier who was the *only* late shipper on a "
+    "multi-supplier order. EXISTS -> left semi, NOT EXISTS -> left anti, "
+    "both on l_orderkey with supplier-inequality residuals; the anti side's "
+    "correlation on o_orderdate rides along on the probe row.",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cutoff)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"), F.col("l_shipdate").alias("d3")
+    )
+    sole_late = (
+        l1.join(l2, (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    -- TPC-H Q17 shape: correlated scalar AVG subquery per part.
+    -- The per-part threshold is DECIMAL-sum / count (deterministic on both
+    -- engines), not a double AVG whose association order could differ.
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND 5 * CAST(l_quantity AS DECIMAL(12,2))
+          < (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+            / (SELECT COUNT(*) FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: below-one-fifth-of-part-average filter. "
+    "Decorrelated: per-part decimal sum+count aggregate joined back on "
+    "l_partkey; the 1/5 threshold is exact (5*qty < sum/cnt as DECIMAL).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").cache()
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .filter(F.lit(5) * dec("l_quantity") < F.col("sum_qty") / F.col("cnt_qty"))
+        .agg(
+            (dsum("l_extendedprice", 12, 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

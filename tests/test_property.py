@@ -81,3 +81,48 @@ def test_canonical_row_hash_matches_python_sha256(spark, rows):
     for i, (a, b) in enumerate(rows):
         expected = hashlib.sha256(f"{a}|{b}".encode()).hexdigest()
         assert got[i] == expected
+
+
+def ref_shingle_jaccard(texts: list[str], n: int = 3, threshold: float = 0.3):
+    """Pure-Python reference for ngram_jaccard_pairs."""
+    def shingles(t: str) -> set:
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = [shingles(t) for t in texts]
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta zero one two".split()), min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    from nagios_custom_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.3, 3).collect()
+    }
+    expected = ref_shingle_jaccard(texts, 3, 0.3)
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
