@@ -24,11 +24,22 @@ from nagios_custom_etl_spark.functions.text import (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    in fewer partitions (small files, post-coalesce plans). The per-doc
+    hash work downstream is CPU-bound and ~100× the input size after
+    explode — a narrow input must not serialize it onto one core. No-op
+    at scale, where file splits already exceed core count; the shuffled
+    payload is the pre-explode (small) side."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     """(_id, _sh array<string>) with a two-step projection: tokens are
     materialized first so shingle assembly references a bound column —
     see shingles_from_tokens' PERF note (O(n) vs O(n²))."""
-    return df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).select(
+    return _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
         "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
 
@@ -299,9 +310,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     SUM aggregates (bit votes, map-side combined) → sign-bit assembly.
     Documents with no tokens get simhash 0 (left join + coalesce).
     """
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")).select(
-        "_id", F.xxhash64("_t").alias("_h")
-    )
+    ex = _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
+        "_id", F.explode("_toks").alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
     votes = ex.groupBy("_id").agg(
         *[
             F.sum(
