@@ -1123,7 +1123,11 @@ def q16_supplier_cnt_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem").cache()
+    # NOTE: do NOT cache() the fact table — the cache is plan-keyed, so it
+    # would hijack every later lineitem scan in the session (killing parquet
+    # pushdown), and a full-fact cache is unpayable at 100 TB. The three
+    # lineitem scans below are column-pruned parquet reads.
+    li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     l1 = (
@@ -1174,7 +1178,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l_partkey; the 1/5 threshold is exact (5*qty < sum/cnt as DECIMAL).",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").cache()
+    li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
         F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),

@@ -88,3 +88,19 @@ def test_lsh_candidate_join_is_equi_not_cross(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = plan_of(lsh_candidate_pairs(d, "doc_id", "text"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_query_poisons_the_table_cache(spark, sf_dir):
+    """Regression: a registry query must not cache() a shared base table.
+
+    Spark's cache manager is plan-keyed — a cached full-table scan silently
+    replaces every later parquet scan of that table in the session, which
+    drops PushedFilters (and would mean caching the whole fact table at
+    scale). Build + run the subquery-family plans, then assert a fresh
+    lineitem scan still pushes its filter into the parquet reader.
+    """
+    qs = all_queries()
+    for name in ("q17_small_quantity_revenue", "q21_sole_late_supplier", "q15_top_supplier"):
+        qs[name].fn(spark, sf_dir).collect()
+    plan = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
