@@ -43,6 +43,50 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> 
         "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
 
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, distinct: bool
+) -> DataFrame:
+    """(_id, _s) one row per shingle — the hot-path shingler.
+
+    PERF: higher-order functions (``transform``/``aggregate``) are
+    interpreted, not whole-stage-codegen'd — shingling 260k tokens via
+    ``transform`` costs ~4s where this formulation costs ~0.5s. Instead:
+    pre-slice the token array at offsets 1..n-1, ``arrays_zip`` the n
+    shifted views, ``posexplode_outer`` the zipped array, and
+    ``concat_ws`` the struct fields — every step is a codegen'd
+    expression or generator. Rows whose last zip field is null are the
+    (n-1) ragged tail entries and are dropped; docs shorter than n
+    tokens keep one whole-doc shingle at pos 0 (posexplode_outer keeps
+    a null row even for 0-token docs, matching the oracle's '' shingle).
+
+    ``distinct=False`` skips per-doc dedup — MIN-based MinHash
+    aggregates are insensitive to repeated shingles, so signatures
+    avoid that shuffle entirely; exact-Jaccard set math needs
+    ``distinct=True``.
+    """
+    sz = F.size(F.col("_toks"))
+    pre = _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
+        "_id",
+        "_toks",
+        sz.alias("_sz"),
+        *[
+            F.slice("_toks", k + 1, F.greatest(sz - k, F.lit(0))).alias(f"_t{k}")
+            for k in range(1, shingle_n)
+        ],
+    )
+    zipped = F.arrays_zip("_toks", *[f"_t{k}" for k in range(1, shingle_n)])
+    ex = pre.select("_id", "_toks", "_sz", F.posexplode_outer(zipped).alias("_pos", "_z"))
+    last = F.col(f"_z._t{shingle_n - 1}")
+    keep = last.isNotNull() | (
+        (F.col("_sz") < shingle_n) & ((F.col("_pos") == 0) | F.col("_pos").isNull())
+    )
+    shingle = F.when(F.col("_sz") < shingle_n, F.concat_ws(" ", "_toks")).otherwise(
+        F.concat_ws(" ", F.col("_z._toks"), *[F.col(f"_z._t{k}") for k in range(1, shingle_n)])
+    )
+    out = ex.filter(keep).select("_id", shingle.alias("_s"))
+    return out.distinct() if distinct else out
+
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -96,11 +140,11 @@ def minhash_signatures(
     explode(shingles) → num_hashes codegen'd MIN aggregates (xxhash64 per
     seed) → array. Shingling runs once per document; the only shuffle is
     the per-doc aggregation, with map-side partial MIN combine, so the
-    exchanged rows are already one-per-(doc, aggregate).
+    exchanged rows are already one-per-(doc, aggregate). Repeated
+    shingles within a doc are left in place — MIN is idempotent over
+    duplicates, so the per-doc distinct shuffle is skipped.
     """
-    exploded = _shingle_rows(df, id_col, text_col, shingle_n).select(
-        "_id", F.explode("_sh").alias("_s")
-    )
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
     # hash the shingle STRING once; the num_hashes family then hashes the
     # resulting long (fixed 8 bytes) per seed — ~string_len/8 cheaper than
     # re-hashing the string per seed, same uniformity.
@@ -174,7 +218,9 @@ def jaccard_verify(
 
     Shingles are computed only for documents that appear in a candidate
     pair (semi-join restriction) — at scale the candidate set is orders of
-    magnitude smaller than the corpus.
+    magnitude smaller than the corpus. Distinct shingle sets are
+    re-assembled per restricted doc (collect_set) so the intersection
+    stays a codegen'd array op on the tiny candidate subset.
     """
     # pairs feeds three consumers (id restriction + both join sides):
     # materialize once instead of re-running the LSH bucket join thrice
@@ -185,9 +231,11 @@ def jaccard_verify(
         .distinct()
     )
     sh = (
-        _shingle_rows(df, id_col, text_col, shingle_n)
+        _exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
         .withColumnRenamed("_id", "_jid")
         .join(F.broadcast(wanted), "_jid", "left_semi")
+        .groupBy("_jid")
+        .agg(F.collect_set("_s").alias("_sh"))
         .cache()
     )
     a = sh.alias("a")
@@ -237,8 +285,8 @@ def ngram_jaccard_pairs(
     scale, a stopword-ish shingle can fan out; cap it with a document
     frequency filter if needed (not required on the fixtures).
     """
-    sh = _shingle_rows(df, id_col, text_col, shingle_n).select(
-        "_id", F.explode("_sh").alias("shingle")
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).select(
+        "_id", F.col("_s").alias("shingle")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
