@@ -739,3 +739,201 @@ def x9_robust_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.round("robust_z", 6).alias("robust_z_r"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X10 — deterministic sampling / splitting (training-data curation).
+# Randomness is md5 over the stable doc id, so the *sampling decisions
+# themselves* are oracle-checked: DuckDB computes the identical digest.
+# ---------------------------------------------------------------------------
+
+from nagios_custom_etl_spark.operators.sampling import (  # noqa: E402
+    fraction_to_hex_threshold,
+    hash_sample,
+    hash_split,
+    pack_documents,
+    packing_efficiency,
+    stratified_sample,
+)
+
+_T80 = fraction_to_hex_threshold(0.8)
+_T90 = fraction_to_hex_threshold(0.9)
+_T10 = fraction_to_hex_threshold(0.1)
+
+
+@register(
+    "x10_train_val_split",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < '{_T80}' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR) || ':split') < '{_T90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="X10 deterministic train/val/test split (80/10/10) by md5 bucket "
+    "on doc_id — map-only, partition-layout-independent; per-(split,lang) "
+    "counts. The bucket assignment is bit-identical in the oracle.",
+)
+def x10_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "x10b_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strata'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    ORDER BY lang, doc_id
+    """,
+    doc="X10 exact-count stratified sample: 40 docs per language, chosen "
+    "by hash order (uniform without replacement, reproducible across "
+    "cluster layouts — unlike sampleBy). One shuffle on the stratum key.",
+)
+def x10b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, ["lang"], 40, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "x10c_hash_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR) || ':sample') < '{_T10}'
+    ORDER BY doc_id
+    """,
+    doc="X10 deterministic Bernoulli(0.1) sample — map-only filter, no "
+    "shuffle; kept ids are stable under reruns and cluster resizes.",
+)
+def x10c_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.1).select("doc_id", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X11 — sequence packing (greedy token-bin packing per source shard).
+# The running fill is sequential state -> applyInPandas group map; the
+# packing itself is rows-only here and invariance-tested in tests/.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x11_doc_packing",
+    oracle=None,  # sequential-state group map; capacity/determinism in tests
+    doc="X11 greedy sequence packing: fill 512-token bins per source in "
+    "doc_id order via applyInPandas (SURVEY §2.11 escape hatch — the fill "
+    "is inherently sequential state). Bins never exceed capacity unless a "
+    "single doc does.",
+)
+def x11_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    return pack_documents(d, "source", "doc_id", "n_tok", capacity=512).orderBy(
+        "source", "doc_id"
+    )
+
+
+@register(
+    "x11b_packing_efficiency",
+    oracle=None,  # derived from the rows-only packing
+    doc="X11 packing stats per source: bins used, mean fill ratio, wasted "
+    "tokens at capacity 512.",
+)
+def x11b_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    packed = pack_documents(d, "source", "doc_id", "n_tok", capacity=512)
+    return (
+        packing_efficiency(packed, "source", 512)
+        .select(
+            "source",
+            "n_bins",
+            F.round("mean_fill_ratio", 6).alias("mean_fill_ratio_r"),
+            "wasted_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 (cont.) — PII-style redaction: regex scrub with oracle parity. The
+# fixture text has no PII, so a synthetic email column derived from the
+# row exercises the scrub end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4f_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100 re: ' ||
+             substr(text, 1, 40),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS pass1,
+           regexp_replace(
+             regexp_replace(
+               'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100 re: ' ||
+               substr(text, 1, 40),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+    doc="X4 PII redaction: email + phone regex scrub (regexp_replace is "
+    "codegen'd, replace-all in both engines; patterns restricted to "
+    "RE2/Java-common syntax).",
+)
+def x4f_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0100 re: "),
+        F.substring("text", 1, 40),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+    pass1 = F.regexp_replace(synth, email_re, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        pass1.alias("pass1"),
+        F.regexp_replace(pass1, phone_re, "<PHONE>").alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x10d_mixture_rebalance",
+    oracle=None,  # keep-fractions derive from driver-side counts; the
+    # md5 decision mechanics are oracle-covered by x10c; invariants in tests
+    doc="X10 data-mixture rebalance: downsample languages to a 40/30/30 "
+    "en/fr/de target via per-stratum md5 keep-fractions — metadata count "
+    "pass + map-only filter, deterministic across layouts.",
+)
+def x10d_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sampling import mixture_rebalance
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_rebalance(d, "lang", "doc_id", {"en": 0.4, "fr": 0.3, "de": 0.3})
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")

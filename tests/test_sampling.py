@@ -1,0 +1,104 @@
+"""Deterministic sampling / splitting / packing (operators/sampling.py).
+
+The oracle-parity of the hash decisions is covered by the contract
+queries (x10*); here we assert the algorithmic invariants the oracle
+can't express: partition-layout independence, capacity bounds, split
+exhaustiveness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    pack_documents,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from nagios_custom_etl_spark.functions.text import token_count
+
+    return load_table(spark, SF_DIR, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+
+
+def test_hash_split_disjoint_exhaustive_and_layout_independent(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, "doc_id", w).select("doc_id", "split")
+    b = hash_split(docs.repartition(7), "doc_id", w).select("doc_id", "split")
+    assert a.count() == docs.count()  # exhaustive: every row got a split
+    assert sorted(a.collect()) == sorted(b.collect())  # layout-independent
+    counts = dict(a.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    n = docs.count()
+    assert counts["train"] > 0.6 * n  # ~0.8 with slack at n=500
+
+
+def test_hash_sample_rate_and_stability(docs):
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    s2 = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(5), "doc_id", 0.2).select("doc_id").collect()
+    }
+    assert s1 == s2
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+    # nested property: a smaller fraction with the same salt is a subset
+    s_small = {
+        r.doc_id for r in hash_sample(docs, "doc_id", 0.05).select("doc_id").collect()
+    }
+    assert s_small <= s1
+
+
+def test_stratified_sample_exact_counts(docs):
+    out = stratified_sample(docs, ["lang"], 12, "doc_id")
+    per = dict(out.groupBy("lang").count().collect())
+    sizes = dict(docs.groupBy("lang").count().collect())
+    for lang, n in sizes.items():
+        assert per.get(lang, 0) == min(12, n)
+
+
+def test_pack_documents_capacity_and_determinism(docs):
+    cap = 256
+    packed = pack_documents(docs, "source", "doc_id", "n_tok", cap)
+    fills = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # a bin only exceeds capacity when it holds a single oversized doc
+    bad = fills.filter((F.col("fill") > cap) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
+    # row preservation
+    assert packed.count() == docs.count()
+    # determinism across partition layouts
+    packed2 = pack_documents(docs.repartition(9), "source", "doc_id", "n_tok", cap)
+    assert sorted(packed.collect()) == sorted(packed2.collect())
+    # greedy fill: consecutive bins within a group are non-skippable
+    # (bin ids per group are dense 0..n_bins-1)
+    dense = fills.groupBy("source").agg(
+        F.max("bin_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert dense.filter(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_mixture_rebalance_hits_target_proportions(docs):
+    from nagios_custom_etl_spark.operators.sampling import mixture_rebalance
+
+    target = {"en": 0.4, "fr": 0.3, "de": 0.3}
+    out = mixture_rebalance(docs, "lang", "doc_id", target)
+    counts = dict(out.groupBy("lang").count().collect())
+    assert set(counts) == set(target)
+    total = sum(counts.values())
+    for lang, w in target.items():
+        assert abs(counts[lang] / total - w) < 0.08  # hash-sample jitter at n~500
+    # deterministic across layouts
+    out2 = mixture_rebalance(docs.repartition(11), "lang", "doc_id", target)
+    assert sorted(out.select("doc_id").collect()) == sorted(out2.select("doc_id").collect())
