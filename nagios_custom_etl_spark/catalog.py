@@ -64,12 +64,49 @@ EXPECTED_COLUMNS: dict[str, tuple[str, ...]] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Spread decision cache: parquet footer metadata per path (driver-side,
+# read once per process).
+_SPREAD_CACHE: dict[str, bool] = {}
+_SPREAD_MIN_BYTES = 1 << 20  # ignore dimension-sized files
+
+
+def _scan_is_starved(path: str, parallelism: int) -> bool:
+    """True when the parquet file is big enough to matter but has too few
+    row groups for the scan to parallelize (split granularity is the row
+    group — a 10 MB single-row-group file is ONE task no matter what
+    ``maxPartitionBytes`` says).
+
+    At production scale datasets have thousands of row groups per
+    executor, so this is strictly a small-fixture correction: it never
+    triggers a shuffle on data that already splits.
+    """
+    if path in _SPREAD_CACHE:
+        return _SPREAD_CACHE[path]
+    starved = False
+    try:
+        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
+            import pyarrow.parquet as pq
+
+            starved = pq.ParquetFile(path).metadata.num_row_groups < max(parallelism // 2, 2)
+    except OSError:
+        starved = False
+    _SPREAD_CACHE[path] = starved
+    return starved
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan (SURVEY §2.1 S8)."""
+    """Parquet scan (SURVEY §2.1 S8).
+
+    Scans that parquet cannot parallelize (single row group, MB-scale
+    file) are round-robin repartitioned to the session parallelism so
+    downstream per-row work (decimal arithmetic, hashing, explodes)
+    spreads across cores; Catalyst still pushes filters below the
+    repartition, so scan-time pruning is unaffected.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     missing = set(EXPECTED_COLUMNS[name]) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
@@ -78,6 +115,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is µs-aligned, so integer-divide to µs — no double round-trip
         # (epoch-ns exceeds double's exact-integer range).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if _scan_is_starved(path, parallelism):
+        df = df.repartition(parallelism)
     return df
 
 

@@ -80,3 +80,46 @@ def salted_join(
     replicated_small = small.select("*", salts)
     out = salted_big.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join  left.point ∈ [right.lo, right.hi]  without an equi
+    key — as an equi join on time buckets.
+
+    Spark plans a bare non-equi join as BroadcastNestedLoopJoin (or a
+    cartesian product), which is O(|L|·|R|) and falls over at scale. The
+    standard fix (cf. Databricks' range-join optimization): quantize time
+    into ``bucket_width`` buckets, explode each interval over the buckets
+    it spans, equi-join on the bucket id, and re-apply the exact range
+    predicate as a residual. Cost becomes O(|L| + |R|·span/width) rows
+    through a *hash* join — pick ``bucket_width`` near the typical
+    interval span so the explode fan-out stays small.
+
+    Columns ``left_point``/``right_lo``/``right_hi`` are epoch-seconds
+    longs (cast timestamps up front). Output: all left + right columns.
+    """
+    lo, hi = F.col(right_lo), F.col(right_hi)
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width).cast("long"),
+                F.floor(hi / bucket_width).cast("long"),
+            )
+        ),
+    )
+    point = F.col(left_point)
+    l = left.withColumn("_bucket", F.floor(point / bucket_width).cast("long"))
+    return (
+        l.join(r, "_bucket", how)
+        .filter(point.between(lo, hi))
+        .drop("_bucket")
+    )

@@ -937,3 +937,47 @@ def x10d_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = mixture_rebalance(d, "lang", "doc_id", {"en": 0.4, "fr": 0.3, "de": 0.3})
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# X12 — range (interval) join without an equi key. Spark's native plan for
+# point-in-interval is BroadcastNestedLoopJoin — O(|L|*|R|); the bucketed
+# rewrite is a hash join (see operators/joins.py::bucketed_range_join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x12_range_join",
+    oracle="""
+    SELECT p.event_id, COUNT(*) AS n_nearby_errors
+    FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT CAST(floor(epoch(ts)) AS BIGINT) - 600 AS lo,
+                 CAST(floor(epoch(ts)) AS BIGINT) + 600 AS hi
+          FROM events WHERE event_type = 'error') e
+      ON p.ts_s BETWEEN e.lo AND e.hi
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    doc="X12 bucketed range join: purchases within ±10min of any error "
+    "event (no equi key). Interval explode over 20-min buckets turns the "
+    "nested-loop into an equi hash join; exact predicate re-applied as "
+    "residual.",
+)
+def x12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.joins import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        (F.unix_timestamp("ts") - 600).alias("lo"),
+        (F.unix_timestamp("ts") + 600).alias("hi"),
+    )
+    joined = bucketed_range_join(purchases, errors, "ts_s", "lo", "hi", bucket_width=1200)
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby_errors"))
+        .orderBy("event_id")
+    )

@@ -706,7 +706,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left_semi on the fact key) feeding a grouped join.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # both lineitem legs (HAVING aggregate + join probe) hash on
+    # l_orderkey: one explicit keyed repartition lets the planner reuse a
+    # single scan+exchange for both (CollapseRepartition folds the
+    # catalog's starvation spread into this), instead of scanning and
+    # round-robin-shuffling the fact twice.
+    li = load_table(spark, sf_dir, "lineitem").repartition(F.col("l_orderkey"))
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("_q"))
@@ -1126,8 +1131,10 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: do NOT cache() the fact table — the cache is plan-keyed, so it
     # would hijack every later lineitem scan in the session (killing parquet
     # pushdown), and a full-fact cache is unpayable at 100 TB. The three
-    # lineitem scans below are column-pruned parquet reads.
-    li = load_table(spark, sf_dir, "lineitem")
+    # lineitem legs all hash on l_orderkey, so one explicit keyed
+    # repartition lets the planner reuse a single scan+exchange for all of
+    # them (see q18).
+    li = load_table(spark, sf_dir, "lineitem").repartition(F.col("l_orderkey"))
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     l1 = (
@@ -1178,7 +1185,9 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l_partkey; the 1/5 threshold is exact (5*qty < sum/cnt as DECIMAL).",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # both legs (per-part aggregate + probe) hash on l_partkey — one keyed
+    # repartition, one shared scan+exchange (see q18)
+    li = load_table(spark, sf_dir, "lineitem").repartition(F.col("l_partkey"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
         F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),

@@ -255,3 +255,46 @@ def st7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "st8_rrd_stream_source",
+    oracle=None,  # custom streaming source: window/overlap semantics in
+    # tests/test_sources_sinks.py::test_rrd_stream_reader_windows_and_overlap
+    doc="ST1/ST2 via a custom DataSourceStreamReader: the RRD REST stream "
+    "drained with AvailableNow — per-window keyspace partitions with the "
+    "reference's lookback-overlap rewind (extract.py:29-31), overlap "
+    "re-reads removed by exact dedup (ST4) before aggregation.",
+)
+def st8_rrd_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.sources.rest import register_sources
+
+    register_sources(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        q = (
+            spark.readStream.format("nagios_rrd")
+            .option("endpoint", "http://fake/rrdexport")
+            .option("fetcher", "nagios_custom_etl_spark.sources.rest:demo_fetcher")
+            .option("hosts", "web01,db01,app01")
+            .option("services", "CPU Usage;Memory Usage")
+            .option("start_ts", "0")
+            .option("end_ts", str(12 * 3600))
+            .option("window_seconds", str(4 * 3600))
+            .option("overlap_seconds", "3600")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/data")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{tmp}/data")
+        out = (
+            got.dropDuplicates(["host_name", "service_name", "t"])
+            .groupBy("host_name", "service_name")
+            .agg(F.count(F.lit(1)).alias("n_points"), F.max("t").alias("max_t"))
+            .orderBy("host_name", "service_name")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmp
+    return out

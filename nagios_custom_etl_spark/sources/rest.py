@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -148,6 +149,9 @@ class NagiosRrdDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return NagiosRrdReader(dict(self.options))
 
+    def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
+        return NagiosRrdStreamReader(dict(self.options))
+
 
 def register_sources(spark) -> None:
     spark.dataSource.register(NagiosRrdDataSource)
@@ -188,3 +192,101 @@ def demo_fetcher(endpoint: str, params: dict) -> dict:
             }
         )
     return {"data": {"row": rows}}
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant (SURVEY §2.9 ST1/ST2): the reference's cron micro-batch
+# with a lookback overlap (extract.py:29-31,114) as a real
+# DataSourceStreamReader. Offsets are window end-timestamps; each batch
+# covers (prev_end, next_end] and every fetch rewinds ``overlap_seconds``
+# so late RRD spool flushes are re-read (downstream
+# dropDuplicatesWithinWatermark removes the overlap re-reads, ST4).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class KeyWindowPartition(InputPartition):
+    pairs: list[tuple[str, str]]
+    window_start: int  # inclusive, already rewound by overlap
+    window_end: int  # exclusive
+
+
+class NagiosRrdStreamReader(DataSourceStreamReader):
+    """Micro-batch RRD stream: one batch per elapsed ``window_seconds``.
+
+    The keyspace fans out exactly like the batch reader — (host, service)
+    slices become InputPartitions, replacing the reference's 5-thread pool
+    with cluster tasks. ``end_ts`` bounds the stream so AvailableNow
+    drains deterministically in tests (and a live deployment simply keeps
+    ``end_ts`` unset to follow the wall clock).
+    """
+
+    def __init__(self, options: dict):
+        self.inner = NagiosRrdReader(options)
+        self.window = int(options.get("window_seconds", "86400"))
+        self.overlap = int(options.get("overlap_seconds", "3600"))
+        self.start_ts = int(options.get("start_ts", "0"))
+        self.end_ts = int(options["end_ts"]) if "end_ts" in options else None
+
+    def initialOffset(self) -> dict:
+        return {"ts": self.start_ts}
+
+    def latestOffset(self) -> dict:
+        if self.end_ts is not None:
+            return {"ts": self.end_ts}
+        import time as _time  # wall clock only in live mode
+
+        return {"ts": int(_time.time())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Split the offset range into lookback windows × keyspace slices.
+
+        Windowing lives here (not in latestOffset) so the semantics are
+        trigger-independent: AvailableNow drains the whole range in one
+        batch yet still fetches per-window with the overlap rewind —
+        exactly the reference's 25h-fetch-per-daily-run (extract.py:29-31).
+        """
+        lo, hi = int(start["ts"]), int(end["ts"])
+        if hi <= lo:
+            return []
+        pairs = [(h, s) for h in self.inner.hosts for s in self.inner.services]
+        n = max(1, min(self.inner.num_partitions, len(pairs)))
+        chunks = [c for c in (pairs[i::n] for i in range(n)) if c]
+        parts: list[InputPartition] = []
+        w0 = lo
+        while w0 < hi:
+            w_end = min(w0 + self.window, hi)
+            # rewind at every window boundary after the stream origin —
+            # batch boundaries included (lo of batch N+1 is hi of batch N)
+            fetch_start = max(w0 - self.overlap, 0) if w0 > self.start_ts else w0
+            parts.extend(KeyWindowPartition(c, fetch_start, w_end) for c in chunks)
+            w0 = w_end
+        return parts
+
+    def read(self, partition: KeyWindowPartition) -> Iterator[tuple]:
+        fetch = resolve_fetcher(self.inner.fetcher_spec)
+        for host, service in partition.pairs:
+            params = {
+                "apikey": self.inner.api_key,
+                "host_name": host,
+                "service_description": service,
+                "start": partition.window_start,
+            }
+            payload = fetch(self.inner.endpoint, params)
+            rows = (payload.get("data") or {}).get("row") or []
+            for point in rows:
+                t = int(point["t"])
+                if not partition.window_start <= t < partition.window_end:
+                    continue  # outside this batch's window (source-side bound)
+                v = point.get("v")
+                if not isinstance(v, list):
+                    v = [v]
+                yield (
+                    host,
+                    service,
+                    t,
+                    [None if x is None else str(x) for x in v],
+                )
+
+    def commit(self, end: dict) -> None:  # checkpoint owns progress; nothing to do
+        pass

@@ -170,3 +170,45 @@ def test_f4_f5_time_helpers(spark):
     ).head()
     assert row["start"] == 1704157200 - 25 * 3600  # 2024-01-02 01:00:00 UTC - 25h
     assert row["stamp"] == "20240102"
+
+
+def test_rrd_stream_reader_windows_and_overlap(spark, tmp_path):
+    """ST1/ST2: the streaming RRD source drains deterministically under
+    AvailableNow, covers (start, end] in window-sized batches, and the
+    overlap rewind re-fetches late points that the batch window then
+    bounds source-side (no duplicates from within one batch)."""
+    register_sources(spark)
+    out = (
+        spark.readStream.format("nagios_rrd")
+        .option("endpoint", "http://fake/rrdexport")
+        .option("fetcher", DEMO_FETCHER)
+        .option("hosts", "web01,db01")
+        .option("services", "CPU Usage")
+        .option("start_ts", "0")
+        .option("end_ts", str(6 * 3600))
+        .option("window_seconds", str(3 * 3600))
+        .option("overlap_seconds", "3600")
+        .option("num_partitions", "2")
+    )
+    q = (
+        out.load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "data"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "data"))
+    rows = got.collect()
+    # demo fetcher emits hourly points from the (rewound) start; the
+    # window bound keeps t in [max(lo-overlap,0), hi) per batch. Batch 1
+    # covers [0, 3h) -> t in {0,1h,2h}; batch 2 covers [3h-1h, 6h) ->
+    # t in {2h,..,5h} (the 2h point is the deliberate overlap re-read).
+    ts = sorted(r.t for r in rows if r.host_name == "web01")
+    hours = [t // 3600 for t in ts]
+    assert hours == [0, 1, 2, 2, 3, 4, 5]
+    assert {r.host_name for r in rows} == {"web01", "db01"}
+    # the overlap duplicate is exactly what dropDuplicates removes (ST4)
+    dedup = got.dropDuplicates(["host_name", "service_name", "t"]).count()
+    assert dedup == 2 * 6  # 2 hosts x hourly points 0..5
