@@ -314,6 +314,209 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# X2 — near-dup CLUSTERS: connected components over the verified pair set.
+# Pairs alone under-delete (A~B, B~C but A!~C must still collapse to one
+# survivor); production dedup keeps one document per component.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component
+    is the minimum node id reachable from the node.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — one shuffle join + one partial-agg
+    groupBy per round, converging in O(graph diameter) rounds. Near-dup
+    graphs are LSH band cliques glued at shared documents, so diameters
+    are single-digit; ``max_iterations`` is a guard, not a tuning knob.
+
+    Scale notes (100 TB): each round's lineage is truncated with an eager
+    ``localCheckpoint`` — without it the plan doubles per iteration and
+    the driver re-optimizes an exponentially growing tree (on a cluster,
+    prefer ``checkpoint()`` to a reliable store so lost executors don't
+    recompute the chain). The per-round convergence check is a cheap
+    count on the already-materialized label delta. For adversarial
+    long-chain graphs swap in alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converge in O(log^2 n); the dedup workload never needs it.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("_nc"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least("component", F.coalesce("_nc", "component")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = proposed.filter(F.col("component") < F.col("_old")).count()
+        labels = proposed.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Collapse verified near-dup pairs into clusters and pick survivors.
+
+    Output: one row per multi-member component —
+    ``(component, n_members, survivor)`` where component is the min
+    member id and the survivor is the member with the highest
+    ``quality_col`` (ties: lowest id). Singleton documents are implicitly
+    their own survivors and are not emitted.
+
+    The survivor choice is the standard keep-best policy of corpus dedup
+    (drop all but the best copy); a window over the component key is one
+    shuffle on well-distributed component ids.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), F.asc("node"))
+    ranked = members.select(
+        "component",
+        "node",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("_rn") == 1) & (F.col("n_members") >= 2))
+        .select("component", "n_members", F.col("node").alias("survivor"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — benchmark decontamination: flag training documents that share any
+# long n-gram with a held-out evaluation set (the standard train/test
+# overlap scrub run before LLM training).
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_shared_shingles) for every train doc sharing >= 1
+    distinct ``shingle_n``-gram with any eval doc.
+
+    Both sides are distinct-shingled (the codegen'd explode path), the
+    eval shingle set is deduplicated across documents, and the overlap is
+    an equi join on the shingle string. At scale the eval set is tiny
+    relative to the corpus — Spark broadcasts its shingle set, so the
+    scrub is map-side against the full training scan; if the eval side
+    ever outgrows broadcast, the join degrades gracefully to a shuffle
+    on uniformly-distributed shingle keys.
+    """
+    train_sh = _exploded_shingles(train, id_col, text_col, shingle_n, distinct=True)
+    eval_sh = (
+        _exploded_shingles(evalset, id_col, text_col, shingle_n, distinct=True)
+        .select(F.col("_s"))
+        .distinct()
+    )
+    return (
+        train_sh.join(eval_sh, "_s")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(F.col("_id").alias(id_col), "n_shared_shingles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — repetition metrics (Gopher-style quality signals): the most frequent
+# 2-gram's character share and the character share of duplicated 3-grams.
+# Heavily repetitive documents (boilerplate, SEO spam, generation loops)
+# score high and are filtered before training.
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_chars_col: str,
+) -> DataFrame:
+    """Per-doc repetition signals:
+
+    * ``top_2gram_frac`` — chars covered by occurrences of the most
+      frequent word 2-gram / total chars (ties: lexicographically first
+      2-gram, for determinism);
+    * ``dup_3gram_frac`` — chars covered by word 3-grams occurring more
+      than once / total chars (occurrence-weighted, overlaps counted).
+
+    All codegen'd: explode n-grams, count per (doc, gram), window-max /
+    conditional-sum per doc. Two shuffles keyed on (doc, gram) then doc —
+    both uniform. Ratios are single IEEE divisions of exact integers, so
+    they hash-match the oracle bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(n_chars_col).alias("_nc"))
+    g2 = (
+        _exploded_shingles(df, id_col, text_col, 2, distinct=False)
+        .groupBy("_id", "_s")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cnt"), F.asc("_s"))
+    top2 = (
+        g2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", (F.col("_cnt") * F.length("_s")).alias("_top2_chars"))
+    )
+    g3 = (
+        _exploded_shingles(df, id_col, text_col, 3, distinct=False)
+        .groupBy("_id", "_s")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("_s")).otherwise(0)
+            ).alias("_dup3_chars")
+        )
+    )
+    return (
+        base.join(top2, "_id", "left")
+        .join(g3, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.coalesce("_top2_chars", F.lit(0)).cast("double") / F.col("_nc")).alias(
+                "top_2gram_frac"
+            ),
+            (F.coalesce("_dup3_chars", F.lit(0)).cast("double") / F.col("_nc")).alias(
+                "dup_3gram_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X2 — SimHash (64-bit) for near-dup at Hamming distance <= k
 # ---------------------------------------------------------------------------
 

@@ -18,9 +18,12 @@ from nagios_custom_etl_spark.functions.text import (
     tokens,
 )
 from nagios_custom_etl_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
+    repetition_metrics,
     simhash_near_dup_pairs,
 )
 from nagios_custom_etl_spark.operators.similarity import (
@@ -981,3 +984,166 @@ def x12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nearby_errors"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X13 — near-dup CLUSTERS: connected components over the exact-Jaccard pair
+# set, keep-best survivor per cluster. Pairs under-delete (transitive
+# near-dups); clusters are what a production dedup actually drops against.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x13_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON shared.id_a = sa.doc_id
+      JOIN sizes sb ON shared.id_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT component, node,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY d.n_chars DESC, node) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM comp JOIN documents d ON comp.node = d.doc_id
+    )
+    SELECT component, n_members, node AS survivor
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    ORDER BY component
+    """,
+    doc="X13 near-dup clustering: exact-Jaccard pairs -> connected "
+    "components (min-label propagation, O(diameter) joined rounds with "
+    "per-round checkpointing) -> keep-best survivor (max n_chars, tie "
+    "min id). Oracle computes the same components via a recursive-CTE "
+    "transitive closure.",
+)
+def x13_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+    return near_dup_clusters(d, pairs, "doc_id", "n_chars").orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+# X14 — benchmark decontamination: train docs sharing a 5-gram with the
+# held-out test split (the standard pre-training train/test overlap scrub).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x14_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':split') AS h,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, h, unnest(list_distinct(
+               [array_to_string(toks[i : i + 4], ' ')
+                FOR i IN range(1, greatest(length(toks) - 4, 1) + 1)])) AS shingle
+      FROM toks
+    ),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE h < '{_T80}'),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE h >= '{_T90}')
+    SELECT doc_id, COUNT(*) AS n_shared_shingles
+    FROM train_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="X14 decontamination: flag train-split docs sharing any distinct "
+    "word 5-gram with the test split (splits from the deterministic md5 "
+    "bucket of x10). Eval shingle set broadcasts at scale; scrub is "
+    "map-side against the training scan.",
+)
+def x14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    evalset = split.filter(F.col("split") == "test")
+    return decontaminate(train, evalset, "doc_id", "text", shingle_n=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X15 — repetition metrics (Gopher-style quality signals).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x15_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    g2 AS (
+      SELECT doc_id, shingle, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(
+               [array_to_string(toks[i : i + 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - 1, 1) + 1)]) AS shingle
+            FROM toks)
+      GROUP BY doc_id, shingle
+    ),
+    top2 AS (
+      SELECT doc_id, cnt * length(shingle) AS top2_chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, shingle) AS rn
+      FROM g2
+    ),
+    g3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(shingle) ELSE 0 END) AS dup3_chars
+      FROM (SELECT doc_id, shingle, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(
+                     [array_to_string(toks[i : i + 2], ' ')
+                      FOR i IN range(1, greatest(length(toks) - 2, 1) + 1)]) AS shingle
+                  FROM toks)
+            GROUP BY doc_id, shingle)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(p.top2_chars, 0) AS DOUBLE) / t.n_chars AS top_2gram_frac,
+           CAST(coalesce(g3.dup3_chars, 0) AS DOUBLE) / t.n_chars AS dup_3gram_frac
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) p USING (doc_id)
+    LEFT JOIN g3 USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="X15 Gopher-style repetition signals: char share of the most "
+    "frequent word 2-gram and of duplicated word 3-grams, per doc. "
+    "Codegen'd explode + count + window-max; ratios are single IEEE "
+    "divisions of exact integers (bit-identical to the oracle).",
+)
+def x15_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return repetition_metrics(d, "doc_id", "text", "n_chars").orderBy("doc_id")

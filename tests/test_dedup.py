@@ -108,3 +108,73 @@ def test_simhash_planted(spark, planted):
 def test_lsh_candidates_no_self_pairs(planted):
     cands = lsh_candidate_pairs(planted, "doc_id", "text").collect()
     assert all(r["id_a"] < r["id_b"] for r in cands)
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Chain 1-2-3-4 (diameter 3, needs >1 propagation round), clique
+    10-11-12, isolated pair 20-21: every node labels with its component
+    min."""
+    from nagios_custom_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_survivor_choice(spark):
+    """Transitive near-dups collapse to one cluster; survivor is the
+    highest-quality member with min-id tie-break."""
+    from nagios_custom_etl_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (9, 50)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = near_dup_clusters(docs, pairs, "doc_id", "n_chars").collect()
+    assert len(rows) == 1  # singleton 4 / 9 not emitted
+    r = rows[0]
+    assert (r["component"], r["n_members"], r["survivor"]) == (1, 3, 2)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc embedding an eval doc's 5-gram is flagged; clean train
+    docs are not."""
+    from nagios_custom_etl_spark.operators.dedup import decontaminate
+
+    evalset = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "students learn that the capital of france is paris in school"),
+            (2, "a totally unrelated document about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    got = decontaminate(train, evalset, "doc_id", "text", shingle_n=5).collect()
+    assert [(r["doc_id"], r["n_shared_shingles"] > 0) for r in got] == [(1, True)]
+
+
+def test_repetition_metrics_planted(spark):
+    """A degenerate looping doc scores near 1 on both metrics; a
+    no-repeat doc scores 0 on dup-3gram."""
+    from nagios_custom_etl_spark.operators.dedup import repetition_metrics
+
+    loop = " ".join(["buy now"] * 10)  # "buy now buy now ..."
+    clean = "every word in this sentence appears exactly once"
+    docs = spark.createDataFrame(
+        [(1, loop, len(loop)), (2, clean, len(clean))],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(docs, "doc_id", "text", "n_chars").collect()}
+    # loop doc: "now buy" occurs 9x, "buy now" 10x -> top 2-gram covers
+    # 10*7=70 of 79 chars; every 3-gram repeats
+    assert got[1]["top_2gram_frac"] == pytest.approx(70 / 79)
+    assert got[1]["dup_3gram_frac"] > 1.0  # overlapping occurrences counted
+    assert got[2]["dup_3gram_frac"] == 0.0
+    assert 0 < got[2]["top_2gram_frac"] < 0.5
