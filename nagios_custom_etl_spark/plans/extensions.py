@@ -1147,3 +1147,44 @@ def x14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x15_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return repetition_metrics(d, "doc_id", "text", "n_chars").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X4 — BPE-ish subword token accounting. Whitespace tokens undercount what
+# a trainer pays for; a GPT-style pre-tokenizer regex (letter runs, digit
+# runs, single punctuation) is the standard cheap proxy for budgeting
+# token counts before running the real tokenizer.
+# ---------------------------------------------------------------------------
+
+_BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "x4g_bpe_token_budget",
+    oracle=f"""
+    SELECT doc_id,
+           length(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+           length(regexp_extract_all(lower(text), '{_BPE_ISH}')) AS n_bpe_tokens,
+           CAST(n_chars AS DOUBLE)
+             / greatest(length(regexp_extract_all(lower(text), '{_BPE_ISH}')), 1)
+             AS chars_per_bpe_token
+    FROM documents
+    WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+    doc="X4 token budgeting: whitespace vs BPE-ish regex pre-tokenizer "
+    "counts and chars-per-token, per doc. The regex uses only literal "
+    "classes so Java (Spark) and RE2 (DuckDB) agree.",
+)
+def x4g_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_ISH), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(bpe), F.lit(1))
+        ).alias("chars_per_bpe_token"),
+    ).orderBy("doc_id")

@@ -298,3 +298,71 @@ def st8_rrd_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmp
     return out
+
+
+@register(
+    "st9_stream_stream_join",
+    oracle="""
+    -- stream-stream inner interval join: with AvailableNow both sides
+    -- arrive in one micro-batch, so every match emits; the watermark +
+    -- time-interval predicate exist to BOUND JOIN STATE (each side
+    -- retains only rows within watermark+interval), which is what makes
+    -- the join runnable on an unbounded stream.
+    SELECT p.event_id, COUNT(*) AS n_nearby_errors
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+      ON p.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    doc="Stream-stream event-time interval join (purchases x errors within "
+    "±10min) with watermarks on both sides bounding join state — the "
+    "streaming twin of x12's bucketed range join. Spark requires an "
+    "equality predicate on stream-stream joins, so the interval is "
+    "bucketized: purchases equi-join errors on a 20-min time bucket "
+    "(errors exploded over the <=2 buckets their ±10min window spans), "
+    "with the exact interval re-applied as a residual. Join pairs emit "
+    "append-mode; the count-per-purchase runs batch-side on the sink.",
+)
+def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 1200  # bucket = 2x the interval half-width => <=2 buckets/row
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts").alias("p_ts"),
+            F.floor(F.unix_timestamp("ts") / width).alias("bucket"),
+        )
+        .withWatermark("p_ts", "20 minutes")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("e_ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.unix_timestamp("ts") - 600) / width),
+                        F.floor((F.unix_timestamp("ts") + 600) / width),
+                    )
+                )
+            ).alias("bucket"),
+        )
+        .withWatermark("e_ts", "20 minutes")
+    )
+    ten_min = F.expr("INTERVAL 10 MINUTES")
+    joined = purchases.join(
+        errors,
+        (purchases["bucket"] == errors["bucket"])
+        & (purchases["p_ts"] >= errors["e_ts"] - ten_min)
+        & (purchases["p_ts"] <= errors["e_ts"] + ten_min),
+    )
+    name = run_to_memory(joined.select("event_id"))
+    return (
+        spark.table(name)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby_errors"))
+        .orderBy("event_id")
+    )
