@@ -1188,3 +1188,32 @@ def x4g_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(bpe), F.lit(1))
         ).alias("chars_per_bpe_token"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X16 — Python UDTF escape hatch (§2.11): lateral row fan-out in Python.
+# Demo only — the codegen'd generator form in operators/dedup.py is the hot
+# path for the same semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x16_udtf_bigrams",
+    oracle="""
+    SELECT doc_id, pos, bigram FROM (
+      SELECT doc_id, unnest([{'pos': i - 1, 'bigram': toks[i] || ' ' || toks[i+1]}
+                             FOR i IN range(1, length(toks))], recursive := true)
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 50 = 0))
+    ORDER BY doc_id, pos
+    """,
+    doc="X16 Python UDTF (Spark 4) applied via LATERAL: per-doc bigram "
+    "fan-out in imperative Python — the sanctioned escape hatch when "
+    "per-row expansion needs a real tokenizer/parser library. Small doc "
+    "subset: every emitted byte crosses the JVM<->Python boundary.",
+)
+def x16_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.udtf_ops import bigrams_via_udtf
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return bigrams_via_udtf(d, "doc_id", "text").orderBy("doc_id", "pos")

@@ -1478,3 +1478,74 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q20_part_share_suppliers",
+    oracle="""
+    -- TPC-H Q20 shape (no partsupp in the fixture: availqty replaced by a
+    -- two-level aggregate share test). Suppliers in two nations that
+    -- shipped >20% of some red part's total 2000H2-2001H1 volume.
+    -- Threshold exact in DECIMAL (5*qty_sp > qty_p).
+    WITH li AS (
+      SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-07-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2001-07-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    ),
+    per_sp AS (SELECT l_partkey, l_suppkey, SUM(qty) AS qty_sp FROM li GROUP BY 1, 2),
+    per_p  AS (SELECT l_partkey, SUM(qty) AS qty_p FROM li GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT l_suppkey
+      FROM per_sp JOIN per_p USING (l_partkey)
+      WHERE 5 * qty_sp > qty_p
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (SELECT l_suppkey FROM cand)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: nested IN-subquery chain decorrelated to semi "
+    "joins. The part filter becomes a broadcast semi join pushed below "
+    "the fact scan; both aggregation levels (part x supplier, part) "
+    "share ONE exchange — a single repartition on l_partkey satisfies "
+    "the (l_partkey, l_suppkey) grouping too, so the two-level share "
+    "test adds no extra fact shuffle; the candidate supplier set semi "
+    "joins (broadcast) into the nation-filtered supplier dim.",
+)
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-07-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", dec("l_quantity").alias("qty"))
+        .repartition(F.col("l_partkey"))  # one exchange serves both agg levels
+    )
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("qty_sp"))
+    per_p = li.groupBy("l_partkey").agg(F.sum("qty").alias("qty_p"))
+    cand = (
+        per_sp.join(per_p, "l_partkey")
+        .filter(F.lit(5) * F.col("qty_sp") > F.col("qty_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
