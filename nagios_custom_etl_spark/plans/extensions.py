@@ -1217,3 +1217,48 @@ def x16_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
     return bigrams_via_udtf(d, "doc_id", "text").orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# X13b — semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs
+# collapsed into clusters by connected components. Same clustering engine
+# as the text path (x13), driven by the vector similarity operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x13b_semantic_dedup_clusters",
+    oracle="""
+    -- planted geometry (cf. x3b): every vector has exactly one near-dup —
+    -- its 0.9-scaled copy at vec_id+1000000 (cosine exactly 1); no organic
+    -- pair reaches the 0.85 threshold. Components are therefore exactly
+    -- the (v, v+1M) pairs, labeled by their min id.
+    SELECT vec_id AS component, CAST(2 AS BIGINT) AS n_members
+    FROM embeddings ORDER BY component
+    """,
+    doc="X13b semantic dedup: sign-LSH cosine near-dup pairs over "
+    "embeddings (planted scaled copies) -> connected components -> "
+    "per-cluster member counts. The embedding twin of x13's text "
+    "clustering.",
+)
+def x13b_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.vector import as_double_array
+    from nagios_custom_etl_spark.operators.dedup import connected_components
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("embedding")
+    )
+    copies = em.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        em.unionByName(copies), "embedding", "vec_id",
+        dim=64, threshold=0.85, n_planes=8, n_tables=6,
+    ).select("id_a", "id_b")
+    return (
+        connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )
