@@ -1549,3 +1549,137 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q9 shapes — the last two of the 22 classic shapes, adapted to
+# the fixture schema (no partsupp table, FIXTURES.md): the part×supplier
+# cost relation `ps` is derived from lineitem as MIN(l_extendedprice) per
+# (l_partkey, l_suppkey). MIN over doubles is order-insensitive, so the
+# derivation is engine-exact without decimal casts. Reference grounding:
+# generalizes the hash-lookup enrich joins of
+# url_service_status_InfluxDB_insert.py:54-73 (SURVEY §2.4 J5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    -- TPC-H Q2 shape: correlated scalar-MIN subquery per part over the
+    -- region-restricted cost relation.
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part
+      JOIN ps       ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    doc="TPC-H Q2 shape: cheapest-regional-supplier-per-part. Decorrelated "
+    "in Spark: one per-(part,supplier) MIN aggregate over lineitem, the "
+    "EUROPE supplier→nation→region chain broadcast into it, then a per-part "
+    "MIN joined back on (partkey, cost-equality). Both the candidate rows "
+    "and the per-part minimum hash on ps_partkey — a single keyed "
+    "repartition serves both legs (ReusedExchange), so the fact is "
+    "shuffled once at any scale.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+        .join(F.broadcast(sup_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .repartition(F.col("ps_partkey"))  # one exchange serves both legs
+    )
+    min_ps = ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        ps.join(min_ps, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    -- TPC-H Q9 shape: per-nation per-year profit. Unit cost proxy is 10%
+    -- of p_retailprice (no ps_supplycost in the fixture) — exact DECIMAL
+    -- scaling so both engines sum identical exact values.
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(28,5))
+             - CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                         * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))
+                    * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(28,5))
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+    WHERE contains(p_name, 'gear')
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit = disc. revenue − cost, by supplier nation "
+    "and order year. part (substring-filtered), supplier and nation all "
+    "broadcast; the only shuffle is lineitem⋈orders on the orderkey, then "
+    "a 2-level-key hash agg. The p_name filter semi-prunes the fact via "
+    "the broadcast join before the orders shuffle.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    disc_rev = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    ).cast("decimal(28,5)")
+    cost = (
+        (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,4)")
+        * F.lit("0.1").cast("decimal(2,1)")
+    ).cast("decimal(28,5)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(disc_rev - cost).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
