@@ -621,3 +621,53 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# X17 — corpus-frequency boilerplate detection (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_stats(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 5, min_df: int = 3
+) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a document's
+    distinct word ``shingle_n``-grams that occur in >= ``min_df``
+    documents corpus-wide (headers, footers, licence blocks, navigation
+    chrome). The C4/RefinedWeb cleaning step "remove lines repeated
+    across the corpus", generalized to shingles because the fixture text
+    has no line structure.
+
+    Plan shape (scale): one explode -> groupBy(shingle) for document
+    frequency, filter to the (small) boilerplate set, then a semi join
+    back onto the exploded shingles and one groupBy(doc). The boilerplate
+    set after ``min_df`` filtering is orders of magnitude smaller than
+    the shingle universe, so AQE turns the semi join into a broadcast at
+    moderate scale; at 100 TB both sides hash-partition on the shingle —
+    the same co-partitioning the frequency agg just produced, so the
+    exchange is reused rather than re-shuffled.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).cache()
+    boiler = (
+        sh.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_s")
+    )
+    totals = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler_per_doc = (
+        sh.join(boiler, "_s", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        totals.join(boiler_per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_shingles")
+            ).alias("boiler_ratio"),
+        )
+    )

@@ -1262,3 +1262,75 @@ def x13b_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# X17 — corpus-frequency boilerplate detection (C4-style cleaning signal)
+# ---------------------------------------------------------------------------
+
+BOILER_SHINGLE_N = 5
+BOILER_MIN_DF = 3
+
+
+@register(
+    "x17_boilerplate_ratio",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {BOILER_SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {BOILER_SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS n_docs FROM shingled GROUP BY shingle),
+    boiler AS (SELECT shingle FROM dfreq WHERE n_docs >= {BOILER_MIN_DF})
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.shingle) AS n_boiler,
+           CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM shingled s LEFT JOIN boiler b USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    doc="X17 corpus-frequency boilerplate: fraction of each doc's distinct "
+    "5-gram shingles that appear in >= 3 documents corpus-wide — the "
+    "C4/RefinedWeb repeated-content cleaning signal as one explode + two "
+    "aggs + a semi join (operators/dedup.py::boilerplate_stats).",
+)
+def x17_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import boilerplate_stats
+
+    return boilerplate_stats(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_n=BOILER_SHINGLE_N,
+        min_df=BOILER_MIN_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18 — scalable global row ids (no single-reducer sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x18_global_row_ids",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS row_id
+    FROM documents
+    """,
+    doc="X18 global contiguous example ids in a total order without the "
+    "single-partition window: range repartition + per-partition "
+    "row_number + driver-cumulated offsets (operators/ids.py) — the "
+    "zipWithIndex scheme, DataFrame-native, identical numbering to "
+    "ROW_NUMBER() OVER (ORDER BY ...).",
+)
+def x18_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.ids import global_row_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_row_ids(docs, [F.col("n_chars").desc(), F.col("doc_id")])

@@ -178,3 +178,34 @@ def test_repetition_metrics_planted(spark):
     assert got[1]["dup_3gram_frac"] > 1.0  # overlapping occurrences counted
     assert got[2]["dup_3gram_frac"] == 0.0
     assert 0 < got[2]["top_2gram_frac"] < 0.5
+
+
+def test_boilerplate_stats_planted(spark):
+    from nagios_custom_etl_spark.operators.dedup import boilerplate_stats
+
+    footer = "contact us at example dot com for details"  # 8 tokens -> 4 5-gram shingles
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta " + footer),
+        (1, "one two three four five six seven " + footer),
+        (2, "red orange yellow green blue indigo " + footer),
+        (3, "unique words only in this document here appear"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, "doc_id", "text", shingle_n=5, min_df=3).collect()
+    }
+    assert len(out) == 4
+    # the footer contributes 4 shared shingles to docs 0-2 (df=3); the
+    # seam shingles straddling unique-prefix/footer differ per doc (df=1)
+    for doc in (0, 1, 2):
+        assert out[doc]["n_boiler"] == 4, out[doc]
+        assert 0 < out[doc]["boiler_ratio"] < 1
+    assert out[3]["n_boiler"] == 0
+    assert out[3]["boiler_ratio"] == 0.0
+    # short doc (< shingle_n tokens) counts one whole-doc shingle
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    row = boilerplate_stats(
+        df.unionByName(short), "doc_id", "text", shingle_n=5, min_df=3
+    ).filter("doc_id = 9").collect()[0]
+    assert row["n_shingles"] == 1 and row["n_boiler"] == 0

@@ -102,3 +102,22 @@ def test_mixture_rebalance_hits_target_proportions(docs):
     # deterministic across layouts
     out2 = mixture_rebalance(docs.repartition(11), "lang", "doc_id", target)
     assert sorted(out.select("doc_id").collect()) == sorted(out2.select("doc_id").collect())
+
+
+def test_global_row_ids_total_order_and_contiguity(spark):
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.ids import global_row_ids
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    out = global_row_ids(
+        df.repartition(13), [F.col("grp"), F.col("k").desc()], num_partitions=7
+    ).collect()
+    assert len(out) == 5000
+    ids = sorted(r["row_id"] for r in out)
+    assert ids == list(range(5000))  # contiguous 0-based, no gaps/dupes
+    in_order = sorted(out, key=lambda r: r["row_id"])
+    keys = [(r["grp"], -r["k"]) for r in in_order]
+    assert keys == sorted(keys)  # numbering follows the requested total order
