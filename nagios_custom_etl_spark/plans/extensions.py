@@ -1334,3 +1334,40 @@ def x18_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return global_row_ids(docs, [F.col("n_chars").desc(), F.col("doc_id")])
+
+
+# ---------------------------------------------------------------------------
+# X19 — learned document classifier (pyspark.ml pipeline, fastText-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x19_quality_classifier",
+    oracle=None,  # model scores are not SQL-expressible; accuracy bounds
+    # and planted-separability are tested in tests/test_ml.py
+    doc="X19 learned doc classifier (weak-label distillation): "
+    "RegexTokenizer->HashingTF->IDF->LogisticRegression (operators/ml.py) "
+    "trained on a deterministic hash-split against a topic-seed weak "
+    "label (doc mentions 'spark' — the keyword-seeded bootstrap used for "
+    "domain/quality filters); returns the holdout confusion matrix. All "
+    "stages JVM-side and deterministic (murmur3 features, zero-init "
+    "L-BFGS); scoring is map-only with the coefficient vector broadcast.",
+)
+def x19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.ml import score_documents, train_text_classifier
+    from nagios_custom_etl_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "label", F.array_contains(tokens("text"), "spark").cast("double")
+    )
+    split = hash_split(docs, "doc_id", {"train": 0.8, "holdout": 0.2})
+    train = split.filter(F.col("split") == "train")
+    holdout = split.filter(F.col("split") == "holdout")
+    model = train_text_classifier(train, "text", "label")
+    scored = score_documents(model, holdout, "doc_id", "text")
+    return (
+        scored.join(holdout.select("doc_id", "label"), "doc_id")
+        .groupBy(F.col("label").cast("int").alias("label"), "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "prediction")
+    )

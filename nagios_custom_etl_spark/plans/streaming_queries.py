@@ -366,3 +366,54 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nearby_errors"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "st10_transform_with_state",
+    oracle="""
+    -- the per-user profile state is commutative (counts, extremes, map of
+    -- per-type counts), so after draining the stream the last update-mode
+    -- emission per key equals the batch GROUP BY exactly, regardless of
+    -- how the file source split micro-batches
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ST-ext arbitrary-state operator on the Spark 4 transformWithState "
+    "API: per-user running profile with ValueState totals + MapState "
+    "per-type counts (RocksDB-backed, TTL/timer-capable) — the successor "
+    "to st6's applyInPandasWithState; oracle = batch GROUP BY. Falls back "
+    "to an exact applyInPandasWithState twin when the protobuf wheel "
+    "(transformWithState's state-server protocol) is absent.",
+)
+def st10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.streaming.stateful import user_profile_totals
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        name = run_to_memory(user_profile_totals(stream), output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # update mode emits one row per (key, batch): keep each key's last
+    # (largest n_events) emission = the drained-stream totals
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )

@@ -124,16 +124,19 @@ def routed_parquet_sink(out_dir: str):
     return write
 
 
-def run_to_memory(df: DataFrame, query_name: str | None = None) -> str:
+def run_to_memory(
+    df: DataFrame, query_name: str | None = None, output_mode: str = "append"
+) -> str:
     """Drive a streaming DataFrame to completion (AvailableNow) into a
     memory sink; returns the sink table name. Test/driver harness only —
     real deployments use parquet/kafka/foreachBatch sinks with a durable
-    checkpointLocation."""
+    checkpointLocation. The memory sink appends rows in every mode, so
+    update-mode callers see one row per (key, batch) and take the last."""
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

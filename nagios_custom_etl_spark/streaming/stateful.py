@@ -97,3 +97,160 @@ def error_streaks(stream: DataFrame, threshold: int = 3) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API) — per-user profile totals
+# ---------------------------------------------------------------------------
+
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, n_event_types bigint, n_errors bigint, "
+    "first_event_id bigint, last_event_id bigint"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """StatefulProcessor maintaining an order-insensitive per-user profile:
+    event count, distinct-type counts (MapState), id extremes (ValueState).
+
+    transformWithStateInPandas is the successor to applyInPandasWithState:
+    named state variables (value/list/map) with per-variable TTL, timers,
+    and initial-state seeding, backed by the RocksDB state store. Profile
+    aggregates are commutative, so results are independent of batch
+    boundaries and arrival order — the batch GROUP BY is an exact oracle.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n_events bigint, first_event_id bigint, last_event_id bigint"
+        )
+        self._type_counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        (user_id,) = key
+        n, first_id, last_id = self._totals.get() if self._totals.exists() else (0, None, None)
+        for pdf in rows:
+            n += len(pdf)
+            lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+            first_id = lo if first_id is None else min(first_id, lo)
+            last_id = hi if last_id is None else max(last_id, hi)
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._type_counts.getValue((etype,))[0]
+                    if self._type_counts.containsKey((etype,))
+                    else 0
+                )
+                self._type_counts.updateValue((etype,), (prev + int(cnt),))
+        self._totals.update((n, first_id, last_id))
+        n_types, n_errors = 0, 0
+        for (etype,), (cnt,) in self._type_counts.iterator():
+            n_types += 1
+            if etype == "error":
+                n_errors = cnt
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "n_event_types": n_types,
+                    "n_errors": n_errors,
+                    "first_event_id": first_id,
+                    "last_event_id": last_id,
+                }
+            ]
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState's Python state-server protocol speaks protobuf;
+    without the ``protobuf`` wheel the driver-side init worker dies before
+    state schemas are validated. Gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profile_totals(stream: DataFrame, impl: str = "auto") -> DataFrame:
+    """Update-mode per-user profile; one row per (key, micro-batch)
+    carrying the running totals.
+
+    ``impl='tws'`` uses transformWithStateInPandas (requires the RocksDB
+    state store provider and the protobuf wheel); ``impl='legacy'`` is the
+    semantically identical applyInPandasWithState form (map state carried
+    as a JSON field in the state struct); ``'auto'`` picks tws when its
+    runtime dependency exists. Both are commutative in arrival order and
+    batch boundaries, so they agree exactly.
+    """
+    if impl == "auto":
+        impl = "tws" if tws_available() else "legacy"
+    if impl == "tws":
+        return (
+            stream.select("user_id", "event_id", "event_type")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserProfileProcessor(),
+                outputStructType=PROFILE_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import json
+
+        (user_id,) = key
+        n, first_id, last_id, tc_json = (
+            state.get if state.exists else (0, None, None, "{}")
+        )
+        tc = json.loads(tc_json)
+        for pdf in pdfs:
+            n += len(pdf)
+            lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+            first_id = lo if first_id is None else min(first_id, lo)
+            last_id = hi if last_id is None else max(last_id, hi)
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                tc[etype] = tc.get(etype, 0) + int(cnt)
+        state.update((n, first_id, last_id, json.dumps(tc, sort_keys=True)))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "n_event_types": len(tc),
+                    "n_errors": tc.get("error", 0),
+                    "first_event_id": first_id,
+                    "last_event_id": last_id,
+                }
+            ]
+        )
+
+    return (
+        stream.select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PROFILE_OUTPUT_SCHEMA,
+            stateStructType="n_events bigint, first_event_id bigint, last_event_id bigint, type_counts string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

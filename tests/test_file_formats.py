@@ -102,3 +102,21 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir):
     n_alerts = one.count()
     assert n_alerts == ev.filter(F.col("event_type") == "error").count()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink (S-ext): roundtrip preserves schema and values, and
+    filters reach the ORC scan (predicate pushdown) like parquet."""
+    from nagios_custom_etl_spark.catalog import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    q = back.filter(F.col("o_totalprice") > 1000).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    expect = src.filter(F.col("o_totalprice") > 1000).count()
+    assert q.count() == expect

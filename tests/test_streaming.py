@@ -155,3 +155,64 @@ def test_incremental_rollup_multibatch_upsert(spark, nagios_runs_dir):
     # this test) — the invariant under test is pure upsert convergence:
     # same windows, same counts, same sums as the batch aggregate.
     assert got == expected
+
+
+def test_user_profile_totals_state_spans_batches(spark, tmp_path):
+    """The legacy (applyInPandasWithState) profile twin must carry state
+    across micro-batches: two files -> two batches, and the final
+    update-mode emission per key equals the union's GROUP BY."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.streaming.ops import run_to_memory
+    from nagios_custom_etl_spark.streaming.stateful import user_profile_totals
+
+    d = str(tmp_path / "events2")
+    rows1 = [(1, 10, "click"), (1, 11, "error"), (2, 12, "view")]
+    rows2 = [(1, 13, "error"), (2, 14, "view"), (2, 15, "purchase")]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string"
+        ).coalesce(1).write.parquet(f"{d}/f{i}")
+    schema = spark.read.parquet(f"{d}/f0").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    name = run_to_memory(user_profile_totals(stream, impl="legacy"), output_mode="update")
+    out = spark.table(name)
+    # keep each key's last emission (largest n_events)
+    final = {
+        r["user_id"]: r
+        for r in out.orderBy("n_events").groupBy("user_id").agg(
+            F.max(F.struct("n_events", "n_event_types", "n_errors",
+                           "first_event_id", "last_event_id")).alias("s")
+        ).select("user_id", "s.*").collect()
+    }
+    assert final[1]["n_events"] == 3 and final[1]["n_errors"] == 2
+    assert final[1]["n_event_types"] == 2
+    assert final[1]["first_event_id"] == 10 and final[1]["last_event_id"] == 13
+    assert final[2]["n_events"] == 3 and final[2]["n_errors"] == 0
+    assert final[2]["n_event_types"] == 2
+    # state really spanned >1 batch: some emission for user 1 has fewer
+    # events than the final total (the first batch's partial)
+    partials = [r["n_events"] for r in out.filter("user_id = 1").collect()]
+    assert len(partials) == 2 and min(partials) < 3
+
+
+def test_user_profile_totals_tws_when_available(spark, sf_dir):
+    """Exercise the real transformWithStateInPandas path when protobuf is
+    installed (skipped in environments without it)."""
+    import pytest
+
+    from nagios_custom_etl_spark.streaming.ops import read_events_stream, run_to_memory
+    from nagios_custom_etl_spark.streaming.stateful import tws_available, user_profile_totals
+
+    if not tws_available():
+        pytest.skip("protobuf not available: transformWithState state protocol")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    name = run_to_memory(user_profile_totals(stream, impl="tws"), output_mode="update")
+    assert spark.table(name).count() > 0
