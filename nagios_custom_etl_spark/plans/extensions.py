@@ -1371,3 +1371,39 @@ def x19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "prediction")
     )
+
+
+# ---------------------------------------------------------------------------
+# X20 — mergeable-sketch aggregates (DataSketches: HLL / KLL / Theta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x20_sketch_rollup",
+    oracle=None,  # DuckDB has no DataSketches build; accuracy is
+    # bounds-tested vs exact answers in tests/test_sketches.py
+    doc="X20 mergeable-sketch corpus profile: per-lang HLL distinct-token "
+    "estimate + KLL length quantiles, with the '__all__' row re-"
+    "aggregated FROM THE SKETCHES (hll_union_agg / kll_sketch_merge) — "
+    "the kilobyte-state, reaggregatable rollup that replaces exact "
+    "COUNT(DISTINCT)/percentile at 100 TB (operators/sketches.py).",
+)
+def x20_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import vocab_sketch_rollup
+
+    return vocab_sketch_rollup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "x20b_theta_overlap",
+    oracle=None,  # theta estimates are implementation-specific; bounds
+    # vs exact overlap tested in tests/test_sketches.py
+    doc="X20 theta-sketch set algebra: estimated |A|, |B|, |A n B|, "
+    "|A \\ B| and Jaccard between the en and fr token sets — distinct-set "
+    "intersection without shuffling distinct values "
+    "(operators/sketches.py::vocab_overlap_theta).",
+)
+def x20b_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import vocab_overlap_theta
+
+    return vocab_overlap_theta(load_table(spark, sf_dir, "documents"), "en", "fr")

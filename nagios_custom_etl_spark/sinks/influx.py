@@ -87,3 +87,83 @@ def influx_batch_writer(
         batch_df.select(line_col).foreachPartition(send)
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# K5 as a Spark 4 Python DataSource writer: df.write.format("influx_lines")
+# ---------------------------------------------------------------------------
+
+
+def register_influx_sink(spark) -> None:
+    """Register 'influx_lines': a Spark 4 Python DataSource batch sink
+    (``df.write.format("influx_lines").option("path", d).mode("append").save()``).
+
+    Tasks spool rendered line-protocol points to `part-*.lp.tmp` files
+    and return commit messages; the driver-side ``commit`` renames them
+    and writes a `_MANIFEST` with the total point count — two-phase
+    commit, so a partial job failure leaves no visible output (the same
+    idempotent-sink contract the streaming sinks rely on for
+    exactly-once, SURVEY §4). In production ``commit`` is where the spool
+    is handed to the Influx POST loop — the reference's write_points +
+    CSV tee (url_service_status_InfluxDB_insert.py:141-159), distributed.
+
+    Options: ``path`` (spool dir, required), ``line_col`` (default
+    'line').
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    class LinesCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int) -> None:
+            self.path = path
+            self.n = n
+
+    class Writer(DataSourceWriter):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            self.line_col = options.get("line_col", "line")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.lp.tmp")
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(row[self.line_col])
+                    f.write("\n")
+                    n += 1
+            return LinesCommit(tmp, n)
+
+        def commit(self, messages) -> None:
+            import os
+
+            total = 0
+            for m in messages:
+                if m.n == 0:
+                    os.remove(m.path)
+                    continue
+                os.rename(m.path, m.path[: -len(".tmp")])
+                total += m.n
+            with open(os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8") as f:
+                f.write(f"points={total}\n")
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+    class Source(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "influx_lines"
+
+        def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+            return Writer(self.options)
+
+    spark.dataSource.register(Source)

@@ -1,0 +1,60 @@
+"""Sketch-aggregate accuracy bounds (operators/sketches.py). Estimates
+are implementation-defined (no DuckDB oracle), so correctness here means
+(a) exact on small cardinalities, (b) within published error bounds on
+planted high-cardinality data, (c) the sketch-merged rollup row agrees
+with a direct global sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_sketch_rollup_exact_on_fixture(spark, sf_dir):
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.sketches import vocab_sketch_rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["lang"]: r for r in vocab_sketch_rollup(docs).collect()}
+    toks = docs.select(
+        "lang", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact_all = toks.select("tok").distinct().count()
+    # tiny vocabulary: HLL is exact there
+    assert out["__all__"]["distinct_tokens_est"] == exact_all
+    assert out["__all__"]["n_docs"] == docs.count()
+    for lang in ("en", "fr"):
+        exact = toks.filter(F.col("lang") == lang).select("tok").distinct().count()
+        assert out[lang]["distinct_tokens_est"] == exact
+    # KLL p50 within rank tolerance of the exact median
+    import duckdb
+
+    lo, hi = duckdb.sql(
+        f"SELECT quantile_cont(n_chars, 0.45), quantile_cont(n_chars, 0.55) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert lo <= out["__all__"]["p50_chars"] <= hi
+
+
+def test_hll_error_bound_high_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(F.concat(F.lit("tok_"), F.col("id")).alias("tok"))
+    est = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("e")).collect()[0]["e"]
+    # default lgK=12 -> rse ~ 1.04/sqrt(2^12) ~ 1.6%; allow 4 sigma
+    assert abs(est - n) / n < 0.065, est
+
+
+def test_theta_overlap_bounds_planted(spark):
+    from nagios_custom_etl_spark.operators.sketches import vocab_overlap_theta
+
+    # en: tokens 0..9999; fr: tokens 5000..14999 -> overlap 5000, union 15000
+    rows = []
+    en = " ".join(f"w{i}" for i in range(0, 10_000))
+    fr = " ".join(f"w{i}" for i in range(5_000, 15_000))
+    df = spark.createDataFrame([("en", en), ("fr", fr)], "lang string, text string")
+    out = vocab_overlap_theta(df, "en", "fr").collect()[0]
+    assert abs(out["n_a_est"] - 10_000) / 10_000 < 0.05
+    assert abs(out["n_common_est"] - 5_000) / 5_000 < 0.10
+    assert abs(out["n_only_a_est"] - 5_000) / 5_000 < 0.10
+    assert abs(out["jaccard_est"] - 1 / 3) < 0.05

@@ -212,3 +212,66 @@ def test_rrd_stream_reader_windows_and_overlap(spark, tmp_path):
     # the overlap duplicate is exactly what dropDuplicates removes (ST4)
     dedup = got.dropDuplicates(["host_name", "service_name", "t"]).count()
     assert dedup == 2 * 6  # 2 hosts x hourly points 0..5
+
+
+def test_influx_lines_datasource_writer(spark, tmp_path):
+    """K5 as a Python DataSource batch sink: spool files + manifest via
+    two-phase commit; content is the rendered line protocol."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.sinks.influx import line_protocol, register_influx_sink
+
+    register_influx_sink(spark)
+    df = spark.createDataFrame(
+        [("web01", "CPU Usage", 0.97, 1700000000), ("db01", "Mem", 0.5, 1700000060)],
+        "host string, service string, load double, ts long",
+    )
+    lines = df.select(
+        line_protocol(
+            "service_status",
+            tags={"host": F.col("host"), "service": F.col("service")},
+            fields={"load": ("float", F.col("load"))},
+            time_s=F.col("ts"),
+        ).alias("line")
+    )
+    out = str(tmp_path / "spool")
+    lines.write.format("influx_lines").option("path", out).mode("append").save()
+    files = glob.glob(f"{out}/part-*.lp")
+    assert files and not glob.glob(f"{out}/*.tmp")
+    content = sorted(
+        line for f in files for line in open(f, encoding="utf-8").read().splitlines()
+    )
+    assert content == [
+        "service_status,host=db01,service=Mem load=0.5 1700000060",
+        "service_status,host=web01,service=CPU\\ Usage load=0.97 1700000000",
+    ]
+    manifest = open(os.path.join(out, "_MANIFEST"), encoding="utf-8").read()
+    assert manifest.strip() == "points=2"
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """A1-A3: stage counts accumulate during the one real action via
+    df.observe — no per-metric re-execution."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.observability import observed
+
+    ev = load_table(spark, sf_dir, "events")
+    gated, obs = observed(
+        ev,
+        "gate",
+        n_rows=F.count(F.lit(1)),
+        n_errors=F.count(F.when(F.col("event_type") == "error", 1)),
+        n_null_value=F.count(F.when(F.col("value").isNull() | F.isnan("value"), 1)),
+    )
+    kept = gated.filter(F.col("event_type") != "error").count()
+    got = obs.get
+    expect_total = ev.count()
+    expect_errors = ev.filter(F.col("event_type") == "error").count()
+    assert got["n_rows"] == expect_total
+    assert got["n_errors"] == expect_errors
+    assert kept == expect_total - expect_errors
