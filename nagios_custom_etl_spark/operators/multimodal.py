@@ -128,3 +128,30 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
         "frame_no",
         (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
     )
+
+
+def checksum_arrow(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """The same batch-iterator contract on ``mapInArrow`` — RecordBatches
+    with zero pandas materialization. For binary-heavy columns this skips
+    the Arrow->pandas->Arrow copy mapInPandas pays (object-dtype boxing of
+    every payload), which is the dominant cost when the per-row compute is
+    trivial; use it when the kernel can stay on Arrow buffers.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            sums = [
+                (sum(buf.as_py() or b"") & 0x7FFFFFFF) if buf.is_valid else None
+                for buf in payloads
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                names=["media_id", "byte_sum"],
+            )
+
+    return media.mapInArrow(run, "media_id long, byte_sum long")

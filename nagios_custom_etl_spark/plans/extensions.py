@@ -1407,3 +1407,117 @@ def x20b_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.sketches import vocab_overlap_theta
 
     return vocab_overlap_theta(load_table(spark, sf_dir, "documents"), "en", "fr")
+
+
+# ---------------------------------------------------------------------------
+# X21 — per-domain document caps (pretraining domain balancing)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20
+
+
+@register(
+    "x21_domain_cap",
+    oracle=f"""
+    -- keep the {DOMAIN_CAP} longest docs per source (ties by doc_id),
+    -- the domain-balancing cap applied before mixture weighting
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {DOMAIN_CAP}
+    ORDER BY source, doc_id
+    """,
+    doc="X21 per-domain cap: at most N docs per source, best-first "
+    "(n_chars desc, id tiebreak) — one shuffle on the domain key, local "
+    "per-key sort; at 100 TB hot domains are exactly the AQE-skew case "
+    "and the cap prunes them before any downstream join.",
+)
+def x21_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .drop("rn")
+        .orderBy("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X22 — token-count histogram (corpus length distribution)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 10
+
+
+@register(
+    "x22_token_histogram",
+    oracle=f"""
+    SELECT CAST(floor(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      / {HIST_BUCKET_TOKENS}) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="X22 corpus length histogram: fixed-width token-count buckets — "
+    "map-only bucket assignment + one agg; the standard pre-training "
+    "length-distribution audit (token budgeting, truncation planning).",
+)
+def x22_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    return (
+        d.select(F.floor(n / HIST_BUCKET_TOKENS).cast("bigint").alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_n").cast("bigint").alias("min_tokens"),
+            F.max("_n").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X23 — dynamic pivot (groupBy().pivot(): long -> wide without per-column
+# select lists; the relational twin of T2's positional array unpack)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "x23_dynamic_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="X23 dynamic pivot: groupBy().pivot(col, values) with the value "
+    "list declared — one shuffle, map-side partial agg per (key, pivot "
+    "value); declaring values skips the extra distinct-scan pass Spark "
+    "otherwise runs to discover columns (the required form at 100 TB).",
+)
+def x23_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )

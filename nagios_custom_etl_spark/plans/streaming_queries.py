@@ -417,3 +417,67 @@ def st10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+@register(
+    "st11_session_timeout",
+    oracle="""
+    -- custom sessionizer emission = sessions closed IN-BATCH by a later
+    -- event (any non-final session of a user) plus sessions closed by
+    -- EVENT-TIME TIMEOUT (watermark = max(ts) passed session_end + gap);
+    -- a user's final session that hasn't gone quiet for the full gap
+    -- stays in state, unemitted — same eviction rule as session_window
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM gapped
+    ),
+    agg AS (
+      SELECT user_id, seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS INTEGER) AS n_events
+      FROM sessions GROUP BY user_id, seq
+    ),
+    marked AS (SELECT *, MAX(seq) OVER (PARTITION BY user_id) AS max_seq FROM agg)
+    SELECT user_id,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start_str,
+           strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end_str,
+           n_events
+    FROM marked
+    WHERE seq < max_seq
+       OR session_end + INTERVAL '30 minutes' < (SELECT max(ts) FROM events)
+    ORDER BY user_id, session_start_str
+    """,
+    doc="ST-ext stateful timeout: custom sessionizer on "
+    "applyInPandasWithState with GroupStateTimeout.EventTimeTimeout — "
+    "state for silent keys is closed BY THE WATERMARK (hasTimedOut "
+    "branch), the monitoring answer to 'which hosts went silent'; "
+    "in-batch closes emit immediately. Oracle = gaps-and-islands with "
+    "the two-way emission rule.",
+)
+def st11_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.streaming.stateful import session_finalizer
+
+    stream = read_events_stream(spark, sf_dir)
+    name = run_to_memory(session_finalizer(stream, gap_minutes=30))
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start_str"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end_str"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_str")
+    )

@@ -254,3 +254,91 @@ def user_profile_totals(stream: DataFrame, impl: str = "auto") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionizer: custom session close via state expiry
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def session_finalizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom sessionization with explicit state expiry
+    (GroupStateTimeout.EventTimeTimeout) — the timer dimension of the
+    state API that error_streaks (NoTimeout) doesn't exercise.
+
+    A session closes two ways: (a) in-batch, when the next event for the
+    key arrives past the gap — emitted immediately; (b) by TIMEOUT, when
+    the event-time watermark passes last_ts + gap and Spark invokes the
+    function with ``state.hasTimedOut`` — emitted with no new input, then
+    the state is removed. (b) is what bounds state for keys that simply
+    stop talking — the monitoring question "which hosts went silent"
+    (reference drops such hosts invisibly; extract.py re-fetches next
+    cron run).
+
+    Timestamps are carried as epoch-NANOS longs in state
+    (``pd.Timestamp.value``) — float round-trips truncate microseconds
+    and break emitted-session identity.
+    """
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple] = []
+
+        def emit(start_ns: int, last_ns: int, n: int) -> None:
+            out.append((user_id, pd.Timestamp(start_ns), pd.Timestamp(last_ns), n))
+
+        if state.hasTimedOut:
+            start_ns, last_ns, n = state.get
+            emit(start_ns, last_ns, n)
+            state.remove()
+        else:
+            start_ns, last_ns, n = state.get if state.exists else (None, None, 0)
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for _, row in pdf.iterrows():
+                    ns = int(row["ts"].value)
+                    if last_ns is not None and ns - last_ns > gap_ns:
+                        emit(start_ns, last_ns, n)
+                        start_ns, n = ns, 0
+                    if start_ns is None:
+                        start_ns = ns
+                    last_ns, n = ns, n + 1
+            state.update((start_ns, last_ns, n))
+            state.setTimeoutTimestamp((last_ns + gap_ns) // 1_000_000)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -120,3 +120,20 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
     expect = src.filter(F.col("o_totalprice") > 1000).count()
     assert q.count() == expect
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution at scale: later files add columns; mergeSchema
+    unions file schemas and older rows surface nulls (the reference's
+    dynamic first-row schema, load_to_db.py:46-47, made declarative)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(f"{base}/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5

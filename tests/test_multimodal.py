@@ -57,3 +57,31 @@ def test_frame_sample_bounded_fanout(spark, sf_dir):
     assert [r["byte_offset"] for r in sorted(offs, key=lambda r: r["frame_no"])] == [
         64 * i for i in range(len(offs))
     ]
+
+
+def test_checksum_arrow_matches_builtin(spark, sf_dir):
+    """mapInArrow escape hatch: zero-pandas RecordBatch path agrees with
+    the pure-builtin aggregate of the same quantity."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.multimodal import checksum_arrow, documents_as_media
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(200)
+    got = {r["media_id"]: r["byte_sum"] for r in checksum_arrow(media).collect()}
+    # builtin oracle: aggregate over the unhexed byte array
+    expect_df = media.select(
+        "media_id",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.octet_length("payload")),
+                lambda i: F.ascii(F.substring(F.col("payload").cast("string"), i, 1)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("byte_sum"),
+    )
+    expect = {
+        r["media_id"]: int(r["byte_sum"]) & 0x7FFFFFFF for r in expect_df.collect()
+    }
+    assert got == expect

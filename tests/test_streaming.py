@@ -216,3 +216,88 @@ def test_user_profile_totals_tws_when_available(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     name = run_to_memory(user_profile_totals(stream, impl="tws"), output_mode="update")
     assert spark.table(name).count() > 0
+
+
+def test_session_finalizer_timeout_vs_retained(spark, tmp_path):
+    """EventTimeTimeout: a key that goes silent for > gap before the
+    final watermark emits via the hasTimedOut branch; a key active until
+    the end stays in state, unemitted. In-batch closes emit always."""
+    import pandas as pd
+
+    from nagios_custom_etl_spark.streaming.ops import run_to_memory
+    from nagios_custom_etl_spark.streaming.stateful import session_finalizer
+
+    t0 = pd.Timestamp("2024-06-01 00:00:00").to_pydatetime()
+    from datetime import timedelta
+
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1: burst, 40-min silence, burst again (first closes in-batch),
+        # then silent until stream end (watermark passes end+gap -> timeout)
+        (1, t0), (1, t0 + m), (1, t0 + 40 * m), (1, t0 + 41 * m),
+        # user 2: last event near the stream maximum -> still open, no emit
+        (2, t0 + 100 * m),
+        # user 3: advances the watermark far past everyone's gap
+        (3, t0 + 200 * m),
+    ]
+    d = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+    name = run_to_memory(session_finalizer(stream, gap_minutes=30))
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.table(name).collect()
+    )
+    # user 1: two sessions (2 events, 2 events); user 2: silent > gap before
+    # watermark max -> timed out (1 event); user 3: active at end -> retained
+    assert got == [(1, 2), (1, 2), (2, 1)]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """ST5: the checkpoint carries source progress across process
+    restarts — re-running the same query (same checkpointLocation) after
+    new files arrive appends ONLY the new data; re-running with no new
+    data appends nothing. The reference's previous-payload file + dated
+    backups (extract.py:14-17, load_to_db.py:16-20) reduced to
+    checkpoint + idempotent append sink."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def add_file(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, v string").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file(
+        spark.createDataFrame([(i, "a") for i in range(100)], "event_id long, v string"),
+        "f1",
+    )
+    run_once()
+    add_file(
+        spark.createDataFrame(
+            [(i, "b") for i in range(100, 200)], "event_id long, v string"
+        ),
+        "f2",
+    )
+    run_once()  # restart: must process ONLY f2
+    run_once()  # restart with nothing new: must process nothing
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # no re-ingestion of f1, no empty-run dupes
+    assert got.select("event_id").distinct().count() == 200
