@@ -1521,3 +1521,150 @@ def x23_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, EVENT_TYPES)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4h — BM25 ranked retrieval (Okapi, fixed query terms)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "x4h_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_r
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="X4 BM25 ranked retrieval (Okapi k1=1.2 b=0.75) for a literal "
+    "query-term set: tf per (doc, term), df per term (broadcast — the "
+    "query vocabulary is tiny), doc-length normalization against the "
+    "corpus average; top-k via TakeOrderedAndProject.",
+)
+def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]  # tiny driver scalars (oracle CTE twin)
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25_r"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4i — bigram-LM fluency scoring (CCNet-style perplexity quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4i_bigram_lm_score",
+    oracle="""
+    -- add-one-smoothed bigram LM trained on the corpus, scoring each doc
+    -- by mean log P(w2|w1); least-fluent (most surprising) 20 docs.
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest([{'w1': ts[i], 'w2': ts[i+1]} FOR i IN range(1, len(ts))]) AS bg
+        FROM toks WHERE len(ts) >= 2
+      )
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT t AS w1, COUNT(*) AS c1
+           FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(ln((c12.c12 + 1.0) / (c1.c1 + v.v))) AS lp
+      FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(lp, 6) AS avg_logp_r
+    FROM scored ORDER BY lp, doc_id LIMIT 20
+    """,
+    doc="X4 bigram-LM fluency scoring: train add-one-smoothed bigram "
+    "probabilities on the corpus (one agg on the bigram key), score every "
+    "doc by mean log-likelihood (join back on the SAME bigram "
+    "co-partitioning — exchange reused, unigram/vocab side broadcast) — "
+    "the CCNet/KenLM perplexity-filter shape with the model expressed "
+    "relationally instead of as an external artifact.",
+)
+def x4i_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = d.select("doc_id", tokens("text").alias("ts"))
+    sz = F.size("ts")
+    pairs = (
+        toks_arr.filter(sz >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(F.slice("ts", 1, sz - 1), F.slice("ts", 2, sz - 1))).alias(
+                "_p", "_z"
+            ),
+        )
+        .select("doc_id", F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    all_toks = toks_arr.select(F.explode("ts").alias("t"))
+    c1 = all_toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab = all_toks.distinct().count()  # tiny driver scalar (oracle CTE twin)
+    logp = F.log((F.col("c12") + 1.0) / (F.col("c1") + F.lit(vocab)))
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg(logp).alias("lp"))
+    )
+    return (
+        scored.orderBy("lp", "doc_id")
+        .limit(20)
+        .select("doc_id", "n_bigrams", F.round("lp", 6).alias("avg_logp_r"))
+    )

@@ -79,3 +79,24 @@ def test_rolling_hashes_shape(spark):
     hs = df.select(rolling_hashes("text", 8).alias("h")).head()["h"]
     assert len(hs) == 3  # 10 - 8 + 1
     assert len(set(hs)) == 3
+
+
+def test_bigram_lm_ranks_repetition_above_novelty(spark):
+    """The corpus-trained bigram LM must score a doc made of common
+    bigrams as more fluent (higher mean log P) than a doc whose bigrams
+    appear nowhere else."""
+    from nagios_custom_etl_spark.plans import all_queries
+    import tempfile, os
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common, "en", "s", len(common)) for i in range(20)]
+    rows.append((100, "zxq wvu tsr qpo nml kji", "en", "s", 23))  # novel bigrams
+    d = tempfile.mkdtemp(prefix="lm_fixture_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = all_queries()["x4i_bigram_lm_score"].fn(spark, d).collect()
+    # least-fluent list is ordered ascending by mean logp: the novel doc
+    # must rank first (most surprising)
+    assert out[0]["doc_id"] == 100
+    assert all(out[0]["avg_logp_r"] < r["avg_logp_r"] for r in out[1:])
