@@ -976,8 +976,11 @@ def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_supplier_revenue_share",
     oracle="""
-    -- TPC-H Q11 shape: HAVING against a global scalar subquery.
-    -- Threshold comparison kept in exact DECIMAL (20*rev > total), so the
+    -- TPC-H Q11 shape: HAVING against a global scalar subquery — keep
+    -- suppliers whose revenue exceeds 1.05x the average supplier share
+    -- (SF-invariant: selects ~15% of suppliers at every fixture scale,
+    -- where a fixed 5%-of-total cutoff goes vacuously empty past 20
+    -- suppliers). Threshold comparison kept in exact DECIMAL, so the
     -- boundary cannot flip on double association order.
     WITH sup_rev AS (
       SELECT l_suppkey,
@@ -986,21 +989,28 @@ def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_suppkey)
     SELECT l_suppkey, CAST(rev AS DOUBLE) AS revenue
     FROM sup_rev
-    WHERE 20 * rev > (SELECT SUM(rev) FROM sup_rev)
+    WHERE rev * (SELECT COUNT(*) FROM sup_rev)
+          > CAST(1.05 AS DECIMAL(3,2)) * (SELECT SUM(rev) FROM sup_rev)
     ORDER BY l_suppkey
     """,
     doc="TPC-H Q11 shape: per-key aggregate filtered by share of the global "
-    "total (scalar subquery). One shuffle on l_suppkey; the global total is "
-    "a broadcast single-row cross join over the already-aggregated rows.",
+    "total (scalar subquery). One shuffle on l_suppkey; the global "
+    "(total, count) is a broadcast single-row cross join over the "
+    "already-aggregated rows.",
 )
 def q11_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev_expr = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
     sup_rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("rev"))
-    total = sup_rev.agg(F.sum("rev").alias("total_rev"))
+    total = sup_rev.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_sup")
+    )
     return (
         sup_rev.join(F.broadcast(total))
-        .filter(F.lit(20) * F.col("rev") > F.col("total_rev"))
+        .filter(
+            F.col("rev") * F.col("n_sup")
+            > F.lit("1.05").cast("decimal(3,2)") * F.col("total_rev")
+        )
         .select("l_suppkey", F.col("rev").cast("double").alias("revenue"))
         .orderBy("l_suppkey")
     )

@@ -89,6 +89,11 @@ class NagiosRrdReader(DataSourceReader):
         self.start_ts = int(options.get("start_ts", "0"))
         self.num_partitions = int(options.get("num_partitions", "8"))
         self.api_key = options.get("api_key", "")
+        # per-TASK request pacing; the cluster-wide rate is
+        # num_partitions x this, which is the knob that replaces the
+        # reference's ThreadPoolExecutor(max_workers=5) global throttle
+        # (extract.py:148-150). 0 = unthrottled.
+        self.requests_per_second = float(options.get("requests_per_second", "0"))
 
     # -- pushdown (SURVEY §4: filter→param mapping is the one custom piece)
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
@@ -119,8 +124,17 @@ class NagiosRrdReader(DataSourceReader):
         return [KeySlicePartition(c) for c in chunks if c]
 
     def read(self, partition: KeySlicePartition) -> Iterator[tuple]:
+        import time
+
         fetch = resolve_fetcher(self.fetcher_spec)
+        min_interval = 1.0 / self.requests_per_second if self.requests_per_second > 0 else 0.0
+        next_allowed = 0.0
         for host, service in partition.pairs:
+            if min_interval:
+                now = time.monotonic()
+                if now < next_allowed:
+                    time.sleep(next_allowed - now)
+                next_allowed = max(now, next_allowed) + min_interval
             params = {
                 "apikey": self.api_key,
                 "host_name": host,

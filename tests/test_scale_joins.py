@@ -84,3 +84,40 @@ def test_asof_join_semantics(spark):
     assert str(out[1]) == "2024-01-01 09:30:00"  # latest at-or-before 10:00
     assert str(out[2]) == "2024-01-01 10:30:00"  # advanced to the newer marker
     assert out[3] is None  # no marker before 09:00 for user 20
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Scale evidence: with thresholds scaled to fixture size, AQE's
+    OptimizeSkewedJoin must split the hot key's oversized partition
+    (skew=true in the final adaptive plan) — the runtime complement to
+    the explicit salted_join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            # half the rows hash to one key: hot partition >> factor x median
+            (F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id"))).alias("k"),
+            F.concat(F.lit("pad_pad_pad_pad_pad_"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        # collect() runs this DataFrame's own QueryExecution (count()/write
+        # build a different one whose adaptive plan never finalizes here)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

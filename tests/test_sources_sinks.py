@@ -275,3 +275,43 @@ def test_observed_metrics_single_pass(spark, sf_dir):
     assert got["n_rows"] == expect_total
     assert got["n_errors"] == expect_errors
     assert kept == expect_total - expect_errors
+
+
+def _paced_fetcher_impl(endpoint, params):
+    """Module-level (executor-importable) fetcher logging call times to
+    the path embedded in the endpoint after 'log='."""
+    import json
+    import time
+
+    log_path = endpoint.split("log=", 1)[1]
+    with open(log_path, "a", encoding="utf-8") as f:
+        f.write(json.dumps({"t": time.monotonic()}) + "\n")
+    return {"data": {"row": [{"t": 0, "v": [1.0]}]}}
+
+
+def test_rrd_source_rate_limit_paces_requests(spark, tmp_path):
+    """S4: requests_per_second paces fetches per task — the distributed
+    replacement for the reference's 5-worker global throttle."""
+    import json
+
+    log = str(tmp_path / "fetch_log.jsonl")
+
+    from nagios_custom_etl_spark.sources.rest import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("nagios_rrd")
+        .option("endpoint", f"http://fake/rrd?log={log}")
+        .option("fetcher", "tests.test_sources_sinks:_paced_fetcher_impl")
+        .option("hosts", "h1")
+        .option("services", "CPU Usage;Memory Usage;Swap Usage;Disk Usage")
+        .option("num_partitions", "1")  # one task -> one pacing sequence
+        .option("requests_per_second", "20")
+        .load()
+    )
+    n = df.count()
+    assert n == 4
+    stamps = sorted(json.loads(line)["t"] for line in open(log, encoding="utf-8"))
+    assert len(stamps) == 4
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    assert all(g >= 0.045 for g in gaps), gaps  # 20 rps -> >=50ms (5ms slack)
