@@ -137,3 +137,34 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Sink maintenance: many small per-batch files compact to the
+    size-targeted count; values and hive partitioning survive."""
+    from nagios_custom_etl_spark.operators.maintenance import compact_parquet, dir_stats
+
+    src = str(tmp_path / "small")
+    # simulate 40 micro-batch leftovers across 2 hive partitions
+    for b in range(20):
+        spark.createDataFrame(
+            [(b * 10 + i, "x" * 200, "r1" if i % 2 else "r2") for i in range(10)],
+            "id long, pad string, route string",
+        ).repartition(2).write.mode("append").partitionBy("route").parquet(src)
+    n_before, total = dir_stats(src)
+    assert n_before >= 40
+    dest = str(tmp_path / "compacted")
+    n_after = compact_parquet(
+        spark, src, dest, target_file_bytes=max(total, 1), preserve_partitioning=["route"]
+    )
+    assert n_after <= 2  # one file per hive partition at this target
+    src_df = spark.read.parquet(src)
+    dest_df = spark.read.parquet(dest)
+    assert dest_df.count() == src_df.count() == 200
+    assert sorted(r["id"] for r in dest_df.collect()) == sorted(
+        r["id"] for r in src_df.collect()
+    )
+    # partition pruning still works on the compacted layout
+    pruned = dest_df.filter("route = 'r1'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(route" in plan
