@@ -1668,3 +1668,37 @@ def x4i_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_bigrams", F.round("lp", 6).alias("avg_logp_r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X24 — PCA dimensionality reduction over the embedding column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x24_embedding_pca",
+    oracle=None,  # eigenvector sign/rounding is implementation-defined;
+    # variance-capture and shape invariants tested in tests/test_similarity.py
+    doc="X24 PCA 64->16 over embeddings (pyspark.ml): covariance via one "
+    "distributed Gramian pass, eigendecomposition on the driver (64x64 — "
+    "constant at any corpus size), projection map-only with the basis "
+    "broadcast. The standard pre-ANN compression step; composes with "
+    "int8 quantization (X3) for a 16x footprint cut.",
+)
+def x24_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("_v")
+    )
+    model = PCA(k=16, inputCol="_v", outputCol="_pc").fit(emb)
+    return (
+        model.transform(emb)
+        .select(
+            "vec_id",
+            vector_to_array("_pc").alias("pca"),
+        )
+        .select("vec_id", F.round(F.element_at("pca", 1), 4).alias("pc1_r"), F.size("pca").alias("k"))
+        .orderBy("vec_id")
+    )

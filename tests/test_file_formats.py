@@ -168,3 +168,37 @@ def test_compact_parquet_small_files(spark, tmp_path):
     pruned = dest_df.filter("route = 'r1'")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(route" in plan
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """Schema-on-read resilience (the declarative form of the reference's
+    expected-keys gate + error log, extract.py:95-99): malformed JSON
+    rows land in a corrupt-record column for quarantine instead of
+    failing the job or vanishing."""
+    p = str(tmp_path / "events.jsonl")
+    lines = [
+        '{"event_id": 1, "v": 1.5}',
+        '{"event_id": 2, "v": "not-a-number"}',  # type mismatch
+        "{broken json",                            # unparseable
+        '{"event_id": 4, "v": 4.0}',
+    ]
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    df = (
+        spark.read.schema("event_id long, v double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(p)
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    quarantined = [r for r in rows if r["_corrupt"] is not None]
+    assert {r["event_id"] for r in good} == {1, 4}
+    assert len(quarantined) == 2  # both the type error and the parse error
+    # FAILFAST is the strict gate when quarantine is not acceptable
+    import pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    strict = spark.read.schema("event_id long, v double").option("mode", "FAILFAST").json(p)
+    with pytest.raises(Exception):
+        strict.collect()
