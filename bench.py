@@ -42,6 +42,10 @@ HEADLINE = [
     "x6_tumbling_window",
     "x7_training_data_pipeline",
     "x8_asof_join",
+    "x13_neardup_clusters",
+    "x17_boilerplate_ratio",
+    "x18_global_row_ids",
+    "x4i_bigram_lm_score",
 ]
 
 

@@ -1041,15 +1041,24 @@ def x12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1 AND n_members >= 2
     ORDER BY component
     """,
-    doc="X13 near-dup clustering: exact-Jaccard pairs -> connected "
+    doc="X13 near-dup clustering: MinHash-LSH candidate pairs with exact-"
+    "Jaccard verification (the scale path — candidates from banded "
+    "bucket equi-joins, never the full shingle self-join) -> connected "
     "components (min-label propagation, O(diameter) joined rounds with "
     "per-round checkpointing) -> keep-best survivor (max n_chars, tie "
-    "min id). Oracle computes the same components via a recursive-CTE "
-    "transitive closure.",
+    "min id). Oracle computes the same components from the exact pair "
+    "set via a recursive-CTE transitive closure; the LSH verify step "
+    "makes the engine's edge set exact-threshold too (pairs below "
+    "threshold are discarded, and recall is 1.0 on the fixtures — "
+    "asserted equal to the exact inverted-index pairs in tests).",
 )
 def x13_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import minhash_near_dup_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=JACCARD_THRESHOLD, shingle_n=SHINGLE_N
+    )
     return near_dup_clusters(d, pairs, "doc_id", "n_chars").orderBy("component")
 
 

@@ -209,3 +209,22 @@ def test_boilerplate_stats_planted(spark):
         df.unionByName(short), "doc_id", "text", shingle_n=5, min_df=3
     ).filter("doc_id = 9").collect()[0]
     assert row["n_shingles"] == 1 and row["n_boiler"] == 0
+
+
+def test_minhash_pairs_equal_exact_pairs_on_fixture(spark, sf_dir):
+    """x13's scale-path guarantee: LSH candidates + exact-Jaccard verify
+    reproduce the exact inverted-index pair set on the fixture (recall
+    1.0 at these similarity levels), so the clustering oracle holds."""
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, 3).collect()}
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact == mh and len(exact) > 0
