@@ -1711,3 +1711,60 @@ def x24_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round(F.element_at("pca", 1), 4).alias("pc1_r"), F.size("pca").alias("k"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 — sliding-window document chunking (pre-training max-len windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "x25_doc_chunking",
+    oracle=f"""
+    -- one row per (doc, window): starts at 1, 1+S, 1+2S, ... while <= len
+    -- (empty docs emit one empty chunk); chunk identity via md5 so the
+    -- compare doesn't ship full chunk text
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           start_tok,
+           CAST(len(ts[start_tok : start_tok + {CHUNK_TOKENS} - 1]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ts[start_tok : start_tok + {CHUNK_TOKENS} - 1], ' ')) AS chunk_hash
+    FROM (
+      SELECT doc_id, ts,
+             unnest(range(1, greatest(len(ts), 1) + 1, {CHUNK_STRIDE})) AS start_tok
+      FROM toks
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="X25 sliding-window chunking: split every doc into max-len token "
+    "windows with stride overlap (the LLM pre-training chunking step) — "
+    "sequence+explode+slice, all codegen'd generators, 1->N fan-out "
+    "bounded by ceil(len/stride); chunk identity as md5 so verification "
+    "never ships chunk text.",
+)
+def x25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = d.select("doc_id", tokens("text").alias("ts"))
+    sz = F.size("ts")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(sz, F.lit(1)), F.lit(CHUNK_STRIDE))
+    ).alias("start_tok")
+    chunk = F.slice("ts", F.col("start_tok"), CHUNK_TOKENS)
+    return (
+        toks_arr.select("doc_id", "ts", starts)
+        .select(
+            "doc_id",
+            ((F.col("start_tok") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            "start_tok",
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
