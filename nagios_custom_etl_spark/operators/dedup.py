@@ -155,20 +155,9 @@ def minhash_signatures(
     return mins.select("_id", F.array(*[f"_h{s}" for s in range(num_hashes)]).alias("_sig"))
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
-
-    rows -> signatures -> (band_id, band_hash) buckets -> self-join within
-    bucket -> distinct (a, b) pairs with a < b. Probability a pair with
-    Jaccard j is emitted: 1 - (1 - j^(num_hashes/bands))^bands.
-    """
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band_id, band_hash): one bucket row per (doc, band) — the
+    join key space of every LSH variant (self-join, cross-frame join)."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -185,13 +174,30 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
+    return sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "_id", "band.band_id", "band.band_hash"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows -> signatures -> (band_id, band_hash) buckets -> self-join within
+    bucket -> distinct (a, b) pairs with a < b. Probability a pair with
+    Jaccard j is emitted: 1 - (1 - j^(num_hashes/bands))^bands.
+    """
     # cache the (tiny) signature table: it feeds both sides of the bucket
     # self-join — without it the signature aggregation runs twice. At
     # 100 TB this is a persist(DISK_ONLY) or a checkpointed table.
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
-    banded = sigs.select("_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "_id", "band.band_id", "band.band_hash"
-    )
+    banded = _banded(sigs, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -669,5 +675,48 @@ def boilerplate_stats(
             (
                 F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_shingles")
             ).alias("boiler_ratio"),
+        )
+    )
+
+
+def near_dup_flags_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag batch documents with >= 1 near-duplicate in ``corpus``
+    (different id): (id, n_near_dups, max_jaccard).
+
+    The incremental-ingest shape: the corpus side's signatures/buckets
+    are computed once per refresh and reused across micro-batches (at
+    scale: a maintained bucket table partitioned by band_hash); only the
+    incoming batch is sig-hashed per batch, and the bucket join touches
+    only colliding buckets — never batch x corpus.
+    """
+    sb = _banded(minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n), num_hashes, bands)
+    sc = _banded(minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n), num_hashes, bands)
+    cands = (
+        sb.alias("n")
+        .join(
+            sc.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n._id") != F.col("c._id")),
+        )
+        .select(F.col("n._id").alias("id_a"), F.col("c._id").alias("id_b"))
+        .distinct()
+    )
+    everything = batch.unionByName(corpus.select(*batch.columns)).dropDuplicates([id_col])
+    verified = jaccard_verify(everything, cands, id_col, text_col, threshold, shingle_n)
+    return (
+        verified.groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dups"),
+            F.max("jaccard").alias("max_jaccard"),
         )
     )
