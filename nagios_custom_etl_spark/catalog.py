@@ -69,8 +69,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SPREAD_CACHE: dict[str, bool] = {}
 _SPREAD_MIN_BYTES = 1 << 20  # ignore dimension-sized files
 
+# Tables whose downstream work is per-row CPU (shingling, hashing, vector
+# math) rather than columnar aggregation: spread these even when the file
+# is small, so a single-row-group fixture doesn't serialize ~100× explode
+# work onto one core. Relational tables keep the 1 MB threshold — extra
+# exchanges ahead of broadcast dims would only slow the TPC-H suite.
+_HEAVY_TABLES = {"documents": 32 << 10, "embeddings": 32 << 10}
 
-def _scan_is_starved(path: str, parallelism: int) -> bool:
+
+def _scan_is_starved(path: str, parallelism: int, min_bytes: int = _SPREAD_MIN_BYTES) -> bool:
     """True when the parquet file is big enough to matter but has too few
     row groups for the scan to parallelize (split granularity is the row
     group — a 10 MB single-row-group file is ONE task no matter what
@@ -84,7 +91,7 @@ def _scan_is_starved(path: str, parallelism: int) -> bool:
         return _SPREAD_CACHE[path]
     starved = False
     try:
-        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
+        if os.path.getsize(path) >= min_bytes:
             import pyarrow.parquet as pq
 
             starved = pq.ParquetFile(path).metadata.num_row_groups < max(parallelism // 2, 2)
@@ -130,7 +137,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (epoch-ns exceeds double's exact-integer range).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     parallelism = spark.sparkContext.defaultParallelism
-    if _scan_is_starved(path, parallelism):
+    if _scan_is_starved(path, parallelism, _HEAVY_TABLES.get(name, _SPREAD_MIN_BYTES)):
         df = df.repartition(parallelism)
     _TABLE_MEMO[memo_key] = (spark, df)
     return df

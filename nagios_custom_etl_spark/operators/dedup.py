@@ -24,22 +24,16 @@ from nagios_custom_etl_spark.functions.text import (
 )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input arrives
-    in fewer partitions (small files, post-coalesce plans). The per-doc
-    hash work downstream is CPU-bound and ~100× the input size after
-    explode — a narrow input must not serialize it onto one core. No-op
-    at scale, where file splits already exceed core count; the shuffled
-    payload is the pre-explode (small) side."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
-
-
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     """(_id, _sh array<string>) with a two-step projection: tokens are
     materialized first so shingle assembly references a bound column —
-    see shingles_from_tokens' PERF note (O(n) vs O(n²))."""
-    return _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
+    see shingles_from_tokens' PERF note (O(n) vs O(n²)).
+
+    Input parallelism note: single-row-group fixture files are spread by
+    ``catalog.load_table`` (documents/embeddings use a lowered threshold);
+    probing partitioning here via ``df.rdd`` would force a driver-side
+    RDD conversion per call, bypassing AQE knowledge, for no gain."""
+    return df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).select(
         "_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh")
     )
 
@@ -66,7 +60,7 @@ def _exploded_shingles(
     ``distinct=True``.
     """
     sz = F.size(F.col("_toks"))
-    pre = _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
+    pre = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).select(
         "_id",
         "_toks",
         sz.alias("_sz"),
@@ -567,7 +561,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     SUM aggregates (bit votes, map-side combined) → sign-bit assembly.
     Documents with no tokens get simhash 0 (left join + coalesce).
     """
-    ex = _spread(df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))).select(
+    ex = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).select(
         "_id", F.explode("_toks").alias("_t")
     ).select("_id", F.xxhash64("_t").alias("_h"))
     votes = ex.groupBy("_id").agg(

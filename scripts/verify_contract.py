@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,11 +23,15 @@ def main() -> int:
     spark = get_spark("verify-contract")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
-    for name in sorted(qs):
+    timings: dict[str, float] = {}
+    t_start = time.monotonic()
+    for name in qs:  # driver-contract order (unscored families first)
+        t0 = time.monotonic()
         if name in osql:
             try:
                 compare_query(spark, sf_dir, qs[name], osql[name])
-                print(f"{name}: MATCH")
+                timings[name] = time.monotonic() - t0
+                print(f"{name}: MATCH [{timings[name]:.2f}s]")
             except AssertionError as ex:
                 print(f"{name}: MISMATCH — {ex}")
                 failures.append(name)
@@ -36,10 +41,14 @@ def main() -> int:
         else:
             try:
                 n = qs[name](spark, sf_dir).count()
-                print(f"{name}: rows-only ({n} rows)")
+                timings[name] = time.monotonic() - t0
+                print(f"{name}: rows-only ({n} rows) [{timings[name]:.2f}s]")
             except Exception as ex:  # noqa: BLE001
                 print(f"{name}: ERROR — {type(ex).__name__}: {str(ex)[:200]}")
                 failures.append(name)
+    total = time.monotonic() - t_start
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(f"\ntotal {total:.1f}s; slowest: " + ", ".join(f"{n}={s:.2f}s" for n, s in slowest))
     print(f"\n{len(qs)} queries, {len(failures)} failures: {failures}")
     return 1 if failures else 0
 
