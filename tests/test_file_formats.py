@@ -40,7 +40,7 @@ def test_json_roundtrip_events(spark, sf_dir):
     """K1 JSON sink (extract.py:145-156) then S2 JSON scan
     (load_to_db.py:22-23), declared schema, no inference."""
     d = tempfile.mkdtemp(prefix="json_rt_")
-    ev = load_table(spark, sf_dir, "events").limit(100).select(
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100).select(
         "event_id", "event_type", "value", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
     )
     ev.write.mode("overwrite").json(d)

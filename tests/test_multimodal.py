@@ -26,7 +26,7 @@ def test_media_schema_contract(spark, sf_dir):
 
 
 def test_extract_features_fake_codec(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = documents_as_media(docs)
     feats = extract_features(media, codec="fake")
     assert feats.schema == FEATURE_SCHEMA
@@ -49,7 +49,9 @@ def test_real_codec_is_stubbed(spark, sf_dir):
 
 
 def test_frame_sample_bounded_fanout(spark, sf_dir):
-    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(20))
+    media = documents_as_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    )
     frames = frame_sample(media, every_n_bytes=64, max_frames=8)
     per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(1 <= r["n"] <= 8 for r in per_media)
@@ -67,7 +69,11 @@ def test_checksum_arrow_matches_builtin(spark, sf_dir):
     from nagios_custom_etl_spark.catalog import load_table
     from nagios_custom_etl_spark.operators.multimodal import checksum_arrow, documents_as_media
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(200)
+    # deterministic subset: limit() over the round-robin-spread scan picks an
+    # arbitrary 200 rows per action, so the two collects below would disagree
+    media = documents_as_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
     got = {r["media_id"]: r["byte_sum"] for r in checksum_arrow(media).collect()}
     # builtin oracle: aggregate over the unhexed byte array
     expect_df = media.select(
