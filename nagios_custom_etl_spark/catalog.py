@@ -131,15 +131,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     missing = set(EXPECTED_COLUMNS[name]) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         # TIMESTAMP(NANOS) parquet read as long (see session.py); the data
         # is µs-aligned, so integer-divide to µs — no double round-trip
         # (epoch-ns exceeds double's exact-integer range).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # fixture variant: plain timestamp[us] with no timezone reads as
+        # TIMESTAMP_NTZ, which streaming watermarks (and our UTC string
+        # formatting) reject; the wall clock IS UTC, and the session tz is
+        # pinned to UTC, so the cast re-tags without shifting the instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     parallelism = spark.sparkContext.defaultParallelism
     if _scan_is_starved(path, parallelism, _HEAVY_TABLES.get(name, _SPREAD_MIN_BYTES)):
         df = df.repartition(parallelism)
     _TABLE_MEMO[memo_key] = (spark, df)
+    return df
+
+
+# Plan-level cache dedup: Spark's CacheManager already matches `.cache()`
+# calls by semantic plan (a second cache of the same plan reuses the first's
+# InMemoryRelation) but logs "Asked to cache already cached data" each time.
+# Registry queries share derived plans (e.g. MinHash signatures feed both
+# x2b and x13), so route every operator-level cache through here: identical
+# plans return the SAME DataFrame object, silencing the warning and making
+# the reuse explicit. Entries live for the session (nothing unpersists them
+# — same lifecycle as before; at 100 TB you'd persist to a managed table
+# instead of executor memory).
+_CACHE_MEMO: dict[tuple[int, int], list[tuple[SparkSession, DataFrame]]] = {}
+
+
+def cache_once(df: DataFrame) -> DataFrame:
+    """``df.cache()`` deduplicated by plan semantics within a session."""
+    spark = df.sparkSession
+    try:
+        key = (id(spark), df.semanticHash())
+    except Exception:  # noqa: BLE001 — analysis failure: fall back to plain cache
+        return df.cache()
+    for sess, cached in _CACHE_MEMO.get(key, []):
+        if sess is spark and cached.sameSemantics(df):
+            return cached
+    _CACHE_MEMO.setdefault(key, []).append((spark, df.cache()))
     return df
 
 

@@ -270,34 +270,36 @@ def st8_rrd_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.sources.rest import register_sources
 
     register_sources(spark)
-    with tempfile.TemporaryDirectory() as tmp:
-        q = (
-            spark.readStream.format("nagios_rrd")
-            .option("endpoint", "http://fake/rrdexport")
-            .option("fetcher", "nagios_custom_etl_spark.sources.rest:demo_fetcher")
-            .option("hosts", "web01,db01,app01")
-            .option("services", "CPU Usage;Memory Usage")
-            .option("start_ts", "0")
-            .option("end_ts", str(12 * 3600))
-            .option("window_seconds", str(4 * 3600))
-            .option("overlap_seconds", "3600")
-            .load()
-            .writeStream.format("parquet")
-            .option("path", f"{tmp}/data")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        got = spark.read.parquet(f"{tmp}/data")
-        out = (
-            got.dropDuplicates(["host_name", "service_name", "t"])
-            .groupBy("host_name", "service_name")
-            .agg(F.count(F.lit(1)).alias("n_points"), F.max("t").alias("max_t"))
-            .orderBy("host_name", "service_name")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmp
-    return out
+    # stable (not auto-cleaned) dir, like st7: the returned DataFrame lazily
+    # re-reads the sink parquet, so materializing via collect() to outlive a
+    # TemporaryDirectory would put a driver-side materialization inside a
+    # registered query — the one pattern this engine bans.
+    tmp = tempfile.mkdtemp(prefix="rrd_stream_")
+    q = (
+        spark.readStream.format("nagios_rrd")
+        .option("endpoint", "http://fake/rrdexport")
+        .option("fetcher", "nagios_custom_etl_spark.sources.rest:demo_fetcher")
+        .option("hosts", "web01,db01,app01")
+        .option("services", "CPU Usage;Memory Usage")
+        .option("start_ts", "0")
+        .option("end_ts", str(12 * 3600))
+        .option("window_seconds", str(4 * 3600))
+        .option("overlap_seconds", "3600")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/data")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{tmp}/data")
+    return (
+        got.dropDuplicates(["host_name", "service_name", "t"])
+        .groupBy("host_name", "service_name")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.max("t").alias("max_t"))
+        .orderBy("host_name", "service_name")
+    )
 
 
 @register(

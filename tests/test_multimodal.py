@@ -42,10 +42,55 @@ def test_extract_features_fake_codec(spark, sf_dir):
     assert all(again[r["media_id"]] == r["checksum"] for r in rows)
 
 
-def test_real_codec_is_stubbed(spark, sf_dir):
+def test_real_codec_rejects_unknown_magic(spark, sf_dir):
+    """Text bytes are neither BMP nor WAV: the real codec raises per
+    payload (the PIL/ffmpeg gap), instead of a blanket per-call stub."""
     media = documents_as_media(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         extract_features(media, codec="real").collect()
+
+
+def test_real_codec_decodes_planted_bmp_and_wav(spark):
+    """codec='real' end to end via mapInPandas on planted files: the
+    decoded dims/checksums must equal what the encoder arithmetic
+    predicts — a header-blind decoder cannot fake this."""
+    from nagios_custom_etl_spark.operators.multimodal import planted_media
+
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    feats = extract_features(planted_media(ids), codec="real")
+    assert feats.schema == FEATURE_SCHEMA
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        r, fill = got[i], i % 251
+        if i % 2 == 0:
+            w, h = 1 + i % 16, 1 + i % 8
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["magic_hex"][:4] == b"BM".hex()
+            assert r["checksum"] == fill * ((3 * w + 3) // 4 * 4) * h
+        else:
+            frames, ch = 8 + i % 32, 1 + (i // 2) % 2
+            assert (r["width"], r["height"]) == (frames, ch)
+            assert r["checksum"] == fill * frames * ch * 2
+
+
+def test_bmp_decoder_handles_topdown_and_core_header():
+    """Decoder edge cases direct (no Spark): negative height (top-down)
+    and padded rows."""
+    from nagios_custom_etl_spark.operators.multimodal import _decode_bmp, _encode_bmp
+
+    plain = _encode_bmp(5, 3, 7)  # row_size 16 (15 data + 1 pad)
+    assert _decode_bmp(plain) == (5, 3, 7 * 16 * 3)
+    # flip height sign in the info header: same dims reported
+    topdown = bytearray(plain)
+    import struct as s
+
+    s.pack_into("<i", topdown, 22, -3)
+    assert _decode_bmp(bytes(topdown)) == (5, 3, 7 * 16 * 3)
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"JUNK")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bmp(plain[:-4])
 
 
 def test_frame_sample_bounded_fanout(spark, sf_dir):
