@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nagios_custom_etl_spark.catalog import cache_once
 from nagios_custom_etl_spark.functions.text import (
     normalized_fingerprint,
     shingles_from_tokens,
@@ -190,7 +191,7 @@ def lsh_candidate_pairs(
     # cache the (tiny) signature table: it feeds both sides of the bucket
     # self-join — without it the signature aggregation runs twice. At
     # 100 TB this is a persist(DISK_ONLY) or a checkpointed table.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    sigs = cache_once(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     banded = _banded(sigs, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -224,7 +225,7 @@ def jaccard_verify(
     """
     # pairs feeds three consumers (id restriction + both join sides):
     # materialize once instead of re-running the LSH bucket join thrice
-    pairs = pairs.cache()
+    pairs = cache_once(pairs)
     wanted = (
         pairs.select(F.col("id_a").alias("_jid"))
         .unionByName(pairs.select(F.col("id_b").alias("_jid")))
@@ -236,8 +237,8 @@ def jaccard_verify(
         .join(F.broadcast(wanted), "_jid", "left_semi")
         .groupBy("_jid")
         .agg(F.collect_set("_s").alias("_sh"))
-        .cache()
     )
+    sh = cache_once(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
@@ -276,18 +277,41 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold.
 
     Inverted index: explode distinct shingles, self-join on shingle,
     count shared shingles per pair, derive the union from per-doc set
-    sizes. Only pairs sharing >= 1 shingle are ever materialized — at
-    scale, a stopword-ish shingle can fan out; cap it with a document
-    frequency filter if needed (not required on the fixtures).
+    sizes. Only pairs sharing >= 1 shingle are ever materialized.
+
+    ``max_df`` caps the inverted-index fan-out (CCNet-style): a shingle
+    occurring in more than ``max_df`` documents is dropped from the index
+    AND from the per-doc set sizes, so Jaccard is computed over the capped
+    shingle universe on both the numerator and the denominator. Without
+    the cap one corpus-wide-common shingle (boilerplate, stopword run)
+    makes the self-join quadratic in its document frequency — the classic
+    inverted-index blowup. Capped shingles carry almost no pairwise
+    signal (they match everything), so at a sane cap the pair set is
+    near-identical while the join cost drops from O(max_df²) per hot
+    shingle to zero. At 100 TB set max_df as a corpus fraction (e.g.
+    1e-4 × n_docs).
     """
     sh = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).select(
         "_id", F.col("_s").alias("shingle")
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        # co-partitioned on the shingle (the groupBy just produced that
+        # partitioning), so the semi join reuses the exchange
+        sh = sh.join(rare, "shingle", "left_semi")
+    # feeds sizes + both sides of the self-join: one shingling, not three
+    sh = cache_once(sh)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -310,6 +334,86 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment dedup: pairs where max(|A∩B|/|A|,
+    |A∩B|/|B|) >= threshold — catches a document swallowed whole by a
+    larger one (quote inclusion, page concatenation), which symmetric
+    Jaccard misses when |A| << |B|. Same inverted shingle index and
+    fan-out-cap strategy as ``ngram_jaccard_pairs``; the exploded index
+    is shared across both operators via ``cache_once``.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).select(
+        "_id", F.col("_s").alias("shingle")
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = cache_once(sh)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("n_shared").cast("double") / F.col("n_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", cont_a.alias("cont_a"), cont_b.alias("cont_b"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+    )
+
+
+def novelty_curve(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document ingestion-order novelty: the fraction of a doc's
+    distinct shingles whose corpus-wide first occurrence (min id) is the
+    doc itself. The marginal-value signal crawl scheduling uses: when
+    new documents stop contributing new shingles, the source is mined
+    out. Two shuffles — shingle→min(id), then doc aggregation; the join
+    back to the exploded shingles reuses the shingle hash partitioning
+    the min-agg just produced."""
+    sh = cache_once(
+        _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).select(
+            "_id", F.col("_s").alias("shingle")
+        )
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("_id").alias("_first"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0)).alias("n_new"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_sh",
+            "n_new",
+            (F.col("n_new").cast("double") / F.col("n_sh")).alias("novelty"),
+        )
+        .orderBy(id_col)
     )
 
 
@@ -339,11 +443,19 @@ def connected_components(
     ``localCheckpoint`` — without it the plan doubles per iteration and
     the driver re-optimizes an exponentially growing tree (on a cluster,
     prefer ``checkpoint()`` to a reliable store so lost executors don't
-    recompute the chain). The per-round convergence check is a cheap
-    count on the already-materialized label delta. For adversarial
-    long-chain graphs swap in alternating large-star/small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    which converge in O(log^2 n); the dedup workload never needs it.
+    recompute the chain). Convergence detection is FOLDED INTO the
+    checkpoint job by materializing a per-row shrunk flag alongside the
+    new label: the follow-up convergence probe is a short-circuiting
+    ``isEmpty`` over the ALREADY-CHECKPOINTED blocks — no recompute of
+    the join, and it stops at the first still-shrinking row. (An
+    ``observe()``/CollectMetrics formulation would make it zero extra
+    jobs, but a CollectMetrics node executed via localCheckpoint leaks
+    the session's non-serializable ObservationManager into subsequent
+    unrelated jobs' closures on this Spark build — found the hard way;
+    do not reintroduce.) For adversarial long-chain graphs swap in
+    alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which converge in
+    O(log^2 n); the dedup workload never needs it.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -361,14 +473,13 @@ def connected_components(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
-                F.col("component").alias("_old"),
                 F.least("component", F.coalesce("_nc", "component")).alias("component"),
+                (F.coalesce("_nc", "component") < F.col("component")).alias("_shrunk"),
             )
             .localCheckpoint()
         )
-        changed = proposed.filter(F.col("component") < F.col("_old")).count()
-        labels = proposed.drop("_old")
-        if changed == 0:
+        labels = proposed.drop("_shrunk")
+        if proposed.filter(F.col("_shrunk")).isEmpty():
             break
     return labels
 
@@ -593,7 +704,7 @@ def simhash_near_dup_pairs(
     so candidates come from an equi-join on (band_id, band_value), never a
     cross join.
     """
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    sigs = cache_once(simhash_signatures(df, id_col, text_col))
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -647,7 +758,7 @@ def boilerplate_stats(
     the same co-partitioning the frequency agg just produced, so the
     exchange is reused rather than re-shuffled.
     """
-    sh = _exploded_shingles(df, id_col, text_col, shingle_n, distinct=True).cache()
+    sh = cache_once(_exploded_shingles(df, id_col, text_col, shingle_n, distinct=True))
     boiler = (
         sh.groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_df"))

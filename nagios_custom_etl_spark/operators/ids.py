@@ -44,7 +44,9 @@ def global_row_ids(
     )
     # cache: the counts action and the final plan must see the same
     # partition layout without re-running the upstream plan twice
-    ranged = ranged.cache()
+    from nagios_custom_etl_spark.catalog import cache_once
+
+    ranged = cache_once(ranged)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.catalog import cache_once, load_table
 from nagios_custom_etl_spark.functions.scalar import davg, dec, dsum
 from nagios_custom_etl_spark.plans.registry import register
 
@@ -1074,7 +1074,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(rev_expr).alias("total_rev"))
-    ).cache()
+    )
+    revenue = cache_once(revenue)
     max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier")
     return (

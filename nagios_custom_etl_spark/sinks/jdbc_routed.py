@@ -46,6 +46,8 @@ def write_routed(
     """Fan ``df`` out to per-route tables; returns per-route row counts
     (the reference's logging contract). Unrouted rows are reported under
     'unrouted' and not written — log-and-skip, never fail."""
+    # plain cache(), not catalog.cache_once: this df is unpersisted in the
+    # finally below (per-batch lifecycle), which would invalidate the memo
     routed = df.withColumn("_route", route_metric_type(service_col)).cache()
     try:
         counts: dict[str, int] = {}

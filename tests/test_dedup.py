@@ -110,6 +110,88 @@ def test_lsh_candidates_no_self_pairs(planted):
     assert all(r["id_a"] < r["id_b"] for r in cands)
 
 
+def test_ngram_jaccard_df_cap_prunes_hot_shingle(spark):
+    """A corpus-wide-common shingle (boilerplate footer) must not
+    quadratically fan out the inverted-index self-join: with a DF cap it
+    is dropped from the index AND the set sizes, so the 20 boilerplate
+    docs produce ZERO pairs while a genuine duplicate pair (whose
+    shingles stay under the cap) still scores 1.0."""
+    footer = "all rights reserved worldwide"
+    rows = [(i, f"unique{i}alpha unique{i}beta unique{i}gamma {footer}") for i in range(20)]
+    dup = "spark engines rewrite the optimizer landscape quietly"
+    rows += [(100, dup), (101, dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", 0.05, 3).collect()
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", 0.05, 3, max_df=5).collect()
+    # uncapped: every boilerplate doc pairs with every other (C(20,2)=190)
+    # purely through the shared footer shingles, plus the true dup pair
+    assert len(uncapped) == 190 + 1
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    assert got == {(100, 101): 1.0}
+
+
+def test_ngram_jaccard_df_cap_noop_when_under_cap(spark):
+    """A cap above every shingle's DF must not change any pair or score
+    (the capped universe equals the full universe)."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "columnar storage engines love vectorized execution"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.3, 3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.3, 3, max_df=100).collect()
+    }
+    assert base == capped and (0, 1) in base
+
+
+def test_containment_catches_subset_duplication(spark):
+    """X32: a short doc fully quoted inside a longer one has containment
+    1.0 from the short side while its Jaccard stays below any near-dup
+    threshold — the case symmetric dedup misses."""
+    from nagios_custom_etl_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, short), (1, long), (2, "totally unrelated words about storage engines")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in containment_pairs(df, "doc_id", "text", 0.9, 3).collect()}
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    assert r["cont_a"] == 1.0  # every shingle of the short doc is in the long one
+    assert r["cont_b"] < 0.5
+    # and symmetric Jaccard would have missed it at the same threshold
+    jac = {
+        (p["id_a"], p["id_b"]) for p in ngram_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+    }
+    assert (0, 1) not in jac
+
+
+def test_novelty_curve_orders_discovery(spark):
+    """X31: first doc is all-new, an exact later copy contributes nothing,
+    a half-overlapping doc scores in between."""
+    from nagios_custom_etl_spark.operators.dedup import novelty_curve
+
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " nine ten eleven twelve thirteen fourteen")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_curve(df, "doc_id", "text", 3).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0
+    assert 0.0 < got[2]["novelty"] < 1.0
+    assert got[2]["n_new"] == got[2]["n_sh"] - got[0]["n_sh"]  # exactly the new tail
+
+
 def test_connected_components_chain_clique_singleton(spark):
     """Chain 1-2-3-4 (diameter 3, needs >1 propagation round), clique
     10-11-12, isolated pair 20-21: every node labels with its component

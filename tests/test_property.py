@@ -126,3 +126,26 @@ def test_ngram_jaccard_matches_python_reference(spark, texts):
     assert got.keys() == expected.keys()
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.integers(min_value=2, max_value=12), st.randoms(use_true_random=False))
+def test_connected_components_long_chain(spark, chain_len, rng):
+    """Adversarial-diameter guard for the documented O(diameter) claim:
+    a path graph of ``chain_len`` edges over shuffled node labels needs
+    up to ``chain_len`` min-label propagation rounds; with
+    ``max_iterations >= diameter`` every node must converge to the
+    component minimum."""
+    from nagios_custom_etl_spark.operators.dedup import connected_components
+
+    nodes = list(range(100, 100 + chain_len + 1))
+    rng.shuffle(nodes)  # min label lands at a random chain position
+    edges = [(nodes[i], nodes[i + 1]) for i in range(chain_len)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, max_iterations=chain_len + 1).collect()
+    }
+    assert got == {n: min(nodes) for n in nodes}
