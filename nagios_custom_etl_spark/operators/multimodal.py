@@ -3,15 +3,22 @@
 ``mapInPandas`` operators.
 
 The Spark-side plumbing — declared schemas, partition-preserving batch
-iterators, bounded batch sizes — is real and tested. The codec itself is
-STUBBED: this container has no image/audio libraries, so ``codec="fake"``
-derives deterministic pseudo-features from the bytes (testable end to
-end) and ``codec="real"`` raises NotImplementedError where PIL/ffmpeg
-would be called.
+iterators, bounded batch sizes — is real and tested. Two codecs:
+
+* ``codec="fake"`` derives deterministic pseudo-features from the bytes
+  (testable end to end on any payload);
+* ``codec="real"`` actually decodes the two formats a pure-stdlib
+  container can parse — BMP (header + pixel-buffer walk, ``struct``)
+  and PCM WAV (stdlib ``wave``). JPEG/PNG/MP4 would slot into the same
+  per-batch dispatch once PIL/ffmpeg exist; the NotImplementedError is
+  now per-unsupported-payload, not per-call.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -80,24 +87,64 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (width, height, checksum)
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Real BMP decode, pure stdlib: parse the file + info headers and
+    checksum the pixel buffer (including row padding — the full region
+    the header declares). Returns (width, height, checksum)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size >= 40:
+        width, height = struct.unpack_from("<ii", payload, 18)
+    else:  # BITMAPCOREHEADER: 16-bit dims
+        width, height = struct.unpack_from("<hh", payload, 18)
+    height = abs(height)  # negative = top-down row order
+    row_size = (3 * width + 3) // 4 * 4  # 24bpp rows pad to 4 bytes
+    pixels = payload[pixel_off : pixel_off + row_size * height]
+    if len(pixels) != row_size * height:
+        raise ValueError("truncated BMP pixel buffer")
+    return (width, height, sum(pixels) & 0x7FFFFFFF)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Real PCM WAV decode via stdlib ``wave``: (n_frames, n_channels,
+    checksum over the raw PCM sample bytes)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        frames = w.readframes(w.getnframes())
+        return (w.getnframes(), w.getnchannels(), sum(frames) & 0x7FFFFFFF)
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int]:
+    """Dispatch on magic bytes — the shape a PIL/ffmpeg-backed decoder
+    would have; formats the stdlib can't parse raise per payload."""
+    if payload is None:
+        return (0, 0, 0)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        f"no stdlib decoder for payload with magic {payload[:4].hex()!r}; "
+        "JPEG/PNG/MP4 need PIL/ffmpeg (absent in this container)"
+    )
+
+
 def extract_features(media: DataFrame, codec: str = "fake", batch_size: int = 1024) -> DataFrame:
     """Decode/feature-extract over Arrow batches (mapInPandas).
 
     The iterator shape keeps memory bounded: one pandas batch in flight
-    per task regardless of partition size. ``codec="real"`` is the hook
-    where PIL / torchaudio / ffmpeg decode would run per batch.
+    per task regardless of partition size. ``codec="real"`` runs the
+    stdlib BMP/WAV decoders per batch (PIL/torchaudio/ffmpeg would slot
+    in the same place).
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
+    decode = _real_decode if codec == "real" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not in "
-                    "this environment; use codec='fake' or install a codec"
-                )
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -113,6 +160,65 @@ def extract_features(media: DataFrame, codec: str = "fake", batch_size: int = 10
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _encode_bmp(width: int, height: int, fill: int) -> bytes:
+    """Minimal 24bpp BMP with every pixel-buffer byte (padding included)
+    set to ``fill`` — decode-checkable arithmetic: checksum is exactly
+    ``fill * row_size * height``."""
+    row_size = (3 * width + 3) // 4 * 4
+    pixels = bytes([fill]) * (row_size * height)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def _encode_wav(n_frames: int, n_channels: int, fill: int, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM WAV with every sample byte set to ``fill``:
+    checksum is ``fill * n_frames * n_channels * 2``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes([fill]) * (n_frames * n_channels * 2))
+    return buf.getvalue()
+
+
+def planted_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL media table: even ids become 24bpp BMPs
+    (width ``1 + id%16``, height ``1 + id%8``), odd ids become 16-bit
+    PCM WAVs (``8 + id%32`` frames, ``1 + (id//2)%2`` channels), every
+    content byte ``id % 251``. Because dimensions and fill derive from
+    the id arithmetically, a SQL oracle can predict what a correct
+    decoder must report — the encode runs distributed in the same
+    bounded mapInPandas shape as the decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                fill = i % 251
+                if i % 2 == 0:
+                    payload = _encode_bmp(1 + i % 16, 1 + i % 8, fill)
+                    mime = "image/bmp"
+                else:
+                    payload = _encode_wav(8 + i % 32, 1 + (i // 2) % 2, fill)
+                    mime = "audio/wav"
+                rows.append(
+                    (i, payload, {"mime": mime, "source": "planted", "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                    "meta": [r[2] for r in rows],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
