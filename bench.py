@@ -46,6 +46,10 @@ HEADLINE = [
     "x17_boilerplate_ratio",
     "x18_global_row_ids",
     "x4i_bigram_lm_score",
+    # streaming representative: micro-batch tumbling rollup through a real
+    # writeStream/foreachBatch sink — streaming-path perf regressions are
+    # invisible to a batch-only headline
+    "st7_incremental_rollup",
 ]
 
 

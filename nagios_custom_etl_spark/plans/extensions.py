@@ -7,6 +7,8 @@ recall-tested against exact baselines in tests/.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,6 +87,11 @@ def x1b_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_N = 3
+# Inverted-index fan-out cap (CCNet-style): shingles in more than this many
+# documents are dropped from the index and the set sizes before pairing.
+# 5 engages on the fixture (max organic DF is 7 at sf0.01) so the capped
+# path itself is oracle-validated; at 100 TB this is a corpus fraction.
+MAX_SHINGLE_DF = 5
 
 
 @register(
@@ -100,10 +107,16 @@ SHINGLE_N = 3
               FROM documents)
       )
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM shingled
+      WHERE shingle IN (
+        SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-      FROM shingled a JOIN shingled b
+      FROM capped a JOIN capped b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -115,11 +128,15 @@ SHINGLE_N = 3
     WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {JACCARD_THRESHOLD}
     """,
     doc="X2 exact n-gram Jaccard near-dup pairs via inverted shingle index "
-    "— the oracle-checkable exact counterpart of MinHash-LSH.",
+    "with a document-frequency cap on the index (the CCNet-style guard "
+    "against hot-shingle quadratic fan-out) — the oracle-checkable exact "
+    "counterpart of MinHash-LSH.",
 )
 def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N, max_df=MAX_SHINGLE_DF
+    )
 
 
 @register(
@@ -222,6 +239,48 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
     hits = ivf_search(assigned, centroids, "embedding", "vec_id", qvec, k=10, n_probe=3)
     return hits.select("vec_id", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
+@register(
+    "x3d_ann_recall",
+    oracle=None,  # k-means cells are engine-specific; the METRIC is the
+    # contract — recall@10 vs the exact brute-force top-k, one row per
+    # probe query, so an index/probing regression flips the driver row
+    doc="X3 ANN quality gate: recall@10 of the IVF index (n_probe=3 of 8 "
+    "cells) against exact brute-force cosine top-10, for three probe "
+    "queries. Distributed semi-join intersection; only the three query "
+    "vectors touch the driver. NOTE the fixture embeddings are "
+    "near-isotropic, so coarse-quantization recall is modest by "
+    "construction for some queries (0.4–1.0 here, flat in n_probe) — "
+    "the row is a REGRESSION gate on index+probe behavior, not an "
+    "absolute-quality claim.",
+)
+def x3d_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    k, qids = 10, (0, 1, 2)
+    exact_parts, approx_parts = [], []
+    for qid in qids:
+        qvec = [float(x) for x in em.filter(F.col("vec_id") == qid).head()["embedding"]]
+        exact_parts.append(
+            cosine_topk(em, "embedding", "vec_id", qvec, k=k)
+            .select(F.lit(qid).alias("query_id"), "vec_id")
+        )
+        approx_parts.append(
+            ivf_search(assigned, centroids, "embedding", "vec_id", qvec, k=k, n_probe=3)
+            .select(F.lit(qid).alias("query_id"), "vec_id")
+        )
+    exact_all = reduce(DataFrame.unionByName, exact_parts)
+    approx_all = reduce(DataFrame.unionByName, approx_parts)
+    return (
+        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +432,46 @@ def x5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 4).alias("magic"),
         F.when(F.octet_length(payload) > 300, "large").otherwise("small").alias("size_class"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x5b_multimodal_real_decode",
+    oracle="""
+    -- planted real media: even doc_ids are 24bpp BMPs (decoder reports
+    -- pixel dims; checksum = fill * padded_row_size * height), odd are
+    -- 16-bit PCM WAVs (decoder reports frames/channels; checksum =
+    -- fill * frames * channels * 2). The oracle predicts the decode
+    -- output arithmetically from the id — only a decoder that actually
+    -- parses the header + content bytes matches it.
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+                ELSE 8 + doc_id % 32 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8
+                ELSE 1 + (doc_id // 2) % 2 END AS height,
+           CASE WHEN doc_id % 2 = 0
+                THEN (doc_id % 251) * (((3 * (1 + doc_id % 16) + 3) // 4) * 4)
+                     * (1 + doc_id % 8)
+                ELSE (doc_id % 251) * (8 + doc_id % 32) * (1 + (doc_id // 2) % 2) * 2
+           END AS checksum
+    FROM documents WHERE doc_id % 10 = 0 OR doc_id % 10 = 1
+    ORDER BY media_id
+    """,
+    doc="X5 REAL media decode end to end: distributed mapInPandas encode of "
+    "planted BMP/WAV payloads -> mapInPandas stdlib decode "
+    "(operators/multimodal.py: struct-parsed BMP pixel buffer, wave-module "
+    "PCM) -> features the SQL oracle predicts from id arithmetic.",
+)
+def x5b_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.multimodal import extract_features, planted_media
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 1))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    feats = extract_features(planted_media(ids), codec="real")
+    return feats.select("media_id", "mime", "width", "height", "checksum").orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1767,4 +1866,476 @@ def x25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X26–X33 — corpus curation reports: the queries a 100 TB training-data
+# pipeline runs between ingestion and training (per-domain accounting,
+# curriculum bucketing, quantization QA, containment dedup, novelty,
+# dedup funnel). All single-digit shuffles on uniform keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x26_domain_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(length(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="X26 per-domain corpus accounting (docs, languages, token mass, "
+    "mean length) — the report that drives domain caps/mixtures. One "
+    "map-side-combined groupBy on the domain key.",
+)
+def x26_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.size(tokens("text"))).alias("total_tokens"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x28_curriculum_buckets",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars, NTILE(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+    doc="X28 curriculum bucketing: exact NTILE(4) over a length-ordered "
+    "corpus WITHOUT a single-partition window — global position comes "
+    "from x18's range-repartitioned row ids (operators/ids.py), the "
+    "total count joins in as a broadcast scalar, and the NTILE split "
+    "(first n%k buckets take one extra row) is reproduced "
+    "arithmetically. Scale: one range shuffle + per-bucket agg; the "
+    "naive Window.orderBy formulation would serialize the corpus "
+    "through one task.",
+)
+def x28_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.ids import global_row_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_ids(d, order_by=["n_chars", "doc_id"], id_name="_rank")
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    k = F.lit(4)
+    q, r = (F.col("_n") / 4).cast("long"), F.col("_n") % 4
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = (
+        F.when(F.col("_rank") < big, (F.col("_rank") / (q + 1)).cast("long"))
+        .otherwise(r + ((F.col("_rank") - big) / F.greatest(q, F.lit(1))).cast("long"))
+        + 1
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .select("doc_id", "n_chars", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUANT_SCALE = 0.04  # ≈ max|x|/127 for the fixture embeddings (~N(0, 0.1) values)
+
+
+@register(
+    "x29_quantize_error",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MAX(list_max(list_transform(embedding::DOUBLE[],
+               x -> abs(x - {QUANT_SCALE} * greatest(-127, least(127, round(x / {QUANT_SCALE})))))))
+             AS max_abs_err
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="X29 int8 quantization QA: per-label worst-case reconstruction "
+    "error of symmetric int8 quantization (functions/vector.py) — the "
+    "check run before shipping a quantized ANN index. Error bound must "
+    "be <= scale/2 unless values clip. Pure codegen'd HOFs, one groupBy.",
+)
+def x29_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.vector import (
+        as_double_array,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    err = F.array_max(
+        F.zip_with(
+            as_double_array("embedding"),
+            dequantize_int8(quantize_int8("embedding", QUANT_SCALE), QUANT_SCALE),
+            lambda x, dq: F.abs(x - dq),
+        )
+    )
+    return (
+        em.select("label", err.alias("_err"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.max("_err").alias("max_abs_err"))
+        .orderBy("label")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "x32_containment_pairs",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE) / sa.n_sh AS cont_a,
+           CAST(n_shared AS DOUBLE) / sb.n_sh AS cont_b
+    FROM shared
+    JOIN sizes sa ON shared.id_a = sa.doc_id
+    JOIN sizes sb ON shared.id_b = sb.doc_id
+    WHERE greatest(CAST(n_shared AS DOUBLE) / sa.n_sh,
+                   CAST(n_shared AS DOUBLE) / sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="X32 asymmetric containment dedup: |A∩B|/|A| catches a document "
+    "swallowed whole by a larger one (quote inclusion, concatenation), "
+    "which symmetric Jaccard misses when sizes differ. Same inverted "
+    "shingle index as x2 (the exploded-shingle plan is shared via "
+    "cache_once when both run in one session).",
+)
+def x32_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", CONTAINMENT_THRESHOLD, SHINGLE_N)
+
+
+@register(
+    "x31_novelty_curve",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shingled GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_sh,
+           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_new,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM shingled s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    doc="X31 ingestion-order novelty: per document, the fraction of its "
+    "distinct shingles first seen in it (min-doc_id over the corpus) — "
+    "the marginal-value curve used to decide when a crawl stops paying. "
+    "Two uniform-key shuffles (shingle min-agg, doc agg); the "
+    "first-occurrence agg reuses the shingle partitioning for the join.",
+)
+def x31_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import novelty_curve
+
+    d = load_table(spark, sf_dir, "documents")
+    return novelty_curve(d, "doc_id", "text", SHINGLE_N)
+
+
+@register(
+    "x33_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON shared.id_a = sa.doc_id
+      JOIN sizes sb ON shared.id_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+            FROM documents) AS n_exact_unique,
+           (SELECT COUNT(DISTINCT component) FROM comp) AS n_neardup_clusters,
+           (SELECT COUNT(*) - COUNT(DISTINCT component) FROM comp) AS n_neardup_removed
+    """,
+    doc="X33 corpus-reduction funnel: raw docs -> exact-fingerprint unique "
+    "-> near-dup clusters -> docs a keep-one-per-cluster policy removes. "
+    "The one-row report every dedup run ships. Reuses exact_dedup and the "
+    "exact-Jaccard component closure (connected_components).",
+)
+def x33_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+    )
+    comp_stats = comp.agg(
+        F.count_distinct("component").alias("n_neardup_clusters"),
+        (F.count(F.lit(1)) - F.count_distinct("component")).alias("n_neardup_removed"),
+    )
+    doc_stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(normalized_fingerprint("text")).alias("n_exact_unique"),
+    )
+    return doc_stats.join(F.broadcast(comp_stats))
+
+
+# ---------------------------------------------------------------------------
+# X34–X37 — event analytics over the behavioral stream (funnel, cohorts,
+# attribution, rolling actives): the product-analytics queries every
+# event warehouse runs at 100 TB. All shuffles key on user_id or a date
+# — uniform, and tiny after the per-user/per-day reductions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x34_conversion_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS conversion
+    """,
+    doc="X34 ordered conversion funnel (view -> click-after-view -> "
+    "purchase-after-click), counted per user. Each stage is one "
+    "filtered min-agg on user_id plus a broadcast-sized join to the "
+    "prior stage — the stage frontiers shrink monotonically, so at "
+    "100 TB only stage 1 touches the full scan.",
+)
+def x34_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((v, "n_view"), (c, "n_click"), (p, "n_purchase"))
+    ]
+    out = counts[0].join(F.broadcast(counts[1])).join(F.broadcast(counts[2]))
+    return out.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_purchase").cast("double") / F.col("n_view")).alias("conversion"),
+    )
+
+
+@register(
+    "x35_weekly_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+      FROM events e
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           datediff('day', c.cohort_week, a.active_week) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="X35 weekly cohort retention matrix: users bucketed by "
+    "first-activity week, counted distinct per (cohort, week offset). "
+    "Two user-keyed shuffles (first-activity min, user-week distinct) "
+    "then a per-user join — the distinct reduction means the join "
+    "carries user-weeks, not raw events.",
+)
+def x35_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "x36_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM events
+    )
+    SELECT COUNT(*) AS n_purchases,
+           COUNT(CASE WHEN last_click IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(last_click) <= 3600000000 THEN 1 END)
+             AS n_attributed,
+           CAST(SUM(CASE WHEN last_click IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(last_click) <= 3600000000
+                         THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    doc="X36 last-touch attribution: each purchase credits the user's "
+    "most recent click within 1 hour (running max over the per-user "
+    "event sequence — the same single user-keyed window pass an asof "
+    "join would need, no self-join). DECIMAL-summed value for oracle "
+    "bit-parity.",
+)
+def x36_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    seq = ev.select("user_id", "ts", "event_type", "value", last_click.alias("last_click"))
+    attributed = F.col("last_click").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("last_click") <= 3_600_000_000
+    )
+    return seq.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(attributed, 1)).alias("n_attributed"),
+        F.sum(F.when(attributed, F.col("value").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@register(
+    "x37_rolling_7day_active",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(o AS INTEGER) AS day
+      FROM user_days, unnest(range(0, 7)) AS t(o)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS rolling_7d_active
+    FROM contrib
+    WHERE day <= (SELECT max(CAST(ts AS DATE)) FROM events)
+    GROUP BY day ORDER BY day
+    """,
+    doc="X37 trailing-7-day distinct active users per day, computed by "
+    "EXPLODING each user-day into the 7 future days it keeps active "
+    "(bounded 7x fan-out of the tiny distinct user-day set) instead of "
+    "a day-range self-join — the shuffle key is the day, the fan-out "
+    "is constant, and no range-join or window-over-days serialization "
+    "appears at any scale.",
+)
+def x37_rolling_7day_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("o")).alias("day"))
+    return (
+        contrib.join(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_d"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("rolling_7d_active"))
+        .orderBy("day")
     )
