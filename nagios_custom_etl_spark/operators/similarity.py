@@ -145,17 +145,33 @@ def ivf_build(
     Returns (assigned df with cell_id, centroids). At scale the assigned
     table is written ``partitionBy("cell_id")`` so searches prune cells
     at the file-listing level.
+
+    The featurized input is cached (k-means re-scans it every Lloyd
+    iteration — pyspark.ml warns when it isn't), and the assignment is
+    cached too: an index is built once and probed many times, so every
+    search re-running ``model.transform`` would repay the build cost per
+    query. maxIter=10 bounds the fit; coarse-quantizer centroids move
+    negligibly after a few iterations and the verify path (exact cosine
+    within probed cells) is unaffected by cell-boundary jitter.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_arr")
-    ).withColumn("features", array_to_vector("_arr"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell_id")
+    from nagios_custom_etl_spark.catalog import cache_once
+
+    feats = cache_once(
+        df.select(
+            F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_arr")
+        ).withColumn("features", array_to_vector("_arr"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=10, featuresCol="features", predictionCol="cell_id"
+    )
     model = km.fit(feats)
-    assigned = model.transform(feats).select(
-        F.col("_id").alias(id_col), F.col("_arr").alias(vec_col), "cell_id"
+    assigned = cache_once(
+        model.transform(feats).select(
+            F.col("_id").alias(id_col), F.col("_arr").alias(vec_col), "cell_id"
+        )
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
