@@ -460,9 +460,15 @@ def connected_components(
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().localCheckpoint()
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
-    ).localCheckpoint()
+    # seed labels with min(self, direct neighbors) — exactly the result of
+    # one propagation round over identity labels, for one groupBy instead
+    # of a join+groupBy round (every node appears as u after symmetrize)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"), F.least("u", "_mv").alias("component"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)

@@ -2339,3 +2339,69 @@ def x37_rolling_7day_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("rolling_7d_active"))
         .orderBy("day")
     )
+
+
+@register(
+    "x38_props_json_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="X38 semi-structured extraction: pull a typed field out of the "
+    "JSON props payload (get_json_object — JVM-side Jackson path eval, "
+    "no UDF) and aggregate per derived bucket. The everyday shape of "
+    "event-property analytics over schemaless columns; one uniform "
+    "10-key shuffle after a map-side combine.",
+)
+def x38_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "x39_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="X39 behavioral transition matrix: per-user event bigrams via one "
+    "LEAD over the user-keyed sequence (deterministic (ts, event_id) "
+    "order), counted per (from, to). The Markov-chain input of "
+    "journey/path analysis; one user shuffle + one 25-key agg.",
+)
+def x39_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
