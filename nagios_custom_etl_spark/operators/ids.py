@@ -62,3 +62,52 @@ def global_row_ids(
         .withColumn(id_name, F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    sum_name: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an inclusive global running sum of ``value_col`` in the total
+    order given by ``order_by`` — the same two-pass range-partition
+    scheme as ``global_row_ids``, accumulating per-partition SUMS instead
+    of counts. The primitive behind deterministic token-budget sharding
+    and curriculum scheduling: a cumulative quantity over a corpus-wide
+    order with no single-reducer window.
+
+    Pass 1 exchanges one (partition, sum) row per partition; pass 2 is a
+    per-range-partition window — each window covers one balanced
+    partition, never the table.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from nagios_custom_etl_spark.catalog import cache_once
+
+    ranged = cache_once(ranged)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(sum_name, F.col("_offset") + F.sum(value_col).over(w))
+        .drop("_pid", "_offset")
+    )

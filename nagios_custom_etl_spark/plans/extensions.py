@@ -2405,3 +2405,130 @@ def x39_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+SHARD_TOKEN_BUDGET = 2048
+
+
+@register(
+    "x40_shard_manifest",
+    oracle=f"""
+    -- deterministic token-budget sharding: chunks in (doc_id, chunk_idx)
+    -- order accumulate tokens; a chunk starts the next shard when the
+    -- budget line crosses. shard = floor(tokens-before-this-chunk / B).
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(len(ts[start_tok : start_tok + {CHUNK_TOKENS} - 1]) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, ts,
+               unnest(range(1, greatest(len(ts), 1) + 1, {CHUNK_STRIDE})) AS start_tok
+        FROM toks
+      )
+    ),
+    cum AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM chunks
+    )
+    SELECT (running - n_tokens) // {SHARD_TOKEN_BUDGET} AS shard_id,
+           COUNT(*) AS n_chunks,
+           SUM(n_tokens) AS n_tokens
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+    doc="X40 training-shard manifest: chunks (x25) are assigned to fixed "
+    "token-budget shards by a GLOBAL RUNNING SUM over the corpus order — "
+    "computed with the range-partitioned two-pass scheme "
+    "(operators/ids.py::global_running_sum), not a single-reducer "
+    "window. The manifest (chunks/tokens per shard) is what a training "
+    "job consumes; assignment is bit-deterministic, so shards are "
+    "reproducible across runs and cluster layouts.",
+)
+def x40_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.ids import global_running_sum
+
+    chunks = x25_doc_chunking(spark, sf_dir).select("doc_id", "chunk_idx", "n_tokens")
+    cum = global_running_sum(
+        chunks, [F.col("doc_id"), F.col("chunk_idx")], "n_tokens", "running"
+    )
+    return (
+        cum.select(
+            ((F.col("running") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "x41_snapshot_diff",
+    oracle="""
+    -- CDC between two corpus snapshots (simulated deterministically from
+    -- the fixture: OLD = doc_id < 400, NEW = doc_id >= 100 with every
+    -- doc_id % 7 == 0 doc re-crawled with a suffix): full outer join on
+    -- the key, fingerprint compare for changed-in-place.
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+      FROM documents WHERE doc_id >= 100
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM diff GROUP BY status ORDER BY status
+    """,
+    doc="X41 snapshot diff (CDC between corpus versions): full outer join "
+    "on the document key + content-fingerprint compare classifies every "
+    "row added/removed/changed/unchanged — the incremental-recrawl "
+    "accounting a continuously refreshed corpus runs instead of "
+    "reprocessing 100 TB. One co-partitioned join on the key; "
+    "fingerprints keep the compare to 32 bytes/row.",
+)
+def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400).select("doc_id", F.sha2("text", 256).alias("fp"))
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.sha2(
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+                F.col("text")
+            ),
+            256,
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    diff = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer").select(
+        F.coalesce("o.doc_id", "n.doc_id").alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("status")
+    )

@@ -121,3 +121,24 @@ def test_global_row_ids_total_order_and_contiguity(spark):
     in_order = sorted(out, key=lambda r: r["row_id"])
     keys = [(r["grp"], -r["k"]) for r in in_order]
     assert keys == sorted(keys)  # numbering follows the requested total order
+
+
+def test_global_running_sum_matches_prefix_sum(spark):
+    """The range-partitioned two-pass running sum equals the naive
+    Python prefix sum over the same total order, across layouts."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.ids import global_running_sum
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 101).alias("v")
+    )
+    out = global_running_sum(
+        df.repartition(9), [F.col("k")], "v", "running", num_partitions=5
+    ).collect()
+    in_order = sorted(out, key=lambda r: r["k"])
+    acc, expected = 0, []
+    for r in in_order:
+        acc += r["v"]
+        expected.append(acc)
+    assert [r["running"] for r in in_order] == expected
