@@ -256,21 +256,26 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "absolute-quality claim.",
 )
 def x3d_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_join
+
     em = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
-    k, qids = 10, (0, 1, 2)
-    exact_parts, approx_parts = [], []
-    for qid in qids:
-        qvec = [float(x) for x in em.filter(F.col("vec_id") == qid).head()["embedding"]]
-        exact_parts.append(
-            cosine_topk(em, "embedding", "vec_id", qvec, k=k)
-            .select(F.lit(qid).alias("query_id"), "vec_id")
-        )
-        approx_parts.append(
-            ivf_search(assigned, centroids, "embedding", "vec_id", qvec, k=k, n_probe=3)
-            .select(F.lit(qid).alias("query_id"), "vec_id")
-        )
-    exact_all = reduce(DataFrame.unionByName, exact_parts)
+    k = 10
+    # one bounded driver fetch for all probe queries (cells are picked
+    # driver-side from the centroid list), one broadcast pass for the
+    # exact side — not a scan per query
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in em.filter(F.col("vec_id") < 3).collect()
+    }
+    exact_all = cosine_topk_join(
+        em, em.filter(F.col("vec_id") < 3), "embedding", "vec_id", "embedding", "vec_id", k=k
+    ).select("query_id", F.col("nbr_id").alias("vec_id"))
+    approx_parts = [
+        ivf_search(assigned, centroids, "embedding", "vec_id", qv, k=k, n_probe=3)
+        .select(F.lit(qid).alias("query_id"), "vec_id")
+        for qid, qv in sorted(qvecs.items())
+    ]
     approx_all = reduce(DataFrame.unionByName, approx_parts)
     return (
         exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
@@ -1471,7 +1476,10 @@ def x19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(docs, "doc_id", {"train": 0.8, "holdout": 0.2})
     train = split.filter(F.col("split") == "train")
     holdout = split.filter(F.col("split") == "holdout")
-    model = train_text_classifier(train, "text", "label")
+    # 12 L-BFGS iterations converge on the keyword-separable objective
+    # (verified: identical confusion matrix to maxIter=20 on the
+    # fixtures) — each extra iteration is a full treeAggregate pass
+    model = train_text_classifier(train, "text", "label", max_iter=12)
     scored = score_documents(model, holdout, "doc_id", "text")
     return (
         scored.join(holdout.select("doc_id", "label"), "doc_id")
