@@ -121,3 +121,31 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_order_primitives_partition_invariant(spark, sf_dir):
+    """The global-order primitives (row ids / running sums / NTILE-style
+    bucketing built on them) must be BIT-identical at any parallelism —
+    the property that makes shard assignment reproducible across
+    cluster layouts. Run x40's manifest pipeline shape at 3 and 17
+    partitions and require equal output."""
+    from nagios_custom_etl_spark.operators.ids import global_row_ids, global_running_sum
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    outs = []
+    for n in (3, 17):
+        cum = global_running_sum(
+            df.repartition(n), [F.col("doc_id")], "v", "running", num_partitions=n
+        )
+        ids = global_row_ids(
+            df.repartition(n), [F.col("doc_id")], "rid", num_partitions=n
+        )
+        outs.append(
+            (
+                sorted(map(tuple, cum.select("doc_id", "running").collect())),
+                sorted(map(tuple, ids.select("doc_id", "rid").collect())),
+            )
+        )
+    assert outs[0] == outs[1]
