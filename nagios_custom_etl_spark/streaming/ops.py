@@ -20,12 +20,37 @@ drive them with AvailableNow + a memory sink (`run_to_memory`).
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.catalog import EXPECTED_COLUMNS
+
+# Streaming state stores are PER SHUFFLE PARTITION, and the partition
+# count is frozen into the checkpoint when the query first starts —
+# there is no AQE for streaming. So the right number is a function of
+# expected STATE volume (rows per store, store open/commit overhead),
+# not the batch shuffle default: the fixture's whole state fits in KBs,
+# where 32 stores cost ~6s of pure open/commit overhead per query
+# (measured: st9 10.8s @ 32 -> 2.7s @ 4). At 100 TB you size this as
+# state_rows / ~1M-per-store and accept that changing it means a new
+# checkpoint lineage.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Scope `spark.sql.shuffle.partitions` around a streaming run (set
+    before .start(), restored after termination). Batch plans regain the
+    session default — and AQE re-plans those anyway."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,14 +161,15 @@ def run_to_memory(
     checkpointLocation. The memory sink appends rows in every mode, so
     update-mode callers see one row per (key, batch) and take the last."""
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return name
 
 
@@ -223,14 +249,15 @@ def incremental_rollup(spark: SparkSession, source: DataFrame, out_dir: str, ckp
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(incremental_rollup_sink(out_dir))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(incremental_rollup_sink(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # window_start is a plain data column now (the partition key is the
     # derived day chunk) — drop the chunk column on read-back
     return spark.read.parquet(out_dir).select(
