@@ -137,6 +137,11 @@ def embedding_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+# (session, assigned, centroids) per (session, input-plan, k, seed) —
+# see ivf_build's index-memo note
+_IVF_MEMO: dict = {}
+
+
 def ivf_build(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16, seed: int = 42
 ) -> tuple[DataFrame, list[list[float]]]:
@@ -164,6 +169,17 @@ def ivf_build(
             F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_arr")
         ).withColumn("features", array_to_vector("_arr"))
     )
+    # index memo: an IVF index is built once and probed many times — a
+    # second build over the same input/params (e.g. the recall gate after
+    # the search query) must not re-run Lloyd iterations. Keyed by plan
+    # semantics + params, scoped to the session like cache_once.
+    try:
+        memo_key = (id(df.sparkSession), feats.semanticHash(), n_cells, seed)
+    except Exception:  # noqa: BLE001 — analysis failure: skip memoization
+        memo_key = None
+    hit = _IVF_MEMO.get(memo_key) if memo_key else None
+    if hit is not None and hit[0] is df.sparkSession:
+        return hit[1], hit[2]
     km = KMeans(
         k=n_cells, seed=seed, maxIter=10, featuresCol="features", predictionCol="cell_id"
     )
@@ -174,6 +190,8 @@ def ivf_build(
         )
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if memo_key:
+        _IVF_MEMO[memo_key] = (df.sparkSession, assigned, centroids)
     return assigned, centroids
 
 
