@@ -2540,3 +2540,147 @@ def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "x42_incremental_neardup_flags",
+    oracle=f"""
+    -- batch (doc_id >= 450) screened against corpus (doc_id < 450):
+    -- exact shingle-Jaccard >= threshold; the LSH banding (32 hashes /
+    -- 8 bands) has total recall at this threshold on the fixtures
+    -- (asserted vs the exact pair set in tests), so the flag set is
+    -- exact-threshold here too.
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_shared
+      FROM shingled b JOIN shingled c
+        ON b.shingle = c.shingle AND b.doc_id >= 450 AND c.doc_id < 450
+      GROUP BY 1, 2
+    )
+    SELECT batch_id AS doc_id,
+           COUNT(*) AS n_near_dups,
+           MAX(CAST(n_shared AS DOUBLE) / (sb.n_sh + sc.n_sh - n_shared)) AS max_jaccard
+    FROM shared
+    JOIN sizes sb ON shared.batch_id = sb.doc_id
+    JOIN sizes sc ON shared.corpus_id = sc.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sb.n_sh + sc.n_sh - n_shared) >= {JACCARD_THRESHOLD}
+    GROUP BY batch_id ORDER BY doc_id
+    """,
+    doc="X42 incremental-ingest dedup: flag each incoming batch document "
+    "with >= 1 near-duplicate in the standing corpus "
+    "(operators/dedup.py::near_dup_flags_vs_corpus) — corpus signatures "
+    "are computed once per refresh and bucket-joined against only the "
+    "incoming batch, never batch x corpus. The per-micro-batch screen "
+    "of a continuously ingesting pipeline.",
+)
+def x42_incremental_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import near_dup_flags_vs_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 450)
+    corpus = d.filter(F.col("doc_id") < 450)
+    return near_dup_flags_vs_corpus(
+        batch, corpus, "doc_id", "text", threshold=JACCARD_THRESHOLD
+    ).orderBy("doc_id")
+
+
+@register(
+    "x43_frame_sample_stats",
+    oracle="""
+    -- frame sampling fan-out is pure arithmetic on payload size:
+    -- frames per media = least(floor(n_bytes/64) + 1, 8), offsets
+    -- 0, 64, 128, ... — so per-mime totals are SQL-predictable.
+    SELECT CASE WHEN n_chars % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           COUNT(*) AS n_media,
+           SUM(least(octet_length(encode(text)) // 64 + 1, 8)) AS n_frames,
+           SUM((least(octet_length(encode(text)) // 64 + 1, 8) - 1)
+               * least(octet_length(encode(text)) // 64 + 1, 8) // 2 * 64) AS total_offset
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="X43 bounded frame sampling (operators/multimodal.py::frame_sample): "
+    "the 1->N explode shape of video frame extraction with constant "
+    "max fan-out, validated via arithmetic-predicted per-mime frame and "
+    "offset totals.",
+)
+def x43_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n_bytes=64, max_frames=8)
+    mime = media.select("media_id", F.col("meta.mime").alias("mime"))
+    return (
+        frames.join(mime, "media_id")
+        .groupBy("mime")
+        .agg(
+            F.count_distinct("media_id").alias("n_media"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("byte_offset").alias("total_offset"),
+        )
+        .orderBy("mime")
+    )
+
+
+@register(
+    "x44_compaction_roundtrip",
+    oracle=None,  # file-count targets are filesystem-side; row fidelity is
+    # the rows-only check here, file sizing asserted in tests
+    doc="X44 small-file compaction (operators/maintenance.py): routed "
+    "streaming sink output (one file per route per batch) rewritten to "
+    "size-targeted files, partitioning preserved — the OPTIMIZE job of "
+    "K4/K6 sinks. Returns per-route row counts read back from the "
+    "compacted table (must equal the pre-compaction table).",
+)
+def x44_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.maintenance import compact_parquet
+
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    dest = tempfile.mkdtemp(prefix="compact_dest_")
+    ev = load_table(spark, sf_dir, "events")
+    # simulate the per-batch small-file pile: 16 files per route
+    ev.select("event_id", "event_type", "value").repartition(16).write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(src)
+    compact_parquet(spark, src, dest, target_file_bytes=8 << 20,
+                    preserve_partitioning=["event_type"])
+    return (
+        spark.read.parquet(dest)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x45_arrow_checksum",
+    oracle="""
+    -- ASCII corpus: the payload byte sum equals the character-code sum
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split_regex(text, ''), c -> ord(c)))
+                AS BIGINT) AS byte_sum
+    FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id
+    """,
+    doc="X45 mapInArrow kernel (operators/multimodal.py::checksum_arrow): "
+    "RecordBatch-level processing with zero pandas materialization — the "
+    "fast lane for binary-heavy columns. Byte sums validated against the "
+    "oracle's character-code arithmetic (ASCII corpus).",
+)
+def x45_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.multimodal import checksum_arrow, documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = documents_as_media(docs)
+    return checksum_arrow(media).select(
+        F.col("media_id").alias("doc_id"), "byte_sum"
+    ).orderBy("doc_id")
