@@ -180,8 +180,17 @@ def ivf_build(
     hit = _IVF_MEMO.get(memo_key) if memo_key else None
     if hit is not None and hit[0] is df.sparkSession:
         return hit[1], hit[2]
+    # random init, not k-means||: the parallel init spends 2+ extra full
+    # passes refining seeds that 10 Lloyd iterations re-fit anyway — for a
+    # COARSE quantizer (cells, not clusters-as-answers) random seeding is
+    # the standard choice (cf. faiss) and 3× cheaper to build
     km = KMeans(
-        k=n_cells, seed=seed, maxIter=10, featuresCol="features", predictionCol="cell_id"
+        k=n_cells,
+        seed=seed,
+        maxIter=10,
+        initMode="random",
+        featuresCol="features",
+        predictionCol="cell_id",
     )
     model = km.fit(feats)
     assigned = cache_once(
