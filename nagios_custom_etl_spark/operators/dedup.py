@@ -490,6 +490,87 @@ def connected_components(
     return labels
 
 
+def connected_components_stars(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-diameter path: converges in O(log² n)
+    rounds where min-label propagation needs O(diameter).
+
+    Each round rewires the edge set toward per-component stars centered
+    at the minimum node:
+
+    * large-star (per node u, m = min(N(u) ∪ {u})): every strictly
+      larger neighbor v > u re-attaches to m;
+    * small-star: every neighbor v <= u (and u itself) attaches to m.
+
+    Both are one groupBy (per-node min) + one join (re-emit edges) on
+    uniform node keys; lineage is cut per round with localCheckpoint.
+    Convergence = the edge set is a fixed point (same count and same
+    bit_xor of edge hashes — order-insensitive, overflow-free,
+    collision odds ~2^-64 per round). Use this over ``connected_components`` when components can
+    be long paths (near-dup graphs are dense cliques, so the min-label
+    loop usually wins there).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    isolated = pairs.select(F.col(id_a).alias("u")).where(F.col(id_a) == F.col(id_b))
+
+    def _signature(ed: DataFrame) -> tuple[int, int]:
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    def _star(ed: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}; every node with an edge appears as u
+        m = ed.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("_m"))
+        joined = ed.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("_m").alias("v")
+            )
+        else:
+            out = (
+                joined.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .unionByName(m.select("u", F.col("_m").alias("v")))
+            )
+        sym = out.filter(F.col("u") != F.col("v"))
+        return (
+            sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point: per-component stars — each non-center node has its
+    # component min among its neighbors; centers label themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
+        F.col("u").alias("node"), F.least("u", "_m").alias("component")
+    )
+    return labels.unionByName(
+        isolated.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    ).distinct()
+
+
 def near_dup_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -2684,3 +2684,66 @@ def x45_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum_arrow(media).select(
         F.col("media_id").alias("doc_id"), "byte_sum"
     ).orderBy("doc_id")
+
+
+@register(
+    "x46_neardup_components_stars",
+    oracle=f"""
+    -- same exact-Jaccard component closure as x13/x33, computed by the
+    -- alternating large-star/small-star algorithm engine-side: the
+    -- oracle is algorithm-independent (recursive reachability).
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i : i + {SHINGLE_N} - 1], ' ')
+                FOR i IN range(1, greatest(length(toks) - {SHINGLE_N} + 1, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON shared.id_a = sa.doc_id
+      JOIN sizes sb ON shared.id_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members
+    FROM comp GROUP BY component ORDER BY component
+    """,
+    doc="X2/X13 alternative closure path: connected components via "
+    "alternating large-star/small-star rounds (Kiveris et al. SoCC'14, "
+    "operators/dedup.py::connected_components_stars) — O(log² n) rounds "
+    "on adversarial diameters where min-label propagation is "
+    "O(diameter). Same verified near-dup edge set as x13; the oracle "
+    "checks the labeling is algorithm-independent.",
+)
+def x46_neardup_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import connected_components_stars
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, SHINGLE_N)
+    comp = connected_components_stars(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )

@@ -310,3 +310,35 @@ def test_minhash_pairs_equal_exact_pairs_on_fixture(spark, sf_dir):
         for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
     }
     assert exact == mh and len(exact) > 0
+
+
+def test_stars_cc_equals_minlabel_and_bounds_rounds(spark):
+    """connected_components_stars must label identically to min-label
+    propagation, and converge on a 120-node shuffled chain within
+    far fewer rounds than the diameter (O(log² n) vs O(n))."""
+    import random
+
+    from nagios_custom_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    base = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    stars = {r["node"]: r["component"] for r in connected_components_stars(pairs).collect()}
+    assert stars == base
+
+    nodes = list(range(5000, 5120))
+    random.Random(3).shuffle(nodes)
+    chain = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in zip(nodes, nodes[1:])], "id_a long, id_b long"
+    )
+    # diameter 119: min-label would need ~119 rounds; stars gets 12
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_stars(chain, max_iterations=12).collect()
+    }
+    assert got == {n: min(nodes) for n in nodes}
