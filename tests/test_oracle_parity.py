@@ -41,3 +41,37 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) > 0
+
+
+def test_harness_rejects_wrong_results(spark, sf_dir):
+    """Meta-test: the differential harness must actually FAIL on value
+    drift, row-count drift, and column drift — a green wall is only
+    meaningful if the comparator can go red."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from tests.oracle_utils import compare_query
+
+    oracle = "SELECT doc_id, n_chars FROM documents WHERE doc_id < 10 ORDER BY doc_id"
+
+    def right(s, d):
+        return load_table(s, d, "documents").filter(F.col("doc_id") < 10).select(
+            "doc_id", "n_chars"
+        )
+
+    compare_query(spark, sf_dir, right, oracle)  # sanity: the true pair passes
+
+    def value_drift(s, d):
+        return right(s, d).withColumn("n_chars", F.col("n_chars") + 1)
+
+    def count_drift(s, d):
+        return right(s, d).limit(5)
+
+    def column_drift(s, d):
+        return right(s, d).withColumnRenamed("n_chars", "chars")
+
+    for wrong in (value_drift, count_drift, column_drift):
+        with pytest.raises(AssertionError):
+            compare_query(spark, sf_dir, wrong, oracle)
