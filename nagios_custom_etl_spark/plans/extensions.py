@@ -2747,3 +2747,124 @@ def x46_neardup_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("component")
     )
+
+
+@register(
+    "ep4_corpus_curation_pipeline",
+    oracle=f"""
+    -- the full curation chain as one SQL program: exact-dedup keepers
+    -- -> decontamination against a held-out eval slice (shared 5-grams)
+    -- -> quality gate -> sliding-window chunking -> token-budget shard
+    -- manifest (global running sum in (doc_id, chunk_idx) order).
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents)
+      GROUP BY fp
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest(shingles) AS shingle
+      FROM (
+        SELECT [array_to_string(toks[i : i + 4], ' ')
+                FOR i IN range(1, greatest(length(toks) - 4, 1) + 1)] AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents WHERE doc_id % 100 = 0)
+      )
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM (
+        SELECT doc_id, unnest(list_distinct(shingles)) AS shingle
+        FROM (
+          SELECT doc_id,
+                 [array_to_string(toks[i : i + 4], ' ')
+                  FOR i IN range(1, greatest(length(toks) - 4, 1) + 1)] AS shingles
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents)
+        )
+      ) s JOIN eval_sh e ON s.shingle = e.shingle
+    ),
+    clean AS (
+      SELECT d.doc_id, list_filter(string_split(d.text, ' '), t -> t <> '') AS ts
+      FROM documents d
+      JOIN keepers k ON d.doc_id = k.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND d.doc_id % 100 <> 0
+        AND d.n_chars BETWEEN 100 AND 5000
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(len(ts[start_tok : start_tok + {CHUNK_TOKENS} - 1]) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT doc_id, ts,
+               unnest(range(1, greatest(len(ts), 1) + 1, {CHUNK_STRIDE})) AS start_tok
+        FROM clean
+      )
+    ),
+    cum AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM chunks
+    )
+    SELECT (running - n_tokens) // {SHARD_TOKEN_BUDGET} AS shard_id,
+           COUNT(*) AS n_chunks,
+           SUM(n_tokens) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+    doc="EP4 capstone composite: the complete corpus-curation pass a "
+    "pre-training run ships — exact dedup (X1 keepers) -> benchmark "
+    "decontamination against a held-out eval slice (X14, broadcastable "
+    "eval shingles) -> length gate (X4) -> sliding-window chunking "
+    "(X25) -> deterministic token-budget shard manifest (X40, "
+    "range-partitioned running sum). One lazy plan end to end; every "
+    "stage's shuffle key is uniform (fingerprint, shingle, doc, range "
+    "partition). The eval slice is doc_id % 100 == 0 and eval docs are "
+    "excluded from the output corpus.",
+)
+def ep4_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import decontaminate, exact_dedup
+    from nagios_custom_etl_spark.operators.ids import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup(d, "doc_id", "text").select("doc_id")
+    evalset = d.filter(F.col("doc_id") % 100 == 0)
+    contaminated = decontaminate(d, evalset, "doc_id", "text", shingle_n=5).select("doc_id")
+    clean = (
+        d.join(keepers, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter((F.col("doc_id") % 100 != 0) & F.col("n_chars").between(100, 5000))
+    )
+    toks_arr = clean.select("doc_id", tokens("text").alias("ts"))
+    sz = F.size("ts")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(sz, F.lit(1)), F.lit(CHUNK_STRIDE))
+    ).alias("start_tok")
+    chunk = F.slice("ts", F.col("start_tok"), CHUNK_TOKENS)
+    chunks = toks_arr.select("doc_id", "ts", starts).select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+    cum = global_running_sum(
+        chunks, [F.col("doc_id"), F.col("chunk_idx")], "n_tokens", "running"
+    )
+    return (
+        cum.select(
+            ((F.col("running") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("shard_id")
+    )
