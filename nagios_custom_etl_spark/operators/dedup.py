@@ -633,7 +633,10 @@ def decontaminate(
     ever outgrows broadcast, the join degrades gracefully to a shuffle
     on uniformly-distributed shingle keys.
     """
-    train_sh = _exploded_shingles(train, id_col, text_col, shingle_n, distinct=True)
+    # cache_once: the corpus-side 5-gram explode is the expensive leg and
+    # recurs across queries (the standalone scrub and the curation
+    # pipeline capstone share it within a session)
+    train_sh = cache_once(_exploded_shingles(train, id_col, text_col, shingle_n, distinct=True))
     eval_sh = (
         _exploded_shingles(evalset, id_col, text_col, shingle_n, distinct=True)
         .select(F.col("_s"))
