@@ -98,3 +98,57 @@ def vocab_overlap_theta(docs: DataFrame, lang_a: str, lang_b: str, text_col: str
         only_a.alias("n_only_a_est"),
         (inter / union).alias("jaccard_est"),
     )
+
+
+def count_min_buckets(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``(seed, bucket, n)`` counts over
+    ``depth`` independent hash rows of ``width`` buckets. The whole
+    sketch is depth×width rows regardless of stream size — the
+    mergeable, constant-space frequency summary (Cormode & Muthukrishnan
+    2005). Bucketing uses md5 (identical across engines, so estimates
+    are exactly oracle-checkable) — at production scale swap in
+    xxhash64 for speed; the sketch algebra is hash-agnostic.
+
+    Fan-out is depth× the item stream map-side, collapsed by the
+    map-side-combined groupBy to depth×width rows on the wire.
+    """
+    seeded = items.select(F.col(item_col).alias("_it")).select(
+        "_it", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("_it"))), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+    return (
+        seeded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_estimates(
+    buckets: DataFrame, queries: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` against a
+    ``count_min_buckets`` table: estimate = min over the depth rows of
+    the bucket count the item hashes into. Never underestimates; the
+    overshoot is bounded by (stream_len / width) per row w.h.p."""
+    q = queries.select(F.col(item_col)).distinct().select(
+        item_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col(item_col))), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+    return (
+        q.select(item_col, "seed", bucket.alias("bucket"))
+        .join(F.broadcast(buckets), ["seed", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_n"))
+    )

@@ -2868,3 +2868,67 @@ def ep4_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+@register(
+    "x47_countmin_frequencies",
+    oracle=f"""
+    -- count-min sketch with md5 bucketing is engine-independent, so the
+    -- ESTIMATES themselves are exactly checkable: estimate(token) =
+    -- min over {CMS_DEPTH} seeds of the count in bucket
+    -- ('0x' || substr(md5(seed:token), 1, 8)) % {CMS_WIDTH}.
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 10
+    ),
+    seeded AS (
+      SELECT tok, s.seed,
+             ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS bucket
+      FROM toks, (SELECT unnest(range(0, {CMS_DEPTH})) AS seed) s
+    ),
+    buckets AS (
+      SELECT seed, bucket, COUNT(*) AS n FROM seeded GROUP BY seed, bucket
+    ),
+    qbuckets AS (
+      SELECT t.tok, s.seed,
+             ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS bucket
+      FROM top t, (SELECT unnest(range(0, {CMS_DEPTH})) AS seed) s
+    )
+    SELECT q.tok AS token, t.exact_n,
+           MIN(COALESCE(b.n, 0)) AS cms_n
+    FROM qbuckets q
+    JOIN top t ON q.tok = t.tok
+    LEFT JOIN buckets b ON q.seed = b.seed AND q.bucket = b.bucket
+    GROUP BY q.tok, t.exact_n
+    ORDER BY token
+    """,
+    doc="X20 family completion: count-min sketch frequency estimation "
+    "(operators/sketches.py) — constant depth×width state, mergeable, "
+    "never underestimates. md5 bucketing makes the ESTIMATES exactly "
+    "oracle-checkable cross-engine (xxhash64 is the production swap-in). "
+    "Output: top-10 tokens with exact vs sketch counts.",
+)
+def x47_countmin_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import (
+        count_min_buckets,
+        count_min_estimates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "token").limit(10)
+    buckets = count_min_buckets(toks, "token", CMS_DEPTH, CMS_WIDTH)
+    est = count_min_estimates(buckets, top, "token", CMS_DEPTH, CMS_WIDTH)
+    return top.join(est, "token").select("token", "exact_n", "cms_n").orderBy("token")

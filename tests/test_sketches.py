@@ -58,3 +58,29 @@ def test_theta_overlap_bounds_planted(spark):
     assert abs(out["n_common_est"] - 5_000) / 5_000 < 0.10
     assert abs(out["n_only_a_est"] - 5_000) / 5_000 < 0.10
     assert abs(out["jaccard_est"] - 1 / 3) < 0.05
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS guarantees estimate >= true count for every item; with a
+    planted heavy hitter the estimate is tight (collision overshoot is
+    bounded by stream_len/width)."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.sketches import (
+        count_min_buckets,
+        count_min_estimates,
+    )
+
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    items = spark.createDataFrame(rows, "item string")
+    exact = {r["item"]: r["n"] for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    buckets = count_min_buckets(items, "item", depth=4, width=64)
+    est = {
+        r["item"]: r["cms_n"]
+        for r in count_min_estimates(buckets, items, "item", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # 700 items over 64 buckets: expected overshoot ~11 per row; min over
+    # 4 independent rows keeps the heavy hitter's estimate tight
+    assert est["hot"] - exact["hot"] <= 60
