@@ -1,64 +1,223 @@
-"""Scalable global row-id assignment (SURVEY §2.12 extension surface).
+"""Scalable global row-id / running-sum assignment (SURVEY §2.12).
 
-Training-data pipelines need stable, contiguous integer ids (example
-indices, shard offsets, pack positions). The naive
-``row_number() OVER (ORDER BY ...)`` is a single-reducer global sort — a
-non-starter at 100 TB. This operator produces the identical numbering
-with balanced parallelism, the same two-pass scheme ``zipWithIndex`` uses
-but expressed over DataFrames:
+Training-data pipelines need stable, contiguous integer ids and corpus-wide
+prefix sums (example indices, shard offsets, pack positions). The naive
+``row_number()/SUM() OVER (ORDER BY ...)`` is a single-reducer global sort —
+a non-starter at 100 TB. These operators produce the identical numbering
+with balanced parallelism via an explicit-boundary two-pass scheme:
 
-  1. ``repartitionByRange`` on the (total) order key — Spark samples the
-     key distribution and builds balanced, *ordered* range partitions;
-  2. per-partition counts (one tiny row per partition) are cumulated on
-     the driver into partition offsets;
-  3. ``row_number`` windowed per partition id (each window is one range
-     partition, never the whole table) plus the offset = the global id.
+  1. collect ≤ ``num_partitions`` range-boundary key tuples from a
+     deterministic hash-sample of the order-key columns (one pruned scan);
+  2. assign each row a partition id ``_pid`` by comparing its key against
+     the broadcast boundary literals — ``_pid`` is a PURE FUNCTION of the
+     row's key values, never of physical layout, sampling, or caching;
+  3. per-partition counts/sums (one tiny row per partition) are cumulated
+     on the driver into partition offsets;
+  4. ``row_number``/``sum`` windowed per ``_pid`` (each window is one
+     bounded range, never the whole table) plus the offset = the result.
 
-The order key must be a total order (append a unique id as tiebreaker) —
-otherwise ties make ROW_NUMBER nondeterministic in any engine.
+Correct by construction: because ``_pid`` is a value function, pass 3 and
+pass 4 agree on every row's partition even if the upstream plan is
+recomputed, evicted from cache, or scanned with a different split layout —
+and the final answer is invariant to WHERE the boundaries fall (any
+contiguous split of the total order yields the same global prefix). This
+replaces a prior design whose correctness depended on a cached
+``repartitionByRange`` + ``spark_partition_id()`` staying resident — an
+answer must never depend on whether a cache survived.
+
+The order key must be a total order over non-null columns (append a unique
+id as tiebreaker) — ties would make ROW_NUMBER nondeterministic in any
+engine, and null keys have no boundary-comparison ordering.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import functools
+from typing import Union
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# An order key: "name" (ascending), ("name", "asc"|"desc"), or a plain /
+# .asc()/.desc() Column reference (parsed best-effort from its expression).
+OrderKey = Union[str, tuple, Column]
+
+_SAMPLE_MOD = 1 << 20  # hash-sample threshold granularity
+
+
+def _normalize_keys(order_by: list[OrderKey]) -> list[tuple[str, str]]:
+    keys: list[tuple[str, str]] = []
+    for k in order_by:
+        if isinstance(k, str):
+            keys.append((k, "asc"))
+        elif isinstance(k, tuple):
+            name, direction = k
+            direction = direction.lower()
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc|desc, got {direction!r}")
+            keys.append((name, direction))
+        elif isinstance(k, Column):
+            # a named column ref, optionally wrapped in SortOrder by
+            # .asc()/.desc(): "k" / "k DESC NULLS LAST" / "k ASC NULLS FIRST"
+            text = k._jc.toString()  # noqa: SLF001 — no public expr accessor
+            parts = text.split(" ")
+            if len(parts) == 1:
+                keys.append((parts[0], "asc"))
+            elif len(parts) >= 2 and parts[1] in ("ASC", "DESC"):
+                keys.append((parts[0], parts[1].lower()))
+            else:
+                raise TypeError(
+                    f"order key {text!r} is not a plain column reference; pass "
+                    "('name', 'asc'|'desc') tuples for computed keys (select "
+                    "the expression into a column first)"
+                )
+        else:
+            raise TypeError(f"unsupported order key {k!r}")
+    return keys
+
+
+def _sort_cols(keys: list[tuple[str, str]]) -> list[Column]:
+    return [F.col(n).desc() if d == "desc" else F.col(n).asc() for n, d in keys]
+
+
+def _driver_cmp(keys: list[tuple[str, str]]):
+    """Driver-side comparator matching the Spark sort order (non-null keys)."""
+
+    def cmp(a: tuple, b: tuple) -> int:
+        for i, (_, d) in enumerate(keys):
+            x, y = a[i], b[i]
+            if x == y:
+                continue
+            lt = x < y
+            if d == "desc":
+                lt = not lt
+            return -1 if lt else 1
+        return 0
+
+    return cmp
+
+
+def _collect_boundaries(
+    df: DataFrame, keys: list[tuple[str, str]], n: int
+) -> list[tuple]:
+    """≤ n-1 range-boundary key tuples from a deterministic hash-sample.
+
+    The sample filter is ``xxhash64(keys) % M < threshold`` — a pure
+    function of the key VALUES, independent of scan splits or partition
+    layout (unlike ``df.sample``, whose per-partition RNG changes with the
+    physical plan). Balance is best-effort; correctness of the caller does
+    not depend on boundary placement, only on ``_pid`` being a value
+    function, so even a degenerate sample yields the exact answer.
+    """
+    key_cols = [F.col(name) for name, _ in keys]
+    target = max(n * 32, 256)  # ~32 sampled keys per boundary
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    if cnt > target:
+        rate = min(1.0, (2.0 * target) / cnt)
+        thresh = max(1, int(_SAMPLE_MOD * rate))
+        sampled = df.where(
+            F.pmod(F.xxhash64(*key_cols), F.lit(_SAMPLE_MOD)) < F.lit(thresh)
+        ).select(*key_cols)
+    else:
+        sampled = df.select(*key_cols)
+    rows = [tuple(r) for r in sampled.collect()]
+    if not rows:  # astronomically unlikely non-empty input; single range
+        return []
+    for r in rows:
+        if any(v is None for v in r):
+            raise ValueError(
+                "order-by keys must be non-null for global ordering "
+                f"(got null in sampled key {r!r})"
+            )
+    cmp = _driver_cmp(keys)
+    rows.sort(key=functools.cmp_to_key(cmp))
+    bounds: list[tuple] = []
+    for i in range(1, n):
+        b = rows[(i * len(rows)) // n]
+        if not bounds or cmp(bounds[-1], b) != 0:
+            bounds.append(b)
+    return bounds
+
+
+def _pid_expr(keys: list[tuple[str, str]], bounds: list[tuple]) -> Column:
+    """Partition id = number of boundaries at-or-before the row's key in
+    the total order — a broadcast-literal comparison ladder, fully
+    codegen'd, no shuffle and no data dependence beyond the key columns."""
+
+    def at_or_after(b: tuple) -> Column:
+        # direction-aware lexicographic (row >= b), built innermost-out:
+        # ge_i = gt_i OR (eq_i AND ge_{i+1}); ge beyond last key = true
+        cond = F.lit(True)
+        for i in reversed(range(len(keys))):
+            name, d = keys[i]
+            c, lit = F.col(name), F.lit(b[i])
+            gt = (c < lit) if d == "desc" else (c > lit)
+            cond = gt | ((c == lit) & cond)
+        return cond
+
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(at_or_after(b), 1).otherwise(0)
+    return pid.cast("int")
+
+
+def _two_pass(
+    df: DataFrame,
+    order_by: list[OrderKey],
+    num_partitions: int | None,
+    agg_col: Column,
+):
+    """Shared scaffolding: boundary collection, pid assignment, per-pid
+    aggregate offsets. Returns (df_with_pid, offsets_df, sort_cols)."""
+    from nagios_custom_etl_spark.catalog import cache_once
+
+    keys = _normalize_keys(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # perf-only cache (three pruned passes: count, sample, per-pid aggs) —
+    # correctness no longer depends on residency: _pid is a value function
+    df = cache_once(df)
+    bounds = _collect_boundaries(df, keys, n)
+    with_pid = df.withColumn(
+        "_pid", _pid_expr(keys, bounds) if bounds else F.lit(0).cast("int")
+    )
+    n_pids = len(bounds) + 1
+    per_pid = {
+        r["_pid"]: r["_agg"]
+        for r in with_pid.groupBy("_pid").agg(agg_col.alias("_agg")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_pids):
+        offsets.append((pid, acc))
+        acc += per_pid.get(pid) or 0
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return with_pid, offsets_df, _sort_cols(keys)
 
 
 def global_row_ids(
     df: DataFrame,
-    order_by: list[Column],
+    order_by: list[OrderKey],
     id_name: str = "row_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a 0-based contiguous ``id_name`` column numbering rows in the
-    total order given by ``order_by`` (list of sort-direction Columns,
-    e.g. ``[F.col("n_chars").desc(), F.col("doc_id")]``).
+    total order given by ``order_by`` — identical to
+    ``ROW_NUMBER() OVER (ORDER BY ...) - 1`` with no single-reducer sort.
 
-    Deterministic given deterministic input: range boundaries come from
-    seeded sampling, and rows with equal keys hash to one partition, so
-    the (partition, local rank) pair is stable across retries.
+    Deterministic by construction: the partition id is a pure function of
+    the row's key values (broadcast boundary comparison), so the numbering
+    is bit-identical across cluster layouts, parallelism, cache state, and
+    retries — see the module docstring.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    with_pid, offsets_df, sort_cols = _two_pass(
+        df, order_by, num_partitions, F.count(F.lit(1))
     )
-    # cache: the counts action and the final plan must see the same
-    # partition layout without re-running the upstream plan twice
-    from nagios_custom_etl_spark.catalog import cache_once
-
-    ranged = cache_once(ranged)
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-    )
-    w = Window.partitionBy("_pid").orderBy(*order_by)
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
-        ranged.join(F.broadcast(offsets_df), "_pid")
+        with_pid.join(F.broadcast(offsets_df), "_pid")
         .withColumn(id_name, F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
@@ -66,48 +225,28 @@ def global_row_ids(
 
 def global_running_sum(
     df: DataFrame,
-    order_by: list[Column],
+    order_by: list[OrderKey],
     value_col: str,
     sum_name: str = "running_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add an inclusive global running sum of ``value_col`` in the total
-    order given by ``order_by`` — the same two-pass range-partition
-    scheme as ``global_row_ids``, accumulating per-partition SUMS instead
-    of counts. The primitive behind deterministic token-budget sharding
-    and curriculum scheduling: a cumulative quantity over a corpus-wide
-    order with no single-reducer window.
-
-    Pass 1 exchanges one (partition, sum) row per partition; pass 2 is a
-    per-range-partition window — each window covers one balanced
-    partition, never the table.
+    order given by ``order_by`` — the same explicit-boundary scheme as
+    ``global_row_ids``, accumulating per-partition SUMS instead of counts.
+    The primitive behind deterministic token-budget sharding and
+    curriculum scheduling: a cumulative quantity over a corpus-wide order
+    with no single-reducer window, bit-identical across layouts.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    from nagios_custom_etl_spark.catalog import cache_once
-
-    ranged = cache_once(ranged)
-    sums = {
-        r["_pid"]: r["s"]
-        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    with_pid, offsets_df, sort_cols = _two_pass(
+        df, order_by, num_partitions, F.sum(value_col)
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(*order_by)
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.join(F.broadcast(offsets_df), "_pid")
+        with_pid.join(F.broadcast(offsets_df), "_pid")
         .withColumn(sum_name, F.col("_offset") + F.sum(value_col).over(w))
         .drop("_pid", "_offset")
     )
