@@ -46,10 +46,12 @@ HEADLINE = [
     "x17_boilerplate_ratio",
     "x18_global_row_ids",
     "x4i_bigram_lm_score",
-    # streaming representative: micro-batch tumbling rollup through a real
-    # writeStream/foreachBatch sink — streaming-path perf regressions are
-    # invisible to a batch-only headline
+    # streaming representatives: micro-batch tumbling rollup through a real
+    # writeStream/foreachBatch sink, plus a STATEFUL entry
+    # (applyInPandasWithState streaks) so state-store regressions are
+    # visible — streaming-path perf is invisible to a batch-only headline
     "st7_incremental_rollup",
+    "st6_stateful_error_streaks",
 ]
 
 

@@ -101,6 +101,29 @@ def _scan_is_starved(path: str, parallelism: int, min_bytes: int = _SPREAD_MIN_B
     return starved
 
 
+def _session_alive(spark: SparkSession) -> bool:
+    """False once ``spark.stop()`` ran (the context nulls its JVM ref).
+    Session-scoped memos purge dead entries on access so a long-lived
+    process that builds a session per query (the driver's scoring loop)
+    doesn't pin stopped sessions and their py4j graphs forever, and a
+    stale hit can never be resurrected into a new session (ADVICE r3)."""
+    try:
+        return spark._sc._jsc is not None  # noqa: SLF001 — no public probe
+    except Exception:  # noqa: BLE001 — partially-torn-down session
+        return False
+
+
+def _purge_dead_sessions() -> None:
+    for key in [k for k, v in _TABLE_MEMO.items() if not _session_alive(v[0])]:
+        _TABLE_MEMO.pop(key, None)
+    for key, entries in list(_CACHE_MEMO.items()):
+        live = [(s, df) for s, df in entries if _session_alive(s)]
+        if live:
+            _CACHE_MEMO[key] = live
+        else:
+            _CACHE_MEMO.pop(key, None)
+
+
 # Analyzed-DataFrame memo: (session identity, sf_dir, table) -> DataFrame.
 # spark.read.parquet re-lists the path and re-reads footers on EVERY call;
 # for a registry of 100+ small queries that driver-side analysis cost
@@ -122,6 +145,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    _purge_dead_sessions()
     memo_key = (id(spark), sf_dir, name)
     hit = _TABLE_MEMO.get(memo_key)
     if hit is not None and hit[0] is spark:
@@ -164,6 +188,7 @@ _CACHE_MEMO: dict[tuple[int, int], list[tuple[SparkSession, DataFrame]]] = {}
 
 def cache_once(df: DataFrame) -> DataFrame:
     """``df.cache()`` deduplicated by plan semantics within a session."""
+    _purge_dead_sessions()
     spark = df.sparkSession
     try:
         key = (id(spark), df.semanticHash())

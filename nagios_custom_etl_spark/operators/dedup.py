@@ -411,7 +411,12 @@ def novelty_curve(
             F.col("_id").alias(id_col),
             "n_sh",
             "n_new",
-            (F.col("n_new").cast("double") / F.col("n_sh")).alias("novelty"),
+            # fixed-scale HALF_UP round (registry convention, = DuckDB
+            # round-on-DOUBLE): the single int/int division is
+            # IEEE-identical cross-engine, but rounding the hash surface
+            # removes any last-ulp sensitivity to evaluation order in
+            # either engine (VERDICT r3 hardening)
+            F.round(F.col("n_new").cast("double") / F.col("n_sh"), 6).alias("novelty"),
         )
         .orderBy(id_col)
     )
@@ -910,6 +915,71 @@ def near_dup_flags_vs_corpus(
     verified = jaccard_verify(everything, cands, id_col, text_col, threshold, shingle_n)
     return (
         verified.groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dups"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def exact_neardup_flags_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact counterpart of ``near_dup_flags_vs_corpus``: the same
+    (id, n_near_dups, max_jaccard) flag set via the inverted shingle
+    index instead of MinHash candidates — total recall at the threshold
+    by construction, where LSH recall at J≈threshold is probabilistic
+    (~40% per pair at J=0.5 with 32 hashes/8 bands). The oracle-checkable
+    path (ADVICE r3); LSH remains the bucketed scale path for batches
+    where the shingle join is too hot.
+
+    Same batch×bucket discipline: the corpus index joins only shingles
+    the batch actually contains (never batch × corpus), and ``max_df``
+    caps fan-out on the corpus document frequency exactly as in
+    ``ngram_jaccard_pairs`` (numerator and denominators both computed
+    over the capped universe, so the metric stays self-consistent).
+    """
+    bsh = cache_once(
+        _exploded_shingles(batch, id_col, text_col, shingle_n, distinct=True).select(
+            "_id", F.col("_s").alias("shingle")
+        )
+    )
+    csh = _exploded_shingles(corpus, id_col, text_col, shingle_n, distinct=True).select(
+        "_id", F.col("_s").alias("shingle")
+    )
+    if max_df is not None:
+        rare = (
+            csh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        csh = csh.join(rare, "shingle", "left_semi")
+        bsh = bsh.join(rare, "shingle", "left_semi")
+    csh = cache_once(csh)
+    b_sizes = bsh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_b"))
+    c_sizes = csh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_c"))
+    shared = (
+        bsh.alias("b")
+        .join(csh.alias("c"), "shingle")
+        .groupBy(F.col("b._id").alias("id_b"), F.col("c._id").alias("id_c"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_b") + F.col("n_c") - F.col("n_shared")
+    )
+    return (
+        shared.join(b_sizes.select(F.col("_id").alias("id_b"), "n_b"), "id_b")
+        .join(c_sizes.select(F.col("_id").alias("id_c"), "n_c"), "id_c")
+        .select("id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_near_dups"),
             F.max("jaccard").alias("max_jaccard"),

@@ -97,10 +97,16 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int]:
     header_size = struct.unpack_from("<I", payload, 14)[0]
     if header_size >= 40:
         width, height = struct.unpack_from("<ii", payload, 18)
-    else:  # BITMAPCOREHEADER: 16-bit dims
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+    else:  # BITMAPCOREHEADER: 16-bit dims, bcBitCount at offset 24
         width, height = struct.unpack_from("<hh", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 24)[0]
     height = abs(height)  # negative = top-down row order
-    row_size = (3 * width + 3) // 4 * 4  # 24bpp rows pad to 4 bytes
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    # rows pad to 4-byte boundaries at ANY depth; hardcoding 24bpp here
+    # made valid 8/16/32bpp files checksum the wrong region (ADVICE r3)
+    row_size = (bpp * width + 31) // 32 * 4
     pixels = payload[pixel_off : pixel_off + row_size * height]
     if len(pixels) != row_size * height:
         raise ValueError("truncated BMP pixel buffer")

@@ -288,6 +288,45 @@ def x3d_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x3f_ann_ivf_join",
+    oracle=None,  # k-means cells are engine-specific; recall@10 vs the
+    # exact join is the regression contract, parity proven in tests
+    doc="X3 IVF-routed top-k JOIN (operators/similarity.py::"
+    "cosine_topk_join_ivf): per-query neighbors WITHOUT broadcasting the "
+    "query side — queries rank the broadcast centroid table map-side, "
+    "keep n_probe cells, equi-join on cell_id, window top-k. The "
+    "non-broadcastable-query-side path VERDICT r3 asked for; probing all "
+    "cells reproduces the brute-force join exactly (tested). Output: "
+    "recall@10 vs the exact join for 5 probe queries (n_probe=3 of 8).",
+)
+def x3f_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import (
+        cosine_topk_join,
+        cosine_topk_join_ivf,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") < 5)
+    k = 10
+    exact = cosine_topk_join(
+        em, qs, "embedding", "vec_id", "embedding", "vec_id", k=k
+    ).select("query_id", "nbr_id")
+    approx = cosine_topk_join_ivf(
+        em, qs, "embedding", "vec_id", "embedding", "vec_id",
+        k=k, n_cells=8, n_probe=3, seed=42,
+    ).select("query_id", "nbr_id")
+    return (
+        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4 — text analysis
 # ---------------------------------------------------------------------------
@@ -1892,8 +1931,7 @@ def x25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
            SUM(length(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
-           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)
-             AS avg_chars
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
     FROM documents GROUP BY source ORDER BY source
     """,
     doc="X26 per-domain corpus accounting (docs, languages, token mass, "
@@ -1908,9 +1946,11 @@ def x26_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("lang").alias("n_langs"),
             F.sum(F.size(tokens("text"))).alias("total_tokens"),
-            (
-                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
+            # bigint sum is exact and fits double; one IEEE division +
+            # fixed-scale HALF_UP round in BOTH engines (VERDICT r3
+            # hash-surface hardening)
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_chars"),
         )
         .orderBy("source")
@@ -2067,8 +2107,8 @@ def x32_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.doc_id,
            COUNT(*) AS n_sh,
            SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_new,
-           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS novelty
+           round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
     FROM shingled s JOIN firsts f ON s.shingle = f.shingle
     GROUP BY s.doc_id ORDER BY s.doc_id
     """,
@@ -2577,19 +2617,22 @@ def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY batch_id ORDER BY doc_id
     """,
     doc="X42 incremental-ingest dedup: flag each incoming batch document "
-    "with >= 1 near-duplicate in the standing corpus "
-    "(operators/dedup.py::near_dup_flags_vs_corpus) — corpus signatures "
-    "are computed once per refresh and bucket-joined against only the "
-    "incoming batch, never batch x corpus. The per-micro-batch screen "
-    "of a continuously ingesting pipeline.",
+    "with >= 1 near-duplicate in the standing corpus — the exact "
+    "inverted-index screen (operators/dedup.py::"
+    "exact_neardup_flags_vs_corpus) so the oracle's exact-threshold pair "
+    "set is matched with total recall; the corpus index joins only "
+    "shingles the batch contains, never batch x corpus. The MinHash-LSH "
+    "variant (near_dup_flags_vs_corpus, recall/FP-tested) is the scale "
+    "path when the batch shingle join runs hot (ADVICE r3: LSH recall at "
+    "J=threshold is probabilistic, so it cannot back an exact oracle).",
 )
 def x42_incremental_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nagios_custom_etl_spark.operators.dedup import near_dup_flags_vs_corpus
+    from nagios_custom_etl_spark.operators.dedup import exact_neardup_flags_vs_corpus
 
     d = load_table(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") >= 450)
     corpus = d.filter(F.col("doc_id") < 450)
-    return near_dup_flags_vs_corpus(
+    return exact_neardup_flags_vs_corpus(
         batch, corpus, "doc_id", "text", threshold=JACCARD_THRESHOLD
     ).orderBy("doc_id")
 
@@ -2641,12 +2684,19 @@ def x43_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compacted table (must equal the pre-compaction table).",
 )
 def x44_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
 
     from nagios_custom_etl_spark.operators.maintenance import compact_parquet
 
-    src = tempfile.mkdtemp(prefix="compact_src_")
-    dest = tempfile.mkdtemp(prefix="compact_dest_")
+    # deterministic per-process dirs + src cleanup (ADVICE r3): this runs
+    # on every pytest/verify/driver pass, so mkdtemp-per-invocation grew
+    # orphan parquet piles without bound. Overwrite mode handles reruns;
+    # dest must outlive the return (the result reads it lazily), so it is
+    # reused, not deleted.
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_x44_{os.getpid()}")
+    src, dest = os.path.join(base, "src"), os.path.join(base, "dest")
     ev = load_table(spark, sf_dir, "events")
     # simulate the per-batch small-file pile: 16 files per route
     ev.select("event_id", "event_type", "value").repartition(16).write.mode(
@@ -2654,6 +2704,7 @@ def x44_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).partitionBy("event_type").parquet(src)
     compact_parquet(spark, src, dest, target_file_bytes=8 << 20,
                     preserve_partitioning=["event_type"])
+    shutil.rmtree(src, ignore_errors=True)  # the pile served its purpose
     return (
         spark.read.parquet(dest)
         .groupBy("event_type")

@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,6 +204,11 @@ def incremental_rollup_sink(out_dir: str):
             return
         merged, self_read = batch_df, False
         try:
+            # only the missing-path (first batch) case may be swallowed:
+            # a transient IO/footer error here must FAIL the batch so the
+            # checkpoint retries — treating it as "first batch" would
+            # overwrite the touched days with only the batch's changed
+            # windows, silently dropping carried-forward rows (ADVICE r3)
             existing = spark.read.parquet(out_dir).filter(F.col("window_date").isin(days))
             # MERGE: update-mode batches emit only the CHANGED windows, so
             # rewriting a whole day chunk must carry forward that day's
@@ -216,7 +222,7 @@ def incremental_rollup_sink(out_dir: str):
             ).select(*[f.name for f in batch_df.schema.fields])
             merged = keep.unionByName(batch_df)
             self_read = True
-        except Exception:  # noqa: BLE001 — first batch: nothing materialized yet
+        except AnalysisException:  # first batch: output path not created yet
             pass
         merged = merged.repartition(max(len(days), 1), F.col("window_date"))
         if self_read:

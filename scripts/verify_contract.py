@@ -2,7 +2,14 @@
 sf_dir and compare against its oracle_sql() in DuckDB (sorted-column,
 order-insensitive, exact values). Usage:
 
-    python scripts/verify_contract.py [sf_dir]
+    python scripts/verify_contract.py [sf_dir] [--bare]
+
+``--bare`` is the hostile-session mode (VERDICT r3 task 2): a DEFAULT
+SparkSession — 1 g driver heap, 200 shuffle partitions, none of
+session.py's confs — with spark.memory.storageFraction squeezed to 0.05
+so cached blocks are evicted under pressure mid-run. Any query whose
+answer depends on cache residency or engine-session tuning flaps here.
+Run both modes serially before committing; both must print 0 failures.
 """
 
 from __future__ import annotations
@@ -18,9 +25,31 @@ from nagios_custom_etl_spark.session import get_spark  # noqa: E402
 from tests.oracle_utils import compare_query, duckdb_connection  # noqa: E402
 
 
+def bare_session():
+    """What the driver gets when it builds its own session: library
+    defaults only (1 g driver / 200 shuffle partitions / no engine
+    confs — per-query requirements come from ensure_session_confs inside
+    each registered query, exactly as they would for the driver), plus a
+    starved storage region to force cache eviction."""
+    from pyspark.sql import SparkSession
+
+    n = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName("verify-contract-bare")
+        .config("spark.memory.storageFraction", "0.05")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("verify-contract")
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = bare_session() if bare else get_spark("verify-contract")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
     timings: dict[str, float] = {}

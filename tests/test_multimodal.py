@@ -93,6 +93,32 @@ def test_bmp_decoder_handles_topdown_and_core_header():
         _decode_bmp(plain[:-4])
 
 
+def test_bmp_decoder_reads_bit_depth():
+    """ADVICE r3: row sizing must come from biBitCount, not assume 24bpp —
+    an 8bpp file has 4-byte-aligned 1-byte-per-pixel rows, a 32bpp file
+    4*width; both were mis-sized before."""
+    import struct as s
+
+    from nagios_custom_etl_spark.operators.multimodal import _decode_bmp
+
+    def bmp(width, height, bpp, fill):
+        row = (bpp * width + 31) // 32 * 4
+        pixels = bytes([fill]) * (row * height)
+        header = s.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54) + s.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0
+        )
+        return header + pixels, row
+
+    for bpp in (8, 16, 32):
+        payload, row = bmp(5, 3, bpp, 9)
+        assert _decode_bmp(payload) == (5, 3, 9 * row * 3)
+    bad, _ = bmp(5, 3, 24, 9)
+    bad = bytearray(bad)
+    s.pack_into("<H", bad, 28, 13)  # nonsense depth must fail loudly
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_bmp(bytes(bad))
+
+
 def test_frame_sample_bounded_fanout(spark, sf_dir):
     media = documents_as_media(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)

@@ -108,6 +108,49 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recalls[-1] == 1.0, "probing every cell IS brute force"
 
 
+def test_ivf_join_parity_and_monotonic_recall(spark, sf_dir):
+    """The IVF-routed top-k JOIN (non-broadcast query side, VERDICT r3
+    gap 4): probing ALL cells must reproduce the brute-force join
+    bit-for-bit (same (query, rank) → neighbor assignment, ties by id),
+    and recall vs exact must be monotonic in n_probe — both properties
+    hold under any fixture regeneration."""
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_join_ivf
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in cosine_topk_join(
+            em, qs, "embedding", "vec_id", "embedding", "vec_id", k=10
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in cosine_topk_join_ivf(
+            em, qs, "embedding", "vec_id", "embedding", "vec_id",
+            k=10, n_cells=8, n_probe=8, seed=42,
+        ).collect()
+    }
+    assert full == exact  # probe-all ≡ brute force, rank for rank
+    exact_sets: dict[int, set] = {}
+    for (qid, _), nbr in exact.items():
+        exact_sets.setdefault(qid, set()).add(nbr)
+    prev = None
+    for n_probe in (2, 4, 8):
+        hits = {}
+        for r in cosine_topk_join_ivf(
+            em, qs, "embedding", "vec_id", "embedding", "vec_id",
+            k=10, n_cells=8, n_probe=n_probe, seed=42,
+        ).collect():
+            hits.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        recall = sum(
+            len(hits.get(q, set()) & s) for q, s in exact_sets.items()
+        ) / sum(len(s) for s in exact_sets.values())
+        assert prev is None or recall >= prev, "recall must grow with n_probe"
+        prev = recall
+    assert prev == 1.0
+
+
 def test_int8_quantized_topk_recall(spark, sf_dir):
     """Quantized cosine ranking must closely track the exact ranking:
     top-10 overlap >= 8/10 on the fixture embeddings (values ~N(0, 0.1),
