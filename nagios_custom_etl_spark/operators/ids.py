@@ -7,7 +7,8 @@ a non-starter at 100 TB. These operators produce the identical numbering
 with balanced parallelism via an explicit-boundary two-pass scheme:
 
   1. collect ≤ ``num_partitions`` range-boundary key tuples from a
-     deterministic hash-sample of the order-key columns (one pruned scan);
+     hash-bucketed sample of the order-key columns (one pruned scan with
+     map-side partial aggregation — kilobytes shuffled);
   2. assign each row a partition id ``_pid`` by comparing its key against
      the broadcast boundary literals — ``_pid`` is a PURE FUNCTION of the
      row's key values, never of physical layout, sampling, or caching;
@@ -42,9 +43,6 @@ from pyspark.sql.window import Window
 # An order key: "name" (ascending), ("name", "asc"|"desc"), or a plain /
 # .asc()/.desc() Column reference (parsed best-effort from its expression).
 OrderKey = Union[str, tuple, Column]
-
-_SAMPLE_MOD = 1 << 20  # hash-sample threshold granularity
-
 
 def _normalize_keys(order_by: list[OrderKey]) -> list[tuple[str, str]]:
     keys: list[tuple[str, str]] = []
@@ -98,33 +96,54 @@ def _driver_cmp(keys: list[tuple[str, str]]):
     return cmp
 
 
-def _collect_boundaries(
-    df: DataFrame, keys: list[tuple[str, str]], n: int
-) -> list[tuple]:
-    """≤ n-1 range-boundary key tuples from a deterministic hash-sample.
+# auto-sized mode targets ~1M rows per range partition: big enough that a
+# per-partition sort/window is a real task, small enough to fit executor
+# memory; tiny inputs collapse to ONE partition (no boundary ladder at all)
+_TARGET_ROWS_PER_PARTITION = 1 << 20
 
-    The sample filter is ``xxhash64(keys) % M < threshold`` — a pure
-    function of the key VALUES, independent of scan splits or partition
-    layout (unlike ``df.sample``, whose per-partition RNG changes with the
-    physical plan). Balance is best-effort; correctness of the caller does
-    not depend on boundary placement, only on ``_pid`` being a value
-    function, so even a degenerate sample yields the exact answer.
+
+def _collect_boundaries(
+    df: DataFrame, keys: list[tuple[str, str]], n: int, auto_n: bool
+) -> list[tuple]:
+    """≤ n-1 range-boundary key tuples from a hash-bucketed sample, in ONE
+    job: group by ``xxhash64(keys) % (32*n)`` and take each bucket's MIN
+    key struct as its representative (plus the bucket's row count — the
+    total row count comes for free). Map-side partial aggregation reduces
+    every input task to ≤ 32*n rows before the (tiny) shuffle, so this is
+    a single pruned scan with a kilobyte shuffle — no separate count pass.
+    The representatives are hash-uniform over distinct keys (~32 per
+    boundary), and because the bucketing is a pure function of the key
+    VALUES they are independent of scan splits or physical layout (unlike
+    ``df.sample``'s per-partition RNG). Balance is best-effort; caller
+    correctness does not depend on boundary placement, only on ``_pid``
+    being a value function, so even a degenerate sample yields the exact
+    answer.
+
+    With ``auto_n`` (no explicit ``num_partitions``), the partition count
+    is clamped to ``ceil(total_rows / 1M)`` — a fixture-scale input gets a
+    single range (zero comparison-ladder codegen cost), a 10^9-row input
+    still fans out to the requested parallelism.
     """
     key_cols = [F.col(name) for name, _ in keys]
-    target = max(n * 32, 256)  # ~32 sampled keys per boundary
-    cnt = df.count()
-    if cnt == 0:
+    n_buckets = max(n * 32, 256)  # ~32 representatives per boundary
+    reps = (
+        df.groupBy(
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).alias("_bucket")
+        )
+        .agg(
+            F.min(F.struct(*key_cols)).alias("_rep"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select("_rep", "_n")
+        .collect()
+    )
+    rows = [tuple(r["_rep"]) for r in reps]
+    if not rows:  # empty input; single range
         return []
-    if cnt > target:
-        rate = min(1.0, (2.0 * target) / cnt)
-        thresh = max(1, int(_SAMPLE_MOD * rate))
-        sampled = df.where(
-            F.pmod(F.xxhash64(*key_cols), F.lit(_SAMPLE_MOD)) < F.lit(thresh)
-        ).select(*key_cols)
-    else:
-        sampled = df.select(*key_cols)
-    rows = [tuple(r) for r in sampled.collect()]
-    if not rows:  # astronomically unlikely non-empty input; single range
+    if auto_n:
+        total = sum(r["_n"] for r in reps)
+        n = min(n, -(-total // _TARGET_ROWS_PER_PARTITION))
+    if n <= 1:
         return []
     for r in rows:
         if any(v is None for v in r):
@@ -171,30 +190,36 @@ def _two_pass(
     agg_col: Column,
 ):
     """Shared scaffolding: boundary collection, pid assignment, per-pid
-    aggregate offsets. Returns (df_with_pid, offsets_df, sort_cols)."""
+    aggregate offsets. Returns (df_with_pid, offset_expr, sort_cols)."""
     from nagios_custom_etl_spark.catalog import cache_once
 
     keys = _normalize_keys(order_by)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # perf-only cache (three pruned passes: count, sample, per-pid aggs) —
+    # perf-only cache (two pruned passes: boundary sample, per-pid aggs) —
     # correctness no longer depends on residency: _pid is a value function
     df = cache_once(df)
-    bounds = _collect_boundaries(df, keys, n)
+    bounds = _collect_boundaries(df, keys, n, auto_n=num_partitions is None)
     with_pid = df.withColumn(
         "_pid", _pid_expr(keys, bounds) if bounds else F.lit(0).cast("int")
     )
     n_pids = len(bounds) + 1
+    if n_pids == 1:  # single range: every offset is 0, skip the agg job
+        return with_pid, F.lit(0).cast("long"), _sort_cols(keys)
     per_pid = {
         r["_pid"]: r["_agg"]
         for r in with_pid.groupBy("_pid").agg(agg_col.alias("_agg")).collect()
     }
     offsets, acc = [], 0
     for pid in range(n_pids):
-        offsets.append((pid, acc))
+        offsets.append(acc)
         acc += per_pid.get(pid) or 0
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
-    return with_pid, offsets_df, _sort_cols(keys)
+    # the ≤ n offsets are driver-side scalars: embed them as an array
+    # literal indexed by _pid instead of a broadcast join — one fewer
+    # exchange, and the lookup stays inside whole-stage codegen
+    offset_expr = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("_pid") + 1
+    )
+    return with_pid, offset_expr, _sort_cols(keys)
 
 
 def global_row_ids(
@@ -212,15 +237,13 @@ def global_row_ids(
     is bit-identical across cluster layouts, parallelism, cache state, and
     retries — see the module docstring.
     """
-    with_pid, offsets_df, sort_cols = _two_pass(
+    with_pid, offset_expr, sort_cols = _two_pass(
         df, order_by, num_partitions, F.count(F.lit(1))
     )
     w = Window.partitionBy("_pid").orderBy(*sort_cols)
-    return (
-        with_pid.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(id_name, F.col("_offset") + F.row_number().over(w) - 1)
-        .drop("_pid", "_offset")
-    )
+    return with_pid.withColumn(
+        id_name, offset_expr + F.row_number().over(w) - 1
+    ).drop("_pid")
 
 
 def global_running_sum(
@@ -237,7 +260,7 @@ def global_running_sum(
     curriculum scheduling: a cumulative quantity over a corpus-wide order
     with no single-reducer window, bit-identical across layouts.
     """
-    with_pid, offsets_df, sort_cols = _two_pass(
+    with_pid, offset_expr, sort_cols = _two_pass(
         df, order_by, num_partitions, F.sum(value_col)
     )
     w = (
@@ -245,8 +268,6 @@ def global_running_sum(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        with_pid.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(sum_name, F.col("_offset") + F.sum(value_col).over(w))
-        .drop("_pid", "_offset")
-    )
+    return with_pid.withColumn(
+        sum_name, offset_expr + F.sum(value_col).over(w)
+    ).drop("_pid")

@@ -51,6 +51,13 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = bare_session() if bare else get_spark("verify-contract")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    # Warm the JVM/py4j/Arrow paths on a trivial scan so first-query
+    # timings measure the query, not session startup (ep4 read 22s cold
+    # vs ~3s warm purely from rotation position).
+    spark.range(1).count()
+    from nagios_custom_etl_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "documents").limit(1).count()
     failures = []
     timings: dict[str, float] = {}
     t_start = time.monotonic()
