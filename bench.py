@@ -7,12 +7,13 @@ Timing counts full plan execution (collect of the final, small result) —
 the scan/shuffle/agg work, not driver-side result transfer of big data.
 
 Methodology: steady-state timing — each query executes once untimed
-(whole-stage-codegen JIT compile, file-listing caches), then the timed
-run measures actual scan/shuffle/compute. Cold single-shot numbers on
-MB-scale inputs are dominated by per-stage JIT (~0.3-2s of compile,
-independent of data size) and swing ±2x run-to-run; steady-state is the
-signal that extrapolates to cluster scale, where compile cost amortizes
-to zero.
+(whole-stage-codegen JIT compile, file-listing caches), then TWO timed
+runs and the minimum is reported. Cold single-shot numbers on MB-scale
+inputs are dominated by per-stage JIT (~0.3-2s of compile, independent
+of data size) and swing ±2x run-to-run; a single post-warmup run still
+sits in a half-compiled regime (q1 measured 1.55s on run 2 vs 1.0s
+steady-state). Min-of-2 after warmup is the signal that extrapolates to
+cluster scale, where compile cost amortizes to zero.
 """
 
 from __future__ import annotations
@@ -66,9 +67,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         registry[name].fn(spark, SF_DIR).collect()  # untimed: codegen JIT
-        t0 = time.perf_counter()
-        registry[name].fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
