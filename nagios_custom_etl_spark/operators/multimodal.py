@@ -227,6 +227,85 @@ def planted_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def _resize_bmp(payload: bytes, max_dim: int) -> bytes:
+    """Real nearest-neighbor downscale of a 24bpp BMP, pure stdlib: walk
+    the source pixel buffer with integer index mapping
+    ``src = (dst * src_dim) // dst_dim`` and re-encode. Only shrinks —
+    if ``max(w, h) <= max_dim`` the payload is returned unchanged. Target
+    dims are integer arithmetic (``w' = max(1, w*max_dim // max(w,h))``)
+    so a SQL oracle can predict them exactly. Output rows pad to 4-byte
+    boundaries with zeros (the conventional encoding)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER resize unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"resize supports 24bpp only, got {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    m = max(width, height)
+    if m <= max_dim:
+        return payload
+    new_w = max(1, width * max_dim // m)
+    new_h = max(1, height * max_dim // m)
+    src_row = (3 * width + 3) // 4 * 4
+    dst_row = (3 * new_w + 3) // 4 * 4
+    out = bytearray(dst_row * new_h)
+    for y in range(new_h):
+        sy = y * height // new_h
+        src_base = pixel_off + sy * src_row
+        dst_base = y * dst_row
+        for x in range(new_w):
+            sx = x * width // new_w
+            out[dst_base + 3 * x : dst_base + 3 * x + 3] = payload[
+                src_base + 3 * sx : src_base + 3 * sx + 3
+            ]
+    signed_h = -new_h if top_down else new_h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, new_w, signed_h, 1, 24, 0, len(out), 2835, 2835, 0, 0
+    )
+    return header + bytes(out)
+
+
+def resize_images(media: DataFrame, max_dim: int, batch_size: int = 1024) -> DataFrame:
+    """Bounded-batch image resize over ``mapInPandas``: BMP payloads are
+    nearest-neighbor downscaled to fit ``max_dim``; non-image payloads
+    (by magic, e.g. WAV) pass through untouched. Same MEDIA_SCHEMA out as
+    in, with ``meta.n_bytes`` refreshed — so resize composes with
+    ``extract_features``/``frame_sample`` downstream. Per-row independent
+    work, no shuffle: the thumbnail stage of a multimodal ingest runs
+    embarrassingly parallel at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _resize_bmp(p, max_dim) if p is not None and p[:2] == b"BM" else p
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": [
+                        None
+                        if m is None
+                        else {
+                            "mime": m["mime"],
+                            "source": m["source"],
+                            "n_bytes": len(p) if p is not None else 0,
+                        }
+                        for m, p in zip(pdf["meta"], payloads)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing: one output row per sampled offset —
     demonstrates the 1→N explode shape of video frame extraction with

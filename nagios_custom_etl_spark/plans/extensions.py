@@ -518,6 +518,57 @@ def x5b_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "width", "height", "checksum").orderBy("media_id")
 
 
+@register(
+    "x48_image_resize",
+    oracle="""
+    -- planted BMPs (w = 1+id%16, h = 1+id%8, every content byte id%251)
+    -- nearest-neighbor downscaled to fit max_dim=4: target dims are pure
+    -- integer arithmetic (w' = max(1, w*4 // max(w,h)), only shrinking),
+    -- resized pixels are all the fill byte with zero row padding, so the
+    -- re-decode checksum is fill*3*w'*h'; an un-resized payload keeps the
+    -- planted encoding whose padding is also fill (fill*row_size*h).
+    -- Only a resize that actually re-encodes a valid BMP the decoder can
+    -- re-parse matches this.
+    WITH src AS (
+      SELECT doc_id,
+             1 + doc_id % 16 AS w,
+             1 + doc_id % 8 AS h,
+             doc_id % 251 AS f,
+             greatest(1 + doc_id % 16, 1 + doc_id % 8) AS m
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN m <= 4 THEN w ELSE greatest(1, w * 4 // m) END AS width,
+           CASE WHEN m <= 4 THEN h ELSE greatest(1, h * 4 // m) END AS height,
+           CASE WHEN m <= 4 THEN f * (((3 * w + 3) // 4) * 4) * h
+                ELSE f * 3 * greatest(1, w * 4 // m) * greatest(1, h * 4 // m)
+           END AS checksum
+    FROM src ORDER BY media_id
+    """,
+    doc="X48 REAL image resize end to end (operators/multimodal.py::"
+    "resize_images): planted BMP -> nearest-neighbor downscale to fit "
+    "max_dim=4 (mapInPandas, per-row independent, no shuffle) -> stdlib "
+    "re-decode; the SQL oracle predicts the post-resize dims and pixel "
+    "checksum from id arithmetic, so only a resize that re-encodes a "
+    "decoder-valid BMP matches.",
+)
+def x48_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.multimodal import (
+        extract_features,
+        planted_media,
+        resize_images,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    small = resize_images(planted_media(ids), max_dim=4)
+    feats = extract_features(small, codec="real")
+    return feats.select("media_id", "width", "height", "checksum").orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # X6 — time windows over the events stream table (batch semantics here;
 # streaming variants in streaming/ops.py with identical window logic)

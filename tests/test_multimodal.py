@@ -162,3 +162,69 @@ def test_checksum_arrow_matches_builtin(spark, sf_dir):
         r["media_id"]: int(r["byte_sum"]) & 0x7FFFFFFF for r in expect_df.collect()
     }
     assert got == expect
+
+
+def test_resize_bmp_nearest_neighbor_samples_real_pixels():
+    """Resize must actually sample the source buffer (nearest-neighbor
+    src = dst*src_dim // dst_dim), not just rewrite the header: a
+    gradient image's downscale has exactly predictable pixel values."""
+    import struct as s
+
+    from nagios_custom_etl_spark.operators.multimodal import _decode_bmp, _resize_bmp
+
+    # 8x4 24bpp BMP where pixel (x, row) has bytes (x, row, x+row)
+    w, h = 8, 4
+    row_size = (3 * w + 3) // 4 * 4
+    buf = bytearray(row_size * h)
+    for y in range(h):
+        for x in range(w):
+            buf[y * row_size + 3 * x : y * row_size + 3 * x + 3] = bytes([x, y, x + y])
+    header = s.pack("<2sIHHI", b"BM", 54 + len(buf), 0, 0, 54) + s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(buf), 2835, 2835, 0, 0
+    )
+    out = _resize_bmp(header + bytes(buf), max_dim=4)
+    ow, oh, _ = _decode_bmp(out)
+    assert (ow, oh) == (4, 2)  # 8x4 -> fit 4 -> 4x2
+    out_row = (3 * 4 + 3) // 4 * 4
+    pix = out[54:]
+    for y in range(2):
+        sy = y * 4 // 2
+        for x in range(4):
+            sx = x * 8 // 4
+            assert tuple(pix[y * out_row + 3 * x : y * out_row + 3 * x + 3]) == (
+                sx,
+                sy,
+                sx + sy,
+            ), (x, y)
+    # small image passes through byte-identical; non-BMP raises
+    small = _resize_bmp(out, max_dim=4)
+    assert small == out
+    with pytest.raises(ValueError, match="not a BMP"):
+        _resize_bmp(b"JUNKJUNK" * 8, max_dim=4)
+
+
+def test_resize_images_composes_with_decode(spark):
+    """Distributed resize -> re-decode roundtrip on planted media: dims
+    obey the integer shrink arithmetic, WAV payloads pass through."""
+    from nagios_custom_etl_spark.operators.multimodal import planted_media, resize_images
+
+    ids = spark.range(0, 30).select(F.col("id").alias("media_id"))
+    media = planted_media(ids)
+    out = resize_images(media, max_dim=4)
+    assert out.schema == media.schema
+    feats = {r["media_id"]: r for r in extract_features(out, codec="real").collect()}
+    for i in range(30):
+        r, fill = feats[i], i % 251
+        if i % 2 == 0:
+            w, h = 1 + i % 16, 1 + i % 8
+            m = max(w, h)
+            if m <= 4:
+                assert (r["width"], r["height"]) == (w, h)
+                assert r["checksum"] == fill * ((3 * w + 3) // 4 * 4) * h
+            else:
+                nw, nh = max(1, w * 4 // m), max(1, h * 4 // m)
+                assert (r["width"], r["height"]) == (nw, nh)
+                assert r["checksum"] == fill * 3 * nw * nh
+        else:  # WAV untouched
+            frames, ch = 8 + i % 32, 1 + (i // 2) % 2
+            assert (r["width"], r["height"]) == (frames, ch)
