@@ -54,6 +54,38 @@ def stream_state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITION
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider around a streaming start.
+
+    The default HDFS-backed provider keeps every store's state as an
+    in-memory hashmap per executor — fine at fixture scale, a hard
+    ceiling once total state (dedup keys within watermark, open
+    sessions, rollup windows) outgrows executor heaps. RocksDB
+    (bundled with Spark 4, rocksdbjni on the classpath) spills state to
+    local SSD with changelog checkpointing, which is how 100 TB-scale
+    state actually runs. The provider is frozen into the checkpoint at
+    first start — pick it when the lineage is created, not after.
+    Results are provider-independent (asserted by test); only the state
+    backend changes.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (ST1).
 

@@ -330,3 +330,46 @@ def test_streaming_observed_metrics_in_progress(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert got["n_rows"] == ev.count()
     assert got["n_errors"] == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The RocksDB provider (the 100 TB state backend — spills to local
+    disk instead of executor-heap hashmaps) must produce byte-identical
+    stateful results to the default HDFS-backed provider; only the state
+    backend changes, never the answer."""
+    from nagios_custom_etl_spark.streaming.ops import (
+        ROCKSDB_PROVIDER,
+        cross_run_dedup,
+        rocksdb_state_store,
+        tumbling_window_counts,
+    )
+
+    def run_both(make_stream):
+        default_name = run_to_memory(make_stream())
+        with rocksdb_state_store(spark):
+            assert (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+            rocks_name = run_to_memory(make_stream())
+        lhs = sorted(map(tuple, spark.table(default_name).collect()))
+        rhs = sorted(map(tuple, spark.table(rocks_name).collect()))
+        return lhs, rhs
+
+    # windowed aggregate state
+    lhs, rhs = run_both(
+        lambda: tumbling_window_counts(
+            read_events_stream(spark, sf_dir), watermark="0 seconds"
+        )
+    )
+    assert lhs and lhs == rhs
+    # dropDuplicatesWithinWatermark state
+    lhs, rhs = run_both(
+        lambda: cross_run_dedup(read_events_stream(spark, sf_dir)).select("event_id")
+    )
+    assert lhs and lhs == rhs
+    # conf restored after the context exits
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) in (
+        None,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
