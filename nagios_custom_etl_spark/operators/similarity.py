@@ -239,21 +239,31 @@ def cosine_topk_join_ivf(
     from pyspark.sql.window import Window as W
 
     assigned, centroids = ivf_build(vectors, vec_col, id_col, n_cells, seed)
-    spark = vectors.sparkSession
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell_id int, _c array<double>"
-    )
     q = queries.select(
         F.col(q_id_col).alias("query_id"), as_double_array(q_vec_col).alias("_q")
     )
-    probe_w = W.partitionBy("query_id").orderBy(F.desc("_cent_sim"), F.col("cell_id"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn("_cent_sim", cosine(F.col("_q"), F.col("_c")))
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_q", "cell_id")
+    # centroids are driver-side literals: probe selection is a pure
+    # map-side projection — an array of (neg_sim, cell_id) structs per
+    # query row, sort_array (ascending on neg_sim == descending on sim,
+    # cell_id tiebreak), slice n_probe, explode. No broadcast join, no
+    # window shuffle; the only shuffles in the whole plan are the
+    # cell_id equi-join and the final per-query top-k window.
+    cent_sims = F.array(
+        *[
+            F.struct(
+                (-cosine(F.col("_q"), F.lit(c).cast("array<double>"))).alias(
+                    "_neg_sim"
+                ),
+                F.lit(i).cast("int").alias("cell_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
     )
+    probes = q.select(
+        "query_id",
+        "_q",
+        F.explode(F.slice(F.sort_array(cent_sims), 1, n_probe)).alias("_p"),
+    ).select("query_id", "_q", F.col("_p.cell_id").alias("cell_id"))
     idx = assigned.select(
         F.col(id_col).alias("nbr_id"), as_double_array(vec_col).alias("_v"), "cell_id"
     )
