@@ -308,3 +308,159 @@ def ivf_search(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ — product quantization (Jegou, Douze, Schmid, TPAMI 2011): the
+# billion-scale ANN representation. m subspace codebooks of ks codewords
+# compress a d-dim float vector to m small ints (64-dim float64 -> 8
+# bytes at m=8: 64x), which is what lets an index for 10^11 vectors fit
+# in cluster RAM/SSD at 100 TB corpus scale. Searches score codes with
+# ADC (asymmetric distance computation): a per-query LUT of
+# query-subvector -> codeword distances, approx_dist = sum of m lookups.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd(x, k: int, iters: int = 12, seed: int = 42):
+    """Driver-side Lloyd k-means (numpy). Codebooks train on a bounded
+    sample — constant driver work at any corpus scale (how FAISS trains
+    PQ codebooks too); only ENCODING is distributed."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # init from DISTINCT rows: duplicate-heavy samples (exact-dup mass is
+    # common in real corpora) would otherwise seed collided centers and
+    # merge clusters that the data separates cleanly
+    init = []
+    seen = set()
+    for i in rng.permutation(len(x)):
+        key = x[i].tobytes()
+        if key not in seen:
+            seen.add(key)
+            init.append(x[i])
+        if len(init) == k:
+            break
+    cents = np.array(init)
+    if len(cents) < k:  # fewer distinct rows than codewords: pad with jitter
+        pad = cents[rng.choice(len(cents), size=k - len(cents))]
+        cents = np.vstack([cents, pad + rng.normal(0, 1e-6, pad.shape)])
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        code = d2.argmin(1)
+        for j in range(k):
+            mask = code == j
+            if mask.any():
+                cents[j] = x[mask].mean(0)
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> list:
+    """Train m per-subspace codebooks of ks centroids on a DETERMINISTIC
+    hash-ordered sample (orderBy xxhash64(id) + limit — a bounded
+    TakeOrdered heap, same sample regardless of layout). Vectors are
+    L2-normalized first so PQ's L2 ranking is cosine ranking.
+    Returns codebooks[m][ks][d/m]."""
+    import numpy as np
+
+    from nagios_custom_etl_spark.functions.vector import l2_normalize
+
+    rows = (
+        df.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_id"), F.col("_id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        _lloyd(x[:, j * dsub : (j + 1) * dsub], ks, seed=seed + j).tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks: list) -> DataFrame:
+    """Distributed PQ encoding — the hot path — as a vectorized Arrow
+    pandas UDF: one numpy argmin over (batch x ks x d/m) per subspace,
+    never per-row Python. Output codes are m small ints per vector (the
+    64x-compressed index representation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from nagios_custom_etl_spark.functions.vector import l2_normalize
+
+    cb = [np.array(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    def _encode(vs):
+        x = np.stack(vs.to_numpy())
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inference rejects — attach real objects
+    _encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    encode = pandas_udf(_encode, "array<int>")
+
+    return df.select(
+        F.col(id_col), encode(l2_normalize(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k over PQ codes, pure built-ins: the per-query LUT
+    (m*ks floats) is computed driver-side and embedded as one literal
+    array; approx squared-L2 = sum over subspaces of lut[j*ks+code_j]
+    via zip_with + aggregate — whole-stage codegen over the compressed
+    codes, no float vectors read at all. TakeOrderedAndProject keeps
+    per-partition heaps of k. On normalized vectors L2 order == cosine
+    order, so ranks are comparable to the exact cosine paths."""
+    import math
+
+    import numpy as np
+
+    cb = [np.array(c, dtype=np.float64) for c in codebooks]
+    m = len(cb)
+    ks = cb[0].shape[0]
+    dsub = cb[0].shape[1]
+    nrm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    q = np.array([v / nrm for v in query_vec], dtype=np.float64)
+    lut = np.concatenate(
+        [((cb[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m)]
+    )
+    lut_lit = F.lit([float(v) for v in lut]).cast("array<double>")
+    jseq = F.sequence(F.lit(0), F.lit(m - 1))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"), jseq, lambda c, j: F.element_at(lut_lit, j * ks + c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        .limit(k)
+    )

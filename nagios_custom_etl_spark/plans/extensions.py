@@ -12,7 +12,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.catalog import cache_once, load_table
 from nagios_custom_etl_spark.functions.text import (
     lang_id,
     normalized_fingerprint,
@@ -284,6 +284,62 @@ def x3d_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hits"),
             (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
         )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "x49_pq_ann",
+    oracle=None,  # codebooks are k-means (engine-specific); the contract
+    # is the recall metric vs exact cosine top-k plus the compression
+    # ratio, which is pure arithmetic
+    doc="X49 product quantization ANN (operators/similarity.py::pq_train/"
+    "pq_encode/pq_topk — Jegou et al. TPAMI 2011): codebooks train "
+    "driver-side on a deterministic hash-ordered sample (constant work "
+    "at any scale, the FAISS recipe); ENCODING is the distributed hot "
+    "path (vectorized Arrow pandas UDF, one numpy argmin per subspace "
+    "per batch); ADC search is pure built-ins over the m-int codes with "
+    "a broadcast per-query LUT literal — the float vectors are never "
+    "read at search time. 64-dim float64 -> 16 byte-codes = the "
+    "compression that fits a 10^11-vector index in cluster memory at "
+    "100 TB. Output: recall@10 vs exact cosine per probe query + "
+    "bytes-per-vector. NOTE the fixture embeddings are near-isotropic "
+    "(hardest case for quantization), so recall ~0.6 here is the "
+    "by-construction regression baseline, not a quality ceiling.",
+)
+def x49_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import (
+        cosine_topk_join,
+        pq_encode,
+        pq_train,
+        pq_topk,
+    )
+
+    em = cache_once(load_table(spark, sf_dir, "embeddings"))
+    k = 10
+    codebooks = pq_train(em, "embedding", "vec_id", m=16, ks=64, seed=42)
+    codes = cache_once(pq_encode(em, "embedding", "vec_id", codebooks))
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in em.filter(F.col("vec_id") < 3).collect()
+    }
+    exact_all = cosine_topk_join(
+        em, em.filter(F.col("vec_id") < 3), "embedding", "vec_id", "embedding", "vec_id", k=k
+    ).select("query_id", F.col("nbr_id").alias("vec_id"))
+    approx_parts = [
+        pq_topk(codes, codebooks, "vec_id", qv, k=k)
+        .select(F.lit(qid).alias("query_id"), "vec_id")
+        for qid, qv in sorted(qvecs.items())
+    ]
+    approx_all = reduce(DataFrame.unionByName, approx_parts)
+    return (
+        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
+        )
+        .withColumn("code_bytes_per_vec", F.lit(16).cast("long"))
         .orderBy("query_id")
     )
 

@@ -218,3 +218,55 @@ def test_embedding_pca_captures_variance(spark, sf_dir):
     a = {r["vec_id"]: np.array(r["p"]) for r in rows}
     b = {r["vec_id"]: np.array(r["p"]) for r in out2.collect()}
     assert all(np.allclose(a[k], b[k]) for k in a)
+
+
+def test_pq_lossless_on_codeword_vectors(spark):
+    """Planted case where PQ is exact: every vector is bit-identical to a
+    codeword in each subspace, so encoding is lossless, ADC distance
+    equals true squared-L2, and recall@k vs exact cosine is 1.0."""
+    import math
+
+    from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    # 16 distinct 8-dim base patterns; each vector = one pattern repeated
+    # over both subspaces (d=16, m=2) then L2-normalized by the operators
+    rows = []
+    for i in range(64):
+        pat = [float((i % 16 == j) * 2 + 1) for j in range(8)]
+        rows.append((i, pat + pat))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, "embedding", "vec_id", m=2, ks=16, seed=7, sample_rows=64)
+    codes = pq_encode(df, "embedding", "vec_id", cb)
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    assert len(got) == 64 and all(len(c) == 2 for c in got.values())
+    # identical input vectors must get identical codes (determinism)
+    for i in range(64):
+        twin = (i % 16) + 16 * 0  # vec with same pattern: i and i+16 share i%16
+        assert got[i] == got[(i % 16)]
+    # ADC top-k for a query equal to one of the patterns: every vector
+    # with the same pattern must rank at distance 0 before all others
+    q = [float((3 == j) * 2 + 1) for j in range(8)] * 2
+    top = pq_topk(codes, cb, "vec_id", q, k=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids) == {3, 19, 35, 51}  # the 4 vectors with pattern 3
+    assert all(math.isclose(r["adc_dist"], 0.0, abs_tol=1e-12) for r in top)
+
+
+def test_pq_encode_is_deterministic_and_distributed(spark, sf_dir):
+    """Same codes across two independent encode runs (hash-ordered
+    sample + seeded Lloyd => reproducible codebooks), code values within
+    [0, ks), and the pandas-UDF path handles multi-partition input."""
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_train
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cb1 = pq_train(em, "embedding", "vec_id", m=8, ks=16, seed=11)
+    cb2 = pq_train(em, "embedding", "vec_id", m=8, ks=16, seed=11)
+    assert cb1 == cb2
+    a = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(em, "embedding", "vec_id", cb1).collect()}
+    b = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(em.repartition(13), "embedding", "vec_id", cb1).collect()
+    }
+    assert a == b  # layout-invariant
+    assert all(0 <= c < 16 for codes in a.values() for c in codes)
