@@ -464,3 +464,39 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codes: DataFrame,
+    codebooks: list,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: coarse cell routing + ADC over compressed codes — the
+    full FAISS serving shape. Probe cells are picked driver-side from the
+    tiny centroid list (partition-pruned I/O when the index is written
+    partitioned by cell_id); within probed cells the scan reads ONLY the
+    m-byte codes, scored by the broadcast LUT. Per-query cost is
+    (n_probe / n_cells) x codes-bytes — at 100 TB that is megabytes, not
+    the corpus."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda c: -cos(centroids[c], query_vec))[
+        :n_probe
+    ]
+    routed = codes.join(
+        assigned.select(F.col(id_col), "cell_id").filter(F.col("cell_id").isin(probe)),
+        id_col,
+        "left_semi",
+    )
+    return pq_topk(routed, codebooks, id_col, query_vec, k=k)

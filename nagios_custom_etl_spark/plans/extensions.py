@@ -345,6 +345,55 @@ def x49_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x49b_ivf_pq",
+    oracle=None,  # k-means cells + codebooks are engine-specific; the
+    # recall metric vs exact cosine is the regression contract
+    doc="X49b IVF-PQ composition (operators/similarity.py::ivf_pq_topk): "
+    "coarse cell routing (driver-picked probe cells, partition-prunable) "
+    "+ ADC over the m-byte codes within probed cells — the full FAISS "
+    "serving shape; per-query cost is (n_probe/n_cells) x codes-bytes. "
+    "Probe-all reproduces plain PQ exactly (test-pinned). Output: "
+    "recall@10 vs exact cosine for 3 probe queries at n_probe=3 of 8.",
+)
+def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import (
+        cosine_topk_join,
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    em = cache_once(load_table(spark, sf_dir, "embeddings"))
+    k = 10
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    codebooks = pq_train(em, "embedding", "vec_id", m=16, ks=64, seed=42)
+    codes = cache_once(pq_encode(em, "embedding", "vec_id", codebooks))
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in em.filter(F.col("vec_id") < 3).collect()
+    }
+    exact_all = cosine_topk_join(
+        em, em.filter(F.col("vec_id") < 3), "embedding", "vec_id", "embedding", "vec_id", k=k
+    ).select("query_id", F.col("nbr_id").alias("vec_id"))
+    approx_parts = [
+        ivf_pq_topk(assigned, centroids, codes, codebooks, "vec_id", qv, k=k, n_probe=3)
+        .select(F.lit(qid).alias("query_id"), "vec_id")
+        for qid, qv in sorted(qvecs.items())
+    ]
+    approx_all = reduce(DataFrame.unionByName, approx_parts)
+    return (
+        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests

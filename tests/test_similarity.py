@@ -270,3 +270,33 @@ def test_pq_encode_is_deterministic_and_distributed(spark, sf_dir):
     }
     assert a == b  # layout-invariant
     assert all(0 <= c < 16 for codes in a.values() for c in codes)
+
+
+def test_ivf_pq_probe_all_matches_plain_pq(spark, sf_dir):
+    """IVF-PQ with n_probe = n_cells must reproduce plain PQ ADC top-k
+    exactly (routing only restricts candidates, never rescores); with
+    fewer probes the result is a subset of cells but still k rows."""
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    cb = pq_train(em, "embedding", "vec_id", m=8, ks=16, seed=42)
+    codes = pq_encode(em, "embedding", "vec_id", cb).cache()
+    q = [float(x) for x in em.filter(F.col("vec_id") == 0).first()["embedding"]]
+    full = [(r["vec_id"], round(r["adc_dist"], 9)) for r in pq_topk(codes, cb, "vec_id", q, k=10).collect()]
+    all_probe = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ivf_pq_topk(assigned, centroids, codes, cb, "vec_id", q, k=10, n_probe=8).collect()
+    ]
+    assert full == all_probe
+    few = ivf_pq_topk(assigned, centroids, codes, cb, "vec_id", q, k=10, n_probe=2).collect()
+    assert len(few) == 10
+    assert {r["vec_id"] for r in few} <= {r["vec_id"] for r in codes.join(
+        assigned, "vec_id").collect()}
