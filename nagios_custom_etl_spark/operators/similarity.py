@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY §2.12 X3).
 
-Three tiers, all DataFrame-native:
+Four tiers, all DataFrame-native:
   * brute-force cosine top-k — the exact baseline; one scan, one top-k
     (TakeOrderedAndProject), no shuffle of the full table;
   * sign-LSH bucketed near-dup / search — candidates from an equi-join
@@ -8,7 +8,11 @@ Three tiers, all DataFrame-native:
   * IVF (inverted file) — k-means coarse centroids (pyspark.ml), search
     probes the closest n_probe cells: at 100 TB the partition-pruned scan
     reads only probed cells when the table is written partitioned by
-    ``cell_id``.
+    ``cell_id``;
+  * PQ / IVF-PQ (product quantization, Jegou et al. TPAMI 2011) —
+    m-byte codes per vector (driver-sample codebooks, vectorized Arrow
+    encode) scored by built-in ADC; composed with IVF routing it is the
+    representation that fits a 10^11-vector index in cluster memory.
 """
 
 from __future__ import annotations
