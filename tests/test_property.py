@@ -149,3 +149,58 @@ def test_connected_components_long_chain(spark, chain_len, rng):
         for r in connected_components(pairs, max_iterations=chain_len + 1).collect()
     }
     assert got == {n: min(nodes) for n in nodes}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    )
+)
+def test_global_row_ids_match_sorted_enumerate(spark, keys):
+    """global_row_ids numbering over (key asc, uid asc) must equal plain
+    Python sorted+enumerate on any key multiset (ties broken by the
+    unique id), at any partition count."""
+    from nagios_custom_etl_spark.operators.ids import global_row_ids
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "uid long, k long").repartition(7)
+    got = {
+        r["uid"]: r["row_id"]
+        for r in global_row_ids(df, ["k", "uid"], num_partitions=5).collect()
+    }
+    expected = {
+        uid: n for n, (k, uid) in enumerate(sorted((k, uid) for uid, k in rows))
+    }
+    assert got == expected
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=12),
+)
+def test_resize_bmp_dims_formula_any_shape(w, h, fill, max_dim):
+    """Pure-Python property: for ANY source dims/fill/max_dim the resize
+    output re-decodes with exactly the integer-arithmetic target dims,
+    and a no-op resize is byte-identical."""
+    from nagios_custom_etl_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+        _resize_bmp,
+    )
+
+    src = _encode_bmp(w, h, fill)
+    out = _resize_bmp(src, max_dim)
+    m = max(w, h)
+    if m <= max_dim:
+        assert out == src
+        return
+    nw, nh = max(1, w * max_dim // m), max(1, h * max_dim // m)
+    ow, oh, checksum = _decode_bmp(out)
+    assert (ow, oh) == (nw, nh)
+    # constant-fill source => every sampled pixel byte is `fill`,
+    # zero row padding => checksum is exactly fill*3*nw*nh
+    assert checksum == fill * 3 * nw * nh
