@@ -48,6 +48,36 @@ def st1_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st12_rocksdb_state_store",
+    oracle="""
+    -- identical semantics to st1: the state BACKEND must never change
+    -- the answer. Same append-mode emission rule, state held in RocksDB
+    -- (disk-spilling — the 100 TB streaming-state provider).
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+    HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           <= (SELECT max(ts) FROM events)
+    ORDER BY 1, 2
+    """,
+    doc="ST RocksDB state store on the contract surface: st1's watermarked "
+    "tumbling-window aggregate run under the RocksDB provider "
+    "(streaming/ops.py::rocksdb_state_store — disk-spilling state, the "
+    "100 TB backend; rocksdbjni ships with Spark 4). Oracle-checked "
+    "against the same SQL as st1, so a provider-dependent result flips "
+    "this row.",
+)
+def st12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.streaming.ops import rocksdb_state_store
+
+    stream = read_events_stream(spark, sf_dir)
+    with rocksdb_state_store(spark):
+        name = run_to_memory(tumbling_window_counts(stream, watermark="0 seconds"))
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
     "st2_watermark_dedup",
     oracle="""
     -- the duplicated leg is eliminated by dropDuplicatesWithinWatermark:
