@@ -358,6 +358,11 @@ def _lloyd(x, k: int, iters: int = 12, seed: int = 42):
     return cents
 
 
+# trained codebooks per (session, input-plan, m, ks, seed, sample_rows) —
+# same build-once/probe-many lifecycle rule as _IVF_MEMO
+_PQ_MEMO: dict = {}
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str,
@@ -371,42 +376,81 @@ def pq_train(
     hash-ordered sample (orderBy xxhash64(id) + limit — a bounded
     TakeOrdered heap, same sample regardless of layout). Vectors are
     L2-normalized first so PQ's L2 ranking is cosine ranking.
+    Session-memoized like the IVF index: codebooks are trained once and
+    reused by every encode/search over the same input.
     Returns codebooks[m][ks][d/m]."""
     import numpy as np
 
+    from nagios_custom_etl_spark.catalog import _session_alive
     from nagios_custom_etl_spark.functions.vector import l2_normalize
 
-    rows = (
+    for k in [k for k, v in _PQ_MEMO.items() if not _session_alive(v[0])]:
+        _PQ_MEMO.pop(k, None)
+    sample = (
         df.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
         .orderBy(F.xxhash64("_id"), F.col("_id"))
         .limit(sample_rows)
-        .collect()
     )
+    try:
+        memo_key = (id(df.sparkSession), sample.semanticHash(), m, ks, seed)
+    except Exception:  # noqa: BLE001 — analysis failure: skip memoization
+        memo_key = None
+    hit = _PQ_MEMO.get(memo_key) if memo_key else None
+    if hit is not None and hit[0] is df.sparkSession:
+        return hit[1]
+    rows = sample.collect()
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    return [
+    codebooks = [
         _lloyd(x[:, j * dsub : (j + 1) * dsub], ks, seed=seed + j).tolist()
         for j in range(m)
     ]
+    if memo_key:
+        _PQ_MEMO[memo_key] = (df.sparkSession, codebooks)
+    return codebooks
+
+
+# encoded code tables per (session, input-plan, codebook-bytes): two
+# searches over the same index must not re-run the encode pass — each
+# pq_encode call creates a fresh UDF instance, so cache_once's semantic
+# plan matching alone cannot deduplicate them
+_PQ_ENCODE_MEMO: dict = {}
 
 
 def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks: list) -> DataFrame:
     """Distributed PQ encoding — the hot path — as a vectorized Arrow
     pandas UDF: one numpy argmin over (batch x ks x d/m) per subspace,
     never per-row Python. Output codes are m small ints per vector (the
-    64x-compressed index representation)."""
+    64x-compressed index representation). Session-memoized + cached:
+    an index is encoded once and probed many times."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from nagios_custom_etl_spark.catalog import _session_alive, cache_once
     from nagios_custom_etl_spark.functions.vector import l2_normalize
 
     cb = [np.array(c, dtype=np.float64) for c in codebooks]
     m = len(cb)
     dsub = cb[0].shape[1]
+
+    for k in [k for k, v in _PQ_ENCODE_MEMO.items() if not _session_alive(v[0])]:
+        _PQ_ENCODE_MEMO.pop(k, None)
+    base = df.select(F.col(id_col), l2_normalize(vec_col).alias("_nv"))
+    try:
+        memo_key = (
+            id(df.sparkSession),
+            base.semanticHash(),
+            b"".join(c.tobytes() for c in cb),
+        )
+    except Exception:  # noqa: BLE001 — analysis failure: skip memoization
+        memo_key = None
+    hit = _PQ_ENCODE_MEMO.get(memo_key) if memo_key else None
+    if hit is not None and hit[0] is df.sparkSession:
+        return hit[1]
 
     def _encode(vs):
         x = np.stack(vs.to_numpy())
@@ -422,9 +466,12 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks: list) -> Data
     _encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     encode = pandas_udf(_encode, "array<int>")
 
-    return df.select(
-        F.col(id_col), encode(l2_normalize(vec_col)).alias("pq_codes")
+    out = cache_once(
+        df.select(F.col(id_col), encode(l2_normalize(vec_col)).alias("pq_codes"))
     )
+    if memo_key:
+        _PQ_ENCODE_MEMO[memo_key] = (df.sparkSession, out)
+    return out
 
 
 def pq_topk(
