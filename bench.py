@@ -40,6 +40,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2b_minhash_lsh_neardup",
     "x3_cosine_topk",
+    "x49_pq_ann",
     "x6_tumbling_window",
     "x7_training_data_pipeline",
     "x8_asof_join",
