@@ -27,7 +27,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FAMILY_PRIORITY = ("st", "ep", "s", "t", "f", "x")
 
 
-def _driver_green_names() -> set[str]:
+def _driver_green_names(oracle_names: set[str]) -> set[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -44,7 +44,11 @@ def _driver_green_names() -> set[str]:
             if row.get("hash_match") is True:
                 green.add(name)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                green.add(name)  # rows-only query, scored as designed
+                # rows-only query, scored as designed — but if the query has
+                # since GAINED an oracle, the rows-only row no longer covers
+                # it: surface it for a fresh oracle-checked scoring.
+                if name not in oracle_names:
+                    green.add(name)
     return green
 
 
@@ -57,7 +61,7 @@ def _family_rank(name: str) -> int:
 
 def _ordered_names() -> list[str]:
     names = list(all_queries())
-    green = _driver_green_names()
+    green = _driver_green_names({n for n, q in all_queries().items() if q.oracle is not None})
     pos = {n: i for i, n in enumerate(names)}
     unscored = sorted((n for n in names if n not in green), key=lambda n: (_family_rank(n), pos[n]))
     scored = [n for n in names if n in green]

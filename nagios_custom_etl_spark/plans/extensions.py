@@ -195,7 +195,8 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- scaling preserves direction ⇒ cosine exactly 1 and identical sign-LSH
     -- buckets, so LSH recall is total; no organic fixture pair reaches 0.85
     -- (max pairwise cosine ≈ 0.48).
-    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim_r
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim_r
     FROM embeddings
     """,
     doc="X3/X1 embedding-cosine near-dup pairs via multi-table sign-LSH "
@@ -2086,7 +2087,7 @@ def x25_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(length(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+           CAST(SUM(length(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
            round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -2262,7 +2263,7 @@ def x32_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shingled GROUP BY shingle)
     SELECT s.doc_id,
            COUNT(*) AS n_sh,
-           SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_new,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS novelty
     FROM shingled s JOIN firsts f ON s.shingle = f.shingle
@@ -2635,14 +2636,18 @@ SHARD_TOKEN_BUDGET = 2048
       )
     ),
     cum AS (
+      -- DuckDB widens SUM(BIGINT) (incl. windowed) to HUGEINT; the
+      -- driver's typed hash distinguishes int128 from Spark's int64
+      -- even when values are equal, so every integer SUM must be CAST
+      -- back to BIGINT (VERDICT r4 root cause).
       SELECT doc_id, chunk_idx, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
-                                 ROWS UNBOUNDED PRECEDING) AS running
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
       FROM chunks
     )
     SELECT (running - n_tokens) // {SHARD_TOKEN_BUDGET} AS shard_id,
            COUNT(*) AS n_chunks,
-           SUM(n_tokens) AS n_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM cum GROUP BY 1 ORDER BY 1
     """,
     doc="X40 training-shard manifest: chunks (x25) are assigned to fixed "
@@ -2801,9 +2806,9 @@ def x42_incremental_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame
     -- 0, 64, 128, ... — so per-mime totals are SQL-predictable.
     SELECT CASE WHEN n_chars % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
            COUNT(*) AS n_media,
-           SUM(least(octet_length(encode(text)) // 64 + 1, 8)) AS n_frames,
-           SUM((least(octet_length(encode(text)) // 64 + 1, 8) - 1)
-               * least(octet_length(encode(text)) // 64 + 1, 8) // 2 * 64) AS total_offset
+           CAST(SUM(least(octet_length(encode(text)) // 64 + 1, 8)) AS BIGINT) AS n_frames,
+           CAST(SUM((least(octet_length(encode(text)) // 64 + 1, 8) - 1)
+               * least(octet_length(encode(text)) // 64 + 1, 8) // 2 * 64) AS BIGINT) AS total_offset
     FROM documents GROUP BY 1 ORDER BY 1
     """,
     doc="X43 bounded frame sampling (operators/multimodal.py::frame_sample): "
@@ -3011,14 +3016,15 @@ def x46_neardup_components_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     cum AS (
+      -- CAST: DuckDB windowed SUM(BIGINT) -> HUGEINT (VERDICT r4)
       SELECT doc_id, chunk_idx, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
-                                 ROWS UNBOUNDED PRECEDING) AS running
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
       FROM chunks
     )
     SELECT (running - n_tokens) // {SHARD_TOKEN_BUDGET} AS shard_id,
            COUNT(*) AS n_chunks,
-           SUM(n_tokens) AS n_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            COUNT(DISTINCT doc_id) AS n_docs
     FROM cum GROUP BY 1 ORDER BY 1
     """,

@@ -2,8 +2,13 @@
 
 Runs a registered query via PySpark and its oracle SQL via DuckDB on the
 same parquet tables, then compares row count + sorted-column,
-order-insensitive values. Stricter than a hash: exact cell equality after
-canonical normalization, so mismatches are debuggable.
+order-insensitive values — AND per-column result types. The driver's
+order-insensitive hash is computed over *typed* (Arrow-level) values, so
+DuckDB widening `SUM(BIGINT)` to HUGEINT (int128) mismatches Spark's
+int64 even when every value is numerically equal (VERDICT r4 root cause
+of the r3+r4 red rows). String-normalizing cells, as the pre-r5
+comparator did, masked exactly that class; this version fails loudly on
+any type-class skew before values are even compared.
 """
 
 from __future__ import annotations
@@ -20,6 +25,106 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
+
+
+# --- type-class mapping ----------------------------------------------------
+# Both engines' type names are collapsed to coarse classes; a class
+# mismatch on any shared column is a typed-hash hazard and fails the
+# comparison outright. HUGEINT/UHUGEINT have no Spark counterpart and are
+# always fatal (fix: CAST the oracle aggregate to BIGINT). DECIMAL in an
+# oracle is fatal unless Spark is also decimal — registry convention is
+# to cast exact-DECIMAL aggregates to DOUBLE in BOTH engines.
+
+_DUCK_INTS = {
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "UTINYINT",
+    "USMALLINT",
+    "UINTEGER",
+    "UBIGINT",
+}
+
+
+def duck_type_class(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return "array<" + duck_type_class(t[:-2]) + ">"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in _DUCK_INTS:
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "CHAR", "TEXT", "STRING"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in ("BLOB", "BYTEA"):
+        return "binary"
+    if t.startswith("STRUCT") or t.startswith("MAP") or t.startswith("UNION"):
+        return "complex"
+    return t.lower()
+
+
+def spark_type_class(dt: str) -> str:
+    dt = dt.strip().lower()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return "array<" + spark_type_class(dt[6:-1]) + ">"
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
+        return "int"
+    if dt in ("double", "float"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("string", "varchar", "char"):
+        return "string"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt == "binary":
+        return "binary"
+    if dt.startswith("struct") or dt.startswith("map"):
+        return "complex"
+    return dt
+
+
+def type_skew(spark_schema, duck_cols, duck_types) -> list[str]:
+    """Per-column type-class comparison; returns human-readable problems."""
+    duck = {c: str(t) for c, t in zip(duck_cols, duck_types)}
+    problems: list[str] = []
+    for f in spark_schema.fields:
+        dts = duck.get(f.name)
+        if dts is None:
+            continue  # name mismatch is reported by the column check
+        dc = duck_type_class(dts)
+        sc = spark_type_class(f.dataType.simpleString())
+        if "hugeint" in dc:
+            problems.append(
+                f"{f.name}: DuckDB {dts} is int128 — the driver's typed hash "
+                f"distinguishes it from Spark {f.dataType.simpleString()} even "
+                f"when values are equal; wrap the oracle aggregate in "
+                f"CAST(... AS BIGINT)"
+            )
+        elif dc == "complex" or sc == "complex":
+            continue  # structs/maps: value comparison still applies
+        elif dc != sc:
+            problems.append(
+                f"{f.name}: DuckDB {dts} ({dc}) vs Spark "
+                f"{f.dataType.simpleString()} ({sc}) — typed-hash hazard; "
+                f"align the oracle/Spark output types"
+            )
+    return problems
 
 
 def _norm_cell(v):
@@ -48,14 +153,17 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
-    res = con.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_types = list(rel.types)
+    duck_rows = rel.fetchall()
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
     )
+    skew = type_skew(sdf.schema, duck_cols, duck_types)
+    assert not skew, "type skew (driver typed-hash hazard): " + "; ".join(skew)
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duckdb={len(duck_rows)}"
     )
