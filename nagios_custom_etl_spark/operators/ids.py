@@ -203,12 +203,14 @@ def _two_pass(
         "_pid", _pid_expr(keys, bounds) if bounds else F.lit(0).cast("int")
     )
     n_pids = len(bounds) + 1
+    # offsets must carry the aggregate's OWN type: casting a fractional
+    # per-partition double sum to long would silently truncate it
+    # (ADVICE r4). The agg schema is available without running a job.
+    per_pid_plan = with_pid.groupBy("_pid").agg(agg_col.alias("_agg"))
+    agg_type = per_pid_plan.schema["_agg"].dataType.simpleString()
     if n_pids == 1:  # single range: every offset is 0, skip the agg job
-        return with_pid, F.lit(0).cast("long"), _sort_cols(keys)
-    per_pid = {
-        r["_pid"]: r["_agg"]
-        for r in with_pid.groupBy("_pid").agg(agg_col.alias("_agg")).collect()
-    }
+        return with_pid, F.lit(0).cast(agg_type), _sort_cols(keys)
+    per_pid = {r["_pid"]: r["_agg"] for r in per_pid_plan.collect()}
     offsets, acc = [], 0
     for pid in range(n_pids):
         offsets.append(acc)
@@ -217,7 +219,7 @@ def _two_pass(
     # literal indexed by _pid instead of a broadcast join — one fewer
     # exchange, and the lookup stays inside whole-stage codegen
     offset_expr = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("_pid") + 1
+        F.array(*[F.lit(o).cast(agg_type) for o in offsets]), F.col("_pid") + 1
     )
     return with_pid, offset_expr, _sort_cols(keys)
 

@@ -247,6 +247,8 @@ def _resize_bmp(payload: bytes, max_dim: int) -> bytes:
         raise ValueError(f"resize supports 24bpp only, got {bpp}")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
     m = max(width, height)
     if m <= max_dim:
         return payload
@@ -254,6 +256,15 @@ def _resize_bmp(payload: bytes, max_dim: int) -> bytes:
     new_h = max(1, height * max_dim // m)
     src_row = (3 * width + 3) // 4 * 4
     dst_row = (3 * new_w + 3) // 4 * 4
+    # a truncated payload would make the 3-byte slice assignments below
+    # silently SHRINK the output (bytearray slice-assign accepts shorter
+    # input), shifting every subsequent pixel — corrupt output instead of
+    # an error (ADVICE r4). Validate the pixel buffer up front.
+    if len(payload) < pixel_off + src_row * height:
+        raise ValueError(
+            f"truncated BMP: need {pixel_off + src_row * height} bytes, "
+            f"have {len(payload)}"
+        )
     out = bytearray(dst_row * new_h)
     for y in range(new_h):
         sy = y * height // new_h
@@ -278,14 +289,25 @@ def resize_images(media: DataFrame, max_dim: int, batch_size: int = 1024) -> Dat
     in, with ``meta.n_bytes`` refreshed — so resize composes with
     ``extract_features``/``frame_sample`` downstream. Per-row independent
     work, no shuffle: the thumbnail stage of a multimodal ingest runs
-    embarrassingly parallel at any scale."""
+    embarrassingly parallel at any scale.
+
+    Malformed BMPs (truncated buffer, non-24bpp, core header) pass
+    through UNCHANGED rather than failing the whole job — dispatching on
+    the 2-byte 'BM' magic alone would otherwise let one bad payload kill
+    the task (ADVICE r4); a curation pipeline quarantines bad media, it
+    doesn't abort on them."""
+
+    def _safe_resize(p: bytes | None) -> bytes | None:
+        if p is None or p[:2] != b"BM":
+            return p
+        try:
+            return _resize_bmp(p, max_dim)
+        except ValueError:
+            return p  # malformed BMP: pass the original through
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                _resize_bmp(p, max_dim) if p is not None and p[:2] == b"BM" else p
-                for p in pdf["payload"]
-            ]
+            payloads = [_safe_resize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

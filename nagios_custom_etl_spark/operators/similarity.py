@@ -510,9 +510,14 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # NULL pq_codes would yield a NULL distance and Spark's ascending
+    # default is NULLS FIRST — a null row would outrank every real
+    # neighbor (ADVICE r4). Unreachable via pq_encode, but the function
+    # accepts any codes DataFrame: drop nulls explicitly.
     return (
-        codes.select(F.col(id_col), dist.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.col(id_col))
+        codes.filter(F.col("pq_codes").isNotNull())
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc_nulls_last("adc_dist"), F.col(id_col))
         .limit(k)
     )
 

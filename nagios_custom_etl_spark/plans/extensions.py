@@ -242,6 +242,27 @@ def x3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def _recall_per_query(exact_all: DataFrame, approx_all: DataFrame, k: int) -> DataFrame:
+    """recall@k with a guaranteed row PER probe query: aggregate from the
+    exact side with a hit flag (left join + count of matches), so a
+    catastrophic recall regression reports recall_at_10 = 0.0 instead of
+    silently shrinking the result set (ADVICE r4 — the old left_semi +
+    groupBy dropped zero-hit queries, ambiguous for a rows-only
+    regression-contract query). The exact side always has k rows per
+    query, so every query_id emits exactly one row."""
+    keys = list(exact_all.columns)
+    hits = approx_all.withColumn("_hit", F.lit(1))
+    return (
+        exact_all.join(hits, keys, "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            (F.count("_hit").cast("double") / k).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "x3d_ann_recall",
     oracle=None,  # k-means cells are engine-specific; the METRIC is the
@@ -278,15 +299,7 @@ def x3d_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qv in sorted(qvecs.items())
     ]
     approx_all = reduce(DataFrame.unionByName, approx_parts)
-    return (
-        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact_all, approx_all, k)
 
 
 @register(
@@ -333,15 +346,8 @@ def x49_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qv in sorted(qvecs.items())
     ]
     approx_all = reduce(DataFrame.unionByName, approx_parts)
-    return (
-        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
-        )
-        .withColumn("code_bytes_per_vec", F.lit(16).cast("long"))
-        .orderBy("query_id")
+    return _recall_per_query(exact_all, approx_all, k).withColumn(
+        "code_bytes_per_vec", F.lit(16).cast("long")
     )
 
 
@@ -383,15 +389,7 @@ def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qv in sorted(qvecs.items())
     ]
     approx_all = reduce(DataFrame.unionByName, approx_parts)
-    return (
-        exact_all.join(approx_all, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact_all, approx_all, k)
 
 
 @register(
@@ -422,15 +420,7 @@ def x3f_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         em, qs, "embedding", "vec_id", "embedding", "vec_id",
         k=k, n_cells=8, n_probe=3, seed=42,
     ).select("query_id", "nbr_id")
-    return (
-        exact.join(approx, ["query_id", "nbr_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            (F.count(F.lit(1)).cast("double") / k).alias("recall_at_10"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_per_query(exact, approx, k)
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from nagios_custom_etl_spark.catalog import load_table
 from nagios_custom_etl_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
     documents_as_media,
     extract_features,
     frame_sample,
@@ -228,3 +229,51 @@ def test_resize_images_composes_with_decode(spark):
         else:  # WAV untouched
             frames, ch = 8 + i % 32, 1 + (i // 2) % 2
             assert (r["width"], r["height"]) == (frames, ch)
+
+
+def test_resize_bmp_rejects_truncated_payload():
+    """ADVICE r4: a truncated pixel buffer used to silently SHRINK the
+    output via bytearray slice-assign (shifting every later pixel) —
+    it must raise instead."""
+    import struct as s
+
+    from nagios_custom_etl_spark.operators.multimodal import _resize_bmp
+
+    w, h = 8, 4
+    row_size = (3 * w + 3) // 4 * 4
+    buf = bytes(row_size * h)
+    header = s.pack("<2sIHHI", b"BM", 54 + len(buf), 0, 0, 54) + s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(buf), 2835, 2835, 0, 0
+    )
+    full = header + buf
+    with pytest.raises(ValueError, match="truncated BMP"):
+        _resize_bmp(full[:-10], max_dim=4)
+    assert len(_resize_bmp(full, max_dim=4)) > 0  # intact payload resizes
+
+
+def test_resize_images_passes_malformed_bmps_through(spark):
+    """ADVICE r4: resize_images dispatches on the 2-byte 'BM' magic; a
+    truncated or non-24bpp BMP must pass through unchanged instead of
+    failing the whole job."""
+    import struct as s
+
+    from nagios_custom_etl_spark.operators.multimodal import _encode_bmp, resize_images
+
+    good = _encode_bmp(8, 6, 9)
+    truncated = good[:-8]
+    w, h = 8, 6
+    row_size = (3 * w + 3) // 4 * 4
+    buf = bytes(row_size * h)
+    bpp8 = s.pack("<2sIHHI", b"BM", 54 + len(buf), 0, 0, 54) + s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(buf), 2835, 2835, 0, 0
+    )
+    rows = [
+        (0, good, {"mime": "image/bmp", "source": "t", "n_bytes": len(good)}),
+        (1, truncated, {"mime": "image/bmp", "source": "t", "n_bytes": len(truncated)}),
+        (2, bpp8, {"mime": "image/bmp", "source": "t", "n_bytes": len(bpp8)}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, max_dim=4).collect()}
+    assert out[1] == truncated  # malformed: byte-identical pass-through
+    assert out[2] == bpp8  # non-24bpp: pass-through
+    assert out[0] != good and out[0][:2] == b"BM"  # valid BMP actually shrank

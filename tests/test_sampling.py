@@ -150,6 +150,33 @@ def test_global_order_survives_cache_eviction(spark):
     assert [rids[k] for k in sorted(rids, reverse=True)] == list(range(4000))
 
 
+def test_global_running_sum_keeps_fractional_values(spark):
+    """ADVICE r4: _two_pass used to cast per-partition offsets to long,
+    silently truncating fractional sums for double value columns. The
+    offsets must carry the aggregate's own type — running sums over
+    doubles stay exact (within fp addition order) and the output column
+    is double, not long."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.ids import global_running_sum
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (((F.col("id") * 131) % 17).cast("double") / 4.0).alias("v"),
+    )
+    out_df = global_running_sum(
+        df.repartition(7), ["k"], "v", "running", num_partitions=6
+    )
+    assert out_df.schema["running"].dataType.simpleString() == "double"
+    out = sorted(out_df.collect(), key=lambda r: r["k"])
+    acc = 0.0
+    for r in out:
+        acc += r["v"]
+        # offsets are exact partition-boundary sums of quarter-integers:
+        # bit-exact here because every partial is a dyadic rational
+        assert r["running"] == acc
+
+
 def test_global_running_sum_matches_prefix_sum(spark):
     """The range-partitioned two-pass running sum equals the naive
     Python prefix sum over the same total order, across layouts."""

@@ -300,3 +300,43 @@ def test_ivf_pq_probe_all_matches_plain_pq(spark, sf_dir):
     assert len(few) == 10
     assert {r["vec_id"] for r in few} <= {r["vec_id"] for r in codes.join(
         assigned, "vec_id").collect()}
+
+
+def test_pq_topk_ignores_null_codes(spark):
+    """ADVICE r4: NULL pq_codes -> NULL adc_dist, and ascending order is
+    NULLS FIRST by default — a null row must never outrank real
+    neighbors."""
+    from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rows = []
+    for i in range(32):
+        pat = [float((i % 16 == j) * 2 + 1) for j in range(8)]
+        rows.append((i, pat + pat))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, "embedding", "vec_id", m=2, ks=16, seed=7, sample_rows=64)
+    codes = pq_encode(df, "embedding", "vec_id", cb)
+    with_null = codes.unionByName(
+        spark.createDataFrame([(999, None)], "vec_id long, pq_codes array<int>")
+    )
+    q = [float((3 == j) * 2 + 1) for j in range(8)] * 2
+    top = pq_topk(with_null, cb, "vec_id", q, k=4).collect()
+    assert 999 not in {r["vec_id"] for r in top}
+    assert all(r["adc_dist"] is not None for r in top)
+
+
+def test_recall_per_query_reports_zero_hit_queries(spark):
+    """ADVICE r4: the recall contract queries must emit a row for EVERY
+    probe query, including recall 0.0 — a catastrophic regression must
+    not shrink the result set."""
+    from nagios_custom_etl_spark.plans.extensions import _recall_per_query
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
+    out = {
+        r["query_id"]: (r["n_hits"], r["recall_at_10"])
+        for r in _recall_per_query(exact, approx, 2).collect()
+    }
+    assert out[0] == (1, 0.5)
+    assert out[1] == (0, 0.0)
