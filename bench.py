@@ -48,6 +48,10 @@ HEADLINE = [
     "x17_boilerplate_ratio",
     "x18_global_row_ids",
     "x4i_bigram_lm_score",
+    # skew twins (VERDICT r5 task 6): planted hot key through salted_join
+    # vs the same plan on uniform keys — skew handling as a NUMBER
+    "x50_skewed_join_salted",
+    "x50b_uniform_join_salted",
     # streaming representatives: micro-batch tumbling rollup through a real
     # writeStream/foreachBatch sink, plus a STATEFUL entry
     # (applyInPandasWithState streaks) so state-store regressions are

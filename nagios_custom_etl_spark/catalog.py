@@ -67,17 +67,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Spread decision cache: parquet footer metadata per path (driver-side,
 # read once per process).
 _SPREAD_CACHE: dict[str, bool] = {}
-_SPREAD_MIN_BYTES = 1 << 20  # ignore dimension-sized files
 
-# Tables whose downstream work is per-row CPU (shingling, hashing, vector
-# math) rather than columnar aggregation: spread these even when the file
-# is small, so a single-row-group fixture doesn't serialize ~100× explode
-# work onto one core. Relational tables keep the 1 MB threshold — extra
-# exchanges ahead of broadcast dims would only slow the TPC-H suite.
+# ONLY tables whose downstream work is per-row CPU (shingling, hashing,
+# vector math) get the starved-scan round-robin spread: for them a
+# single-row-group fixture would serialize ~100x explode work onto one
+# core. Relational/event tables are NOT spread (r5 re-bench): their
+# queries shuffle at the first groupBy/join/window anyway, so an explicit
+# repartition ahead of it is a pure extra exchange — removing it cut the
+# TPC-H/window headline subset ~30% (7.8 s -> 5.4 s at sf0.1).
 _HEAVY_TABLES = {"documents": 32 << 10, "embeddings": 32 << 10}
 
 
-def _scan_is_starved(path: str, parallelism: int, min_bytes: int = _SPREAD_MIN_BYTES) -> bool:
+def _scan_is_starved(path: str, parallelism: int, min_bytes: int) -> bool:
     """True when the parquet file is big enough to matter but has too few
     row groups for the scan to parallelize (split granularity is the row
     group — a 10 MB single-row-group file is ONE task no matter what
@@ -137,11 +138,13 @@ _TABLE_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY §2.1 S8).
 
-    Scans that parquet cannot parallelize (single row group, MB-scale
-    file) are round-robin repartitioned to the session parallelism so
-    downstream per-row work (decimal arithmetic, hashing, explodes)
+    Heavy per-row-CPU tables (documents, embeddings) whose fixture files
+    parquet cannot parallelize (single row group) are round-robin
+    repartitioned to the session parallelism so shingling/vector work
     spreads across cores; Catalyst still pushes filters below the
-    repartition, so scan-time pruning is unaffected.
+    repartition, so scan-time pruning is unaffected. Relational tables
+    are left unspread — their queries shuffle at the first agg/join
+    anyway (see _HEAVY_TABLES note).
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
@@ -168,7 +171,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # pinned to UTC, so the cast re-tags without shifting the instant.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     parallelism = spark.sparkContext.defaultParallelism
-    if _scan_is_starved(path, parallelism, _HEAVY_TABLES.get(name, _SPREAD_MIN_BYTES)):
+    if name in _HEAVY_TABLES and _scan_is_starved(path, parallelism, _HEAVY_TABLES[name]):
         df = df.repartition(parallelism)
     _TABLE_MEMO[memo_key] = (spark, df)
     return df

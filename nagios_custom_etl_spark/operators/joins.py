@@ -63,6 +63,7 @@ def salted_join(
     key: str,
     how: str = "inner",
     salt_buckets: int = 16,
+    force_shuffle_join: bool = False,
 ) -> DataFrame:
     """Skew-safe equi join: salt the big side's key, replicate the small
     side across the salt domain. For when one hot key would pin a single
@@ -70,6 +71,11 @@ def salted_join(
     deterministic heavy-hammer for pathological keys).
 
     Cost: small side × salt_buckets rows — keep the small side small.
+
+    ``force_shuffle_join`` pins a sort-merge join via hint — the bench /
+    demo lever: at fixture scale Spark would broadcast the small side
+    and no skew would ever materialize, which measures nothing. At 100 TB
+    the dim that needs salting is exactly the one too big to broadcast.
     """
     # content-hash salt: deterministic (monotonically_increasing_id would
     # re-salt differently on retry/replay)
@@ -78,6 +84,8 @@ def salted_join(
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     replicated_small = small.select("*", salts)
+    if force_shuffle_join:
+        replicated_small = replicated_small.hint("merge")
     out = salted_big.join(replicated_small, [key, "_salt"], how)
     return out.drop("_salt")
 

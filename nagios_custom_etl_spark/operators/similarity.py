@@ -474,6 +474,13 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks: list) -> Data
     return out
 
 
+def _double_sql(v: float) -> str:
+    """Exact SQL DOUBLE literal: repr round-trips the value; an exponent
+    marker forces DOUBLE parsing (ANSI reads bare decimals as DECIMAL)."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
 def pq_topk(
     codes: DataFrame,
     codebooks: list,
@@ -481,35 +488,38 @@ def pq_topk(
     query_vec: list[float],
     k: int = 10,
 ) -> DataFrame:
-    """ADC top-k over PQ codes, pure built-ins: the per-query LUT
-    (m*ks floats) is computed driver-side and embedded as one literal
-    array; approx squared-L2 = sum over subspaces of lut[j*ks+code_j]
-    via zip_with + aggregate — whole-stage codegen over the compressed
-    codes, no float vectors read at all. TakeOrderedAndProject keeps
-    per-partition heaps of k. On normalized vectors L2 order == cosine
-    order, so ranks are comparable to the exact cosine paths."""
+    """ADC top-k over PQ codes, pure built-ins: per-subspace LUTs
+    (ks floats each) are computed driver-side and embedded as m small
+    literal arrays; approx squared-L2 = a STATIC sum of m element_at
+    lookups — a flat codegen expression over the compressed codes, no
+    float vectors read at all. (The previous zip_with + aggregate HOF
+    over one m*ks literal measured ~6x slower steady-state: per-element
+    lambda eval of a large literal defeats whole-stage codegen — the
+    CLAUDE.md HOF trap.) TakeOrderedAndProject keeps per-partition heaps
+    of k. On normalized vectors L2 order == cosine order, so ranks are
+    comparable to the exact cosine paths."""
     import math
 
     import numpy as np
 
     cb = [np.array(c, dtype=np.float64) for c in codebooks]
     m = len(cb)
-    ks = cb[0].shape[0]
     dsub = cb[0].shape[1]
     nrm = math.sqrt(sum(v * v for v in query_vec)) or 1.0
     q = np.array([v / nrm for v in query_vec], dtype=np.float64)
-    lut = np.concatenate(
-        [((cb[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m)]
-    )
-    lut_lit = F.lit([float(v) for v in lut]).cast("array<double>")
-    jseq = F.sequence(F.lit(0), F.lit(m - 1))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("pq_codes"), jseq, lambda c, j: F.element_at(lut_lit, j * ks + c + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # the m*ks LUT floats go in as ONE parsed SQL expression, not m
+    # F.lit(list) calls: per-element py4j conversion dominated per-query
+    # latency (~0.8 s build per probe at m=16, ks=64 vs ~0.25 s parsed).
+    # repr() round-trips doubles exactly; the E0 suffix forces the SQL
+    # parser to read them as DOUBLE (bare decimals would parse DECIMAL
+    # under ANSI). Left-assoc '+' keeps the old fold's accumulation
+    # order, so distances are bit-identical to the HOF formulation.
+    terms = []
+    for j in range(m):
+        lut = ((cb[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+        arr = "array(" + ",".join(_double_sql(v) for v in lut) + ")"
+        terms.append(f"element_at({arr}, pq_codes[{j}] + 1)")
+    dist = F.expr(" + ".join(terms))
     # NULL pq_codes would yield a NULL distance and Spark's ascending
     # default is NULLS FIRST — a null row would outrank every real
     # neighbor (ADVICE r4). Unreachable via pq_encode, but the function

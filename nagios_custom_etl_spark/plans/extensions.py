@@ -393,6 +393,51 @@ def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x49c_pq_adc_planted",
+    oracle="""
+    -- planted-lossless PQ: each vector is one of 8 pattern subvectors
+    -- repeated over both subspaces (pattern = vec_id % 8), so with ks=8
+    -- every distinct subvector becomes its own codeword (Lloyd init is
+    -- distinct-rows), encoding is lossless and ADC distance equals true
+    -- squared-L2 on the normalized vectors: 0 for matching patterns,
+    -- 0.5 for every other pair (patterns are permutations of each
+    -- other). Top-12 for a pattern-3 query is therefore exactly the 12
+    -- smallest vec_ids with vec_id % 8 = 3, all at distance 0 — SQL-
+    -- predictable end to end (VERDICT r4 task 4).
+    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
+    FROM embeddings WHERE vec_id % 8 = 3 ORDER BY vec_id LIMIT 12
+    """,
+    doc="X49c oracle-checked PQ ADC correctness: the full train -> "
+    "distributed encode (vectorized Arrow pandas UDF) -> broadcast-LUT "
+    "ADC top-k chain (operators/similarity.py::pq_train/pq_encode/"
+    "pq_topk) on planted codeword-exact vectors, where the approximate "
+    "search provably equals the exact answer and a DuckDB oracle can "
+    "predict every output cell. Complements the organic-recall "
+    "regression gates (x49/x49b) with a hash-checked row.",
+)
+def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pat = F.col("vec_id") % 8
+    planted = em.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.when((j % 8) == pat, F.lit(3.0)).otherwise(F.lit(1.0)),
+        ).alias("embedding"),
+    )
+    cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
+    codes = pq_encode(planted, "embedding", "vec_id", cb)
+    q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
+    return (
+        pq_topk(codes, cb, "vec_id", q, k=12)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests
@@ -928,6 +973,87 @@ def x8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("marker_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_signup_ts"),
     ).orderBy("event_id")
+
+
+def _skew_join_agg(spark: SparkSession, sf_dir: str, plant_hot_key: bool) -> DataFrame:
+    """Shared body for the skew twins: events joined to a sub-broadcast-
+    threshold customer dim through salted_join with a forced shuffle join
+    (the 100 TB shape — a dim that needs salting is one too big to
+    broadcast). ``plant_hot_key`` remaps 20% of events (event_id % 5 = 0)
+    onto one user so a single key carries 20% of the join input; salting
+    spreads it over 16 shuffle buckets, so the skewed run must land
+    within ~the unskewed twin's time instead of pinning one reducer."""
+    from nagios_custom_etl_spark.functions.scalar import dsum
+    from nagios_custom_etl_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    uid = (
+        F.when(F.col("event_id") % 5 == 0, F.lit(7)).otherwise(F.col("user_id"))
+        if plant_hot_key
+        else F.col("user_id")
+    )
+    skewed = ev.select("event_id", uid.cast("bigint").alias("uid"), "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select(F.col("c_custkey").cast("bigint").alias("uid"), "c_mktsegment")
+    )
+    joined = salted_join(
+        skewed, dim, "uid", "inner", salt_buckets=16, force_shuffle_join=True
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("uid").alias("n_users"),
+            dsum("value", 12, 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SKEW_ORACLE = """
+    WITH mapped AS (
+      SELECT event_id,
+             CASE WHEN {hot} AND event_id % 5 = 0 THEN 7 ELSE user_id END AS uid,
+             value
+      FROM events
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT m.uid) AS n_users,
+           CAST(SUM(CAST(m.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM mapped m JOIN customer c ON m.uid = c.c_custkey
+    WHERE c.c_custkey < 1500
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x50_skewed_join_salted",
+    oracle=_SKEW_ORACLE.format(hot="TRUE"),
+    doc="X50 skew-hardened join under a PLANTED HOT KEY (20% of events on "
+    "one user): operators/joins.py::salted_join spreads the hot key over "
+    "16 salt buckets — exchange partitioning is (uid, _salt), so no "
+    "single reducer owns the hot key — through a forced sort-merge join "
+    "(the non-broadcastable-dim regime where skew actually bites). "
+    "Salting must not change semantics: the oracle is the PLAIN join. "
+    "Benchmarked against its unskewed twin (x50b) — within 2x is the "
+    "VERDICT r4 task-6 gate.",
+)
+def x50_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _skew_join_agg(spark, sf_dir, plant_hot_key=True)
+
+
+@register(
+    "x50b_uniform_join_salted",
+    oracle=_SKEW_ORACLE.format(hot="FALSE"),
+    doc="X50b the unskewed twin of x50: identical plan on the natural "
+    "(uniform) user_id distribution — the baseline that makes the "
+    "skewed entry's bench number interpretable.",
+)
+def x50b_uniform_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _skew_join_agg(spark, sf_dir, plant_hot_key=False)
 
 
 @register(

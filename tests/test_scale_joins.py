@@ -149,3 +149,16 @@ def test_order_primitives_partition_invariant(spark, sf_dir):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_x50_skew_twins_plan_and_salt_spread(spark):
+    """The registered skew twins (VERDICT r4 task 6) must actually
+    exercise the salted shuffle: a sort-merge join (no broadcast of the
+    dim) whose exchange keys include the salt, so the planted hot key
+    (20% of events on one user) is spread across salt buckets."""
+    from nagios_custom_etl_spark.plans.extensions import _skew_join_agg
+
+    out = _skew_join_agg(spark, "/root/testdata/sf0.001", plant_hot_key=True)
+    plan = plan_of(out)
+    assert "SortMergeJoin" in plan, "dim was broadcast — skew never materializes"
+    assert "_salt" in plan and "hashpartitioning" in plan
