@@ -14,6 +14,14 @@ of data size) and swing ±2x run-to-run; a single post-warmup run still
 sits in a half-compiled regime (q1 measured 1.55s on run 2 vs 1.0s
 steady-state). Min-of-2 after warmup is the signal that extrapolates to
 cluster scale, where compile cost amortizes to zero.
+
+Streaming floor: every st* entry pays ~0.7 s of Structured Streaming
+engine spin-up per run (measured: a stateless availableNow pass over
+the same events file into a memory sink) — query start/stop, offset and
+commit logs, state-store init. The session is already shared across all
+entries; the remainder of st6/st7 (~1.3 s) is the actual stateful work
+(python state workers / day-chunked parquet upserts). This is a fixed
+per-run cost that amortizes to zero on any long-running deployment.
 """
 
 from __future__ import annotations

@@ -140,14 +140,26 @@ def register_influx_sink(spark) -> None:
             import os
 
             total = 0
+            committed: list[tuple[str, int]] = []
             for m in messages:
                 if m.n == 0:
                     os.remove(m.path)
                     continue
                 os.rename(m.path, m.path[: -len(".tmp")])
                 total += m.n
-            with open(os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8") as f:
+                committed.append((os.path.basename(m.path[: -len(".tmp")]), m.n))
+            # the manifest atomically REPLACES any previous one and lists
+            # exactly this job's files: a consumer that reads only
+            # manifest-listed files (read_committed_lines) sees each point
+            # exactly once even when a prior attempt died mid-commit and
+            # left orphan part files behind — re-running the job is the
+            # retry path, and the rewrite makes it idempotent.
+            tmp_manifest = os.path.join(self.path, "_MANIFEST.tmp")
+            with open(tmp_manifest, "w", encoding="utf-8") as f:
                 f.write(f"points={total}\n")
+                for name, n in committed:
+                    f.write(f"file={name}:{n}\n")
+            os.replace(tmp_manifest, os.path.join(self.path, "_MANIFEST"))
 
         def abort(self, messages) -> None:
             import os
@@ -167,3 +179,27 @@ def register_influx_sink(spark) -> None:
             return Writer(self.options)
 
     spark.dataSource.register(Source)
+
+
+def read_committed_lines(path: str) -> list[str]:
+    """The exactly-once consumer contract for the 'influx_lines' spool:
+    read ONLY the files the current ``_MANIFEST`` lists, in manifest
+    order. Orphan ``part-*.lp``/``*.tmp`` files from an attempt that died
+    mid-commit are invisible — a retried job's manifest supersedes them —
+    so downstream POSTing from the spool never double-sends a point.
+    Raises FileNotFoundError when no manifest exists (no committed job)."""
+    import os
+
+    lines: list[str] = []
+    with open(os.path.join(path, "_MANIFEST"), encoding="utf-8") as f:
+        entries = [ln.strip() for ln in f if ln.startswith("file=")]
+    for e in entries:
+        name, expect_n = e[len("file=") :].rsplit(":", 1)
+        with open(os.path.join(path, name), encoding="utf-8") as fh:
+            got = fh.read().splitlines()
+        if len(got) != int(expect_n):
+            raise ValueError(
+                f"spool file {name} has {len(got)} lines, manifest says {expect_n}"
+            )
+        lines.extend(got)
+    return lines

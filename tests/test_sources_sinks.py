@@ -248,8 +248,93 @@ def test_influx_lines_datasource_writer(spark, tmp_path):
         "service_status,host=db01,service=Mem load=0.5 1700000060",
         "service_status,host=web01,service=CPU\\ Usage load=0.97 1700000000",
     ]
-    manifest = open(os.path.join(out, "_MANIFEST"), encoding="utf-8").read()
-    assert manifest.strip() == "points=2"
+    manifest = open(os.path.join(out, "_MANIFEST"), encoding="utf-8").read().splitlines()
+    assert manifest[0] == "points=2"
+    listed = {ln[len("file=") :].rsplit(":", 1)[0] for ln in manifest[1:]}
+    assert listed == {os.path.basename(f) for f in files}
+
+
+def test_influx_sink_exactly_once_after_midcommit_crash(spark, tmp_path):
+    """VERDICT r4 task 5: kill the writer mid-commit, re-run, assert
+    exactly-once via the manifest. The mid-commit crash state is planted
+    deterministically — one part file already renamed visible, one still
+    .tmp, NO manifest (commit writes it last) — then the job is re-run
+    (the retry path) and the consumer contract (read_committed_lines:
+    only manifest-listed files count) must yield each point exactly
+    once, with the orphans invisible."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.sinks.influx import (
+        line_protocol,
+        read_committed_lines,
+        register_influx_sink,
+    )
+
+    register_influx_sink(spark)
+    out = str(tmp_path / "spool")
+    os.makedirs(out)
+    # failed attempt's debris: a visible part (rename happened) and a tmp
+    # (rename didn't) — the exact on-disk state of a mid-commit crash
+    stale_visible = os.path.join(out, "part-deadbeef.lp")
+    with open(stale_visible, "w", encoding="utf-8") as f:
+        f.write("m,host=a load=0.1 1700000000\nm,host=b load=0.2 1700000001\n")
+    with open(os.path.join(out, "part-cafe.lp.tmp"), "w", encoding="utf-8") as f:
+        f.write("m,host=c load=0.3 1700000002\n")
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+
+    df = spark.createDataFrame(
+        [("web01", 0.97, 1700000100), ("db01", 0.5, 1700000160)],
+        "host string, load double, ts long",
+    )
+    lines = df.select(
+        line_protocol(
+            "service_status",
+            tags={"host": F.col("host")},
+            fields={"load": ("float", F.col("load"))},
+            time_s=F.col("ts"),
+        ).alias("line")
+    )
+    lines.write.format("influx_lines").option("path", out).mode("append").save()
+
+    got = sorted(read_committed_lines(out))
+    assert got == [
+        "service_status,host=db01 load=0.5 1700000160",
+        "service_status,host=web01 load=0.97 1700000100",
+    ]  # exactly once: each retried point once, orphan points zero times
+    # re-running the SAME job again (double retry) still yields the same
+    # point set — the manifest is replaced, never appended
+    lines.write.format("influx_lines").option("path", out).mode("append").save()
+    assert sorted(read_committed_lines(out)) == got
+    # the stale visible orphan is still on disk but never consumed
+    assert os.path.exists(stale_visible)
+    assert len(glob.glob(f"{out}/part-*.lp")) >= 3
+
+
+def test_influx_sink_abort_leaves_no_visible_output(spark, tmp_path):
+    """Two-phase commit abort path: a task failure mid-job must leave no
+    visible .lp files and no manifest — a partial job is invisible."""
+    import glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.sinks.influx import register_influx_sink
+
+    register_influx_sink(spark)
+    out = str(tmp_path / "spool")
+    df = spark.range(0, 100, 1, 4).select(
+        F.when(F.col("id") == 99, F.raise_error("boom"))
+        .otherwise(F.concat(F.lit("m v="), F.col("id").cast("string"), F.lit("i 1700000000")))
+        .alias("line")
+    )
+    with _pytest.raises(Exception, match="boom"):
+        df.write.format("influx_lines").option("path", out).mode("append").save()
+    assert not glob.glob(f"{out}/part-*.lp")
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
 
 
 def test_observed_metrics_single_pass(spark, sf_dir):
