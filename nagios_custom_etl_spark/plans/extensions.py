@@ -2080,6 +2080,10 @@ def x4i_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
     )
+    # pairs feeds both the bigram-count aggregation and the scoring join —
+    # uncached, the tokenize+explode subtree executes twice (the CLAUDE.md
+    # both-sides rule). At 100 TB persist to a checkpointed table instead.
+    pairs = cache_once(pairs)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     all_toks = toks_arr.select(F.explode("ts").alias("t"))
     c1 = all_toks.groupBy(F.col("t").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
