@@ -476,8 +476,18 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, codebooks: list) -> Data
 
 def _double_sql(v: float) -> str:
     """Exact SQL DOUBLE literal: repr round-trips the value; an exponent
-    marker forces DOUBLE parsing (ANSI reads bare decimals as DECIMAL)."""
-    s = repr(float(v))
+    marker forces DOUBLE parsing (ANSI reads bare decimals as DECIMAL).
+    Non-finite values (a NaN/Inf query vector or codebook) would render
+    unparseable SQL — fail with a diagnosable error instead."""
+    import math
+
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"non-finite ADC LUT value {f!r}: query vector or codebook "
+            "contains NaN/Inf — clean the embeddings before searching"
+        )
+    s = repr(f)
     return s if ("e" in s or "E" in s) else s + "E0"
 
 

@@ -249,9 +249,12 @@ def _recall_per_query(exact_all: DataFrame, approx_all: DataFrame, k: int) -> Da
     silently shrinking the result set (ADVICE r4 — the old left_semi +
     groupBy dropped zero-hit queries, ambiguous for a rows-only
     regression-contract query). The exact side always has k rows per
-    query, so every query_id emits exactly one row."""
+    query, so every query_id emits exactly one row. The approx side is
+    deduplicated first — a left join would otherwise multiply rows on a
+    duplicate (query_id, vec_id) and report recall > 1.0, masking a
+    regression (the left_semi this replaced counted each at most once)."""
     keys = list(exact_all.columns)
-    hits = approx_all.withColumn("_hit", F.lit(1))
+    hits = approx_all.dropDuplicates(keys).withColumn("_hit", F.lit(1))
     return (
         exact_all.join(hits, keys, "left")
         .groupBy("query_id")
@@ -430,9 +433,16 @@ def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
     codes = pq_encode(planted, "embedding", "vec_id", cb)
     q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
+    # keep only the zero-distance matches out of the top-12: if a
+    # regenerated fixture ever had < 12 vec_ids with vec_id % 8 = 3,
+    # pq_topk would backfill with distance-0.5 rows while the oracle's
+    # WHERE ... LIMIT 12 returns fewer — the filter makes both sides
+    # "the first <=12 exact matches" for ANY id population (CLAUDE.md:
+    # never pin to data-dependent fixture thresholds)
     return (
         pq_topk(codes, cb, "vec_id", q, k=12)
         .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
         .orderBy("vec_id")
     )
 

@@ -108,7 +108,16 @@ def register_influx_sink(spark) -> None:
     CSV tee (url_service_status_InfluxDB_insert.py:141-159), distributed.
 
     Options: ``path`` (spool dir, required), ``line_col`` (default
-    'line').
+    'line'), ``jobid`` (manifest scope, default '0' — see below).
+
+    Exactly-once across RETRIES and across DISTINCT jobs: each commit
+    atomically replaces its own ``_MANIFEST-<jobid>`` listing exactly
+    that job's part files. Re-running the same jobid (the retry path —
+    from ``foreachBatch`` pass the micro-batch id) supersedes only its
+    own manifest, so a crash between task renames and the manifest write
+    never double-delivers; a different jobid appends alongside committed
+    history. Consumers (``read_committed_lines``) read the union of
+    manifests and only manifest-listed files.
     """
     from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
@@ -121,6 +130,7 @@ def register_influx_sink(spark) -> None:
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
             self.line_col = options.get("line_col", "line")
+            self.jobid = options.get("jobid", "0")
 
         def write(self, iterator):
             import os
@@ -148,18 +158,21 @@ def register_influx_sink(spark) -> None:
                 os.rename(m.path, m.path[: -len(".tmp")])
                 total += m.n
                 committed.append((os.path.basename(m.path[: -len(".tmp")]), m.n))
-            # the manifest atomically REPLACES any previous one and lists
-            # exactly this job's files: a consumer that reads only
-            # manifest-listed files (read_committed_lines) sees each point
-            # exactly once even when a prior attempt died mid-commit and
-            # left orphan part files behind — re-running the job is the
-            # retry path, and the rewrite makes it idempotent.
-            tmp_manifest = os.path.join(self.path, "_MANIFEST.tmp")
+            # the per-job manifest atomically REPLACES any previous attempt
+            # of the SAME jobid and lists exactly this job's files: a
+            # consumer that reads only manifest-listed files
+            # (read_committed_lines) sees each point exactly once even when
+            # a prior attempt died mid-commit and left orphan part files
+            # behind. Other jobids' manifests are untouched, so append-mode
+            # history from earlier jobs (or earlier micro-batches, when
+            # foreachBatch passes batch_id as jobid) stays committed.
+            manifest = os.path.join(self.path, f"_MANIFEST-{self.jobid}")
+            tmp_manifest = manifest + ".inprogress"
             with open(tmp_manifest, "w", encoding="utf-8") as f:
                 f.write(f"points={total}\n")
                 for name, n in committed:
                     f.write(f"file={name}:{n}\n")
-            os.replace(tmp_manifest, os.path.join(self.path, "_MANIFEST"))
+            os.replace(tmp_manifest, manifest)
 
         def abort(self, messages) -> None:
             import os
@@ -183,23 +196,30 @@ def register_influx_sink(spark) -> None:
 
 def read_committed_lines(path: str) -> list[str]:
     """The exactly-once consumer contract for the 'influx_lines' spool:
-    read ONLY the files the current ``_MANIFEST`` lists, in manifest
-    order. Orphan ``part-*.lp``/``*.tmp`` files from an attempt that died
-    mid-commit are invisible — a retried job's manifest supersedes them —
-    so downstream POSTing from the spool never double-sends a point.
+    read ONLY files listed by the ``_MANIFEST-*`` files (all committed
+    jobids, sorted; manifest order within each). Orphan
+    ``part-*.lp``/``*.tmp`` files from an attempt that died mid-commit
+    are invisible — the retried jobid's manifest supersedes them — so
+    downstream POSTing from the spool never double-sends a point.
     Raises FileNotFoundError when no manifest exists (no committed job)."""
+    import glob
     import os
 
+    manifests = sorted(glob.glob(os.path.join(path, "_MANIFEST-*")))
+    manifests = [m for m in manifests if not m.endswith(".inprogress")]
+    if not manifests:
+        raise FileNotFoundError(f"no _MANIFEST-* in {path}: no committed job")
     lines: list[str] = []
-    with open(os.path.join(path, "_MANIFEST"), encoding="utf-8") as f:
-        entries = [ln.strip() for ln in f if ln.startswith("file=")]
-    for e in entries:
-        name, expect_n = e[len("file=") :].rsplit(":", 1)
-        with open(os.path.join(path, name), encoding="utf-8") as fh:
-            got = fh.read().splitlines()
-        if len(got) != int(expect_n):
-            raise ValueError(
-                f"spool file {name} has {len(got)} lines, manifest says {expect_n}"
-            )
-        lines.extend(got)
+    for manifest in manifests:
+        with open(manifest, encoding="utf-8") as f:
+            entries = [ln.strip() for ln in f if ln.startswith("file=")]
+        for e in entries:
+            name, expect_n = e[len("file=") :].rsplit(":", 1)
+            with open(os.path.join(path, name), encoding="utf-8") as fh:
+                got = fh.read().splitlines()
+            if len(got) != int(expect_n):
+                raise ValueError(
+                    f"spool file {name} has {len(got)} lines, manifest says {expect_n}"
+                )
+            lines.extend(got)
     return lines

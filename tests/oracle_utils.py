@@ -35,15 +35,35 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 # oracle is fatal unless Spark is also decimal — registry convention is
 # to cast exact-DECIMAL aggregates to DOUBLE in BOTH engines.
 
-_DUCK_INTS = {
-    "TINYINT",
-    "SMALLINT",
-    "INTEGER",
-    "BIGINT",
-    "UTINYINT",
-    "USMALLINT",
-    "UINTEGER",
-    "UBIGINT",
+# Integer/float widths are deliberately COLLAPSED into one class each:
+# the driver's hash demonstrably tolerates width skew — x48/x5/x5b
+# (width/height: Spark int32 vs oracle BIGINT), w6 (ntile int32), f17
+# (posexplode int32) all carry hash_match=true rows in
+# CORRECTNESS_r02–r04 — while HUGEINT (int128, overflows int64) is the
+# one widening that reds a row two rounds running. A width-strict
+# variant of this check was tried in r5 and flagged exactly those 10
+# empirically-green queries: strictness there is indistinguishable from
+# false positives. DECIMAL-vs-float stays flagged (value repr differs).
+_DUCK_SCALARS = {
+    "TINYINT": "int",
+    "UTINYINT": "int",
+    "SMALLINT": "int",
+    "USMALLINT": "int",
+    "INTEGER": "int",
+    "UINTEGER": "int",
+    "BIGINT": "int",
+    "UBIGINT": "int",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "TEXT": "string",
+    "STRING": "string",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "BLOB": "binary",
+    "BYTEA": "binary",
 }
 
 
@@ -55,45 +75,45 @@ def duck_type_class(t: str) -> str:
         return "hugeint"
     if t.startswith("DECIMAL"):
         return "decimal"
-    if t in _DUCK_INTS:
-        return "int"
-    if t in ("DOUBLE", "FLOAT", "REAL"):
-        return "float"
-    if t in ("VARCHAR", "CHAR", "TEXT", "STRING"):
-        return "string"
-    if t == "BOOLEAN":
-        return "bool"
-    if t == "DATE":
-        return "date"
+    if t in _DUCK_SCALARS:
+        return _DUCK_SCALARS[t]
     if t.startswith("TIMESTAMP"):
         return "timestamp"
-    if t in ("BLOB", "BYTEA"):
-        return "binary"
     if t.startswith("STRUCT") or t.startswith("MAP") or t.startswith("UNION"):
         return "complex"
     return t.lower()
+
+
+_SPARK_SCALARS = {
+    "tinyint": "int",
+    "byte": "int",
+    "smallint": "int",
+    "short": "int",
+    "int": "int",
+    "integer": "int",
+    "bigint": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "string": "string",
+    "varchar": "string",
+    "char": "string",
+    "boolean": "bool",
+    "date": "date",
+    "binary": "binary",
+}
 
 
 def spark_type_class(dt: str) -> str:
     dt = dt.strip().lower()
     if dt.startswith("array<") and dt.endswith(">"):
         return "array<" + spark_type_class(dt[6:-1]) + ">"
-    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
-        return "int"
-    if dt in ("double", "float"):
-        return "float"
+    if dt in _SPARK_SCALARS:
+        return _SPARK_SCALARS[dt]
     if dt.startswith("decimal"):
         return "decimal"
-    if dt in ("string", "varchar", "char"):
-        return "string"
-    if dt == "boolean":
-        return "bool"
-    if dt == "date":
-        return "date"
     if dt.startswith("timestamp"):
         return "timestamp"
-    if dt == "binary":
-        return "binary"
     if dt.startswith("struct") or dt.startswith("map"):
         return "complex"
     return dt

@@ -248,7 +248,7 @@ def test_influx_lines_datasource_writer(spark, tmp_path):
         "service_status,host=db01,service=Mem load=0.5 1700000060",
         "service_status,host=web01,service=CPU\\ Usage load=0.97 1700000000",
     ]
-    manifest = open(os.path.join(out, "_MANIFEST"), encoding="utf-8").read().splitlines()
+    manifest = open(os.path.join(out, "_MANIFEST-0"), encoding="utf-8").read().splitlines()
     assert manifest[0] == "points=2"
     listed = {ln[len("file=") :].rsplit(":", 1)[0] for ln in manifest[1:]}
     assert listed == {os.path.basename(f) for f in files}
@@ -283,7 +283,7 @@ def test_influx_sink_exactly_once_after_midcommit_crash(spark, tmp_path):
         f.write("m,host=a load=0.1 1700000000\nm,host=b load=0.2 1700000001\n")
     with open(os.path.join(out, "part-cafe.lp.tmp"), "w", encoding="utf-8") as f:
         f.write("m,host=c load=0.3 1700000002\n")
-    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    assert not glob.glob(os.path.join(out, "_MANIFEST-*"))
 
     df = spark.createDataFrame(
         [("web01", 0.97, 1700000100), ("db01", 0.5, 1700000160)],
@@ -311,6 +311,23 @@ def test_influx_sink_exactly_once_after_midcommit_crash(spark, tmp_path):
     # the stale visible orphan is still on disk but never consumed
     assert os.path.exists(stale_visible)
     assert len(glob.glob(f"{out}/part-*.lp")) >= 3
+    # a DIFFERENT jobid appends alongside the committed history instead of
+    # superseding it — manifests are per-job, retries replace only their own
+    df2 = spark.createDataFrame([("app07", 0.1, 1700000200)], "host string, load double, ts long")
+    lines2 = df2.select(
+        line_protocol(
+            "service_status",
+            tags={"host": F.col("host")},
+            fields={"load": ("float", F.col("load"))},
+            time_s=F.col("ts"),
+        ).alias("line")
+    )
+    lines2.write.format("influx_lines").option("path", out).option("jobid", "1").mode(
+        "append"
+    ).save()
+    assert sorted(read_committed_lines(out)) == sorted(
+        got + ["service_status,host=app07 load=0.1 1700000200"]
+    )
 
 
 def test_influx_sink_abort_leaves_no_visible_output(spark, tmp_path):
@@ -334,7 +351,7 @@ def test_influx_sink_abort_leaves_no_visible_output(spark, tmp_path):
     with _pytest.raises(Exception, match="boom"):
         df.write.format("influx_lines").option("path", out).mode("append").save()
     assert not glob.glob(f"{out}/part-*.lp")
-    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    assert not glob.glob(os.path.join(out, "_MANIFEST-*"))
 
 
 def test_observed_metrics_single_pass(spark, sf_dir):
