@@ -57,3 +57,71 @@ def compact_parquet(
     writer.parquet(dest)
     n, _ = dir_stats(dest)
     return n
+
+
+def zorder_key(cols, bits: int = 8):
+    """Morton/Z-order interleave of ``len(cols)`` integer columns' low
+    ``bits`` bits: bit ``b`` of column ``i`` lands at position
+    ``b*n + i`` of the key. Rows close in Z-value are close in EVERY
+    interleaved dimension, so range-partitioning/sorting by the key
+    clusters the table for multi-dimensional scan pruning — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout primitive, as a pure
+    static bit expression (codegen'd, no UDF). Columns must already be
+    bucketized to non-negative ints (e.g. ``pmod(hash, 2^bits)`` or a
+    range quantile index); values wider than ``bits`` are masked.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for i, c in enumerate(cols):
+        v = (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(mask)
+        for b in range(bits):
+            terms.append(F.shiftleft(F.shiftright(v, b).bitwiseAND(1), b * n + i))
+    out = terms[0]
+    for t in terms[1:]:  # disjoint bit positions: OR == ADD; OR is clearer
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
+    """The identical interleave as ANSI SQL (DuckDB oracle twin of
+    ``zorder_key``) over already-bucketized integer expressions."""
+    n = len(exprs)
+    mask = (1 << bits) - 1
+    terms = []
+    for i, e in enumerate(exprs):
+        for b in range(bits):
+            # every term fully parenthesized: DuckDB gives << and | equal
+            # precedence (left-assoc), so a bare `x << p | y` would parse
+            # as `x << (p | y)` and overflow
+            terms.append(f"((((({e}) & {mask}) >> {b}) & 1) << {b * n + i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_write(
+    df,
+    dest: str,
+    cols,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Rewrite ``df`` clustered by Z-order: range-partition on the
+    Z-key into ``n_files`` non-overlapping Z-ranges, sort within each,
+    write one file per range. Every output file then covers a small
+    hyper-rectangle of the interleaved dimensions, so parquet row-group
+    min/max stats (and file-level skipping in table formats that track
+    column ranges) prune scans filtered on ANY clustered column — not
+    just the leading sort column, which is linear sort's failure mode.
+    At 100 TB this is the periodic OPTIMIZE pass over hot partitions;
+    ``n_files`` targets ~128 MiB files like ``compact_parquet``.
+    """
+    z = zorder_key(cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )

@@ -3004,6 +3004,69 @@ def x44_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key_sql
+
+    day = "datediff('day', TIMESTAMP '1970-01-01', o_orderdate)"
+    zv = zorder_key_sql(["o_custkey", day], bits=8)
+    return f"""
+    -- Z-order (Morton) interleave is pure bit arithmetic, identical in
+    -- both engines: bit b of dim i lands at position b*2 + i. Buckets of
+    -- 1024 consecutive Z-values cover small rectangles of the
+    -- (custkey-low-bits, day-low-bits) plane — the per-bucket min/max
+    -- spans ARE the multi-dimensional pruning bounds a clustered layout
+    -- gives every file.
+    WITH z AS (
+      SELECT (o_custkey & 255) AS a,
+             ({day} & 255) AS b,
+             {zv} AS zv
+      FROM orders
+    )
+    SELECT zv // 1024 AS zbucket,
+           COUNT(*) AS n,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b
+    FROM z GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "x51_zorder_stats",
+    oracle=_zorder_oracle(),
+    doc="X51 Z-order clustering key (operators/maintenance.py::"
+    "zorder_key/zorder_write — the Delta/Iceberg OPTIMIZE ZORDER BY "
+    "layout primitive as a static codegen'd bit expression): orders "
+    "interleaved on (custkey, order-day); per 1024-wide Z-bucket, the "
+    "row count and min/max of BOTH dimensions — exactly the bounding "
+    "rectangles that make clustered files prunable on ANY clustered "
+    "column, not just a leading sort key. Bit-exact DuckDB oracle of "
+    "the full interleave; file-level locality/disjointness asserted in "
+    "tests/test_file_formats.py.",
+)
+def x51_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("long")
+    z = zorder_key([F.col("o_custkey"), day], bits=8)
+    return (
+        o.select(
+            F.col("o_custkey").bitwiseAND(255).alias("a"),
+            day.bitwiseAND(255).alias("b"),
+            z.alias("zv"),
+        )
+        .groupBy(F.expr("zv div 1024").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 @register(
     "x45_arrow_checksum",
     oracle="""

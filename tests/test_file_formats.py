@@ -202,3 +202,59 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
     strict = spark.read.schema("event_id long, v double").option("mode", "FAILFAST").json(p)
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """zorder_write must produce files with (1) disjoint Z-ranges (the
+    range-partition guarantee) and (2) bounded per-file spans in BOTH
+    interleaved dimensions — the property that makes clustered files
+    prunable on any clustered column. A linear sort on the first
+    dimension is the contrast: its per-file span of the SECOND dimension
+    is the full domain."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key, zorder_write
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("long")
+    dims = o.select(
+        F.col("o_custkey").bitwiseAND(255).alias("a"), day.bitwiseAND(255).alias("b")
+    )
+    dest = str(tmp_path / "zordered")
+    zorder_write(dims, dest, [F.col("a"), F.col("b")], bits=8, n_files=8)
+
+    back = spark.read.parquet(dest).withColumn("_file", F.input_file_name())
+    per_file = (
+        back.groupBy("_file")
+        .agg(
+            F.min("_z").alias("zlo"), F.max("_z").alias("zhi"),
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 8
+    # disjoint z ranges across files
+    ranges = sorted((r["zlo"], r["zhi"]) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "overlapping Z-ranges between files"
+    # both dimensions bounded well under the full 0..255 domain on average
+    mean_a = sum(r["span_a"] for r in per_file) / len(per_file)
+    mean_b = sum(r["span_b"] for r in per_file) / len(per_file)
+    assert mean_a < 200 and mean_b < 200, (mean_a, mean_b)
+
+    # contrast: linear sort on `a` leaves the b-dimension unclustered
+    linear = str(tmp_path / "linear")
+    dims.repartitionByRange(8, "a").sortWithinPartitions("a").write.mode(
+        "overwrite"
+    ).parquet(linear)
+    lin_spans = (
+        spark.read.parquet(linear)
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg((F.max("b") - F.min("b")).alias("span_b"))
+        .collect()
+    )
+    lin_mean_b = sum(r["span_b"] for r in lin_spans) / len(lin_spans)
+    assert mean_b < lin_mean_b, (mean_b, lin_mean_b)
