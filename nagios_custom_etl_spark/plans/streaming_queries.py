@@ -78,6 +78,72 @@ def st12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st13_stream_ann_serving",
+    oracle="""
+    -- probe-all IVF == exact brute force (parity test-pinned), so the
+    -- streaming serving loop is exactly the batch top-k — oracle-checkable
+    SELECT query_id, nbr_id, rank
+    FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]) DESC,
+                        v.vec_id
+             ) AS rank
+      FROM embeddings v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="ST-ext streaming ANN serving: query vectors arrive as a stream and "
+    "each micro-batch runs the IVF cell-routed top-k join "
+    "(operators/similarity.py::cosine_topk_join_ivf) against the STATIC "
+    "index via foreachBatch — the production serving loop (index built "
+    "once and memoized, queries stream, results append to the sink). Run "
+    "probe-all here so the answer is exactly the brute-force top-k and a "
+    "DuckDB oracle hash-checks the whole streaming path; with "
+    "n_probe < n_cells the identical plan is the approximate serving "
+    "path, recall-gated at x3f.",
+)
+def st13_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_join_ivf
+
+    em = load_table(spark, sf_dir, "embeddings")
+    # deterministic per-process dirs, cleaned per invocation: the sink is
+    # append-mode, so a stale pile from a prior run would duplicate rows
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st13_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    qstream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 5)
+    )
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        res = cosine_topk_join_ivf(
+            em, batch_df, "embedding", "vec_id", "embedding", "vec_id",
+            k=3, n_cells=8, n_probe=8, seed=42,
+        )
+        res.select("query_id", "nbr_id", "rank").write.mode("append").parquet(out_dir)
+
+    q = (
+        qstream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("query_id", "rank")
+
+
+@register(
     "st2_watermark_dedup",
     oracle="""
     -- the duplicated leg is eliminated by dropDuplicatesWithinWatermark:
