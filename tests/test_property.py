@@ -204,3 +204,62 @@ def test_resize_bmp_dims_formula_any_shape(w, h, fill, max_dim):
     # constant-fill source => every sampled pixel byte is `fill`,
     # zero row padding => checksum is exactly fill*3*nw*nh
     assert checksum == fill * 3 * nw * nh
+
+
+def ref_morton(vals: list[int], bits: int) -> int:
+    z = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + i)
+    return z
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**20), st.integers(0, 2**20)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 12),
+)
+def test_zorder_key_matches_python_morton(spark, pairs, bits):
+    """zorder_key's static bit expression equals the pure-Python Morton
+    interleave for any widths/bit budgets (values wider than `bits` are
+    masked identically)."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", zorder_key([F.col("a"), F.col("b")], bits=bits).alias("z")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == ref_morton([a, b], bits), (a, b, bits)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 5), st.text("xyz", min_size=1, max_size=3)),
+             min_size=1, max_size=8),
+)
+def test_salted_join_equals_plain_join_property(spark, big_rows, small_rows):
+    """salted_join must be semantics-preserving for ANY data, including
+    duplicate keys on both sides (row multiplicity must match the plain
+    join exactly) and keys present on only one side."""
+    from nagios_custom_etl_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(big_rows, "k long, v long")
+    small = spark.createDataFrame(small_rows, "k long, s string")
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", salt_buckets=4).collect()))
+    assert salted == plain
