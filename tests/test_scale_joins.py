@@ -162,3 +162,29 @@ def test_x50_skew_twins_plan_and_salt_spread(spark):
     plan = plan_of(out)
     assert "SortMergeJoin" in plan, "dim was broadcast — skew never materializes"
     assert "_salt" in plan and "hashpartitioning" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact table is partitioned (by day/month) and the
+    dim-side filter must prune fact PARTITIONS at runtime — Catalyst's
+    dynamic partition pruning. Assert the scan's PartitionFilters carry
+    a dynamicpruningexpression derived from the dim subquery, and that
+    the pruned plan returns the same rows as the unpartitioned join."""
+    from nagios_custom_etl_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "omonth", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    d = str(tmp_path / "orders_by_month")
+    o.write.mode("overwrite").partitionBy("omonth").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        o.select("omonth").distinct().filter(F.col("omonth") >= "1998-01")
+    )
+    joined = fact.join(dim, "omonth").groupBy("omonth").count()
+    plan = plan_of(joined)
+    assert "dynamicpruningexpression" in plan, "DPP did not fire on the partitioned scan"
+    expected = sorted(
+        map(tuple, o.filter(F.col("omonth") >= "1998-01").groupBy("omonth").count().collect())
+    )
+    assert sorted(map(tuple, joined.collect())) == expected
