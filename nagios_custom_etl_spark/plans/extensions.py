@@ -2873,9 +2873,10 @@ def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x42_incremental_neardup_flags",
-    oracle=f"""
+# shared by x42 (batch screen) and st14 (the same screen run per
+# streaming micro-batch): the flag set is identical, so one oracle
+# hash-checks both paths
+X42_NEARDUP_ORACLE = f"""
     -- batch (doc_id >= 450) screened against corpus (doc_id < 450):
     -- exact shingle-Jaccard >= threshold; the LSH banding (32 hashes /
     -- 8 bands) has total recall at this threshold on the fixtures
@@ -2906,7 +2907,12 @@ def x41_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sc ON shared.corpus_id = sc.doc_id
     WHERE CAST(n_shared AS DOUBLE) / (sb.n_sh + sc.n_sh - n_shared) >= {JACCARD_THRESHOLD}
     GROUP BY batch_id ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "x42_incremental_neardup_flags",
+    oracle=X42_NEARDUP_ORACLE,
     doc="X42 incremental-ingest dedup: flag each incoming batch document "
     "with >= 1 near-duplicate in the standing corpus — the exact "
     "inverted-index screen (operators/dedup.py::"

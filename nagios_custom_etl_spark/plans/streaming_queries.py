@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.catalog import load_table
+from nagios_custom_etl_spark.plans.extensions import X42_NEARDUP_ORACLE
 from nagios_custom_etl_spark.plans.registry import register
 from nagios_custom_etl_spark.streaming.ops import (
     cross_run_dedup,
@@ -141,6 +142,57 @@ def st13_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("query_id", "rank")
+
+
+@register(
+    "st14_stream_ingest_dedup",
+    oracle=X42_NEARDUP_ORACLE,  # same flag set as the batch path
+    doc="ST-ext ingest-time dedup: new documents arrive as a stream and "
+    "each micro-batch is screened against the STANDING corpus with the "
+    "exact inverted-index near-dup screen (operators/dedup.py::"
+    "exact_neardup_flags_vs_corpus) via foreachBatch — the gate a "
+    "100 TB training-data pipeline runs at ingestion so duplicates "
+    "never enter the corpus. The flag set equals the batch path (x42) "
+    "exactly, so the same DuckDB oracle hash-checks the whole streaming "
+    "chain; the MinHash-LSH variant is the scale path when the batch "
+    "shingle join runs hot.",
+)
+def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators.dedup import exact_neardup_flags_vs_corpus
+    from nagios_custom_etl_spark.plans.extensions import JACCARD_THRESHOLD
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 450)
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st14_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # append sink: clean per run
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    batches = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") >= 450)
+    )
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # trailing no-data micro-batch
+            return
+        flags = exact_neardup_flags_vs_corpus(
+            batch_df, corpus, "doc_id", "text", threshold=JACCARD_THRESHOLD
+        )
+        flags.write.mode("append").parquet(out_dir)
+
+    q = (
+        batches.writeStream.foreachBatch(screen)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("doc_id")
 
 
 @register(
