@@ -188,3 +188,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         map(tuple, o.filter(F.col("omonth") >= "1998-01").groupBy("omonth").count().collect())
     )
     assert sorted(map(tuple, joined.collect())) == expected
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """At 100 TB a selective dim-side filter should cut the FACT side's
+    shuffle before it happens: Catalyst's runtime bloom-filter join
+    injects might_contain(bloom(dim keys)) onto the probe side of a
+    shuffle join — a semi-join reduction that skips shuffling rows that
+    cannot match. Thresholds are lowered to trigger at fixture scale;
+    the filtered plan must return exactly the plain join's rows."""
+    from nagios_custom_etl_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert "might_contain" in plan_of(j), "runtime bloom filter not injected"
+        got = sorted(map(tuple, j.collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = sorted(map(tuple, li.join(o, li.l_orderkey == o.o_orderkey).collect()))
+    assert got == plain and len(got) > 0
