@@ -71,11 +71,22 @@ _SPREAD_CACHE: dict[str, bool] = {}
 # ONLY tables whose downstream work is per-row CPU (shingling, hashing,
 # vector math) get the starved-scan round-robin spread: for them a
 # single-row-group fixture would serialize ~100x explode work onto one
-# core. Relational/event tables are NOT spread (r5 re-bench): their
-# queries shuffle at the first groupBy/join/window anyway, so an explicit
-# repartition ahead of it is a pure extra exchange — removing it cut the
-# TPC-H/window headline subset ~30% (7.8 s -> 5.4 s at sf0.1).
+# core. Event tables are NOT spread (r5 re-bench): their queries shuffle
+# at the first groupBy/join/window anyway, so an explicit repartition
+# ahead of it is a pure extra exchange — removing it cut the TPC-H/window
+# headline subset ~30% (7.8 s -> 5.4 s at sf0.1).
 _HEAVY_TABLES = {"documents": 32 << 10, "embeddings": 32 << 10}
+
+# Starved FACT-table scans are spread by HASH on their join key instead
+# of round-robin — the poor-man's bucketing: the exchange that buys agg
+# parallelism also satisfies the distribution every orderkey equi-join
+# needs, so downstream joins skip their own shuffle of that side
+# (measured at sf0.1: q1 1.33->0.81 s, q3 0.54->0.40 s, q18 1.11->0.97 s
+# vs unspread; round-robin at the same width only helped q1). At 100 TB
+# the same layout comes from bucketed/clustered tables, and multi-row-
+# group files make the guard a no-op.
+_FACT_SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+_FACT_SPREAD_MIN_BYTES = 1 << 20
 
 
 def _scan_is_starved(path: str, parallelism: int, min_bytes: int) -> bool:
@@ -173,6 +184,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parallelism = spark.sparkContext.defaultParallelism
     if name in _HEAVY_TABLES and _scan_is_starved(path, parallelism, _HEAVY_TABLES[name]):
         df = df.repartition(parallelism)
+    elif name in _FACT_SPREAD_KEYS and _scan_is_starved(
+        path, parallelism, _FACT_SPREAD_MIN_BYTES
+    ):
+        df = df.repartition(parallelism, F.col(_FACT_SPREAD_KEYS[name]))
     _TABLE_MEMO[memo_key] = (spark, df)
     return df
 
