@@ -84,9 +84,14 @@ _HEAVY_TABLES = {"documents": 32 << 10, "embeddings": 32 << 10}
 # (measured at sf0.1: q1 1.33->0.81 s, q3 0.54->0.40 s, q18 1.11->0.97 s
 # vs unspread; round-robin at the same width only helped q1). At 100 TB
 # the same layout comes from bucketed/clustered tables, and multi-row-
-# group files make the guard a no-op.
+# group files make the guard a no-op. The 64 KiB threshold sits ≥1.8×
+# away from every fixture size in both directions (below: sf0.001
+# orders = 36 KiB; above: sf0.001 lineitem = 114 KiB, so even the
+# smallest test fixture exercises this branch and the driver's sf0.01
+# gate certainly does) — a 1 MiB threshold sat 6 KiB above sf0.01
+# lineitem and would have flapped with fixture-regeneration drift.
 _FACT_SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
-_FACT_SPREAD_MIN_BYTES = 1 << 20
+_FACT_SPREAD_MIN_BYTES = 64 << 10
 
 
 def _scan_is_starved(path: str, parallelism: int, min_bytes: int) -> bool:
@@ -149,13 +154,17 @@ _TABLE_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY §2.1 S8).
 
-    Heavy per-row-CPU tables (documents, embeddings) whose fixture files
-    parquet cannot parallelize (single row group) are round-robin
-    repartitioned to the session parallelism so shingling/vector work
-    spreads across cores; Catalyst still pushes filters below the
-    repartition, so scan-time pruning is unaffected. Relational tables
-    are left unspread — their queries shuffle at the first agg/join
-    anyway (see _HEAVY_TABLES note).
+    Single-row-group fixture scans that parquet cannot parallelize get
+    one of two spreads: heavy per-row-CPU tables (documents, embeddings)
+    are round-robin repartitioned so shingling/vector work spreads
+    across cores, and the fact tables (lineitem, orders) are HASH-spread
+    on their join key so the same exchange that parallelizes aggregation
+    also pre-satisfies the orderkey join distribution (see
+    _FACT_SPREAD_KEYS note). Everything else — dimensions, events — is
+    left unspread: their queries shuffle at the first agg/join/window
+    anyway, so an injected exchange is pure overhead. Catalyst still
+    pushes filters below the repartition, so scan-time pruning is
+    unaffected.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")

@@ -122,6 +122,10 @@ def zorder_write(
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
+        # a layout-only maintenance pass must be schema-identical to its
+        # input (like compact_parquet): project the helper key away — the
+        # projection preserves the partitioning and sort order
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(dest)
     )

@@ -1103,9 +1103,9 @@ def x6d_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x3e_topk_per_query",
-    oracle="""
+# shared by x3e (batched serving) and st13 (the same exact top-k through
+# the streaming serving loop): one oracle, two execution paths
+X3E_TOPK_ORACLE = """
     -- per-query exact top-3 neighbors for a small query set
     SELECT query_id, nbr_id, rank
     FROM (
@@ -1120,7 +1120,12 @@ def x6d_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
     ) WHERE rank <= 3
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "x3e_topk_per_query",
+    oracle=X3E_TOPK_ORACLE,
     doc="X3 batched ANN serving shape: exact top-k for every query row via "
     "broadcast(queries) x vectors + per-query window — ranks only in the "
     "output (engine-identical), similarities validated in tests.",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.catalog import load_table
-from nagios_custom_etl_spark.plans.extensions import X42_NEARDUP_ORACLE
+from nagios_custom_etl_spark.plans.extensions import X3E_TOPK_ORACLE, X42_NEARDUP_ORACLE
 from nagios_custom_etl_spark.plans.registry import register
 from nagios_custom_etl_spark.streaming.ops import (
     cross_run_dedup,
@@ -80,23 +80,8 @@ def st12_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st13_stream_ann_serving",
-    oracle="""
-    -- probe-all IVF == exact brute force (parity test-pinned), so the
-    -- streaming serving loop is exactly the batch top-k — oracle-checkable
-    SELECT query_id, nbr_id, rank
-    FROM (
-      SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
-                                               q.embedding::DOUBLE[]) DESC,
-                        v.vec_id
-             ) AS rank
-      FROM embeddings v
-      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-    ) WHERE rank <= 3
-    ORDER BY query_id, rank
-    """,
+    oracle=X3E_TOPK_ORACLE,  # probe-all IVF == exact brute force (parity
+    # test-pinned), so the streaming serving loop answers exactly x3e's SQL
     doc="ST-ext streaming ANN serving: query vectors arrive as a stream and "
     "each micro-batch runs the IVF cell-routed top-k join "
     "(operators/similarity.py::cosine_topk_join_ivf) against the STATIC "
@@ -119,8 +104,10 @@ def st13_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st13_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    # em.schema == the stream's schema (repartition never changes it):
+    # reuse the memoized analysis instead of re-reading footers per call
     qstream = (
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema)
+        spark.readStream.schema(em.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
@@ -128,6 +115,8 @@ def st13_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # trailing no-data micro-batch
+            return
         res = cosine_topk_join_ivf(
             em, batch_df, "embedding", "vec_id", "embedding", "vec_id",
             k=3, n_cells=8, n_probe=8, seed=42,
@@ -141,7 +130,13 @@ def st13_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("query_id", "rank")
+    # explicit schema: an all-empty stream (no part files, or no out_dir at
+    # all) must return an empty typed result like the batch twin (x3e),
+    # never a schema-inference/path crash
+    result_schema = "query_id bigint, nbr_id bigint, rank int"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], result_schema)
+    return spark.read.schema(result_schema).parquet(out_dir).orderBy("query_id", "rank")
 
 
 @register(
@@ -169,8 +164,10 @@ def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st14_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)  # append sink: clean per run
     out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    # d.schema == the stream's schema: reuse the memoized analysis
+    # instead of re-reading footers per call
     batches = (
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
@@ -192,7 +189,12 @@ def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    # explicit schema: an all-empty stream must return an empty typed
+    # result like the batch twin (x42), never a path/inference crash
+    result_schema = "doc_id bigint, n_near_dups bigint, max_jaccard double"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], result_schema)
+    return spark.read.schema(result_schema).parquet(out_dir).orderBy("doc_id")
 
 
 @register(

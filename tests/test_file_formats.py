@@ -224,7 +224,11 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     dest = str(tmp_path / "zordered")
     zorder_write(dims, dest, [F.col("a"), F.col("b")], bits=8, n_files=8)
 
-    back = spark.read.parquet(dest).withColumn("_file", F.input_file_name())
+    back = spark.read.parquet(dest)
+    assert back.schema == dims.schema  # layout-only pass: schema-identical
+    back = back.withColumn("_file", F.input_file_name()).withColumn(
+        "_z", zorder_key([F.col("a"), F.col("b")], bits=8)  # recompute on read
+    )
     per_file = (
         back.groupBy("_file")
         .agg(

@@ -226,3 +226,18 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.set(k, v)
     plain = sorted(map(tuple, li.join(o, li.l_orderkey == o.o_orderkey).collect()))
     assert got == plain and len(got) > 0
+
+
+def test_fact_spread_is_hash_on_join_key(spark):
+    """Starved fact-table scans must spread by HASH on the join key (the
+    exchange doubles as the join distribution — poor-man's bucketing),
+    heavy text/vector tables by round-robin, and dimensions not at all."""
+    from nagios_custom_etl_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"  # lineitem 114 KiB > the 64 KiB threshold
+    li_plan = plan_of(load_table(spark, sf, "lineitem").select("l_orderkey"))
+    assert "hashpartitioning(l_orderkey" in li_plan, li_plan[:500]
+    docs_plan = plan_of(load_table(spark, sf, "documents").select("doc_id"))
+    assert "roundrobin" in docs_plan.lower()
+    dim_plan = plan_of(load_table(spark, sf, "nation"))
+    assert "Exchange" not in dim_plan  # dimensions are never spread
