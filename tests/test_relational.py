@@ -58,9 +58,13 @@ def test_approx_percentile_within_bounds(spark, sf_dir):
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
     plan = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
-    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    # column pruning: the scan reads only q1's columns PLUS l_orderkey —
+    # the fact-spread key (catalog._FACT_SPREAD_KEYS): one extra bigint
+    # per row buys the hash distribution that parallelizes this agg and
+    # pre-satisfies every orderkey join. Everything else stays pruned.
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
-    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "hashpartitioning(l_orderkey" in plan  # the spread that reads it
     assert "HashAggregate" in plan  # partial+final hash agg, not sort-based
 
 
