@@ -505,7 +505,7 @@ def pq_topk(
     float vectors read at all. (The previous zip_with + aggregate HOF
     over one m*ks literal measured ~6x slower steady-state: per-element
     lambda eval of a large literal defeats whole-stage codegen — the
-    CLAUDE.md HOF trap.) TakeOrderedAndProject keeps per-partition heaps
+    project-notes HOF trap.) TakeOrderedAndProject keeps per-partition heaps
     of k. On normalized vectors L2 order == cosine order, so ranks are
     comparable to the exact cosine paths."""
     import math

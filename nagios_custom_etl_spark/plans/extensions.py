@@ -395,6 +395,22 @@ def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_per_query(exact_all, approx_all, k)
 
 
+def _planted_pattern_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) where each vector is pattern ``vec_id % 8``
+    repeated over both 8-dim subspaces — 8 distinct subvectors, so PQ
+    with ks=8 is lossless (Lloyd's distinct-rows init seeds every
+    pattern as its own codeword) and ADC equals true squared-L2."""
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pat = F.col("vec_id") % 8
+    return em.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.when((j % 8) == pat, F.lit(3.0)).otherwise(F.lit(1.0)),
+        ).alias("embedding"),
+    )
+
+
 @register(
     "x49c_pq_adc_planted",
     oracle="""
@@ -421,15 +437,7 @@ def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
 
-    em = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    pat = F.col("vec_id") % 8
-    planted = em.select(
-        "vec_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda j: F.when((j % 8) == pat, F.lit(3.0)).otherwise(F.lit(1.0)),
-        ).alias("embedding"),
-    )
+    planted = _planted_pattern_embeddings(spark, sf_dir)
     cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
     codes = pq_encode(planted, "embedding", "vec_id", cb)
     q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
@@ -437,10 +445,50 @@ def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regenerated fixture ever had < 12 vec_ids with vec_id % 8 = 3,
     # pq_topk would backfill with distance-0.5 rows while the oracle's
     # WHERE ... LIMIT 12 returns fewer — the filter makes both sides
-    # "the first <=12 exact matches" for ANY id population (CLAUDE.md:
+    # "the first <=12 exact matches" for ANY id population (project notes:
     # never pin to data-dependent fixture thresholds)
     return (
         pq_topk(codes, cb, "vec_id", q, k=12)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "x49d_ivf_pq_planted",
+    oracle="""
+    -- x49c's planted-lossless construction routed through the FULL
+    -- IVF-PQ serving chain (ivf_build cell assignment -> driver-picked
+    -- probe cells -> ADC within routed cells) with probe-all: routing
+    -- covers every cell regardless of how k-means carved them, so the
+    -- answer equals plain planted PQ — SQL-predictable like x49c.
+    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
+    FROM embeddings WHERE vec_id % 8 = 3 ORDER BY vec_id LIMIT 12
+    """,
+    doc="X49d oracle-checked IVF-PQ composition: the complete FAISS "
+    "serving shape (coarse cell routing + ADC over codes in probed "
+    "cells, operators/similarity.py::ivf_pq_topk) hash-checked end to "
+    "end on the planted codeword-exact vectors with probe-all routing. "
+    "Complements x49c (plain PQ oracle) and x49b (organic IVF-PQ "
+    "recall gate): every stage of the approximate serving chain now has "
+    "a driver-hash-verifiable row.",
+)
+def x49d_ivf_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
+    codes = pq_encode(planted, "embedding", "vec_id", cb)
+    q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
+    return (
+        ivf_pq_topk(assigned, centroids, codes, cb, "vec_id", q, k=12, n_probe=4)
         .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
         .filter(F.col("adc_dist_r") == 0.0)
         .orderBy("vec_id")
@@ -2096,7 +2144,7 @@ def x4i_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("_z.0").alias("w1"), F.col("_z.1").alias("w2"))
     )
     # pairs feeds both the bigram-count aggregation and the scoring join —
-    # uncached, the tokenize+explode subtree executes twice (the CLAUDE.md
+    # uncached, the tokenize+explode subtree executes twice (the project-notes
     # both-sides rule). At 100 TB persist to a checkpointed table instead.
     pairs = cache_once(pairs)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
