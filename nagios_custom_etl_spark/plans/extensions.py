@@ -395,6 +395,20 @@ def x49b_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_per_query(exact_all, approx_all, k)
 
 
+# one source of truth for the planted-lossless PQ twins (x49c/x49d):
+# the probed pattern, the PQ hyperparameters, and the query vector —
+# editing one of these in only one twin would desynchronize their
+# shared oracle and flip exactly one red
+_PLANTED_PQ = {"m": 2, "ks": 8, "seed": 7}
+_PLANTED_QUERY_PATTERN = 3
+_PLANTED_QUERY_VEC = [float((j == _PLANTED_QUERY_PATTERN) * 2 + 1) for j in range(8)] * 2
+_PLANTED_PQ_ORACLE_TAIL = f"""
+    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
+    FROM embeddings WHERE vec_id % 8 = {_PLANTED_QUERY_PATTERN}
+    ORDER BY vec_id LIMIT 12
+    """
+
+
 def _planted_pattern_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding) where each vector is pattern ``vec_id % 8``
     repeated over both 8-dim subspaces — 8 distinct subvectors, so PQ
@@ -420,12 +434,11 @@ def _planted_pattern_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- distinct-rows), encoding is lossless and ADC distance equals true
     -- squared-L2 on the normalized vectors: 0 for matching patterns,
     -- 0.5 for every other pair (patterns are permutations of each
-    -- other). Top-12 for a pattern-3 query is therefore exactly the 12
-    -- smallest vec_ids with vec_id % 8 = 3, all at distance 0 — SQL-
+    -- other). Top-12 for the probed pattern's query is therefore exactly
+    -- the 12 smallest vec_ids of that pattern, all at distance 0 — SQL-
     -- predictable end to end (VERDICT r4 task 4).
-    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
-    FROM embeddings WHERE vec_id % 8 = 3 ORDER BY vec_id LIMIT 12
-    """,
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
     doc="X49c oracle-checked PQ ADC correctness: the full train -> "
     "distributed encode (vectorized Arrow pandas UDF) -> broadcast-LUT "
     "ADC top-k chain (operators/similarity.py::pq_train/pq_encode/"
@@ -438,9 +451,9 @@ def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
 
     planted = _planted_pattern_embeddings(spark, sf_dir)
-    cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
+    cb = pq_train(planted, "embedding", "vec_id", **_PLANTED_PQ)
     codes = pq_encode(planted, "embedding", "vec_id", cb)
-    q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
+    q = _PLANTED_QUERY_VEC
     # keep only the zero-distance matches out of the top-12: if a
     # regenerated fixture ever had < 12 vec_ids with vec_id % 8 = 3,
     # pq_topk would backfill with distance-0.5 rows while the oracle's
@@ -463,9 +476,8 @@ def x49c_pq_adc_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- probe cells -> ADC within routed cells) with probe-all: routing
     -- covers every cell regardless of how k-means carved them, so the
     -- answer equals plain planted PQ — SQL-predictable like x49c.
-    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
-    FROM embeddings WHERE vec_id % 8 = 3 ORDER BY vec_id LIMIT 12
-    """,
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
     doc="X49d oracle-checked IVF-PQ composition: the complete FAISS "
     "serving shape (coarse cell routing + ADC over codes in probed "
     "cells, operators/similarity.py::ivf_pq_topk) hash-checked end to "
@@ -484,9 +496,9 @@ def x49d_ivf_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
     assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
-    cb = pq_train(planted, "embedding", "vec_id", m=2, ks=8, seed=7)
+    cb = pq_train(planted, "embedding", "vec_id", **_PLANTED_PQ)
     codes = pq_encode(planted, "embedding", "vec_id", cb)
-    q = [float((j == 3) * 2 + 1) for j in range(8)] * 2
+    q = _PLANTED_QUERY_VEC
     return (
         ivf_pq_topk(assigned, centroids, codes, cb, "vec_id", q, k=12, n_probe=4)
         .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))

@@ -64,6 +64,7 @@ def test_q1_filter_pushed_to_scan(spark, sf_dir):
     # pre-satisfies every orderkey join. Everything else stays pruned.
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_comment" not in read_schema  # widest column stays pruned
     assert "hashpartitioning(l_orderkey" in plan  # the spread that reads it
     assert "HashAggregate" in plan  # partial+final hash agg, not sort-based
 
