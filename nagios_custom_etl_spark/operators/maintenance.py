@@ -59,6 +59,19 @@ def compact_parquet(
     return n
 
 
+def _check_zorder_width(n_cols: int, bits: int) -> None:
+    """The interleaved key lives in a signed 64-bit LONG: the highest bit
+    position is ``bits*n - 1``, and position 63 is the sign bit — a key
+    that reaches it goes negative and sorts BEFORE every other row,
+    silently mis-clustering the rewrite (ADVICE r5)."""
+    if bits * n_cols > 63:
+        raise ValueError(
+            f"z-order key needs {bits * n_cols} bits ({n_cols} cols x {bits}) "
+            "but must fit in the 63 value bits of a signed LONG — lower "
+            "`bits` or interleave fewer columns"
+        )
+
+
 def zorder_key(cols, bits: int = 8):
     """Morton/Z-order interleave of ``len(cols)`` integer columns' low
     ``bits`` bits: bit ``b`` of column ``i`` lands at position
@@ -73,6 +86,7 @@ def zorder_key(cols, bits: int = 8):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    _check_zorder_width(n, bits)
     mask = (1 << bits) - 1
     terms = []
     for i, c in enumerate(cols):
@@ -89,6 +103,7 @@ def zorder_key_sql(exprs: list[str], bits: int = 8) -> str:
     """The identical interleave as ANSI SQL (DuckDB oracle twin of
     ``zorder_key``) over already-bucketized integer expressions."""
     n = len(exprs)
+    _check_zorder_width(n, bits)
     mask = (1 << bits) - 1
     terms = []
     for i, e in enumerate(exprs):

@@ -497,6 +497,7 @@ def pq_topk(
     id_col: str,
     query_vec: list[float],
     k: int = 10,
+    codes_col: str = "pq_codes",
 ) -> DataFrame:
     """ADC top-k over PQ codes, pure built-ins: per-subspace LUTs
     (ks floats each) are computed driver-side and embedded as m small
@@ -512,6 +513,15 @@ def pq_topk(
 
     import numpy as np
 
+    # the ADC expression below is generated SQL text: an absent codes
+    # column would otherwise surface as an opaque parse/analysis error
+    # deep in the expression (ADVICE r5) — validate up front
+    if codes_col not in codes.columns:
+        raise ValueError(
+            f"codes column {codes_col!r} not in codes DataFrame "
+            f"(columns: {codes.columns}) — pass codes_col="
+        )
+    codes_ref = f"`{codes_col.replace('`', '``')}`"
     cb = [np.array(c, dtype=np.float64) for c in codebooks]
     m = len(cb)
     dsub = cb[0].shape[1]
@@ -528,14 +538,14 @@ def pq_topk(
     for j in range(m):
         lut = ((cb[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
         arr = "array(" + ",".join(_double_sql(v) for v in lut) + ")"
-        terms.append(f"element_at({arr}, pq_codes[{j}] + 1)")
+        terms.append(f"element_at({arr}, {codes_ref}[{j}] + 1)")
     dist = F.expr(" + ".join(terms))
     # NULL pq_codes would yield a NULL distance and Spark's ascending
     # default is NULLS FIRST — a null row would outrank every real
     # neighbor (ADVICE r4). Unreachable via pq_encode, but the function
     # accepts any codes DataFrame: drop nulls explicitly.
     return (
-        codes.filter(F.col("pq_codes").isNotNull())
+        codes.filter(F.col(codes_col).isNotNull())
         .select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.asc_nulls_last("adc_dist"), F.col(id_col))
         .limit(k)

@@ -205,7 +205,15 @@ def read_committed_lines(path: str) -> list[str]:
     import glob
     import os
 
-    manifests = sorted(glob.glob(os.path.join(path, "_MANIFEST-*")))
+    def _jobid_key(m: str) -> tuple:
+        # numeric jobids (the foreachBatch batch-id path) replay in commit
+        # order — lexicographic sorting would read job '10' before job '2'
+        # (ADVICE r5); non-numeric jobids fall back to string order, after
+        # all numeric ones, and cross-kind order is documented unspecified
+        jobid = os.path.basename(m)[len("_MANIFEST-") :]
+        return (0, int(jobid), "") if jobid.isdigit() else (1, 0, jobid)
+
+    manifests = sorted(glob.glob(os.path.join(path, "_MANIFEST-*")), key=_jobid_key)
     manifests = [m for m in manifests if not m.endswith(".inprogress")]
     if not manifests:
         raise FileNotFoundError(f"no _MANIFEST-* in {path}: no committed job")

@@ -262,3 +262,19 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     )
     lin_mean_b = sum(r["span_b"] for r in lin_spans) / len(lin_spans)
     assert mean_b < lin_mean_b, (mean_b, lin_mean_b)
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """ADVICE r5: bits * n_cols must fit in the 63 value bits of a signed
+    LONG — 8 columns at bits=8 would place a bit at position 63 (the sign
+    bit) and silently mis-sort. Both the Column and SQL forms guard."""
+    import pytest as _pytest
+
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key, zorder_key_sql
+
+    with _pytest.raises(ValueError, match="63 value bits"):
+        zorder_key([f"c{i}" for i in range(8)], bits=8)
+    with _pytest.raises(ValueError, match="63 value bits"):
+        zorder_key_sql([f"c{i}" for i in range(8)], bits=8)
+    # 7 cols x 9 bits = 63 is the widest legal key (top position 62)
+    assert zorder_key_sql([f"c{i}" for i in range(7)], bits=9)

@@ -340,3 +340,31 @@ def test_recall_per_query_reports_zero_hit_queries(spark):
     }
     assert out[0] == (1, 0.5)
     assert out[1] == (0, 0.0)
+
+
+def test_pq_topk_codes_col_parameterized(spark):
+    """ADVICE r5: the ADC expression is generated SQL text — a renamed
+    codes column must work via codes_col= (backtick-quoted), and a
+    missing column must fail up front with a clear message, not an
+    opaque parse error."""
+    import pytest as _pytest
+
+    from nagios_custom_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rows = []
+    for i in range(32):
+        pat = [float((i % 16 == j) * 2 + 1) for j in range(8)]
+        rows.append((i, pat + pat))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, "embedding", "vec_id", m=2, ks=16, seed=7, sample_rows=64)
+    codes = pq_encode(df, "embedding", "vec_id", cb)
+    q = [float((3 == j) * 2 + 1) for j in range(8)] * 2
+    base = {r["vec_id"] for r in pq_topk(codes, cb, "vec_id", q, k=2).collect()}
+    renamed = codes.withColumnRenamed("pq_codes", "my codes")
+    got = {
+        r["vec_id"]
+        for r in pq_topk(renamed, cb, "vec_id", q, k=2, codes_col="my codes").collect()
+    }
+    assert got == base
+    with _pytest.raises(ValueError, match="codes column 'nope'"):
+        pq_topk(codes, cb, "vec_id", q, k=2, codes_col="nope")

@@ -417,3 +417,29 @@ def test_rrd_source_rate_limit_paces_requests(spark, tmp_path):
     assert len(stamps) == 4
     gaps = [b - a for a, b in zip(stamps, stamps[1:])]
     assert all(g >= 0.045 for g in gaps), gaps  # 20 rps -> >=50ms (5ms slack)
+
+
+def test_influx_manifest_replay_follows_numeric_job_order(tmp_path):
+    """ADVICE r5: cross-job replay order. Numeric jobids (the foreachBatch
+    batch-id path) must be consumed in NUMERIC order — lexicographic
+    sorting would read job '10' before job '2'. Pure consumer-side test:
+    the spool state is planted directly."""
+    import os
+
+    from nagios_custom_etl_spark.sinks.influx import read_committed_lines
+
+    out = str(tmp_path / "spool")
+    os.makedirs(out)
+    for jobid in ("2", "10", "1"):
+        part = f"part-{jobid}.lp"
+        with open(os.path.join(out, part), "w", encoding="utf-8") as f:
+            f.write(f"m,job={jobid} v=1 1700000000\n")
+        with open(os.path.join(out, f"_MANIFEST-{jobid}"), "w", encoding="utf-8") as f:
+            f.write("points=1\n")
+            f.write(f"file={part}:1\n")
+    got = read_committed_lines(out)
+    assert got == [
+        "m,job=1 v=1 1700000000",
+        "m,job=2 v=1 1700000000",
+        "m,job=10 v=1 1700000000",
+    ]
