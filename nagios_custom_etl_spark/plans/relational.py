@@ -328,15 +328,38 @@ def a2_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a3_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by design → rows-only
+    oracle="""
+    -- the HLL++ sketch value itself is engine-specific, but its CONTRACT
+    -- is not: |approx - exact| / exact <= 5*rsd (rsd=0.02 -> 0.1) is
+    -- SQL-predictable as a constant TRUE, so the approximate path is
+    -- hash-checked without hashing the sketch output (VERDICT r5 task 2)
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_rsd
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="A2-approx: approx_count_distinct (HLL++) — the 100 TB-scale variant "
-    "of a2; value asserted within rsd in tests/test_relational.py.",
+    "of a2. Emits the exact distinct count plus a within-5*rsd flag over "
+    "the sketch estimate, so the oracle hash-checks the approximation "
+    "contract itself (a wildly-off sketch flips the flag and the row).",
 )
 def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.1
+            ).alias("approx_within_rsd"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -604,16 +627,42 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_approx_percentile",
-    oracle=None,  # sketch-based (KLL/GK) — engine-specific by design
+    oracle="""
+    -- the GK-sketch median is engine-specific, but its contract is not:
+    -- accuracy=1000 bounds the rank error at n/1000, which on this price
+    -- distribution keeps the value within 5% relative of the exact
+    -- interpolated median — SQL-predictable as TRUE (VERDICT r5 task 2).
+    -- The rank-error -> value-error step assumes a non-degenerate value
+    -- distribution (behavioral property of the generator, not a pinned
+    -- threshold: a 0.1% rank shift moving the median 5% would need a
+    -- near-discontinuous price distribution).
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           TRUE AS approx_within_eps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="A-ext approx_percentile — the sketch path for 100 TB where exact "
-    "percentile's full sort is not worth it; bounds vs exact asserted in "
-    "tests/test_relational.py.",
+    "percentile's full sort is not worth it. Emits the exact interpolated "
+    "median plus a within-5%-relative flag over the sketch estimate, so "
+    "the oracle hash-checks the approximation contract itself.",
 )
 def a8_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"))
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("exact_median_price"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median_price",
+            (
+                F.abs(F.col("_approx") - F.col("exact_median_price"))
+                / F.col("exact_median_price")
+                <= 0.05
+            ).alias("approx_within_eps"),
+        )
         .orderBy("l_returnflag")
     )
 
