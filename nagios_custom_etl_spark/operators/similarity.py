@@ -17,6 +17,8 @@ Four tiers, all DataFrame-native:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -240,9 +242,31 @@ def cosine_topk_join_ivf(
     the result exactly the brute-force join — the parity test's lever.
     Ties break by neighbor id, matching ``cosine_topk_join``.
     """
+    assigned, centroids = ivf_build(vectors, vec_col, id_col, n_cells, seed)
+    return cosine_topk_join_ivf_index(
+        assigned, centroids, queries, vec_col, id_col, q_vec_col, q_id_col,
+        k=k, n_probe=n_probe,
+    )
+
+
+def cosine_topk_join_ivf_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    q_vec_col: str,
+    q_id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """``cosine_topk_join_ivf`` against an ALREADY-BUILT index — the
+    serve-from-disk path (VERDICT r5 task 1): a persisted index loaded by
+    ``ann_load_index`` goes straight into the routed join with zero
+    KMeans fits, which is what a serving restart over a 10^11-vector
+    index requires (the rebuild is the system's most expensive job)."""
     from pyspark.sql.window import Window as W
 
-    assigned, centroids = ivf_build(vectors, vec_col, id_col, n_cells, seed)
     q = queries.select(
         F.col(q_id_col).alias("query_id"), as_double_array(q_vec_col).alias("_q")
     )
@@ -586,3 +610,211 @@ def ivf_pq_topk(
         "left_semi",
     )
     return pq_topk(routed, codebooks, id_col, query_vec, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — write once, serve from disk (VERDICT r5 task 1).
+# The in-memory memos (_IVF_MEMO/_PQ_MEMO/_PQ_ENCODE_MEMO) are session-
+# scoped by design: a serving RESTART would re-train codebooks and
+# re-encode the corpus, and at 10^11 vectors that rebuild is the most
+# expensive job in the system. The durable form is the standard layout:
+# one assigned-rows table written ``partitionBy("cell_id")`` (searches
+# prune probed cells at the file-listing level) plus a kilobyte JSON
+# sidecar holding centroids + PQ codebooks (the only driver-side state).
+# ---------------------------------------------------------------------------
+
+ANN_INDEX_FORMAT = 1
+_ANN_META_FILE = "_ann_index_meta.json"
+_ANN_DATA_DIR = "data"
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — works
+    for any scheme the cluster can reach (hdfs://, s3a://, file:/), not
+    just the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        chunks = []
+        line = reader.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = reader.readLine()
+        return "\n".join(chunks)
+    finally:
+        stream.close()
+
+
+@dataclass
+class AnnIndex:
+    """A loaded (or just-built) servable ANN index.
+
+    ``table`` is one DataFrame with the id, the cell assignment, and —
+    depending on what was written — the float vector column (exact
+    re-rank within probed cells) and/or the PQ codes column (ADC over
+    the compressed representation). Centroids and codebooks are the
+    kilobyte driver-side sidecar. All search methods route through the
+    ``cell_id`` filter, which partition-prunes the scan because the
+    table is written partitioned by cell_id."""
+
+    table: DataFrame
+    centroids: list
+    id_col: str
+    vec_col: str | None = None
+    codebooks: list | None = None
+
+    def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        import math
+
+        def cos(a, b) -> float:
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        order = sorted(
+            range(len(self.centroids)), key=lambda c: -cos(self.centroids[c], query_vec)
+        )
+        return order[:n_probe]
+
+    def routed(self, query_vec: list[float], n_probe: int) -> DataFrame:
+        """Rows of the probed cells only — `cell_id IN (...)` on the
+        partition column, so the scan lists/reads only probed
+        directories ((n_probe/n_cells) of the index bytes)."""
+        return self.table.filter(
+            F.col("cell_id").isin(self._probe_cells(query_vec, n_probe))
+        )
+
+    def pq_search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """IVF-PQ ADC top-k from the persisted representation: probed
+        cells' m-byte codes scored by the broadcast LUT — zero fits,
+        zero encode passes."""
+        if self.codebooks is None:
+            raise ValueError("index was written without PQ codes/codebooks")
+        return pq_topk(
+            self.routed(query_vec, n_probe).select(F.col(self.id_col), "pq_codes"),
+            self.codebooks,
+            self.id_col,
+            query_vec,
+            k=k,
+        )
+
+    def exact_search(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Exact cosine within probed cells (needs stored vectors)."""
+        if self.vec_col is None:
+            raise ValueError("index was written without float vectors")
+        q = F.lit(query_vec).cast("array<double>")
+        return (
+            self.routed(query_vec, n_probe)
+            .select(F.col(self.id_col), cosine(self.vec_col, q).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(self.id_col))
+            .limit(k)
+        )
+
+    def topk_join(
+        self, queries: DataFrame, q_vec_col: str, q_id_col: str,
+        k: int = 10, n_probe: int = 4,
+    ) -> DataFrame:
+        """Per-query-ROW serving (the streaming micro-batch shape) from
+        the persisted index — no broadcast of the query side, no fits."""
+        if self.vec_col is None:
+            raise ValueError("index was written without float vectors")
+        return cosine_topk_join_ivf_index(
+            self.table.select(F.col(self.id_col), F.col(self.vec_col), "cell_id"),
+            self.centroids,
+            queries,
+            self.vec_col,
+            self.id_col,
+            q_vec_col,
+            q_id_col,
+            k=k,
+            n_probe=n_probe,
+        )
+
+
+def ann_write_index(
+    path: str,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str | None = None,
+    codes: DataFrame | None = None,
+    codebooks: list | None = None,
+) -> None:
+    """Persist an IVF / IVF-PQ index: the assigned rows as parquet
+    ``partitionBy("cell_id")`` under ``path/data`` plus a JSON sidecar
+    (centroids, codebooks, column names, format version) at
+    ``path/_ann_index_meta.json``.
+
+    ``vec_col=None`` writes a codes-only index — the 10^11-vector
+    representation, m bytes/vector with no float payload; passing both
+    keeps exact re-rank possible at n_probe cost. The write repartitions
+    by cell_id first so each cell directory gets file-sized output
+    instead of one sliver per upstream task (at 100 TB, target ~128 MiB
+    files per cell like compact_parquet)."""
+    import json
+
+    spark = assigned.sparkSession
+    cols = [F.col(id_col)]
+    if vec_col is not None:
+        cols.append(F.col(vec_col))
+    data = assigned.select(*cols, "cell_id")
+    if codes is not None:
+        if codebooks is None:
+            raise ValueError("codes given without codebooks — the sidecar would be unservable")
+        data = data.join(codes.select(F.col(id_col), "pq_codes"), id_col)
+    n_cells = len(centroids)
+    (
+        data.repartition(n_cells, "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{_ANN_DATA_DIR}")
+    )
+    meta = {
+        "format": ANN_INDEX_FORMAT,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": n_cells,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    # the sidecar is written LAST: a crash mid-write leaves no meta file,
+    # so ann_load_index refuses the partial index (commit marker)
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+
+
+def ann_load_index(spark, path: str) -> AnnIndex:
+    """Load a persisted index with ZERO refits and zero encode passes:
+    one JSON sidecar read + one parquet analysis. The returned index
+    serves immediately — the whole point is that a serving restart costs
+    a file open, not the most expensive job in the system."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"unsupported ANN index format {meta.get('format')!r} at {path} "
+            f"(this build reads format {ANN_INDEX_FORMAT})"
+        )
+    table = spark.read.parquet(f"{path}/{_ANN_DATA_DIR}")
+    return AnnIndex(
+        table=table,
+        centroids=meta["centroids"],
+        id_col=meta["id_col"],
+        vec_col=meta.get("vec_col"),
+        codebooks=meta.get("codebooks"),
+    )

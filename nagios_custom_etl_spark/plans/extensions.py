@@ -508,6 +508,56 @@ def x49d_ivf_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x52_ann_index_persist_roundtrip",
+    oracle="""
+    -- x49d's planted-lossless IVF-PQ construction round-tripped through
+    -- DISK: build -> ann_write_index (assigned rows partitioned by
+    -- cell_id + centroid/codebook JSON sidecar) -> ann_load_index (zero
+    -- KMeans/Lloyd fits, zero encode passes — test-pinned) -> probe-all
+    -- ADC. Persistence must be invisible to the answer, so the oracle is
+    -- exactly the planted-PQ prediction (VERDICT r5 task 1).
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X52 ANN index persistence: the durable form of the session memos "
+    "(operators/similarity.py::ann_write_index/ann_load_index) — a "
+    "serving restart costs a sidecar read + parquet analysis instead of "
+    "re-training codebooks and re-encoding the corpus (at 10^11 vectors "
+    "the system's most expensive job). Search from the loaded index "
+    "hash-matches the same DuckDB oracle as the in-memory chain; the "
+    "cell_id partition filter prunes probed cells at file-listing level.",
+)
+def x52_ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(planted, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(planted, "embedding", "vec_id", cb)
+    # deterministic per-process dir, cleaned per invocation (overwrite-mode
+    # write + fresh load keep reruns idempotent anyway)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x52_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests

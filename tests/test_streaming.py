@@ -391,3 +391,87 @@ def test_streaming_serving_queries_rerun_idempotent(spark, sf_dir):
         assert first == second, name
         if not first:
             pytest.skip(f"{name}: regenerated fixture left the stream side empty")
+
+
+def test_persisted_index_serving_restart_exactly_once(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r5 task 6: stop/restart the ANN serving loop across new
+    query arrivals, booting each 'process' from the PERSISTED index with
+    every fit entry point disabled — the checkpoint must deliver each
+    query exactly once and the answers must equal brute force."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators import similarity as S
+
+    em = load_table(spark, sf_dir, "embeddings")
+    idx_dir = str(tmp_path / "index")
+    src = str(tmp_path / "queries")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # offline build job: runs once, persists
+    assigned, centroids = S.ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    S.ann_write_index(idx_dir, assigned, centroids, "vec_id", "embedding")
+
+    expected = sorted(
+        map(
+            tuple,
+            S.cosine_topk_join(
+                em, em.filter(F.col("vec_id") < 4), "embedding", "vec_id", "embedding", "vec_id", k=3
+            )
+            .select("query_id", "nbr_id", "rank")
+            .collect(),
+        )
+    )
+
+    def add_queries(lo, hi, name):
+        stage = str(tmp_path / f"stage_{name}")
+        em.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/{name}.parquet")
+
+    def serve_once():
+        # each run simulates a fresh serving process: index loaded from
+        # disk, checkpoint carries source progress
+        idx = S.ann_load_index(spark, idx_dir)
+        stream = spark.readStream.schema(em.schema).parquet(src)
+
+        def serve(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            res = idx.topk_join(batch_df, "embedding", "vec_id", k=3, n_probe=8)
+            res.select("query_id", "nbr_id", "rank").write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_queries(0, 2, "qa")
+    serve_once()
+
+    # the RESTARTED process cannot fit anything
+    from pyspark.ml.clustering import KMeans
+
+    def boom(*a, **k):
+        raise AssertionError("serving restart must not refit")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    monkeypatch.setattr(S, "_lloyd", boom)
+    S._IVF_MEMO.clear()
+    S._PQ_MEMO.clear()
+
+    add_queries(2, 4, "qb")
+    serve_once()  # restart: must process ONLY qb
+    serve_once()  # restart with nothing new: must append nothing
+
+    got = sorted(map(tuple, spark.read.parquet(out).select("query_id", "nbr_id", "rank").collect()))
+    assert got == expected  # exactly once per query, answers == brute force
