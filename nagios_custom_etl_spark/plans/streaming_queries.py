@@ -259,6 +259,59 @@ def st14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st15_ep2_streaming_composite",
+    oracle="""
+    -- the whole EP2 chain (reference extract.py main: 25h-lookback
+    -- re-delivery -> completeness gate -> cross-run dedup -> routed
+    -- persistence) must reproduce the batch answer: the overlap leg
+    -- re-delivers the first 200 events, the watermark dedup keeps
+    -- exactly one copy of every event_id, and both legs carry identical
+    -- payloads — so the per-(user, type) totals read back from the
+    -- routed sink equal a plain gated GROUP BY over events.
+    SELECT user_id, event_type, COUNT(*) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    doc="EP2 as ONE streaming composite (VERDICT r5 task 5): the pieces "
+    "proven separately — overlap re-delivery (st2's shape), "
+    "late_data_gate (st3), dropDuplicatesWithinWatermark (ST4), the "
+    "routed foreachBatch sink (st4/K4) — composed into the reference's "
+    "cron pipeline (extract.py:29-31,94-99,115-132) and hash-checked "
+    "end to end: gate -> 25h-watermark cross-run dedup -> route fan-out "
+    "-> read-back aggregate equals the batch answer (the st14 pattern).",
+)
+def st15_ep2_streaming_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.functions.scalar import dsum
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st15_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # append sink: clean per run
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    current = read_events_stream(spark, sf_dir)
+    # the previous cron run's window, re-delivered by the 25h lookback
+    replay = read_events_stream(spark, sf_dir).filter(F.col("event_id") < 200)
+    gated = late_data_gate(current.unionByName(replay))
+    deduped = cross_run_dedup(gated, watermark="25 hours")
+    q = (
+        deduped.writeStream.foreachBatch(routed_parquet_sink(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_points"), dsum("value", 12, 2).alias("total_value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
     "st2_watermark_dedup",
     oracle="""
     -- the duplicated leg is eliminated by dropDuplicatesWithinWatermark:
