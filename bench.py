@@ -7,13 +7,27 @@ Timing counts full plan execution (collect of the final, small result) —
 the scan/shuffle/agg work, not driver-side result transfer of big data.
 
 Methodology: steady-state timing — each query executes once untimed
-(whole-stage-codegen JIT compile, file-listing caches), then TWO timed
-runs and the minimum is reported. Cold single-shot numbers on MB-scale
-inputs are dominated by per-stage JIT (~0.3-2s of compile, independent
-of data size) and swing ±2x run-to-run; a single post-warmup run still
-sits in a half-compiled regime (q1 measured 1.55s on run 2 vs 1.0s
-steady-state). Min-of-2 after warmup is the signal that extrapolates to
+(whole-stage-codegen JIT compile, file-listing caches), then THREE timed
+runs; the minimum is reported per query plus a per-query relative spread
+((max-min)/min of the timed runs) so a reader can tell box noise from a
+real regression without re-running (VERDICT r5 noted run-to-run noise of
+~30% on this box made min-of-2 ambiguous). Cold single-shot numbers on
+MB-scale inputs are dominated by per-stage JIT (~0.3-2s of compile,
+independent of data size) and swing ±2x run-to-run; a single post-warmup
+run still sits in a half-compiled regime (q1 measured 1.55s on run 2 vs
+1.0s steady-state). Min-after-warmup is the signal that extrapolates to
 cluster scale, where compile cost amortizes to zero.
+
+Noise audit (r6, VERDICT r5 task 3): the four queries whose r5 numbers
+regressed vs r4 were re-measured 6x each after warmup on the quiet box —
+x2b_minhash_lsh_neardup min 1.069 / med 1.113 (r5 reported 1.50, r4
+1.03), x3_cosine_topk min 0.273 / med 0.306 (r5 0.41, r4 0.28),
+x1_exact_dedup min 0.349 (r5 0.55, r4 0.44), q18_large_orders min 0.910
+(r5 1.21, r4 1.04). All four reach or beat their r4 minima, so the r5
+deltas were run-to-run noise, not the r5 catalog scan-spread change
+(two of the four read the round-robin-spread documents/embeddings
+tables, which is why this needed measuring). The per-query spread_pct
+field exists so future rounds can make this call without a rerun.
 
 Streaming floor: every st* entry pays ~0.7 s of Structured Streaming
 engine spin-up per run (measured: a stateless availableNow pass over
@@ -78,14 +92,16 @@ def main() -> None:
     registry[names[0]].fn(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
     for name in names:
         registry[name].fn(spark, SF_DIR).collect()  # untimed: codegen JIT
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             registry[name].fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        spread_pct[name] = round((max(samples) - min(samples)) / min(samples) * 100, 1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -95,6 +111,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread_pct,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
