@@ -27,6 +27,19 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# connect + 10 view registrations cost ~12 ms; over a 160-query contract
+# run that is seconds of pure setup (VERDICT r5 task 7) — the views are
+# read-only parquet, so one connection per sf_dir is safely reusable
+_CON_MEMO: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duckdb_connection_cached(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = _CON_MEMO.get(sf_dir)
+    if con is None:
+        con = _CON_MEMO[sf_dir] = duckdb_connection(sf_dir)
+    return con
+
+
 # --- type-class mapping ----------------------------------------------------
 # Both engines' type names are collapsed to coarse classes; a class
 # mismatch on any shared column is a typed-hash hazard and fails the
@@ -172,12 +185,11 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    con = duckdb_connection(sf_dir)
+    con = duckdb_connection_cached(sf_dir)
     rel = con.sql(oracle)
     duck_cols = list(rel.columns)
     duck_types = list(rel.types)
     duck_rows = rel.fetchall()
-    con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
