@@ -797,6 +797,87 @@ def ann_write_index(
     _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
 
 
+def ann_assign_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> "F.Column":
+    """Nearest-centroid cell assignment as a pure expression: an array of
+    (squared-L2 distance, cell_id) structs over the centroid literals,
+    sort_array, take the head — the same argmin KMeans.transform computes
+    (lowest cell_id wins exact ties, matching argmin-first; parity with
+    the fitted model is test-pinned). Per-row cost is n_cells × d
+    codegen'd arithmetic; no model object, no fit — exactly what an
+    incremental-ingest job has after loading a persisted index."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        as_double_array(vec_col),
+                        F.lit(c).cast("array<double>"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("_d2"),
+                F.lit(i).cast("int").alias("cell_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.sort_array(dists)[0]["cell_id"]
+
+
+def ann_append_to_index(
+    spark, path: str, new_vectors: DataFrame, vec_col: str | None = None
+) -> None:
+    """Incremental index maintenance — the `add` half of the serving
+    lifecycle: route NEW vectors into an existing persisted index
+    WITHOUT refitting anything. Cells come from ``ann_assign_cells``
+    over the stored centroids; codes (when the index carries PQ) come
+    from ``pq_encode`` with the stored codebooks (encode-only — no
+    Lloyd); files append into the existing cell_id partitions. The
+    sidecar is untouched: quantizers are frozen by design — incremental
+    adds reuse them, and re-training is a separate full-rebuild
+    maintenance job (the FAISS model). Caller owns id uniqueness (the
+    st14 ingest gate is the dedup front door)."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(f"unsupported ANN index format {meta.get('format')!r} at {path}")
+    id_col, stored_vec = meta["id_col"], meta.get("vec_col")
+    centroids, codebooks = meta["centroids"], meta.get("codebooks")
+    # a codes-only index stores no vector column, but routing/encoding the
+    # NEW rows still needs their vectors: vec_col names them (defaults to
+    # the index's stored vector column when it has one)
+    src_vec = vec_col or stored_vec
+    if src_vec is None:
+        raise ValueError(
+            "codes-only index: pass vec_col= naming the vector column of "
+            "new_vectors (needed to route and encode the new rows)"
+        )
+    if src_vec not in new_vectors.columns:
+        raise ValueError(
+            f"new_vectors must carry the vector column {src_vec!r} "
+            f"(columns: {new_vectors.columns})"
+        )
+    cols = [F.col(id_col)]
+    if stored_vec is not None:
+        cols.append(F.col(src_vec).alias(stored_vec))
+    data = new_vectors.select(
+        *cols, ann_assign_cells(new_vectors, src_vec, centroids).alias("cell_id")
+    )
+    if codebooks is not None:
+        codes = pq_encode(new_vectors, src_vec, id_col, codebooks)
+        data = data.join(codes.select(F.col(id_col), "pq_codes"), id_col)
+    (
+        data.repartition(len(centroids), "cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{_ANN_DATA_DIR}")
+    )
+
+
 def ann_load_index(spark, path: str) -> AnnIndex:
     """Load a persisted index with ZERO refits and zero encode passes:
     one JSON sidecar read + one parquet analysis. The returned index

@@ -558,6 +558,108 @@ def x52_ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "x53_ann_index_codes_only",
+    oracle="""
+    -- the 10^11-vector representation end to end: the persisted index
+    -- stores ONLY m-byte PQ codes (no float vectors) + the sidecar, and
+    -- the loaded search must still produce the exact planted answer via
+    -- ADC. Same prediction as x49c/x52 — the storage mode must be
+    -- invisible to the ADC result.
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X53 codes-only persisted index (ann_write_index with "
+    "vec_col=None): the compressed serving representation — m bytes per "
+    "vector, no float payload — round-tripped through disk and searched "
+    "with the broadcast-LUT ADC. exact_search correctly refuses (no "
+    "vectors stored; test-pinned); at 100 TB this mode is what fits the "
+    "full index in cluster storage, with exact re-rank delegated to the "
+    "corpus table when needed.",
+)
+def x53_ann_index_codes_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(planted, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(planted, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x53_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", None, codes, cb)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "x54_ann_index_incremental_append",
+    oracle="""
+    -- incremental index maintenance: the index is built and persisted on
+    -- HALF the corpus (vec_id % 16 < 8 — every pattern present, so PQ
+    -- stays planted-lossless), then the other half is appended through
+    -- ann_append_to_index (expression-assigned cells, encode with the
+    -- FROZEN stored codebooks, files appended into the cell partitions —
+    -- zero refits). Probe-all search over the grown index must find the
+    -- planted matches from BOTH halves: the same top-12 prediction as
+    -- x49c, which spans odd and even vec_ids.
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X54 incremental append to a persisted index "
+    "(operators/similarity.py::ann_append_to_index — the FAISS `add` "
+    "operation): new vectors route to cells via a pure argmin expression "
+    "over the stored centroids and encode with the stored codebooks; "
+    "quantizers stay frozen (re-training is a separate full-rebuild "
+    "job). The grown index answers for old AND new rows under the same "
+    "planted oracle; assignment parity with KMeans.transform and "
+    "zero-refit appends are test-pinned.",
+)
+def x54_ann_index_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    initial = planted.filter(F.col("vec_id") % 16 < 8)
+    arrivals = planted.filter(F.col("vec_id") % 16 >= 8)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(initial, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(initial, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x54_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    ann_append_to_index(spark, path, arrivals)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests

@@ -446,3 +446,65 @@ def test_ann_index_roundtrip_zero_refit(spark, sf_dir, tmp_path, monkeypatch):
     idx2 = S.ann_load_index(spark, path)
     with _pytest.raises(ValueError, match="without PQ codes"):
         idx2.pq_search(q)
+
+
+def test_ann_assign_cells_matches_kmeans_transform(spark, sf_dir):
+    """The incremental-append cell router (pure argmin expression over
+    the stored centroid literals) must reproduce KMeans.transform's
+    assignment exactly — otherwise appended rows land in different cells
+    than a rebuild would place them."""
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators import similarity as S
+
+    em = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    model_cells = {r["vec_id"]: r["cell_id"] for r in assigned.select("vec_id", "cell_id").collect()}
+    expr_cells = {
+        r["vec_id"]: r["cell"]
+        for r in em.select(
+            "vec_id", S.ann_assign_cells(em, "embedding", centroids).alias("cell")
+        ).collect()
+    }
+    assert expr_cells == model_cells
+
+
+def test_ann_append_zero_refit_and_codes_only_guard(spark, sf_dir, tmp_path, monkeypatch):
+    """ann_append_to_index must never fit (frozen quantizers: encode-only
+    with stored codebooks, expression-routed cells); a codes-only index
+    refuses exact_search but appends fine when vec_col names the new
+    rows' vectors."""
+    import pytest as _pytest
+    from pyspark.ml.clustering import KMeans
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators import similarity as S
+
+    em = load_table(spark, sf_dir, "embeddings")
+    initial = em.filter(F.col("vec_id") % 2 == 0)
+    arrivals = em.filter(F.col("vec_id") % 2 == 1)
+    assigned, centroids = S.ivf_build(initial, "embedding", "vec_id", n_cells=8, seed=3)
+    cb = S.pq_train(initial, "embedding", "vec_id", m=8, ks=16, seed=3)
+    codes = S.pq_encode(initial, "embedding", "vec_id", cb)
+    path = str(tmp_path / "codes_only_idx")
+    S.ann_write_index(path, assigned, centroids, "vec_id", None, codes, cb)
+
+    def boom(*a, **k):
+        raise AssertionError("append must not fit")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    monkeypatch.setattr(S, "_lloyd", boom)
+    S._IVF_MEMO.clear()
+    S._PQ_MEMO.clear()
+
+    # codes-only: must name the vector column of the new rows
+    with _pytest.raises(ValueError, match="codes-only index"):
+        S.ann_append_to_index(spark, path, arrivals)
+    S.ann_append_to_index(spark, path, arrivals, vec_col="embedding")
+    idx = S.ann_load_index(spark, path)
+    assert idx.table.count() == em.count()  # both halves present
+    with _pytest.raises(ValueError, match="without float vectors"):
+        idx.exact_search([0.0] * 64)
+    # the grown codes-only index still answers ADC searches over ALL rows
+    q = [float(x) for x in em.filter(F.col("vec_id") == 1).first()["embedding"]]
+    top = idx.pq_search(q, k=5, n_probe=8).collect()
+    assert len(top) == 5 and top[0]["vec_id"] == 1  # odd (appended) row found
