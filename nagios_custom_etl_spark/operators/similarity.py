@@ -642,6 +642,14 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def _fs_delete(spark, path: str) -> None:
+    """Recursively delete a path through the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def _fs_read_text(spark, path: str) -> str:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -876,6 +884,86 @@ def ann_append_to_index(
         .partitionBy("cell_id")
         .parquet(f"{path}/{_ANN_DATA_DIR}")
     )
+
+
+def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
+    """Delete rows from a persisted index by id — the third lifecycle
+    operation after write and append. Affected CELLS are discovered with
+    one bounded metadata join (distinct cell_ids of matching rows — at
+    most n_cells values), then ONLY those cell partitions are rewritten
+    (anti-join out the ids, dynamic partition overwrite); untouched
+    cells' files are never read or written. ``ids`` is a DataFrame so a
+    100 TB-scale deletion list joins distributed — never a driver-side
+    IN-list of data size."""
+    idx = ann_load_index(spark, path)
+    id_col = idx.id_col
+    key = F.col(id_col) if id_col in ids.columns else F.col(ids.columns[0]).alias(id_col)
+    del_ids = ids.select(key).distinct()
+    # bounded collect: distinct cell ids touched (≤ n_cells values)
+    touched = [
+        r["cell_id"]
+        for r in idx.table.join(del_ids, id_col, "left_semi")
+        .select("cell_id")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    keep = idx.table.filter(F.col("cell_id").isin(touched)).join(
+        del_ids, id_col, "left_anti"
+    )
+    # materialize before overwriting the files the plan reads from (the
+    # incremental_rollup_sink pattern)
+    keep = keep.localCheckpoint()
+    # dynamic overwrite only replaces partitions PRESENT in the output: a
+    # cell whose rows are ALL deleted emits nothing and its directory
+    # would silently survive — find fully-emptied cells (bounded: one row
+    # per touched cell) and drop their directories explicitly
+    surviving = {
+        r["cell_id"] for r in keep.select("cell_id").distinct().collect()
+    }
+    emptied = [c for c in touched if c not in surviving]
+    if surviving:
+        (
+            keep.repartition(max(len(surviving), 1), "cell_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/{_ANN_DATA_DIR}")
+        )
+    for cell in emptied:
+        _fs_delete(spark, f"{path}/{_ANN_DATA_DIR}/cell_id={cell}")
+
+
+def ann_compact_index(spark, path: str, max_files_per_cell: int = 4) -> list[int]:
+    """OPTIMIZE for the index: appends leave one file per (append, cell)
+    and a long-lived index accumulates slivers that poison probe-time
+    listing. Rewrites ONLY cells whose file count exceeds
+    ``max_files_per_cell`` (one task per rewritten cell, dynamic
+    partition overwrite — untouched cells keep their files). File counts
+    come from a distributed input_file_name() pass, so no driver-side
+    directory walking of a remote store. Returns the rewritten cell ids.
+    Answers must be layout-invariant (oracle-checked by x56)."""
+    idx = ann_load_index(spark, path)
+    counts = (
+        idx.table.select("cell_id", F.input_file_name().alias("_f"))
+        .distinct()
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+    # bounded collect: one row per cell
+    hot = [r["cell_id"] for r in counts.filter(F.col("n_files") > max_files_per_cell).collect()]
+    if not hot:
+        return []
+    rewrite = idx.table.filter(F.col("cell_id").isin(hot)).localCheckpoint()
+    (
+        rewrite.repartition(len(hot), "cell_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{_ANN_DATA_DIR}")
+    )
+    return sorted(hot)
 
 
 def ann_load_index(spark, path: str) -> AnnIndex:

@@ -660,6 +660,113 @@ def x54_ann_index_incremental_append(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "x55_ann_index_delete",
+    oracle="""
+    -- deletion completes the index lifecycle: build+persist on the full
+    -- planted corpus, then delete every vec_id % 16 >= 8 row (only the
+    -- affected cell partitions are rewritten — an anti-join per touched
+    -- cell, untouched cells' files never read). Probe-all search must
+    -- then find ONLY surviving planted matches: vec_id % 8 = 3 rows
+    -- with vec_id % 16 < 8, i.e. exactly vec_id % 16 = 3.
+    SELECT vec_id, CAST(0.0 AS DOUBLE) AS adc_dist_r
+    FROM embeddings WHERE vec_id % 16 = 3
+    ORDER BY vec_id LIMIT 12
+    """,
+    doc="X55 index deletion (operators/similarity.py::"
+    "ann_delete_from_index): ids arrive as a DataFrame (a 100 TB "
+    "deletion list joins distributed, never a driver IN-list); touched "
+    "cells are found with one bounded metadata join and rewritten via "
+    "dynamic partition overwrite. The shrunk index must stop answering "
+    "for deleted rows — SQL-predictable on the planted construction.",
+)
+def x55_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_delete_from_index,
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(planted, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(planted, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x55_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    ann_delete_from_index(
+        spark, path, planted.filter(F.col("vec_id") % 16 >= 8).select("vec_id")
+    )
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "x56_ann_index_compaction",
+    oracle="""
+    -- compaction is layout-only maintenance: after the x54 build+append
+    -- (which leaves one file per (write, cell)), ann_compact_index
+    -- rewrites sliver-heavy cells into file-sized output — and the
+    -- probe-all answer must be byte-identical to the uncompacted index:
+    -- the same planted prediction as x49c/x54, spanning both halves.
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X56 index compaction (operators/similarity.py::"
+    "ann_compact_index — OPTIMIZE for the ANN index): file counts per "
+    "cell from a distributed input_file_name() pass, only cells over "
+    "the per-cell file threshold rewritten (dynamic partition "
+    "overwrite, one task per cell). Answers are layout-invariant by "
+    "oracle; the file-count drop is pinned in tests/test_similarity.py.",
+)
+def x56_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_compact_index,
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    initial = planted.filter(F.col("vec_id") % 16 < 8)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(initial, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(initial, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x56_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    # four appends leave ≥5 files per touched cell — the sliver pile
+    for lo, hi in ((8, 10), (10, 12), (12, 14), (14, 16)):
+        batch = planted.filter((F.col("vec_id") % 16 >= lo) & (F.col("vec_id") % 16 < hi))
+        ann_append_to_index(spark, path, batch)
+    ann_compact_index(spark, path, max_files_per_cell=2)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests

@@ -508,3 +508,63 @@ def test_ann_append_zero_refit_and_codes_only_guard(spark, sf_dir, tmp_path, mon
     q = [float(x) for x in em.filter(F.col("vec_id") == 1).first()["embedding"]]
     top = idx.pq_search(q, k=5, n_probe=8).collect()
     assert len(top) == 5 and top[0]["vec_id"] == 1  # odd (appended) row found
+
+
+def test_ann_delete_and_compact_touch_only_affected_cells(spark, sf_dir, tmp_path):
+    """x55/x56 physical claims: deletion rewrites ONLY cells containing
+    deleted ids (untouched cells keep their exact files), and compaction
+    collapses sliver piles to file-sized output per cell without
+    touching already-compact cells."""
+    import glob as _glob
+    import os
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators import similarity as S
+
+    em = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    path = str(tmp_path / "idx")
+    S.ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+
+    def files_per_cell() -> dict[int, set]:
+        out: dict[int, set] = {}
+        for d in _glob.glob(f"{path}/data/cell_id=*"):
+            cell = int(os.path.basename(d).split("=")[1])
+            out[cell] = {os.path.basename(f) for f in _glob.glob(f"{d}/*.parquet")}
+        return out
+
+    before = files_per_cell()
+    # delete every id in ONE cell only
+    victim_cell = min(before)
+    victim_ids = assigned.filter(F.col("cell_id") == victim_cell).select("vec_id")
+    n_victims = victim_ids.count()
+    assert n_victims > 0
+    S.ann_delete_from_index(spark, path, victim_ids)
+    after = files_per_cell()
+    for cell, fs in before.items():
+        if cell != victim_cell:
+            assert after[cell] == fs, f"untouched cell {cell} was rewritten"
+    idx = S.ann_load_index(spark, path)
+    assert idx.table.count() == em.count() - n_victims
+    assert idx.table.filter(F.col("cell_id") == victim_cell).count() == 0
+
+    # deleting nothing is a no-op (no files touched at all)
+    S.ann_delete_from_index(spark, path, em.filter(F.col("vec_id") < 0).select("vec_id"))
+    assert files_per_cell() == after
+
+    # pile up slivers via appends, then compact: hot cells collapse,
+    # row count and answers preserved
+    for i in range(3):
+        S.ann_append_to_index(
+            spark, path, victim_ids.join(em, "vec_id").filter(F.col("vec_id") % 3 == i)
+        )
+    piled = files_per_cell()
+    rewritten = S.ann_compact_index(spark, path, max_files_per_cell=2)
+    compacted = files_per_cell()
+    assert rewritten, "appends should have produced at least one hot cell"
+    for cell in rewritten:
+        assert len(compacted[cell]) < len(piled[cell])
+    for cell, fs in piled.items():
+        if cell not in rewritten:
+            assert compacted[cell] == fs, f"compact touched cold cell {cell}"
+    assert S.ann_load_index(spark, path).table.count() == em.count()
