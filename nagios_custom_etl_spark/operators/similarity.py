@@ -733,6 +733,21 @@ class AnnIndex:
             .limit(k)
         )
 
+    def range_search(
+        self, query_vec: list[float], min_cosine: float, n_probe: int = 4
+    ) -> DataFrame:
+        """ALL rows with cosine >= min_cosine within probed cells — the
+        FAISS range_search shape (dedup/decontamination wants 'everything
+        this similar', not top-k). No limit, no global sort: a filter
+        over the pruned scan, so the result can be arbitrarily large and
+        stays distributed."""
+        if self.vec_col is None:
+            raise ValueError("index was written without float vectors")
+        q = F.lit(query_vec).cast("array<double>")
+        return self.routed(query_vec, n_probe).select(
+            F.col(self.id_col), cosine(self.vec_col, q).alias("cos_sim")
+        ).filter(F.col("cos_sim") >= min_cosine)
+
     def topk_join(
         self, queries: DataFrame, q_vec_col: str, q_id_col: str,
         k: int = 10, n_probe: int = 4,

@@ -767,6 +767,51 @@ def x56_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x57_ann_range_search",
+    oracle="""
+    -- range search (the FAISS range_search shape): EVERYTHING at least
+    -- this similar, not top-k. On the planted construction cosine is
+    -- exactly 1.0 for same-pattern pairs and 0.75 for every other pair
+    -- (normalized patterns are permutations of each other), so a 0.9
+    -- threshold returns precisely the full same-pattern set — unbounded
+    -- cardinality, SQL-predictable.
+    SELECT vec_id, CAST(1.0 AS DOUBLE) AS cos_sim_r
+    FROM embeddings WHERE vec_id % 8 = 3
+    ORDER BY vec_id
+    """,
+    doc="X57 range search over the persisted index "
+    "(AnnIndex.range_search): all rows with cosine >= threshold within "
+    "probed cells — a filter over the partition-pruned scan with no "
+    "limit and no global sort, so the result stays distributed at any "
+    "cardinality (what dedup/decontamination consumes, vs top-k's "
+    "serving shape). Runs against the write->load round trip, so the "
+    "whole chain is disk-backed.",
+)
+def x57_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    assigned, centroids = ivf_build(planted, "embedding", "vec_id", n_cells=4, seed=11)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x57_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+    idx = ann_load_index(spark, path)
+    return (
+        idx.range_search(_PLANTED_QUERY_VEC, min_cosine=0.9, n_probe=4)
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim_r"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x3f_ann_ivf_join",
     oracle=None,  # k-means cells are engine-specific; recall@10 vs the
     # exact join is the regression contract, parity proven in tests
@@ -2292,6 +2337,33 @@ def x23_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ["spark", "join", "window"]
 BM25_K1 = 1.2
 BM25_B = 0.75
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for BM25_TERMS over english documents — shared by
+    x4h (ranked retrieval) and x58 (hybrid fusion's lexical leg)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"]  # tiny driver scalars (oracle CTE twin)
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
 
 
 @register(
@@ -2328,31 +2400,123 @@ BM25_B = 0.75
     "corpus average; top-k via TakeOrderedAndProject.",
 )
 def x4h_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = row["n"], row["avgdl"]  # tiny driver scalars (oracle CTE twin)
-    tf = (
-        toks.filter(F.col("term").isin(BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
-    )
     return (
-        scored.orderBy(F.desc("score"), "doc_id")
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
         .limit(20)
         .select("doc_id", F.round("score", 6).alias("bm25_r"))
+    )
+
+
+@register(
+    "x58_hybrid_rrf_retrieval",
+    oracle=f"""
+    -- hybrid retrieval: the lexical leg (BM25 over documents, x4h's
+    -- exact formula) and the vector leg (cosine to vec 0's embedding)
+    -- each produce a top-20 ranking; reciprocal-rank fusion combines
+    -- them: rrf(id) = Σ_legs 1/({RRF_K} + rank_leg). Ranks use round-6
+    -- scores with id tiebreaks (cross-engine score parity at 6dp is the
+    -- proven convention — x4h/x3 hash-green), and 1/(k+rank) sums are
+    -- bit-identical IEEE arithmetic, so the fused list hash-checks.
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS lrank
+        FROM scored
+      ) WHERE lrank <= 20
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT * FROM (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                          DESC, vec_id
+               ) AS vrank
+        FROM embeddings, q
+      ) WHERE vrank <= 20
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS id,
+           round(COALESCE(1.0 / ({RRF_K} + l.lrank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + v.vrank), 0), 9) AS rrf_r
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY COALESCE(1.0 / ({RRF_K} + l.lrank), 0)
+             + COALESCE(1.0 / ({RRF_K} + v.vrank), 0) DESC,
+             COALESCE(l.doc_id, v.doc_id)
+    LIMIT 15
+    """,
+    doc="X58 hybrid retrieval with reciprocal-rank fusion: the lexical "
+    "(BM25, shared with x4h via _bm25_scored) and vector (brute-force "
+    "cosine) legs each rank their top 20, fused by "
+    "rrf = Σ 1/(k + rank) with k=60 — the standard score-free fusion "
+    "for combining keyword and embedding retrieval in training-data "
+    "curation. Each leg's rank window sits above its own bounded "
+    "candidate set (top-20), so the fusion join is trivially "
+    "broadcast-sized at any corpus scale; ranks use round-6 scores with "
+    "id tiebreaks so both engines agree deterministically.",
+)
+def x58_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from nagios_custom_etl_spark.functions.vector import cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    # single-partition rank windows are fine HERE because each input is
+    # already a bounded candidate set (scored terms / one cosine scan
+    # feeding a top-20) — at scale the candidate generator bounds them
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn(
+            "lrank",
+            F.row_number().over(W.orderBy(F.round("score", 6).desc(), "doc_id")),
+        )
+        .filter(F.col("lrank") <= 20)
+        .select("doc_id", "lrank")
+    )
+    vec = (
+        em.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine("embedding", F.lit(qvec).cast("array<double>")).alias("_cos"),
+        )
+        .withColumn(
+            "vrank",
+            F.row_number().over(W.orderBy(F.round("_cos", 6).desc(), "doc_id")),
+        )
+        .filter(F.col("vrank") <= 20)
+        .select("doc_id", "vrank")
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("lrank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("vrank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(F.col("doc_id").alias("id"), rrf.alias("_rrf"))
+        .orderBy(F.desc("_rrf"), "id")
+        .limit(15)
+        .select("id", F.round("_rrf", 9).alias("rrf_r"))
     )
 
 
