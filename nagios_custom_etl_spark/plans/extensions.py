@@ -2187,33 +2187,180 @@ def x19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x20_sketch_rollup",
-    oracle=None,  # DuckDB has no DataSketches build; accuracy is
-    # bounds-tested vs exact answers in tests/test_sketches.py
+    oracle="""
+    -- DuckDB has no DataSketches build, but the sketch CONTRACT is
+    -- SQL-predictable (the a3/a8 pattern): exact per-lang + overall
+    -- anchors, with flags asserting the HLL estimate within 10% of the
+    -- exact distinct count and both KLL quantiles within 10% relative
+    -- of the exact interpolated quantiles. The '__all__' row's flags
+    -- verify the MERGED sketches (hll_union_agg / kll_sketch_merge)
+    -- against the overall exacts — sketch reaggregation itself is
+    -- hash-checked.
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    per AS (
+      SELECT d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             quantile_cont(d.n_chars, 0.5) AS p50_chars,
+             quantile_cont(d.n_chars, 0.95) AS p95_chars
+      FROM documents d GROUP BY d.lang
+    ),
+    dt AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
+           FROM toks GROUP BY lang),
+    overall AS (
+      SELECT '__all__' AS lang,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks) AS distinct_tokens,
+             (SELECT quantile_cont(n_chars, 0.5) FROM documents) AS p50_chars,
+             (SELECT quantile_cont(n_chars, 0.95) FROM documents) AS p95_chars
+    )
+    SELECT lang, n_docs, distinct_tokens, p50_chars, p95_chars,
+           TRUE AS hll_within, TRUE AS kll_within
+    FROM (SELECT p.lang, p.n_docs, dt.distinct_tokens, p.p50_chars, p.p95_chars
+          FROM per p JOIN dt USING (lang)
+          UNION ALL SELECT * FROM overall)
+    ORDER BY lang
+    """,
     doc="X20 mergeable-sketch corpus profile: per-lang HLL distinct-token "
     "estimate + KLL length quantiles, with the '__all__' row re-"
     "aggregated FROM THE SKETCHES (hll_union_agg / kll_sketch_merge) — "
     "the kilobyte-state, reaggregatable rollup that replaces exact "
-    "COUNT(DISTINCT)/percentile at 100 TB (operators/sketches.py).",
+    "COUNT(DISTINCT)/percentile at 100 TB (operators/sketches.py). "
+    "Emits exact anchors + within-bound flags over the estimates so the "
+    "sketch contract (including merge correctness on '__all__') is "
+    "oracle-hash-checked.",
 )
 def x20_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.sketches import vocab_sketch_rollup
 
-    return vocab_sketch_rollup(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
+    est = vocab_sketch_rollup(d)
+    toks = d.select(
+        "lang", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", 0.5).alias("p50_chars"),
+        F.percentile("n_chars", 0.95).alias("p95_chars"),
+    )
+    dt = toks.groupBy("lang").agg(F.count_distinct("tok").alias("distinct_tokens"))
+    exact_per = per.join(dt, "lang")
+    exact_all = (
+        d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_chars", 0.5).alias("p50_chars"),
+            F.percentile("n_chars", 0.95).alias("p95_chars"),
+        )
+        .crossJoin(toks.agg(F.count_distinct("tok").alias("distinct_tokens")))
+        .withColumn("lang", F.lit("__all__"))
+    )
+    exact = exact_per.unionByName(exact_all.select(*exact_per.columns))
+    rel = lambda est_c, ex_c: F.abs(est_c - ex_c) / F.greatest(ex_c, F.lit(1e-9))  # noqa: E731
+    return (
+        exact.join(est.select(
+            "lang",
+            F.col("distinct_tokens_est"),
+            F.col("p50_chars").alias("_kp50"),
+            F.col("p95_chars").alias("_kp95"),
+        ), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "distinct_tokens",
+            "p50_chars",
+            "p95_chars",
+            (rel(F.col("distinct_tokens_est"), F.col("distinct_tokens")) <= 0.1).alias(
+                "hll_within"
+            ),
+            (
+                (rel(F.col("_kp50"), F.col("p50_chars")) <= 0.1)
+                & (rel(F.col("_kp95"), F.col("p95_chars")) <= 0.1)
+            ).alias("kll_within"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(
     "x20b_theta_overlap",
-    oracle=None,  # theta estimates are implementation-specific; bounds
-    # vs exact overlap tested in tests/test_sketches.py
+    oracle="""
+    -- theta estimates are implementation-specific, but exact set algebra
+    -- is not: anchors are the exact distinct-token set sizes and exact
+    -- Jaccard; the flag asserts every theta estimate (|A|, |B|, |A∩B|,
+    -- |A\\B|, jaccard) within 10% of its exact value.
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents WHERE lang IN ('en', 'fr')
+    ),
+    a AS (SELECT DISTINCT tok FROM toks WHERE lang = 'en'),
+    b AS (SELECT DISTINCT tok FROM toks WHERE lang = 'fr'),
+    sizes AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE tok IN (SELECT tok FROM b)) AS n_common
+    )
+    SELECT 'en' AS lang_a, 'fr' AS lang_b,
+           n_a, n_b, n_common,
+           n_a - n_common AS n_only_a,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard,
+           TRUE AS theta_within
+    FROM sizes
+    """,
     doc="X20 theta-sketch set algebra: estimated |A|, |B|, |A n B|, "
     "|A \\ B| and Jaccard between the en and fr token sets — distinct-set "
     "intersection without shuffling distinct values "
-    "(operators/sketches.py::vocab_overlap_theta).",
+    "(operators/sketches.py::vocab_overlap_theta). Emits the exact set "
+    "sizes + a within-10% flag over every theta estimate, so the sketch "
+    "algebra contract is oracle-hash-checked.",
 )
 def x20b_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.sketches import vocab_overlap_theta
 
-    return vocab_overlap_theta(load_table(spark, sf_dir, "documents"), "en", "fr")
+    d = load_table(spark, sf_dir, "documents")
+    est = vocab_overlap_theta(d, "en", "fr")
+    toks = (
+        d.filter(F.col("lang").isin("en", "fr"))
+        .select("lang", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    a = toks.filter(F.col("lang") == "en").select("tok").distinct()
+    b = toks.filter(F.col("lang") == "fr").select("tok").distinct()
+    exact = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            a.join(b, "tok", "left_semi").agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    )
+    rel = lambda est_c, ex_c: F.abs(est_c - ex_c) / F.greatest(ex_c, F.lit(1e-9))  # noqa: E731
+    return exact.crossJoin(
+        est.select("n_a_est", "n_b_est", "n_common_est", "n_only_a_est", "jaccard_est")
+    ).select(
+        F.lit("en").alias("lang_a"),
+        F.lit("fr").alias("lang_b"),
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.col("n_a") - F.col("n_common")).alias("n_only_a"),
+        (F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias(
+            "jaccard"
+        ),
+        (
+            (rel(F.col("n_a_est"), F.col("n_a")) <= 0.1)
+            & (rel(F.col("n_b_est"), F.col("n_b")) <= 0.1)
+            & (rel(F.col("n_common_est"), F.col("n_common")) <= 0.1)
+            & (rel(F.col("n_only_a_est"), F.col("n_a") - F.col("n_common")) <= 0.1)
+            & (
+                rel(
+                    F.col("jaccard_est"),
+                    F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                )
+                <= 0.1
+            )
+        ).alias("theta_within"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3460,13 +3607,19 @@ def x43_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x44_compaction_roundtrip",
-    oracle=None,  # file-count targets are filesystem-side; row fidelity is
-    # the rows-only check here, file sizing asserted in tests
+    oracle="""
+    -- compaction is layout-only: the per-type counts read back from the
+    -- compacted table must equal the source table's — a lost or
+    -- double-written file flips a count and reds the row. (File sizing
+    -- itself is filesystem-side, asserted in tests.)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     doc="X44 small-file compaction (operators/maintenance.py): routed "
     "streaming sink output (one file per route per batch) rewritten to "
     "size-targeted files, partitioning preserved — the OPTIMIZE job of "
     "K4/K6 sinks. Returns per-route row counts read back from the "
-    "compacted table (must equal the pre-compaction table).",
+    "compacted table, hash-checked against the source counts.",
 )
 def x44_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

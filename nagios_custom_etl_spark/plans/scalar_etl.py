@@ -366,14 +366,53 @@ def ep3_status_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# the demo fetcher is CLOSED-FORM (sources/rest.py::demo_fetcher): value
+# j of point i for (host, service) is f"{seed + i + j:.2f}" with
+# seed = (crc32(f"{host}|{service}") & 0xFFFF) / 100. The seeds are
+# computed here at registration time and embedded as exact integer cents,
+# so the s4 REST chain — pushdown → partitioned fetch → pivot → gate —
+# is fully oracle-predictable: DuckDB regenerates the same series
+# (printf('%.2f') mirrors Python's format-then-parse round trip).
+_S4_HOSTS = ("web01", "web02", "db01")
+_S4_START = 1700003600  # = the query's pushed-down t >= filter
+
+
+def _s4_seed_cents(host: str) -> int:
+    import zlib
+
+    return zlib.crc32(f"{host}|CPU Usage".encode()) & 0xFFFF
+
+
+_S4_ORACLE = f"""
+    WITH hosts(host_name, seed_cents) AS (
+      VALUES {", ".join(f"('{h}', {_s4_seed_cents(h)})" for h in sorted(_S4_HOSTS))}
+    ),
+    pts AS (
+      SELECT host_name,
+             {_S4_START} + i * 3600 AS t,
+             CAST(printf('%.2f', seed_cents / 100.0 + i) AS DOUBLE) AS percent_used
+      FROM hosts, range(0, 6) r(i)
+    )
+    SELECT host_name,
+           strftime(epoch_ms(CAST(t AS BIGINT) * 1000), '%Y-%m-%d %H:%M:%S')
+             AS "timestamp",
+           'CPU Usage' AS service_name,
+           percent_used
+    FROM pts ORDER BY host_name, "timestamp"
+    """
+
+
 @register(
     "s4_rest_rrd_extract",
-    oracle=None,  # source data is synthesized by the offline fetcher, not a fixture table
+    oracle=_S4_ORACLE,
     doc="S4 REST RRD source end-to-end: custom Python DataSource with "
     "(host,service) partitioning + start-ts/keyspace filter pushdown, "
     "composed into the EP2 pivot + completeness gate. Offline demo "
-    "fetcher (deterministic) — the production fetcher is the same code "
-    "with requests.",
+    "fetcher (deterministic AND closed-form) — the production fetcher is "
+    "the same code with requests. The oracle regenerates the fetcher's "
+    "series from the embedded crc32 seeds, so the whole source chain "
+    "(filter→param pushdown included: a broken ?start= would shift t "
+    "values and red the row) is hash-checked.",
 )
 def s4_rest_rrd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.etl.nagios import rrd_points_to_wide
