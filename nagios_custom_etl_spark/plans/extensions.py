@@ -3985,3 +3985,191 @@ def x47_countmin_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = count_min_buckets(toks, "token", CMS_DEPTH, CMS_WIDTH)
     est = count_min_estimates(buckets, top, "token", CMS_DEPTH, CMS_WIDTH)
     return top.join(est, "token").select("token", "exact_n", "cms_n").orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# X59/X60 — warehouse mutation primitives: SCD Type 2 and MERGE upsert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x59_scd2_dimension_merge",
+    oracle="""
+    -- SCD Type 2 over the customer dimension. Initial load: every
+    -- customer one open version from 1995-01-01. Update batch at
+    -- 1996-06-01 (all derived from the fixture, so deterministic):
+    --   custkey % 10 = 0  -> segment changes to segment || '-R2'
+    --                        (close old version, open new one)
+    --   custkey % 10 = 5  -> same segment re-delivered (idempotent:
+    --                        NO new version)
+    --   custkey % 97 = 0  -> a brand-new key at custkey + 100000
+    --                        (one open version from the batch ts)
+    WITH cur AS (
+      SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS custkey, c_name AS name,
+             c_mktsegment || '-R2' AS segment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 10 = 5
+      UNION ALL
+      SELECT c_custkey + 100000, 'new-' || CAST(c_custkey + 100000 AS VARCHAR),
+             'NEWSEG'
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    j AS (SELECT cur.custkey AS tk, cur.name AS tname, cur.segment AS tseg,
+                 upd.custkey AS sk, upd.name AS sname, upd.segment AS sseg
+          FROM cur FULL OUTER JOIN upd ON cur.custkey = upd.custkey)
+    SELECT custkey, name, segment, valid_from, valid_to, is_current FROM (
+      -- changed keys: the closed old version
+      SELECT tk AS custkey, tname AS name, tseg AS segment,
+             '1995-01-01 00:00:00' AS valid_from,
+             '1996-06-01 00:00:00' AS valid_to, FALSE AS is_current
+      FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND tseg <> sseg
+      UNION ALL
+      -- changed keys: the new open version
+      SELECT tk, sname, sseg, '1996-06-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+      FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND tseg <> sseg
+      UNION ALL
+      -- unchanged / untouched keys: the open row passes through
+      SELECT tk, tname, tseg, '1995-01-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+      FROM j WHERE tk IS NOT NULL AND (sk IS NULL OR tseg = sseg)
+      UNION ALL
+      -- brand-new keys: one open version at the batch timestamp
+      SELECT sk, sname, sseg, '1996-06-01 00:00:00', CAST(NULL AS VARCHAR), TRUE
+      FROM j WHERE tk IS NULL
+    ) ORDER BY custkey, valid_from
+    """,
+    doc="X59 SCD Type 2 dimension maintenance "
+    "(operators/merge.py::scd2_apply): one full-outer join of the OPEN "
+    "generation against the update batch, change detection on the "
+    "tracked attribute, close+open rows for changed keys emitted via a "
+    "single explode — no self-join, no full-dimension window, history "
+    "unioned back untouched. The attribute-history shape a consumer of "
+    "the reference feed (load_to_db.py:33-56 is append-only) runs when "
+    "hosts change hostgroup. Idempotency (re-delivered identical "
+    "attributes open no new version) is exercised by the %10=5 leg.",
+)
+def x59_scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.merge import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("segment"),
+    )
+    redelivered = c.filter(F.col("c_custkey") % 10 == 5).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    new_keys = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 100000).alias("custkey"),
+        F.concat(F.lit("new-"), (F.col("c_custkey") + 100000).cast("string")).alias("name"),
+        F.lit("NEWSEG").alias("segment"),
+    )
+    updates = changed.unionByName(redelivered).unionByName(new_keys)
+    out = scd2_apply(
+        dim, updates, key="custkey", tracked=["segment"], effective_ts="1996-06-01 00:00:00"
+    )
+    return out.orderBy("custkey", "valid_from")
+
+
+@register(
+    "x60_merge_upsert",
+    oracle="""
+    -- Delta-style MERGE INTO over the orders table (target: orderkey
+    -- < 10000), change batch derived from the fixture:
+    --   source op='U' (orderkey % 5 = 0, not % 35): matched -> update
+    --     price to decimal-exact 1.1x, status to 'U'
+    --   source op='D' (orderkey % 35 = 0): matched -> delete
+    --   source op='I' (orderkey % 11 = 0, key shifted +500000): not
+    --     matched -> insert with status 'N'
+    -- target rows without a source row pass through unchanged.
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price_d
+      FROM orders WHERE o_orderkey < 10000
+    ),
+    s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 35 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE)
+               AS price_d
+      FROM orders WHERE o_orderkey < 10000 AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 500000, 'I',
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+      FROM orders WHERE o_orderkey < 10000 AND o_orderkey % 11 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NULL THEN t.status
+                WHEN t.o_orderkey IS NOT NULL THEN 'U'
+                ELSE 'N' END AS status,
+           CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NULL THEN t.price_d
+                ELSE s.price_d END AS price_d
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND s.op = 'D')
+    ORDER BY o_orderkey
+    """,
+    doc="X60 general MERGE upsert (operators/merge.py::merge_upsert): "
+    "matched+condition delete, matched update, not-matched insert, "
+    "untouched passthrough — all four routes in ONE co-partitioned "
+    "full-outer join + column routing (single shuffle; AQE broadcasts a "
+    "small change batch). Updated prices go through exact DECIMAL "
+    "arithmetic so both engines agree bit-for-bit. Write-back at scale "
+    "is the x55 pattern: bucket-partitioned table, dynamic partition "
+    "overwrite of only the touched buckets.",
+)
+def x60_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") < 10000).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price_d"),
+    )
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    updates = (
+        o.filter((F.col("o_orderkey") < 10000) & (F.col("o_orderkey") % 5 == 0))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 35 == 0, "D").otherwise("U").alias("op"),
+            (dec * F.lit("1.1").cast("decimal(3,2)")).cast("double").alias("price_d"),
+        )
+    )
+    inserts = (
+        o.filter((F.col("o_orderkey") < 10000) & (F.col("o_orderkey") % 11 == 0))
+        .select(
+            (F.col("o_orderkey") + 500000).alias("o_orderkey"),
+            F.lit("I").alias("op"),
+            dec.cast("double").alias("price_d"),
+        )
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(
+        target,
+        source,
+        keys=["o_orderkey"],
+        when_matched_update={
+            "status": F.lit("U"),
+            "price_d": F.col("s.price_d"),
+        },
+        when_matched_delete=F.col("s.op") == "D",
+        insert_values={
+            "status": F.lit("N"),
+            "price_d": F.col("s.price_d"),
+        },
+    )
+    return merged.orderBy("o_orderkey")

@@ -1,0 +1,125 @@
+"""Unit tests for operators/merge.py — MERGE routing and SCD2 semantics
+on planted micro-tables (the registry queries x59/x60 are the
+oracle-checked integration surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.operators.merge import merge_upsert, scd2_apply
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"), Row(k=None, v="nullkey")],
+        "k int, v string",
+    )
+
+
+def test_merge_all_four_routes(spark):
+    source = spark.createDataFrame(
+        [
+            Row(k=1, v="A", op="U"),  # matched -> update
+            Row(k=2, v=None, op="D"),  # matched -> delete
+            Row(k=9, v="i", op="I"),  # not matched -> insert
+        ],
+        "k int, v string, op string",
+    )
+    out = merge_upsert(
+        _target(spark),
+        source,
+        keys=["k"],
+        when_matched_update={"v": F.col("s.v")},
+        when_matched_delete=F.col("s.op") == "D",
+    )
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {1: "A", 3: "c", 9: "i", None: "nullkey"}
+
+
+def test_merge_null_keys_never_match(spark):
+    # a NULL source key must not match the NULL target key (SQL MERGE
+    # semantics): both survive as independent rows
+    source = spark.createDataFrame([Row(k=None, v="ghost")], "k int, v string")
+    out = merge_upsert(_target(spark), source, keys=["k"])
+    vals = sorted(r.v for r in out.collect())
+    assert vals == ["a", "b", "c", "ghost", "nullkey"]
+
+
+def test_merge_insert_disabled(spark):
+    source = spark.createDataFrame([Row(k=9, v="i")], "k int, v string")
+    out = merge_upsert(_target(spark), source, keys=["k"], insert_not_matched=False)
+    assert out.count() == 4  # target passes through, no insert
+
+
+def test_merge_schema_is_target_schema(spark):
+    source = spark.createDataFrame([Row(k=1, v="A", extra=7)], "k int, v string, extra int")
+    out = merge_upsert(_target(spark), source, keys=["k"])
+    assert out.columns == ["k", "v"]
+
+
+def test_merge_no_cartesian_in_plan(spark):
+    source = spark.createDataFrame([Row(k=1, v="A")], "k int, v string")
+    out = merge_upsert(_target(spark), source, keys=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            # key 1: one closed + one open version; key 2: open only
+            Row(k=1, seg="OLD", valid_from="t0", valid_to="t1", is_current=False),
+            Row(k=1, seg="A", valid_from="t1", valid_to=None, is_current=True),
+            Row(k=2, seg="B", valid_from="t0", valid_to=None, is_current=True),
+        ],
+        "k int, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+
+
+def test_scd2_change_close_open_and_insert(spark):
+    updates = spark.createDataFrame(
+        [Row(k=1, seg="A2"), Row(k=3, seg="C")], "k int, seg string"
+    )
+    out = scd2_apply(_dim(spark), updates, key="k", tracked=["seg"], effective_ts="t2")
+    rows = sorted(
+        ((r.k, r.seg, r.valid_from, r.valid_to, r.is_current) for r in out.collect())
+    )
+    assert rows == [
+        (1, "A", "t1", "t2", False),  # old open version closed at t2
+        (1, "A2", "t2", None, True),  # new open version
+        (1, "OLD", "t0", "t1", False),  # history untouched
+        (2, "B", "t0", None, True),  # untouched key passes through
+        (3, "C", "t2", None, True),  # brand-new key
+    ]
+
+
+def test_scd2_idempotent_redelivery(spark):
+    # re-delivering the current attribute values opens NO new version
+    updates = spark.createDataFrame([Row(k=1, seg="A")], "k int, seg string")
+    out = scd2_apply(_dim(spark), updates, key="k", tracked=["seg"], effective_ts="t2")
+    assert sorted(out.collect(), key=lambda r: (r.k, r.valid_from)) == sorted(
+        _dim(spark).collect(), key=lambda r: (r.k, r.valid_from)
+    )
+
+
+def test_scd2_null_safe_change_detection(spark):
+    dim = spark.createDataFrame(
+        [Row(k=1, seg=None, valid_from="t0", valid_to=None, is_current=True)],
+        "k int, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    same = spark.createDataFrame([Row(k=1, seg=None)], "k int, seg string")
+    out = scd2_apply(dim, same, key="k", tracked=["seg"], effective_ts="t1")
+    assert out.count() == 1  # NULL == NULL under eqNullSafe: no version
+
+    changed = spark.createDataFrame([Row(k=1, seg="X")], "k int, seg string")
+    out2 = scd2_apply(dim, changed, key="k", tracked=["seg"], effective_ts="t1")
+    assert out2.count() == 2  # NULL -> 'X' is a real change
+
+
+def test_scd2_rejects_unknown_update_column(spark):
+    bad = spark.createDataFrame([Row(k=1, nope="x")], "k int, nope string")
+    import pytest
+
+    with pytest.raises(ValueError, match="nope"):
+        scd2_apply(_dim(spark), bad, key="k", tracked=["seg"], effective_ts="t1")
