@@ -4173,3 +4173,113 @@ def x60_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return merged.orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# X61 — fuzzy entity resolution (blocked approximate string join)
+# ---------------------------------------------------------------------------
+
+# deterministic "second source" corruptions of customer names, derived
+# from the fixture so both engines regenerate them exactly:
+#   %3=0 -> one char dropped inside the shared 'Customer#' boilerplate
+#   %3=1 -> two chars substituted ('x','q') inside the boilerplate
+#   %3=2 -> reversed name (negative control: far from everything)
+# Corruptions live in HIGH-DF grams, so rare-gram blocking recall is
+# total by construction (the tail-digit grams survive every edit).
+X61_DIRTY_SQL = """
+      SELECT c_custkey + 500000 AS id,
+        CASE
+          WHEN c_custkey % 3 = 0 THEN
+            substr(c_name, 1, (c_custkey % 8) + 1) || substr(c_name, (c_custkey % 8) + 3)
+          WHEN c_custkey % 3 = 1 THEN
+            substr(c_name, 1, (c_custkey % 6) + 1) || 'x' ||
+            substr(c_name, (c_custkey % 6) + 3, 4) || 'q' ||
+            substr(c_name, (c_custkey % 6) + 8)
+          ELSE reverse(c_name)
+        END AS name
+      FROM customer
+"""
+
+
+@register(
+    "x61_fuzzy_entity_join",
+    oracle=f"""
+    -- blocked approximate join: corpus-DF-ranked rare trigrams (k=4,
+    -- ties broken by the gram — a total order) -> inverted-index
+    -- candidates -> exact levenshtein <= 2 verify. The oracle replicates
+    -- the IDENTICAL blocking, so the pair set hash-checks.
+    WITH clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+    dirty AS ({X61_DIRTY_SQL}),
+    allstr AS (
+      SELECT id, name, 'L' AS side FROM dirty
+      UNION ALL SELECT id, name, 'R' FROM clean
+    ),
+    grams AS (
+      SELECT id, side,
+             unnest(list_distinct([substr(name, i, 3)
+               FOR i IN range(1, greatest(length(name) - 2, 0) + 1)])) AS g
+      FROM allstr
+    ),
+    gdf AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    ranked AS (
+      SELECT id, side, g,
+             ROW_NUMBER() OVER (PARTITION BY side, id ORDER BY gdf.df, g) AS rn
+      FROM grams JOIN gdf USING (g)
+    ),
+    rare AS (SELECT id, side, g FROM ranked WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT l.id AS dirty_id, r.id AS clean_id
+      FROM rare l JOIN rare r ON l.g = r.g AND l.side = 'L' AND r.side = 'R'
+    )
+    SELECT c.dirty_id, c.clean_id,
+           CAST(levenshtein(d.name, cl.name) AS BIGINT) AS distance
+    FROM cand c
+    JOIN dirty d ON c.dirty_id = d.id
+    JOIN clean cl ON c.clean_id = cl.id
+    WHERE levenshtein(d.name, cl.name) <= 2
+    ORDER BY dirty_id, clean_id
+    """,
+    doc="X61 fuzzy entity resolution (operators/entity.py::fuzzy_join): "
+    "approximate string join (edit distance <= 2) between a clean record "
+    "set and a deterministically corrupted second source, WITHOUT a "
+    "cartesian product — rare-trigram blocking (corpus-DF-ranked, so "
+    "shared boilerplate like 'Customer#' never blocks) + inverted-index "
+    "candidates + exact levenshtein verify. The linking join a consumer "
+    "of the reference's host feed (hosts_to_csv.py's exact-name keys) "
+    "needs against any independently-spelled source. Planted-corruption "
+    "recall is pinned in tests/test_entity.py.",
+)
+def x61_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.entity import fuzzy_join
+
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(F.col("c_custkey").alias("clean_id"), F.col("c_name").alias("name"))
+    k = F.col("c_custkey")
+    # drop position (k%8)+2 / substitution positions (k%6)+2 and +5 —
+    # all inside the shared boilerplate, spelled as substr arithmetic
+    dirty = c.select(
+        (k + 500000).alias("dirty_id"),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, (c_custkey % 8) + 1)"),
+                F.expr("substr(c_name, (c_custkey % 8) + 3)"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.expr("substr(c_name, 1, (c_custkey % 6) + 1)"),
+                F.lit("x"),
+                F.expr("substr(c_name, (c_custkey % 6) + 3, 4)"),
+                F.lit("q"),
+                F.expr("substr(c_name, (c_custkey % 6) + 8)"),
+            ),
+        )
+        .otherwise(F.reverse(F.col("c_name")))
+        .alias("name"),
+    )
+    out = fuzzy_join(
+        dirty, clean, "dirty_id", "clean_id", "name", "name", max_distance=2, k_rare=4
+    )
+    return out.orderBy("dirty_id", "clean_id")
