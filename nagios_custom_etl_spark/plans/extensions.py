@@ -4283,3 +4283,196 @@ def x61_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty, clean, "dirty_id", "clean_id", "name", "name", max_distance=2, k_rare=4
     )
     return out.orderBy("dirty_id", "clean_id")
+
+
+# ---------------------------------------------------------------------------
+# X62 — per-group trend regression from exact integer sufficient stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x62_trend_regression",
+    oracle="""
+    -- per-event-type daily-volume trend: OLS slope/intercept/r2 computed
+    -- from INTEGER sufficient statistics (n, Sx, Sy, Sxy, Sxx, Syy as
+    -- BIGINTs), with exactly one double division at the end — so both
+    -- engines produce bit-identical doubles (a running double sum like
+    -- regr_slope's is association-order-dependent and would not).
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    x0 AS (SELECT CAST(MIN(d) AS BIGINT) AS d0 FROM daily),
+    pts AS (SELECT event_type, CAST(d - d0 AS BIGINT) AS x, y FROM daily, x0),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM s ORDER BY event_type
+    """,
+    doc="X62 per-group trend detection: OLS regression of daily event "
+    "volume per event_type, computed from exact BIGINT sufficient "
+    "statistics (one map-side-combined aggregate, one scalar broadcast "
+    "for the day origin) with a single double division at the end — "
+    "numerically equal to Spark's built-in regr_slope/regr_intercept/"
+    "regr_r2 (pinned within 1e-9 in tests) but cross-engine "
+    "bit-deterministic. The volume-trend audit a corpus operator runs "
+    "per source/domain at 100 TB: sufficient stats are mergeable, so "
+    "the whole thing is one partial-aggregated shuffle of 6 longs per "
+    "group.",
+)
+def x62_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    x0 = daily.agg(F.min("d").cast("long").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(x0)).select(
+        "event_type", (F.col("d") - F.col("d0")).cast("long").alias("x"), "y"
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / dx.cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        F.when(dy == 0, F.lit(None).cast("double"))
+        .otherwise((num.cast("double") * num.cast("double")) / (dx.cast("double") * dy.cast("double")))
+        .alias("r2"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X65 — token-budget apportionment (largest-remainder mixture allocation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x65_token_budget_apportionment",
+    oracle="""
+    -- allocate a 100k-char training budget across sources proportionally
+    -- to corpus mass, by the largest-remainder (Hamilton) method — ALL
+    -- integer arithmetic, so quotas sum to the budget exactly and both
+    -- engines agree bit-for-bit. Then fill each source's quota by
+    -- deterministic doc order via a running sum.
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT source, weight,
+             CAST((100000 * weight) // wsum AS BIGINT) AS base,
+             CAST((100000 * weight) % wsum AS BIGINT) AS rem
+      FROM w, tot
+    ),
+    lo AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover FROM base),
+    quota AS (
+      SELECT source, weight,
+             CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                              <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM base, lo
+    ),
+    sel AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS csum_before
+      FROM documents
+    )
+    SELECT q.source, q.weight, q.quota,
+           CAST(COUNT(CASE WHEN COALESCE(s.csum_before, 0) < q.quota THEN 1 END)
+                AS BIGINT) AS n_docs_selected,
+           CAST(COALESCE(SUM(CASE WHEN COALESCE(s.csum_before, 0) < q.quota
+                                  THEN s.n_chars END), 0) AS BIGINT) AS chars_selected
+    FROM quota q JOIN sel s ON q.source = s.source
+    GROUP BY q.source, q.weight, q.quota
+    ORDER BY q.source
+    """,
+    doc="X65 mixture-budget apportionment: the largest-remainder method "
+    "allocates an integer token budget across sources exactly "
+    "proportionally (quotas sum to the budget by construction — no "
+    "float drift, unlike naive rounding), then each source fills its "
+    "quota in deterministic doc order via a per-source running sum. "
+    "Complements x10d (rows-only proportional rebalance) with a fully "
+    "oracle-checked allocation. The remainder ranking is a window over "
+    "one row per SOURCE (bounded — domains number in the thousands at "
+    "100 TB, not rows), and the fill is a partitioned cumulative sum.",
+)
+def x65_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("weight"))
+    tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.expr("CAST((100000 * weight) div wsum AS BIGINT)").alias("base"),
+        F.expr("CAST((100000 * weight) % wsum AS BIGINT)").alias("rem"),
+    )
+    lo = base.agg((F.lit(100000) - F.sum("base")).cast("long").alias("leftover"))
+    # one row per source: the single-partition window is bounded by the
+    # domain count, never by corpus size
+    rank_w = Window.orderBy(F.desc("rem"), "source")
+    quota = base.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(rank_w) <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    fill_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = d.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(fill_w).alias("csum_before")
+    )
+    picked = F.coalesce(F.col("csum_before"), F.lit(0)) < F.col("quota")
+    return (
+        quota.join(sel, "source")
+        .groupBy("source", "weight", "quota")
+        .agg(
+            F.count(F.when(picked, 1)).cast("long").alias("n_docs_selected"),
+            F.coalesce(F.sum(F.when(picked, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_selected"),
+        )
+        .orderBy("source")
+    )

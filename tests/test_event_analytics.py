@@ -133,3 +133,58 @@ def test_rolling_7day_active_window_edges(spark):
     assert got["2024-01-01"] == 2 and got["2024-01-07"] == 2
     assert "2024-01-08" not in got and "2024-01-09" not in got
     assert got["2024-01-10"] == 1 and got["2024-01-16"] == 1
+
+
+def test_x62_matches_builtin_regr_functions(spark):
+    """The integer-sufficient-statistics OLS must agree with Spark's
+    built-in regr_slope/regr_intercept/regr_r2 to float precision — the
+    exact-int formulation exists only for cross-engine bit determinism."""
+    from nagios_custom_etl_spark.plans.registry import all_queries
+
+    fn = all_queries()["x62_trend_regression"].fn
+    ours = {r.event_type: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+
+    from nagios_custom_etl_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    x0 = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(x0)).select(
+        "event_type", (F.col("d") - F.col("d0")).cast("double").alias("x"), "y"
+    )
+    builtin = {
+        r.event_type: r
+        for r in pts.groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.regr_r2("y", "x").alias("r2"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(builtin) and len(ours) > 0
+    for t in ours:
+        assert abs(ours[t].slope - builtin[t].slope) < 1e-9
+        assert abs(ours[t].intercept - builtin[t].intercept) < 1e-9
+        assert abs(ours[t].r2 - builtin[t].r2) < 1e-9
+
+
+def test_x65_quotas_sum_to_budget_exactly(spark):
+    """Largest-remainder apportionment: integer quotas sum EXACTLY to
+    the budget (the property float rounding cannot give), and every
+    source with positive weight gets floor share or floor+1."""
+    from nagios_custom_etl_spark.plans.registry import all_queries
+
+    fn = all_queries()["x65_token_budget_apportionment"].fn
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.quota for r in rows) == 100000
+    wsum = sum(r.weight for r in rows)
+    for r in rows:
+        base = (100000 * r.weight) // wsum
+        assert r.quota in (base, base + 1)
+        # the fill stops at the first doc crossing the quota: selected
+        # chars reach the quota but never by more than one document
+        assert r.chars_selected >= min(r.quota, r.weight)
