@@ -144,3 +144,60 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(dest)
     )
+
+
+def file_stats_manifest(spark: SparkSession, path: str, col: str):
+    """Per-file (min, max, rows) statistics for one column, computed in
+    ONE distributed pass (``groupBy(input_file_name())`` — a map-side
+    combine per file, no second scan later). This is the file-level
+    stats manifest Delta/Iceberg persist in table metadata; parquet
+    row-group min/max only helps AFTER a scan task has opened the
+    footer — the manifest prunes files before tasks are even scheduled,
+    which at 100 TB is the difference between listing a million files
+    and listing the few whose range intersects the predicate.
+
+    Returns a driver-side list of Rows (file, min_v, max_v, n_rows) —
+    bounded metadata: one entry per FILE, like every table format's
+    manifest (hierarchical manifests shard this beyond ~10^6 files).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+
+
+def stats_pruned_read(spark: SparkSession, path: str, col: str, lo, hi):
+    """Read only the files whose [min, max] range intersects [lo, hi],
+    then apply the residual predicate. Returns
+    ``(DataFrame, n_files_read, n_files_total)``. Correctness never
+    depends on the layout: the residual filter re-applies the predicate
+    inside surviving files, so a badly-clustered table reads more files
+    but returns the same rows (layout-invariance, the x44/x51
+    property). Files with NULL stats (all-NULL column) are kept —
+    skipping them would silently drop rows.
+    """
+    from pyspark.sql import functions as F
+
+    manifest = file_stats_manifest(spark, path, col)
+    keep = [
+        r.file
+        for r in manifest
+        if r.min_v is None or r.max_v is None or not (r.max_v < lo or r.min_v > hi)
+    ]
+    schema = spark.read.parquet(path).schema
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return spark.createDataFrame([], schema), 0, len(manifest)
+    return (
+        spark.read.schema(schema).parquet(*keep).filter(pred),
+        len(keep),
+        len(manifest),
+    )

@@ -4476,3 +4476,77 @@ def x65_token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X64 — file-level min/max data skipping (manifest pruning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x64_file_stats_skipping",
+    oracle="""
+    -- layout-only operator chain: lineitem is rewritten range-clustered
+    -- on l_shipdate, a one-pass per-file min/max manifest is built, and
+    -- the 1996 read prunes non-intersecting files BEFORE scheduling
+    -- tasks. The residual filter makes the answer layout-invariant, so
+    -- the oracle is the plain predicate over the logical table (the
+    -- x44/x51 pattern); pruning effectiveness is test-pinned, not
+    -- hashed.
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="X64 file-level data skipping "
+    "(operators/maintenance.py::file_stats_manifest/stats_pruned_read): "
+    "the Delta/Iceberg manifest primitive — per-file min/max stats from "
+    "ONE distributed pass, file pruning before task scheduling (parquet "
+    "row-group stats only act after a task opens a footer), residual "
+    "filter for layout-invariant answers. Composes with zorder_write "
+    "(x51) which is what makes per-file ranges tight; at 100 TB this is "
+    "why a day-predicate query schedules hundreds of tasks instead of "
+    "hundreds of thousands. Pruned-file-count < total is pinned in "
+    "tests/test_file_formats.py.",
+)
+def x64_file_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.functions.scalar import dsum
+    from nagios_custom_etl_spark.operators.maintenance import stats_pruned_read
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x64_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    # range-clustered rewrite: each file covers a tight l_shipdate span
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate").write.mode(
+        "overwrite"
+    ).parquet(path)
+    pruned, n_read, n_total = stats_pruned_read(
+        spark,
+        path,
+        "l_shipdate",
+        datetime.datetime(1996, 1, 1, 0, 0, 0),
+        datetime.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum("l_quantity", 12, 2).alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -278,3 +278,62 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
         zorder_key_sql([f"c{i}" for i in range(8)], bits=8)
     # 7 cols x 9 bits = 63 is the widest legal key (top position 62)
     assert zorder_key_sql([f"c{i}" for i in range(7)], bits=9)
+
+
+def test_file_stats_skipping_prunes_and_is_layout_invariant(spark, tmp_path):
+    import datetime
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.maintenance import (
+        file_stats_manifest,
+        stats_pruned_read,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate").write.parquet(
+        clustered
+    )
+    li.repartition(8).write.parquet(scattered)  # hash layout: ranges overlap
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    c_df, c_read, c_total = stats_pruned_read(spark, clustered, "l_shipdate", lo, hi)
+    s_df, s_read, s_total = stats_pruned_read(spark, scattered, "l_shipdate", lo, hi)
+
+    # clustered layout: the 1-year predicate must skip most of the 8 files
+    assert c_total == 8 and c_read < c_total
+    # scattered layout reads everything — but the ANSWER is identical
+    assert s_read == s_total == 8
+    expected = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.filter(
+            (li.l_shipdate >= lo) & (li.l_shipdate <= hi)
+        ).collect()
+    )
+    for df in (c_df, s_df):
+        assert sorted((r.l_orderkey, r.l_linenumber) for r in df.collect()) == expected
+
+    # manifest covers every file and every row exactly once
+    manifest = file_stats_manifest(spark, clustered, "l_shipdate")
+    assert len(manifest) == 8
+    assert sum(r.n_rows for r in manifest) == li.count()
+
+
+def test_file_stats_skipping_empty_intersection(spark, tmp_path):
+    import datetime
+
+    from nagios_custom_etl_spark.catalog import load_table
+    from nagios_custom_etl_spark.operators.maintenance import stats_pruned_read
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "t")
+    li.repartitionByRange(4, "l_shipdate").write.parquet(path)
+    df, n_read, n_total = stats_pruned_read(
+        spark, path, "l_shipdate", datetime.datetime(1950, 1, 1), datetime.datetime(1950, 12, 31)
+    )
+    # zero files scheduled, yet a correctly-typed empty result
+    assert n_read == 0 and n_total == 4
+    assert df.count() == 0
+    assert df.schema == li.schema
