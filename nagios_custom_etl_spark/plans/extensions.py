@@ -4550,3 +4550,82 @@ def x64_file_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# X63 — semantic decontamination (embedding-level eval-vs-train screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x63_semantic_decontamination",
+    oracle="""
+    -- embedding-level decontamination: every EVAL item (the organic
+    -- vec_id >= 450 half plus planted exact copies of train vectors at
+    -- +2000000) is screened against the TRAIN corpus (vec_id < 450) for
+    -- max cosine >= 0.8. The Spark side routes through the IVF
+    -- cell-join with probe-all, which equals this brute-force scan
+    -- (parity test-pinned), so the whole approximate serving chain
+    -- hash-checks: planted copies flag at cosine 1.0, organic evals
+    -- stay far below threshold.
+    WITH train AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 450
+    ),
+    evals AS (
+      SELECT vec_id AS eval_id, embedding::DOUBLE[] AS q
+      FROM embeddings WHERE vec_id >= 450
+      UNION ALL
+      SELECT vec_id + 2000000, embedding::DOUBLE[]
+      FROM embeddings WHERE vec_id < 450 AND vec_id % 45 = 0
+    ),
+    scored AS (
+      SELECT e.eval_id, t.vec_id AS nbr_id,
+             list_cosine_similarity(e.q, t.v) AS cs,
+             ROW_NUMBER() OVER (PARTITION BY e.eval_id
+                                ORDER BY list_cosine_similarity(e.q, t.v) DESC,
+                                         t.vec_id) AS rn
+      FROM evals e, train t
+    )
+    SELECT eval_id, nbr_id, round(cs, 6) AS max_cos_r,
+           round(cs, 6) >= 0.8 AS contaminated
+    FROM scored WHERE rn = 1 ORDER BY eval_id
+    """,
+    doc="X63 semantic decontamination: X14's benchmark screen lifted to "
+    "embedding space (SemDeDup/eval-leakage style) — every eval item's "
+    "nearest train neighbor by cosine, flagged at >= 0.8. The Spark "
+    "plan is the IVF cell-routed join (operators/similarity.py::"
+    "cosine_topk_join_ivf, k=1) run probe-all so the answer is exactly "
+    "brute force and DuckDB-hashable; at 100 TB the same code runs with "
+    "n_probe << n_cells (recall gated at x3d) and the eval side is the "
+    "small one — never train x eval all-pairs. Complements the "
+    "shingle-overlap screen (x14): catches paraphrased leakage that "
+    "exact n-grams miss.",
+)
+def x63_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_join_ivf
+
+    em = cache_once(load_table(spark, sf_dir, "embeddings"))
+    train = em.filter(F.col("vec_id") < 450)
+    evals = (
+        em.filter(F.col("vec_id") >= 450)
+        .select(F.col("vec_id").alias("eval_id"), "embedding")
+        .unionByName(
+            em.filter((F.col("vec_id") < 450) & (F.col("vec_id") % 45 == 0)).select(
+                (F.col("vec_id") + 2000000).alias("eval_id"), "embedding"
+            )
+        )
+    )
+    res = cosine_topk_join_ivf(
+        train, evals, "embedding", "vec_id", "embedding", "eval_id",
+        k=1, n_cells=8, n_probe=8, seed=7,
+    )
+    return (
+        res.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("eval_id"),
+            "nbr_id",
+            F.round("cos_sim", 6).alias("max_cos_r"),
+            (F.round("cos_sim", 6) >= 0.8).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )

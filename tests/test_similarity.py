@@ -568,3 +568,20 @@ def test_ann_delete_and_compact_touch_only_affected_cells(spark, sf_dir, tmp_pat
         if cell not in rewritten:
             assert compacted[cell] == fs, f"compact touched cold cell {cell}"
     assert S.ann_load_index(spark, path).table.count() == em.count()
+
+
+def test_x63_planted_contamination_flags(spark):
+    """Planted train copies must flag at cosine 1.0 against their own
+    source; organic evals stay far under the 0.8 threshold."""
+    from nagios_custom_etl_spark.plans.registry import all_queries
+
+    fn = all_queries()["x63_semantic_decontamination"].fn
+    rows = {r.eval_id: r for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    planted = [i for i in rows if i >= 2000000]
+    assert planted, "fixture must yield planted eval copies"
+    for i in planted:
+        assert rows[i].contaminated is True
+        assert rows[i].max_cos_r == 1.0
+        assert rows[i].nbr_id == i - 2000000  # argmax is the source vector
+    organic = [i for i in rows if i < 2000000]
+    assert organic and all(not rows[i].contaminated for i in organic)
