@@ -368,3 +368,208 @@ def checksum_arrow(media: DataFrame, batch_size: int = 1024) -> DataFrame:
             )
 
     return media.mapInArrow(run, "media_id long, byte_sum long")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative constant: diffuses small ids across the low ~42
+# bits so planted hashes never collide by accident and LSH bands vary
+PHASH_MULT = 2654435761
+PHASH_GRID_W, PHASH_GRID_H = 9, 8  # dHash samples 9x8 grays -> 64 bits
+
+
+def _gradient_grid(h: int) -> list[list[int]]:
+    """The 9x8 gray grid whose dHash is exactly ``h``: each row walks
+    +1/-1 from 120 according to the hash's bits (bit ``y*8+x`` compares
+    columns x and x+1 of row y). Values stay in [112, 128]."""
+    grid = []
+    for y in range(PHASH_GRID_H):
+        g = 120
+        row = [g]
+        for x in range(PHASH_GRID_W - 1):
+            g += 1 if (h >> (y * 8 + x)) & 1 else -1
+            row.append(g)
+        grid.append(row)
+    return grid
+
+
+def _encode_gradient_bmp(h: int, off_fill: int) -> bytes:
+    """An 18x16 24bpp BMP whose dHash is ``h`` by construction: the
+    9x8 dHash sampling grid (nearest-neighbor ``src = dst*18//9 = 2*dst``)
+    lands exactly on the even-coordinate pixels, which carry the
+    gradient grid; every odd-coordinate pixel carries ``off_fill`` —
+    payload bytes a near-copy can change without touching the hash."""
+    width, height = 2 * PHASH_GRID_W, 2 * PHASH_GRID_H
+    grid = _gradient_grid(h)
+    row_size = (3 * width + 3) // 4 * 4
+    buf = bytearray(row_size * height)
+    for y in range(height):
+        dst = (height - 1 - y) * row_size  # bottom-up pixel rows
+        for x in range(width):
+            v = grid[y // 2][x // 2] if (x % 2 == 0 and y % 2 == 0) else off_fill
+            buf[dst + 3 * x : dst + 3 * x + 3] = bytes([v, v, v])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(buf), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(buf), 2835, 2835, 0, 0
+    )
+    return header + bytes(buf)
+
+
+def planted_hash(i: int) -> int:
+    """Closed-form dHash for planted id ``i`` (SQL-replicable): ids
+    < 400 are base images hashing to ``i * PHASH_MULT``; ids 400-499
+    are variants of source ``i - 400`` — %3==0 a pure near-copy (same
+    hash, different bytes), %3==1 one flipped bit at ``i % 40``,
+    %3==2 three flipped bits (beyond a <=2 Hamming threshold)."""
+    if i < 400:
+        return i * PHASH_MULT
+    src = (i - 400) * PHASH_MULT
+    p = i % 40
+    if i % 3 == 0:
+        return src
+    if i % 3 == 1:
+        return src ^ (1 << p)
+    return src ^ (1 << p) ^ (1 << ((p + 13) % 40)) ^ (1 << ((p + 27) % 40))
+
+
+def planted_gradient_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic gradient-BMP table for perceptual-hash testing:
+    dimensions/pixels derive from the id arithmetically (see
+    ``planted_hash``), so a SQL oracle can predict every dHash and every
+    near-dup pair. Near-copies (ids >= 400) differ from their source in
+    the odd-coordinate pixel bytes (fill 7 vs 0) — genuinely different
+    payloads with identical perceptual content."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                payload = _encode_gradient_bmp(planted_hash(i), 0 if i < 400 else 7)
+                rows.append(
+                    (i, payload, {"mime": "image/bmp", "source": "planted", "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                    "meta": [r[2] for r in rows],
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _dhash_bmp(payload: bytes) -> int:
+    """Real dHash of a 24bpp BMP, pure stdlib: nearest-neighbor sample a
+    9x8 gray grid (``src = dst * src_dim // dst_dim``), then bit
+    ``y*8+x`` = (gray[y][x+1] > gray[y][x]). Signed-wrapped into int64."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"dhash supports 24bpp only, got {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    if len(payload) < pixel_off + row_size * height:
+        raise ValueError("truncated BMP")
+
+    def gray(x: int, y: int) -> int:
+        row = y if top_down else height - 1 - y
+        base = pixel_off + row * row_size + 3 * x
+        b, g, r = payload[base], payload[base + 1], payload[base + 2]
+        return (r + g + b) // 3
+
+    h = 0
+    for y in range(PHASH_GRID_H):
+        sy = y * height // PHASH_GRID_H
+        prev = None
+        for x in range(PHASH_GRID_W):
+            sx = x * width // PHASH_GRID_W
+            g = gray(sx, sy)
+            if prev is not None and g > prev:
+                h |= 1 << (y * 8 + (x - 1))
+            prev = g
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def dhash_images(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """(media_id, dhash) via bounded-batch mapInPandas — per-row
+    independent, no shuffle; the fingerprint stage of an image-dedup
+    ingest runs embarrassingly parallel at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [_dhash_bmp(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(
+        run, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ])
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 2,
+    bands: int = 4,
+    band_bits: int = 11,
+) -> DataFrame:
+    """Hamming-near pairs over 64-bit perceptual hashes WITHOUT an
+    all-pairs compare: band the low ``bands*band_bits`` bits into
+    ``bands`` chunks and bucket-join on (band, value) — pigeonhole: <= 2
+    flipped bits touch <= 2 of 4 bands, so every true pair shares a band
+    — then verify candidates with exact ``bit_count(xor)``. The X2
+    SimHash shape applied to images; at 100 TB band buckets are the
+    shuffle key and hot buckets split under AQE."""
+    from nagios_custom_etl_spark.catalog import cache_once
+
+    mask = (1 << band_bits) - 1
+    banded = cache_once(
+        hashes.select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(hash_col), b * band_bits)
+                            .bitwiseAND(mask)
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select("_id", "_h", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+    )
+    left = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "band", "val")
+    right = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "band", "val")
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -4629,3 +4629,73 @@ def x63_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X66 — perceptual-hash image near-duplicate detection (dHash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x66_phash_image_neardup",
+    oracle="""
+    -- image near-dup via dHash: planted gradient BMPs are CONSTRUCTED
+    -- so each image's 64-bit dHash equals a closed form of its id
+    -- (operators/multimodal.py::planted_hash) — ids < 400 hash to
+    -- id * 2654435761; ids 400-499 are byte-level variants of source
+    -- id-400 at Hamming distance 0 / 1 / 3 by id % 3. The Spark side
+    -- computes hashes from REAL pixel decoding + 9x8 nearest-neighbor
+    -- sampling, so a decoder bug flips this row; the banded Hamming
+    -- pipeline (4 bands x 11 bits over the varying low bits,
+    -- pigeonhole-complete for <= 2 flips) is replicated identically
+    -- here.
+    WITH h AS (
+      SELECT doc_id AS id,
+        CASE WHEN doc_id < 400 THEN doc_id * 2654435761
+             WHEN doc_id % 3 = 0 THEN (doc_id - 400) * 2654435761
+             WHEN doc_id % 3 = 1 THEN
+               xor((doc_id - 400) * 2654435761, 1::BIGINT << (doc_id % 40))
+             ELSE
+               xor(xor(xor((doc_id - 400) * 2654435761,
+                           1::BIGINT << (doc_id % 40)),
+                       1::BIGINT << ((doc_id % 40 + 13) % 40)),
+                   1::BIGINT << ((doc_id % 40 + 27) % 40))
+        END AS hv
+      FROM documents
+    ),
+    banded AS (
+      SELECT id, hv, unnest([0, 1, 2, 3]) AS band FROM h
+    ),
+    bval AS (
+      SELECT id, hv, band, (hv >> (band * 11)) & 2047 AS val FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.hv AS h_a, r.hv AS h_b
+      FROM bval l JOIN bval r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    doc="X66 perceptual-hash image near-dup: REAL stdlib pixel decode -> "
+    "9x8 nearest-neighbor gray sampling -> 64-bit dHash "
+    "(operators/multimodal.py::dhash_images, per-row mapInPandas, no "
+    "shuffle) -> banded Hamming join (phash_near_dup_pairs: 4x11-bit "
+    "bands, pigeonhole-complete at Hamming <= 2, exact bit_count(xor) "
+    "verify — the X2 SimHash shape applied to images). Near-copies are "
+    "planted at the BYTE level (odd-coordinate pixels differ; the "
+    "sampled grid doesn't), so this catches what exact payload dedup "
+    "cannot. The image-dedup gate of a multimodal training corpus; "
+    "hashes are 8 bytes/image at 10^11 scale.",
+)
+def x66_phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.multimodal import (
+        dhash_images,
+        phash_near_dup_pairs,
+        planted_gradient_media,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = planted_gradient_media(ids)
+    hashes = dhash_images(media)
+    return phash_near_dup_pairs(hashes, max_hamming=2).orderBy("id_a", "id_b")

@@ -277,3 +277,77 @@ def test_resize_images_passes_malformed_bmps_through(spark):
     assert out[1] == truncated  # malformed: byte-identical pass-through
     assert out[2] == bpp8  # non-24bpp: pass-through
     assert out[0] != good and out[0][:2] == b"BM"  # valid BMP actually shrank
+
+
+def test_phash_near_copies_found_despite_byte_differences(spark):
+    """%3==0 variants differ from their source at the BYTE level (odd
+    pixels 7 vs 0) yet must pair at Hamming 0; %3==1 pairs at 1;
+    %3==2 (Hamming 3) must NOT appear at threshold 2."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.multimodal import (
+        dhash_images,
+        phash_near_dup_pairs,
+        planted_gradient_media,
+    )
+
+    ids = spark.range(500).select(F.col("id").alias("media_id"))
+    media = planted_gradient_media(ids).cache()
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(dhash_images(media), max_hamming=2).collect()
+    }
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for copy_id in range(400, 500):
+        src = copy_id - 400
+        assert payloads[copy_id] != payloads[src]  # genuinely different bytes
+        if copy_id % 3 == 0:
+            assert pairs.get((src, copy_id)) == 0
+        elif copy_id % 3 == 1:
+            assert pairs.get((src, copy_id)) == 1
+        else:
+            assert (src, copy_id) not in pairs  # Hamming 3: over threshold
+    # no organic base-base pair sneaks under the threshold
+    assert all(b >= 400 for (_, b) in pairs)
+    media.unpersist()
+
+
+def test_dhash_decoder_rejects_bad_payloads():
+    import pytest
+
+    from nagios_custom_etl_spark.operators.multimodal import (
+        _dhash_bmp,
+        _encode_gradient_bmp,
+        planted_hash,
+    )
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        _dhash_bmp(b"JUNK" * 20)
+    good = _encode_gradient_bmp(planted_hash(3), 0)
+    with pytest.raises(ValueError, match="truncated"):
+        _dhash_bmp(good[: len(good) // 2])
+
+
+def test_dhash_handles_topdown_bmps():
+    """A negative-height (top-down) BMP of the same pixels must hash
+    identically — decoder orientation handling, not just our encoder's
+    bottom-up convention."""
+    import struct
+
+    from nagios_custom_etl_spark.operators.multimodal import (
+        _dhash_bmp,
+        _encode_gradient_bmp,
+        planted_hash,
+    )
+
+    h = planted_hash(7)
+    bottom_up = _encode_gradient_bmp(h, 0)
+    width, height = struct.unpack_from("<ii", bottom_up, 18)
+    row_size = (3 * width + 3) // 4 * 4
+    pix = bottom_up[54:]
+    flipped = b"".join(
+        pix[(height - 1 - y) * row_size : (height - y) * row_size] for y in range(height)
+    )
+    top_down = bytearray(bottom_up[:54] + flipped)
+    struct.pack_into("<ii", top_down, 18, width, -height)
+    assert _dhash_bmp(bytes(top_down)) == h == _dhash_bmp(bottom_up)
