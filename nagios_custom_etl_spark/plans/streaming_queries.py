@@ -747,3 +747,68 @@ def st11_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_str")
     )
+
+
+@register(
+    "st17_stream_keyed_upsert",
+    oracle="""
+    -- streaming MERGE: the store's final state must equal the batch
+    -- latest-per-key answer (w1's shape) no matter how many micro-
+    -- batches delivered the events or in what order — last-write-wins
+    -- on (ts, event_id) is order-independent by construction.
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="ST-ext streaming keyed upsert (streaming/ops.py::"
+    "keyed_upsert_sink): the events fixture is split into THREE "
+    "ts-ranged files so the file source delivers real multi-batch "
+    "cross-key conflicts; each micro-batch MERGEs its per-key newest "
+    "row into a bucket-partitioned current-state store via "
+    "operators/merge.py::merge_upsert (matched rows update only when "
+    "newer - last-write-wins), rewriting only touched buckets by "
+    "dynamic partition overwrite. The continuously-maintained "
+    "current-status-per-host table the reference consumers keep in "
+    "MSSQL (load_to_db.py:33-56 feeds it append-only; this maintains "
+    "it in place). Oracle: the batch latest-per-key answer.",
+)
+def st17_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.streaming.ops import keyed_upsert_sink
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st17_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir, out_dir, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "store"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # three ts-ranged source files -> three micro-batches with genuine
+    # cross-batch key conflicts (every user appears in every range)
+    ev.repartitionByRange(3, "ts").write.parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(keyed_upsert_sink(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "value",
+        )
+        .orderBy("user_id")
+    )

@@ -301,3 +301,72 @@ def incremental_rollup(spark: SparkSession, source: DataFrame, out_dir: str, ckp
     return spark.read.parquet(out_dir).select(
         "window_start", "event_type", "n", "total_value"
     )
+
+
+def keyed_upsert_sink(out_dir: str, n_buckets: int = 8):
+    """Streaming MERGE sink: maintain a keyed current-state table
+    (latest event per user) under out-of-order, multi-batch delivery.
+
+    Per micro-batch: reduce the batch to its newest row per key (ties by
+    event_id), bucket keys with ``pmod(user_id, n_buckets)``, and MERGE
+    into the store with ``operators/merge.py::merge_upsert`` — matched
+    rows update ONLY when the incoming row is newer (last-write-wins on
+    (ts, event_id), so the final state is identical whatever order the
+    file source delivers batches in), new keys insert. Only the buckets
+    the batch touches are re-read and rewritten (dynamic partition
+    overwrite — the x55/st7 pattern): a batch touching 1% of keys
+    rewrites ~1% of the store, never 100 TB. The same shape against a
+    lakehouse table is a single ``MERGE INTO``; on raw parquet the
+    bucket rewrite IS the merge transaction.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.utils import AnalysisException
+
+    from nagios_custom_etl_spark.operators.merge import merge_upsert
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rank_w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.filter(F.col("user_id").isNotNull())
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("bucket", F.pmod("user_id", F.lit(n_buckets)).cast("int"))
+            .cache()
+        )
+        # touched bucket ids: bounded driver-side metadata (<= n_buckets)
+        buckets = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+        if not buckets:  # trailing no-data micro-batch
+            latest.unpersist()
+            return
+        try:
+            existing = spark.read.parquet(out_dir).filter(F.col("bucket").isin(buckets))
+            newer = (F.col("s.ts") > F.col("t.ts")) | (
+                (F.col("s.ts") == F.col("t.ts")) & (F.col("s.event_id") > F.col("t.event_id"))
+            )
+            merged = merge_upsert(
+                existing,
+                latest,
+                keys=["user_id"],
+                when_matched_update={
+                    c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                    for c in existing.columns
+                },
+            )
+            # materialize before overwriting the files the plan reads from
+            merged = merged.localCheckpoint()
+        except AnalysisException:  # first batch: store not created yet
+            merged = latest
+        try:
+            (
+                merged.repartition(len(buckets), F.col("bucket"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(out_dir)
+            )
+        finally:
+            latest.unpersist()
+
+    return write

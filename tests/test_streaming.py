@@ -475,3 +475,90 @@ def test_persisted_index_serving_restart_exactly_once(spark, sf_dir, tmp_path, m
 
     got = sorted(map(tuple, spark.read.parquet(out).select("query_id", "nbr_id", "rank").collect()))
     assert got == expected  # exactly once per query, answers == brute force
+
+
+def test_keyed_upsert_last_write_wins_any_order(spark, tmp_path):
+    """Drive keyed_upsert_sink with two batches in BOTH orders: the
+    final store must be identical — last-write-wins on (ts, event_id)
+    is delivery-order-independent, which is what makes the file
+    source's nondeterministic batch order safe."""
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.streaming.ops import keyed_upsert_sink
+
+    def ev(eid, uid, typ, ts, val):
+        return Row(event_id=eid, ts=ts, user_id=uid, event_type=typ, value=val)
+
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = datetime.datetime(2024, 1, 2, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    early = spark.createDataFrame(
+        [ev(1, 7, "old", t1, 1.0), ev(2, 8, "only-early", t1, 2.0), ev(3, None, "nullkey", t1, 0.0)],
+        schema,
+    )
+    late = spark.createDataFrame(
+        [ev(10, 7, "new", t2, 9.0), ev(11, 9, "only-late", t2, 3.0)], schema
+    )
+
+    def final_state(batches, out):
+        sink = keyed_upsert_sink(str(out))
+        for i, b in enumerate(batches):
+            sink(b, i)
+        return {
+            r.user_id: (r.event_id, r.event_type)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    fwd = final_state([early, late], tmp_path / "fwd")
+    rev = final_state([late, early], tmp_path / "rev")
+    expected = {7: (10, "new"), 8: (2, "only-early"), 9: (11, "only-late")}
+    assert fwd == expected and rev == expected  # null keys never stored
+
+
+def test_keyed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A batch touching one key must leave every other bucket's files
+    byte-identical (dynamic partition overwrite — the 100 TB property:
+    small change batches rewrite small fractions of the store)."""
+    import datetime
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.streaming.ops import keyed_upsert_sink
+
+    out = str(tmp_path / "store")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    t1 = datetime.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [Row(event_id=i, ts=t1, user_id=i, event_type="a", value=0.0) for i in range(16)],
+        schema,
+    )
+    sink = keyed_upsert_sink(out)
+    sink(base, 0)
+
+    def snapshot():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(out, "bucket=*", "*.parquet"))
+        }
+
+    before = snapshot()
+    touch = spark.createDataFrame(
+        [Row(event_id=99, ts=datetime.datetime(2024, 1, 2), user_id=3, event_type="b", value=1.0)],
+        schema,
+    )
+    sink(touch, 1)
+    after = snapshot()
+    changed = {os.path.dirname(p) for p in set(after) - set(before)} | {
+        os.path.dirname(p)
+        for p in set(before) & set(after)
+        if before[p] != after[p]
+    }
+    assert {os.path.basename(d) for d in changed} == {"bucket=3"}
+    # untouched buckets: identical file sets
+    untouched_before = {p for p in before if "bucket=3" not in p}
+    untouched_after = {p for p in after if "bucket=3" not in p}
+    assert untouched_before == untouched_after
