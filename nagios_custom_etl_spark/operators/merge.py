@@ -158,3 +158,34 @@ def scd2_apply(
     )
     exploded = j.select(F.explode(rows).alias("_r")).select("_r.*")
     return hist.unionByName(exploded)
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its event
+    time: ``dim.valid_from <= fact.ts < dim.valid_to`` (NULL valid_to =
+    still open). The half-open interval means exactly one version
+    matches per (key, ts) for a well-formed SCD2 table (``scd2_apply``
+    produces one).
+
+    Plan shape: an equi-join on the key with the interval as a residual
+    filter — correct at scale because SCD2 version counts per key are
+    small and bounded (attribute-change cardinality), so the fan-out
+    before the residual is a few rows per fact, not a range-join blowup.
+    Skewed hot keys split under AQE like any equi-join.
+    """
+    d = dim.alias("d")
+    f = facts.alias("f")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"))
+        & (F.col(f"f.{ts_col}") >= F.col(f"d.{valid_from}"))
+        & (F.col(f"d.{valid_to}").isNull() | (F.col(f"f.{ts_col}") < F.col(f"d.{valid_to}")))
+    )
+    return f.join(d, cond, "inner")

@@ -4699,3 +4699,172 @@ def x66_phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = planted_gradient_media(ids)
     hashes = dhash_images(media)
     return phash_near_dup_pairs(hashes, max_hamming=2).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X67 — partition-digest corpus diff (Merkle-style drift detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x67_partition_digest_diff",
+    oracle="""
+    -- two corpus snapshots (x41's construction) are fingerprinted at
+    -- the BUCKET level: per bucket, an order-independent digest =
+    -- SUM of per-row md5-derived 40-bit integers (commutative integer
+    -- arithmetic — no float drift, no overflow at any row count that
+    -- fits a BIGINT budget of 2^23 rows/bucket... at 100 TB widen the
+    -- modulus or digest per sub-bucket). Buckets whose digests agree
+    -- need NO row-level comparison — the cheap first pass that lets
+    -- x41's row-level CDC run only on drifted buckets.
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id >= 100
+    ),
+    od AS (
+      SELECT doc_id % 16 AS bucket,
+             CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))::BIGINT) AS BIGINT) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM old GROUP BY 1
+    ),
+    nd AS (
+      SELECT doc_id % 16 AS bucket,
+             CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))::BIGINT) AS BIGINT) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM new GROUP BY 1
+    )
+    SELECT COALESCE(od.bucket, nd.bucket) AS bucket,
+           od.n_rows AS old_rows, nd.n_rows AS new_rows,
+           CASE WHEN od.bucket IS NULL THEN 'added'
+                WHEN nd.bucket IS NULL THEN 'removed'
+                WHEN od.digest <> nd.digest OR od.n_rows <> nd.n_rows THEN 'drifted'
+                ELSE 'clean' END AS status
+    FROM od FULL OUTER JOIN nd ON od.bucket = nd.bucket
+    ORDER BY bucket
+    """,
+    doc="X67 partition-digest diff: Merkle-style drift detection between "
+    "corpus snapshots — per-bucket order-independent digests (SUM of "
+    "md5-derived 40-bit row integers; commutative BIGINT arithmetic, "
+    "identical in both engines) compared with one bucket-keyed join of "
+    "16 rows. Buckets reporting 'clean' skip x41's row-level CDC "
+    "entirely: at 100 TB the digest pass reads each snapshot once and "
+    "shuffles 16 longs, and only drifted buckets pay the row-level "
+    "full-outer join. The snapshot construction is x41's, so 'drifted' "
+    "buckets here are exactly the buckets x41 finds changed rows in.",
+)
+def x67_partition_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        row_int = F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), "text")), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy((F.col("doc_id") % 16).alias("bucket")).agg(
+            F.sum(row_int).cast("long").alias("digest"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    od, nd = digests(old).alias("od"), digests(new).alias("nd")
+    j = od.join(nd, F.col("od.bucket") == F.col("nd.bucket"), "full_outer")
+    return j.select(
+        F.coalesce("od.bucket", "nd.bucket").alias("bucket"),
+        F.col("od.n_rows").alias("old_rows"),
+        F.col("nd.n_rows").alias("new_rows"),
+        F.when(F.col("od.bucket").isNull(), "added")
+        .when(F.col("nd.bucket").isNull(), "removed")
+        .when(
+            (F.col("od.digest") != F.col("nd.digest"))
+            | (F.col("od.n_rows") != F.col("nd.n_rows")),
+            "drifted",
+        )
+        .otherwise("clean")
+        .alias("status"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# X68 — temporal join to a versioned (SCD2) dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x68_temporal_dim_join",
+    oracle="""
+    -- every order joins the customer-dimension VERSION valid at its
+    -- order date (x59's SCD2 construction: %10=0 customers change
+    -- segment to segment||'-R2' at 1996-06-01). Pre-change orders of
+    -- changed keys aggregate under the old segment, post-change under
+    -- the new one — the as-of-time attribution mistake a plain
+    -- current-state join makes is exactly what this prevents.
+    WITH dim AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             TIMESTAMP '1995-01-01 00:00:00' AS vf,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN TIMESTAMP '1996-06-01 00:00:00' END AS vt
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-R2',
+             TIMESTAMP '1996-06-01 00:00:00', NULL
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN dim d ON o.o_custkey = d.custkey
+      AND o.o_orderdate >= d.vf AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+    doc="X68 temporal dimension join (operators/merge.py::temporal_join): "
+    "facts resolve against the SCD2 version valid at event time "
+    "(half-open [valid_from, valid_to)) — the dimension is built by the "
+    "SAME scd2_apply call as x59, so this row proves the versioned "
+    "table is consumable, not just constructible. Equi-join on the key "
+    "with the interval as residual: per-key version counts are bounded "
+    "by attribute-change cardinality, so no range-join blowup at "
+    "100 TB; AQE splits hot keys.",
+)
+def x68_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.merge import scd2_apply, temporal_join
+
+    c = load_table(spark, sf_dir, "customer")
+    dim0 = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")).alias("segment"),
+    )
+    dim = scd2_apply(
+        dim0, updates, key="custkey", tracked=["segment"], effective_ts="1996-06-01 00:00:00"
+    ).select(
+        "custkey",
+        "segment",
+        F.to_timestamp("valid_from").alias("vf"),
+        F.to_timestamp("valid_to").alias("vt"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = temporal_join(o, dim, "o_custkey", "custkey", "o_orderdate", "vf", "vt")
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("segment")
+    )

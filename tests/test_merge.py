@@ -123,3 +123,57 @@ def test_scd2_rejects_unknown_update_column(spark):
 
     with pytest.raises(ValueError, match="nope"):
         scd2_apply(_dim(spark), bad, key="k", tracked=["seg"], effective_ts="t1")
+
+
+def test_temporal_join_half_open_boundaries(spark):
+    """A fact AT the version boundary belongs to the NEW version
+    (half-open [valid_from, valid_to)); open versions catch everything
+    after their start."""
+    import datetime
+
+    from nagios_custom_etl_spark.operators.merge import temporal_join
+
+    t0 = datetime.datetime(2020, 1, 1)
+    t1 = datetime.datetime(2021, 1, 1)
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="v1", vf=t0, vt=t1), Row(k=1, seg="v2", vf=t1, vt=None)],
+        "k int, seg string, vf timestamp, vt timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=t0),  # exactly at v1 start -> v1
+            Row(fid=2, k=1, ts=t1 - datetime.timedelta(seconds=1)),  # -> v1
+            Row(fid=3, k=1, ts=t1),  # exactly at the boundary -> v2
+            Row(fid=4, k=1, ts=t1 + datetime.timedelta(days=400)),  # open -> v2
+            Row(fid=5, k=1, ts=t0 - datetime.timedelta(seconds=1)),  # before history -> none
+            Row(fid=6, k=2, ts=t1),  # unknown key -> none
+        ],
+        "fid int, k int, ts timestamp",
+    )
+    got = {
+        r.fid: r.seg
+        for r in temporal_join(facts, dim, "k", "k", "ts", "vf", "vt").collect()
+    }
+    assert got == {1: "v1", 2: "v1", 3: "v2", 4: "v2"}
+
+
+def test_temporal_join_plan_is_equi_not_cartesian(spark):
+    import datetime
+
+    from nagios_custom_etl_spark.operators.merge import temporal_join
+
+    t0 = datetime.datetime(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [Row(k=i, seg="s", vf=t0, vt=None) for i in range(10)],
+        "k int, seg string, vf timestamp, vt timestamp",
+    )
+    facts = spark.createDataFrame(
+        [Row(fid=i, k=i % 10, ts=t0) for i in range(100)], "fid int, k int, ts timestamp"
+    )
+    plan = (
+        temporal_join(facts, dim, "k", "k", "ts", "vf", "vt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
