@@ -74,6 +74,10 @@ HEADLINE = [
     # vs the same plan on uniform keys — skew handling as a NUMBER
     "x50_skewed_join_salted",
     "x50b_uniform_join_salted",
+    # r6 additions: warehouse mutation (full-outer MERGE routing) and
+    # image fingerprinting (mapInPandas dHash + banded Hamming join)
+    "x60_merge_upsert",
+    "x66_phash_image_neardup",
     # streaming representatives: micro-batch tumbling rollup through a real
     # writeStream/foreachBatch sink, plus a STATEFUL entry
     # (applyInPandasWithState streaks) so state-store regressions are
