@@ -4868,3 +4868,85 @@ def x68_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# X69 — snapshot-versioned table: time travel across an overwrite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x69_snapshot_time_travel",
+    oracle="""
+    -- a snapshot table is committed twice (v1 = the OLD corpus slice,
+    -- v2 = an OVERWRITE with the recrawled slice — x41's construction),
+    -- then BOTH versions are read back through their manifests: the
+    -- overwrite must not disturb v1's time-travel read. Per-version
+    -- content stats over the union prove each read returns exactly its
+    -- snapshot.
+    WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id >= 100
+    ),
+    allv AS (
+      SELECT 1 AS version, * FROM v1
+      UNION ALL
+      SELECT 2, * FROM v2
+    )
+    SELECT version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM allv GROUP BY version ORDER BY version
+    """,
+    doc="X69 snapshot time travel (operators/snapshots.py): versioned "
+    "manifests over immutable parquet — commit v1, OVERWRITE as v2, "
+    "read BOTH back through their manifests in one result. Commits are "
+    "O(files) metadata with an O_EXCL atomic commit point (optimistic "
+    "concurrency — the Delta/Iceberg protocol's local-FS instance); "
+    "reads plan from explicit file lists, never directory listings; "
+    "old versions stay reachable until vacuum. This is the substrate "
+    "x41's CDC and x67's digests assume when they compare 'as of run "
+    "N' with 'as of run N+1'. Conflict detection, rollback-as-commit, "
+    "and vacuum reachability are pinned in tests/test_snapshots.py.",
+)
+def x69_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.snapshots import (
+        overwrite,
+        read_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x69_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    v1 = overwrite(d.filter(F.col("doc_id") < 400).select("doc_id", "text"), root)
+    v2 = overwrite(
+        d.filter(F.col("doc_id") >= 100).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ),
+        root,
+    )
+    out = None
+    for v in (v1, v2):
+        snap = read_snapshot(spark, root, v).select(F.lit(v).alias("version"), "doc_id", "text")
+        out = snap if out is None else out.unionByName(snap)
+    return (
+        out.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.sha2("text", 256)).cast("long").alias("n_unique"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("version")
+    )
