@@ -120,9 +120,12 @@ def scd2_apply(
 
     s_here = F.col("s._s_present").isNotNull()
     t_here = F.col(f"t.{is_current}").isNotNull()
-    changed = s_here & t_here
+    # ANY tracked attribute differing opens a new version (OR, not AND —
+    # a single changed attribute among several must not be dropped)
+    any_diff = F.lit(False)
     for c in tracked:
-        changed = changed & ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        any_diff = any_diff | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+    changed = s_here & t_here & any_diff
 
     def _struct(values: dict[str, Column]) -> Column:
         return F.struct(*[values[c].alias(c) for c in dim.columns])

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nagios_custom_etl_spark import fsio
 from nagios_custom_etl_spark.functions.vector import (
     as_double_array,
     cosine,
@@ -631,40 +632,17 @@ _ANN_DATA_DIR = "data"
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem API — works
     for any scheme the cluster can reach (hdfs://, s3a://, file:/), not
-    just the driver's local disk."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
+    just the driver's local disk. (Shared impl: fsio.py.)"""
+    fsio.write_text(spark, path, text)
 
 
 def _fs_delete(spark, path: str) -> None:
     """Recursively delete a path through the Hadoop FileSystem API."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
+    fsio.delete(spark, path, recursive=True)
 
 
 def _fs_read_text(spark, path: str) -> str:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        chunks = []
-        line = reader.readLine()
-        while line is not None:
-            chunks.append(line)
-            line = reader.readLine()
-        return "\n".join(chunks)
-    finally:
-        stream.close()
+    return fsio.read_text(spark, path)
 
 
 @dataclass

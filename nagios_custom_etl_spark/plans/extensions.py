@@ -4316,11 +4316,15 @@ def x61_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           (CAST(sy AS DOUBLE)
-             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-           CASE WHEN n * syy - sy * sy = 0 THEN NULL
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           END AS intercept,
+           CASE WHEN n * syy - sy * sy = 0 OR n * sxx - sx * sx = 0 THEN NULL
                 ELSE (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
            END AS r2
@@ -4358,16 +4362,22 @@ def x62_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num.cast("double") / dx.cast("double")
+    # dx == 0 (a group with one distinct day) would divide by zero under
+    # ANSI — slope/intercept/r2 are all NULL there, matching the oracle
+    slope = F.when(dx == 0, F.lit(None).cast("double")).otherwise(
+        num.cast("double") / dx.cast("double")
+    )
     return s.select(
         "event_type",
         F.col("n").alias("n_days"),
         slope.alias("slope"),
-        (
+        F.when(dx == 0, F.lit(None).cast("double"))
+        .otherwise(
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
             / F.col("n").cast("double")
-        ).alias("intercept"),
-        F.when(dy == 0, F.lit(None).cast("double"))
+        )
+        .alias("intercept"),
+        F.when((dy == 0) | (dx == 0), F.lit(None).cast("double"))
         .otherwise((num.cast("double") * num.cast("double")) / (dx.cast("double") * dy.cast("double")))
         .alias("r2"),
     ).orderBy("event_type")

@@ -340,8 +340,17 @@ def keyed_upsert_sink(out_dir: str, n_buckets: int = 8):
         if not buckets:  # trailing no-data micro-batch
             latest.unpersist()
             return
+        # narrow the first-batch probe to the store READ only: a genuine
+        # schema/column error in the merge itself must propagate, not be
+        # misclassified as "store absent" and silently overwrite buckets
+        # with just the batch's rows
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("bucket").isin(buckets))
+        except AnalysisException:  # first batch: store not created yet
+            existing = None
+        if existing is None:
+            merged = latest
+        else:
             newer = (F.col("s.ts") > F.col("t.ts")) | (
                 (F.col("s.ts") == F.col("t.ts")) & (F.col("s.event_id") > F.col("t.event_id"))
             )
@@ -356,8 +365,6 @@ def keyed_upsert_sink(out_dir: str, n_buckets: int = 8):
             )
             # materialize before overwriting the files the plan reads from
             merged = merged.localCheckpoint()
-        except AnalysisException:  # first batch: store not created yet
-            merged = latest
         try:
             (
                 merged.repartition(len(buckets), F.col("bucket"))

@@ -57,34 +57,63 @@ def error_streaks(stream: DataFrame, threshold: int = 3) -> DataFrame:
     """Emit one row each time a per-user run of consecutive 'error' events
     reaches ``threshold`` (and again as it extends). State per key is
     (count, start_id, emitted) — O(1), batch-order independent within a
-    key because rows are sorted by event_id inside the group."""
+    key because rows are sorted by event_id inside the group.
+
+    The per-batch streak computation is vectorized gaps-and-islands
+    (run ids from ``(~is_err).cumsum()``, per-run positions from a
+    grouped cumsum, the carried-in state seeding the first run) — O(batch)
+    pandas/numpy, no Python row loop; only the boundary (count, start_id)
+    crosses micro-batches."""
+    import numpy as np
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         count, start_id, emitted = state.get if state.exists else (0, -1, 0)
-        out: list[tuple] = []
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values("event_id")
-            for _, row in pdf.iterrows():
-                if row["event_type"] == "error":
-                    if count == 0:
-                        start_id = int(row["event_id"])
-                    count += 1
-                    if count >= threshold:
-                        out.append(
-                            (user_id, count, start_id, int(row["event_id"]), row["ts"])
-                        )
-                        emitted += 1
-                else:
-                    count, start_id = 0, -1
-        state.update((count, start_id, emitted))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "streak_len", "streak_start_id", "streak_end_id", "last_ts"],
+            is_err = (pdf["event_type"] == "error").to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            # run ids: every non-error row starts a new (empty-of-errors)
+            # island; leading errors share run 0 and continue the carry
+            run_id = np.cumsum(~is_err)
+            grp = pd.Series(is_err).groupby(run_id)
+            pos = grp.cumsum().to_numpy()  # errors-so-far within the run
+            # first error event_id per run (NaN-skipping grouped 'first')
+            first_eid = (
+                pd.Series(np.where(is_err, eid.astype("float64"), np.nan))
+                .groupby(run_id)
+                .transform("first")
+                .to_numpy()
             )
+            seeded = (run_id == 0) & (count > 0)
+            streak = pos + np.where(seeded, count, 0)
+            starts = np.where(seeded, start_id, first_eid)
+            mask = is_err & (streak >= threshold)
+            if mask.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "streak_len": streak[mask].astype("int32"),
+                            "streak_start_id": starts[mask].astype("int64"),
+                            "streak_end_id": eid[mask],
+                            "last_ts": pdf["ts"].to_numpy()[mask],
+                        }
+                    )
+                )
+                emitted += int(mask.sum())
+            if is_err[-1]:
+                count, start_id = int(streak[-1]), int(starts[-1])
+            else:
+                count, start_id = 0, -1
+        state.update((count, start_id, emitted))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return (
         stream.select("user_id", "event_id", "ts", "event_type")

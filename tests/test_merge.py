@@ -117,6 +117,26 @@ def test_scd2_null_safe_change_detection(spark):
     assert out2.count() == 2  # NULL -> 'X' is a real change
 
 
+def test_scd2_any_tracked_attribute_change_opens_version(spark):
+    """With multiple tracked attributes, a change in ANY ONE of them
+    must open a new version (OR semantics). Regression: the detector
+    once ANDed per-column differences, silently dropping updates that
+    changed only a subset of tracked columns."""
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="A", tier="gold", valid_from="t0", valid_to=None, is_current=True)],
+        "k int, seg string, tier string, valid_from string, valid_to string, is_current boolean",
+    )
+    # only ONE of the two tracked attributes changes
+    upd = spark.createDataFrame([Row(k=1, seg="A", tier="silver")], "k int, seg string, tier string")
+    out = scd2_apply(dim, upd, key="k", tracked=["seg", "tier"], effective_ts="t1")
+    rows = sorted((r.seg, r.tier, r.valid_to, r.is_current) for r in out.collect())
+    assert rows == [("A", "gold", "t1", False), ("A", "silver", None, True)]
+
+    # both unchanged -> still idempotent under OR semantics
+    same = spark.createDataFrame([Row(k=1, seg="A", tier="gold")], "k int, seg string, tier string")
+    assert scd2_apply(dim, same, key="k", tracked=["seg", "tier"], effective_ts="t1").count() == 1
+
+
 def test_scd2_rejects_unknown_update_column(spark):
     bad = spark.createDataFrame([Row(k=1, nope="x")], "k int, nope string")
     import pytest

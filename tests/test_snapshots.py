@@ -1,0 +1,150 @@
+"""Tests for operators/snapshots.py — the manifest-commit table layer
+behind x69 (time travel) and the snapshot-isolated mutation publishes.
+
+Pins exactly what the x69 registered doc claims: the atomic commit race
+(two writers to the same version -> exactly one wins, the loser retries
+on top of the winner), rollback-as-commit, and vacuum reachability
+(only unreachable files deleted, retained versions byte-identical,
+repeated vacuum after new commits is safe — regression for the
+FileNotFoundError the range-based enumeration shipped)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import Row
+
+from nagios_custom_etl_spark import fsio
+from nagios_custom_etl_spark.operators import snapshots as S
+
+
+@pytest.fixture()
+def root(tmp_path):
+    p = str(tmp_path / "snaptable")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame([Row(i=i, s=f"r{i}") for i in range(lo, hi)], "i int, s string")
+
+
+def _rows(df):
+    return sorted((r.i, r.s) for r in df.collect())
+
+
+def test_append_overwrite_time_travel(spark, root):
+    v1 = S.overwrite(_df(spark, 0, 3), root)
+    v2 = S.append(_df(spark, 3, 5), root)
+    v3 = S.overwrite(_df(spark, 10, 12), root)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert S.latest_version(spark, root) == 3
+    # every version stays readable through its manifest
+    assert _rows(S.read_snapshot(spark, root, 1)) == [(i, f"r{i}") for i in range(0, 3)]
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(0, 5)]
+    assert _rows(S.read_snapshot(spark, root, 3)) == [(10, "r10"), (11, "r11")]
+    # default read = latest
+    assert _rows(S.read_snapshot(spark, root)) == [(10, "r10"), (11, "r11")]
+
+
+def test_commit_race_exactly_one_winner_then_retry(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    parent = S.latest_version(spark, root)
+    # two writers race to publish version parent+1: the first create wins
+    S._commit(spark, root, ["data-w1/part-0.parquet"], "append", parent)
+    with pytest.raises(S.ConcurrentCommitError):
+        S._commit(spark, root, ["data-w2/part-0.parquet"], "append", parent)
+    # the winner's manifest is intact (the loser did not clobber it)
+    m = S._read_manifest(spark, root, parent + 1)
+    assert m["files"] == ["data-w1/part-0.parquet"]
+    # loser retries against the NEW latest and succeeds as the next version
+    v = S._commit(
+        spark, root, ["data-w2/part-0.parquet"], "append", S.latest_version(spark, root)
+    )
+    assert v == parent + 2
+
+
+def test_append_through_api_after_external_commit_retries_cleanly(spark, root):
+    # append() recomputes parent from the manifest dir, so sequential
+    # appends from independent entry points never collide
+    S.overwrite(_df(spark, 0, 2), root)
+    S.append(_df(spark, 2, 4), root)
+    S.append(_df(spark, 4, 6), root)
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(0, 6)]
+
+
+def test_rollback_is_a_new_commit_with_old_content(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # v1
+    S.overwrite(_df(spark, 100, 102), root)  # v2
+    v3 = S.rollback(spark, root, to_version=1)
+    assert v3 == 3
+    # rollback content == the rolled-back-to version, byte-for-byte rows
+    assert _rows(S.read_snapshot(spark, root, 3)) == _rows(S.read_snapshot(spark, root, 1))
+    # history is append-only: v2 is STILL reachable after the rollback
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(100, "r100"), (101, "r101")]
+    # the rollback manifest shares v1's files (no data copy)
+    assert S._read_manifest(spark, root, 3)["files"] == S._read_manifest(spark, root, 1)["files"]
+
+
+def test_vacuum_deletes_only_unreachable_and_preserves_retained(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # v1 files: only referenced by v1
+    S.append(_df(spark, 3, 5), root)  # v2 = v1 files + new
+    S.overwrite(_df(spark, 10, 12), root)  # v3 drops all v1/v2 files
+    before_v3 = _rows(S.read_snapshot(spark, root, 3))
+    deleted = S.vacuum(spark, root, keep_last=1)
+    # v1's and v2's exclusive files are gone, v3's remain
+    assert deleted  # something was actually unreachable
+    for f in deleted:
+        assert not fsio.exists(spark, f"{root}/{f}")
+    for f in S._read_manifest(spark, root, 3)["files"]:
+        assert fsio.exists(spark, f"{root}/{f}")
+    # retained version reads unchanged after vacuum
+    assert _rows(S.read_snapshot(spark, root, 3)) == before_v3
+    # expired manifests dropped; time travel beyond retention is gone
+    assert S._manifest_versions(spark, root) == [3]
+    with pytest.raises(Exception):
+        S.read_snapshot(spark, root, 1)
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # v1
+    S.append(_df(spark, 3, 5), root)  # v2 shares v1's files
+    v1_files = S._read_manifest(spark, root, 1)["files"]
+    deleted = S.vacuum(spark, root, keep_last=1)  # retain only v2
+    # v1's files are REACHABLE from v2 (append shares them): none deleted
+    assert deleted == []
+    for f in v1_files:
+        assert fsio.exists(spark, f"{root}/{f}")
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(0, 5)]
+
+
+def test_repeated_vacuum_after_new_commits_is_safe(spark, root):
+    """Regression: vacuum used to enumerate range(1, latest+1) and
+    re-open manifests an earlier vacuum had removed -> FileNotFoundError
+    on any second vacuum after a new commit."""
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.overwrite(_df(spark, 2, 4), root)  # v2
+    S.vacuum(spark, root, keep_last=1)  # drops v1's manifest
+    S.overwrite(_df(spark, 4, 6), root)  # v3 (gap at v1 now)
+    deleted = S.vacuum(spark, root, keep_last=1)  # must not crash on missing v1
+    assert S._manifest_versions(spark, root) == [3]
+    assert _rows(S.read_snapshot(spark, root)) == [(4, "r4"), (5, "r5")]
+    # and the table keeps working after: append on top of the vacuumed tail
+    S.append(_df(spark, 6, 7), root)
+    assert _rows(S.read_snapshot(spark, root)) == [(4, "r4"), (5, "r5"), (6, "r6")]
+    assert isinstance(deleted, list)
+
+
+def test_manifest_contents_and_parent_chain(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.append(_df(spark, 2, 3), root)
+    m1 = S._read_manifest(spark, root, 1)
+    m2 = S._read_manifest(spark, root, 2)
+    assert m1["op"] == "overwrite" and m1["parent"] == 0
+    assert m2["op"] == "append" and m2["parent"] == 1
+    assert set(m1["files"]) < set(m2["files"])  # append shares parent files
+    # manifests are valid JSON on disk (readable by any other tool)
+    raw = json.loads(fsio.read_text(spark, S._manifest_path(root, 2)))
+    assert raw == m2
