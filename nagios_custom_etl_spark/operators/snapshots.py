@@ -148,6 +148,50 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     )
 
 
+def merge_commit(
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched_update=None,
+    max_retries: int = 3,
+) -> int:
+    """MERGE a change batch into the table's LATEST snapshot and publish
+    the result as a new version — the snapshot-isolated form of the
+    mutation family (operators/merge.py): writers never rewrite files a
+    reader could be planning from; a version-pinned reader re-reading
+    mid-upsert sees its snapshot byte-identical, and the new state only
+    becomes visible at the atomic manifest commit.
+
+    Optimistic concurrency: data files are written FIRST (expensive,
+    conflict-free), then the manifest commit arbitrates; on
+    ConcurrentCommitError the merge re-runs against the new latest (the
+    just-written files are orphaned — unreachable from any manifest, so
+    harmless to readers; a Delta-style orphan-file GC reclaims them).
+    First commit on an empty table inserts the batch as version 1.
+    """
+    from nagios_custom_etl_spark.operators.merge import merge_upsert
+
+    spark = source.sparkSession
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        parent = latest_version(spark, root)
+        if parent == 0:
+            merged = source
+        else:
+            merged = merge_upsert(
+                read_snapshot(spark, root, parent),
+                source,
+                keys=keys,
+                when_matched_update=when_matched_update,
+            )
+        files = _write_data_files(merged, root)
+        try:
+            return _commit(spark, root, files, "merge", parent)
+        except ConcurrentCommitError as ex:  # lost the race: retry on new latest
+            last_err = ex
+    raise last_err  # type: ignore[misc]
+
+
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Delete data files unreachable from every retained manifest (the
     newest ``keep_last`` EXISTING versions) and drop the expired

@@ -1723,18 +1723,50 @@ def x4f_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x10d_mixture_rebalance",
-    oracle=None,  # keep-fractions derive from driver-side counts; the
-    # md5 decision mechanics are oracle-covered by x10c; invariants in tests
+    oracle="""
+    -- replicate mixture_rebalance end-to-end: per-stratum keep-fraction
+    -- from the CURRENT counts (n_total = min(count/weight); frac =
+    -- min(1, weight*n_total/count) — every step in DOUBLE, matching the
+    -- driver's float arithmetic bit-for-bit), then the md5 keep
+    -- decision per doc. The hex threshold is format(int(f * 2**64),
+    -- '016x') + 16 zeros; md5 < threshold over 32 hex chars is
+    -- equivalent and reproduced verbatim. Weights MUST be CAST to
+    -- DOUBLE (bare literals parse as DECIMAL and drift).
+    WITH w(lang, wt) AS (
+      VALUES ('en', CAST(0.4 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE)),
+             ('de', CAST(0.3 AS DOUBLE))
+    ),
+    c AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n, ANY_VALUE(w.wt) AS wt
+      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang
+    ),
+    ntot AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS n_total FROM c),
+    fr AS (
+      SELECT lang, least(CAST(1.0 AS DOUBLE), (wt * n_total) / CAST(n AS DOUBLE)) AS f
+      FROM c, ntot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr ON d.lang = fr.lang
+    WHERE fr.f >= 1.0
+       OR md5(CAST(d.doc_id AS VARCHAR) || ':mixture') <
+          lower(lpad(hex(CAST(trunc(fr.f * power(CAST(2 AS DOUBLE), 64)) AS HUGEINT)),
+                     16, '0')) || '0000000000000000'
+    ORDER BY d.doc_id
+    """,
     doc="X10 data-mixture rebalance: downsample languages to a 40/30/30 "
     "en/fr/de target via per-stratum md5 keep-fractions — metadata count "
-    "pass + map-only filter, deterministic across layouts.",
+    "pass + map-only filter, deterministic across layouts. Oracle-exact "
+    "since r7: the keep-fraction derivation AND each per-doc md5 "
+    "decision are replicated in DuckDB (double arithmetic matches the "
+    "driver's float path bit-for-bit), so the FULL rebalanced id set "
+    "hash-checks, not just its counts.",
 )
 def x10d_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nagios_custom_etl_spark.operators.sampling import mixture_rebalance
 
     d = load_table(spark, sf_dir, "documents")
     out = mixture_rebalance(d, "lang", "doc_id", {"en": 0.4, "fr": 0.3, "de": 0.3})
-    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    return out.select("doc_id", "lang").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2754,31 +2786,64 @@ def x4i_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x24_embedding_pca",
-    oracle=None,  # eigenvector sign/rounding is implementation-defined;
-    # variance-capture and shape invariants tested in tests/test_similarity.py
-    doc="X24 PCA 64->16 over embeddings (pyspark.ml): covariance via one "
-    "distributed Gramian pass, eigendecomposition on the driver (64x64 — "
-    "constant at any corpus size), projection map-only with the basis "
-    "broadcast. The standard pre-ANN compression step; composes with "
-    "int8 quantization (X3) for a 16x footprint cut.",
+    oracle="""
+    -- planted-basis PCA: coordinates are scaled Rademacher bits of
+    -- vec_id over the full 0..255 range (one bit per axis, dyadic
+    -- scales 8,4,2,...), so the sample covariance is EXACTLY diagonal
+    -- (mean 0 and all cross-products cancel in exact dyadic fp
+    -- arithmetic) and the eigenbasis is the coordinate axes in closed
+    -- form. The Spark side runs the REAL pyspark.ml PCA (distributed
+    -- Gramian + driver eigensolve + map-side projection) and
+    -- normalizes each component's sign against the vec_id=0 row, so
+    -- the projected coordinates are bit-identical to this closed form.
+    SELECT vec_id,
+           CAST(8 * (2 * ((vec_id >> 0) & 1) - 1) AS DOUBLE) AS pc1,
+           CAST(4 * (2 * ((vec_id >> 1) & 1) - 1) AS DOUBLE) AS pc2,
+           CAST(2 * (2 * ((vec_id >> 2) & 1) - 1) AS DOUBLE) AS pc3
+    FROM embeddings WHERE vec_id < 256 ORDER BY vec_id
+    """,
+    doc="X24 PCA over the embedding column (pyspark.ml): covariance via "
+    "one distributed Gramian pass, eigendecomposition on the driver "
+    "(d x d — constant at any corpus size), projection map-only with "
+    "the basis broadcast. The standard pre-ANN compression step; "
+    "composes with int8 quantization (X3). Oracle-exact via the "
+    "planted-basis trick (the x49c pattern in vector space): vectors "
+    "are built from Rademacher bits of vec_id with strictly-ordered "
+    "dyadic scales, making the eigenbasis closed-form and the whole "
+    "fit+transform path hash-checkable; eigenvector sign (the one "
+    "implementation-defined degree of freedom) is fixed by a "
+    "reference-row convention, collecting k doubles — bounded "
+    "metadata. Variance-capture on the REAL embeddings remains "
+    "property-tested in tests/test_similarity.py.",
 )
 def x24_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("_v")
-    )
-    model = PCA(k=16, inputCol="_v", outputCol="_pc").fit(emb)
-    return (
-        model.transform(emb)
-        .select(
-            "vec_id",
-            vector_to_array("_pc").alias("pca"),
-        )
-        .select("vec_id", F.round(F.element_at("pca", 1), 4).alias("pc1_r"), F.size("pca").alias("k"))
-        .orderBy("vec_id")
-    )
+    n_bits, k = 8, 3
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < (1 << n_bits))
+    coords = [
+        (
+            F.lit(float(2 ** (3 - j)))
+            * (F.shiftright(F.col("vec_id").cast("int"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).cast("double")
+        for j in range(n_bits)
+    ]
+    pl = emb.select("vec_id", array_to_vector(F.array(*coords)).alias("_v"))
+    model = PCA(k=k, inputCol="_v", outputCol="_pc").fit(pl)
+    proj = model.transform(pl).select("vec_id", vector_to_array("_pc").alias("pc"))
+    # sign convention: component j points so that the vec_id=0 row
+    # (all bits zero -> every planted coordinate negative) projects
+    # negative; reading that one row collects k doubles of metadata
+    ref = proj.filter(F.col("vec_id") == 0).select("pc").head()[0]
+    signs = [-1.0 if v > 0 else 1.0 for v in ref]
+    return proj.select(
+        "vec_id",
+        *[
+            (F.element_at("pc", j + 1) * F.lit(signs[j])).alias(f"pc{j + 1}")
+            for j in range(k)
+        ],
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -4960,3 +5025,105 @@ def x69_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+# ---------------------------------------------------------------------------
+# X70 — snapshot-isolated MERGE publish (mutation family x60/st17 routed
+# through the manifest-commit layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x70_upsert_snapshot_isolation",
+    oracle="""
+    -- MERGE publish through manifest commits: v1 = latest-per-key over
+    -- the even-event_id half of events; v2 = the odd half newer-wins-
+    -- merged onto v1, which equals latest-per-key over ALL events. The
+    -- Spark query re-reads the PINNED v1 manifest AFTER the v2 publish;
+    -- snapshot isolation means those rows are byte-identical to the
+    -- pre-publish v1 state — i.e. exactly this SQL, or the hash breaks.
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0
+    ),
+    latest_all AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT version, user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value
+    FROM (
+      SELECT 1 AS version, user_id, event_id, event_type, ts, value
+      FROM latest WHERE rn = 1
+      UNION ALL
+      SELECT 2, user_id, event_id, event_type, ts, value
+      FROM latest_all WHERE rn = 1
+    )
+    ORDER BY version, user_id
+    """,
+    doc="X70 snapshot-isolated MERGE publish (operators/snapshots.py::"
+    "merge_commit + operators/merge.py::merge_upsert): the keyed-upsert "
+    "mutation (x60/st17's shape) routed through the manifest-commit "
+    "layer — data files are written first, the atomic manifest commit "
+    "publishes them, and a version-pinned reader re-reading ITS "
+    "snapshot AFTER the upsert sees it byte-identical (readers plan "
+    "from explicit manifest file lists, never from directories a "
+    "writer could be rewriting). Closes the torn-read window dynamic "
+    "partition overwrite leaves open: at 100 TB the upsert rewrites "
+    "only merged state + a kilobyte manifest, and concurrent writers "
+    "serialize via optimistic ConcurrentCommitError retry. The query "
+    "publishes v1 (even-event_id latest-per-key), pins a v1 reader, "
+    "publishes v2 (odd half, newer-wins), then returns the post-"
+    "publish re-read of v1 alongside v2 — both hash-checked.",
+)
+def x70_upsert_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators.snapshots import merge_commit, read_snapshot
+
+    cols = ["user_id", "event_id", "event_type", "ts", "value"]
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*cols)
+        )
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x70_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = merge_commit(root, latest_per_key(ev.filter(F.col("event_id") % 2 == 0)), keys=["user_id"])
+    newer = (F.col("s.ts") > F.col("t.ts")) | (
+        (F.col("s.ts") == F.col("t.ts")) & (F.col("s.event_id") > F.col("t.event_id"))
+    )
+    v2 = merge_commit(
+        root,
+        latest_per_key(ev.filter(F.col("event_id") % 2 == 1)),
+        keys=["user_id"],
+        when_matched_update={
+            c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")) for c in cols
+        },
+    )
+    # the isolation proof: re-read the PINNED v1 manifest AFTER v2 published
+    out = None
+    for v in (v1, v2):
+        snap = read_snapshot(spark, root, v).select(F.lit(v).alias("version"), *cols)
+        out = snap if out is None else out.unionByName(snap)
+    return out.select(
+        "version",
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+    ).orderBy("version", "user_id")

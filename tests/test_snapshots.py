@@ -137,6 +137,59 @@ def test_repeated_vacuum_after_new_commits_is_safe(spark, root):
     assert isinstance(deleted, list)
 
 
+def test_merge_commit_insert_then_newer_wins_update(spark, root):
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", seq=1), Row(k=2, v="b", seq=1)], "k int, v string, seq int"
+    )
+    v1 = S.merge_commit(root, base, keys=["k"])  # empty table -> plain insert
+    assert v1 == 1
+    batch = spark.createDataFrame(
+        [Row(k=2, v="B", seq=2), Row(k=2, v="stale", seq=0), Row(k=3, v="c", seq=1)],
+        "k int, v string, seq int",
+    ).filter(F.col("seq") != 0)  # one update, one insert
+    newer = F.col("s.seq") > F.col("t.seq")
+    upd = {
+        c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        for c in ("k", "v", "seq")
+    }
+    v2 = S.merge_commit(root, batch, keys=["k"], when_matched_update=upd)
+    assert v2 == 2
+    assert sorted((r.k, r.v) for r in S.read_snapshot(spark, root, 2).collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    # v1 pinned reader unaffected by the publish
+    assert sorted((r.k, r.v) for r in S.read_snapshot(spark, root, 1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_merge_commit_retries_after_losing_race(spark, root, monkeypatch):
+    """A writer whose parent went stale mid-merge loses the manifest race,
+    re-reads the new latest, and lands on the next version."""
+    S.merge_commit(root, _df(spark, 0, 2), keys=["i"])  # v1
+    real = S.latest_version
+    calls = {"n": 0}
+
+    def stale_once(sp, r):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(sp, r)  # first read: stale parent
+
+    monkeypatch.setattr(S, "latest_version", stale_once)
+    v = S.merge_commit(root, _df(spark, 2, 4), keys=["i"])  # tries v1, loses, retries
+    assert v == 2
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(0, 4)]
+
+    # permanently stale parent -> retries exhaust -> ConcurrentCommitError
+    monkeypatch.setattr(S, "latest_version", lambda sp, r: 0)
+    with pytest.raises(S.ConcurrentCommitError):
+        S.merge_commit(root, _df(spark, 4, 6), keys=["i"], max_retries=2)
+
+
 def test_manifest_contents_and_parent_chain(spark, root):
     S.overwrite(_df(spark, 0, 2), root)
     S.append(_df(spark, 2, 3), root)
