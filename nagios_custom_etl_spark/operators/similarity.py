@@ -772,7 +772,10 @@ def ann_write_index(
     spark = assigned.sparkSession
     cols = [F.col(id_col)]
     if vec_col is not None:
-        cols.append(F.col(vec_col))
+        # canonical stored element type is double (ivf_build's
+        # convention): normalizing here keeps later appends from mixing
+        # float/double parquet physical types within one index
+        cols.append(as_double_array(vec_col).alias(vec_col))
     data = assigned.select(*cols, "cell_id")
     if codes is not None:
         if codebooks is None:
@@ -864,7 +867,9 @@ def ann_append_to_index(
         )
     cols = [F.col(id_col)]
     if stored_vec is not None:
-        cols.append(F.col(src_vec).alias(stored_vec))
+        # match the index's canonical double element type regardless of
+        # the arrival batch's (often float) vector type
+        cols.append(as_double_array(src_vec).alias(stored_vec))
     data = new_vectors.select(
         *cols, ann_assign_cells(new_vectors, src_vec, centroids).alias("cell_id")
     )
@@ -877,6 +882,33 @@ def ann_append_to_index(
         .partitionBy("cell_id")
         .parquet(f"{path}/{_ANN_DATA_DIR}")
     )
+    _ann_bump_mutation_seq(spark, path)
+
+
+def ann_index_mutation_seq(spark, path: str) -> int:
+    """Monotonic mutation counter from the index sidecar (0 for an index
+    that has never been appended to / deleted from). A serving process
+    polls THIS — one kilobyte JSON read — instead of re-listing or
+    re-analyzing the data directory, and re-loads the index only when
+    the counter moves (st18 exercises the loop)."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    return int(meta.get("mutation_seq", 0))
+
+
+def _ann_bump_mutation_seq(spark, path: str) -> int:
+    """Advance the sidecar's mutation counter after an append/delete.
+    Quantizers (centroids/codebooks) are still frozen — only the
+    counter field changes. The rewrite is last, after the data files
+    land, so a reader that sees the new counter sees the new rows; on
+    an object store the production form is a conditional put."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    meta["mutation_seq"] = int(meta.get("mutation_seq", 0)) + 1
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+    return meta["mutation_seq"]
 
 
 def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
@@ -926,6 +958,7 @@ def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
         )
     for cell in emptied:
         _fs_delete(spark, f"{path}/{_ANN_DATA_DIR}/cell_id={cell}")
+    _ann_bump_mutation_seq(spark, path)
 
 
 def ann_compact_index(spark, path: str, max_files_per_cell: int = 4) -> list[int]:

@@ -812,3 +812,134 @@ def st17_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "st18_stream_serving_mutating_index",
+    oracle="""
+    -- serving against a MUTATING persisted index: three serving epochs,
+    -- each answering its query batch against the corpus AS OF that
+    -- epoch — built on vec_id<400, then appended [400,500), then
+    -- vec_id%7=3 deleted. Probe-all IVF == brute force, so each epoch's
+    -- answers are the exact top-3 over that epoch's corpus.
+    WITH ranked AS (
+      SELECT 1 AS epoch, q.vec_id AS query_id, v.vec_id AS nbr_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]) DESC,
+                        v.vec_id) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 400) v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+      UNION ALL
+      SELECT 2, q.vec_id, v.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]) DESC,
+                        v.vec_id)
+      FROM (SELECT * FROM embeddings WHERE vec_id < 500) v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 3 AND vec_id < 6) q
+      UNION ALL
+      SELECT 3, q.vec_id, v.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]) DESC,
+                        v.vec_id)
+      FROM (SELECT * FROM embeddings WHERE vec_id < 500 AND vec_id % 7 <> 3) v
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 6 AND vec_id < 9) q
+    )
+    SELECT epoch, query_id, nbr_id, rank FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="ST-ext serving loop against a MUTATING index (VERDICT r6 task "
+    "8, closing st16 + x54/x55): the serving process re-loads the "
+    "persisted index only when the sidecar's mutation_seq moves "
+    "(similarity.py::ann_index_mutation_seq — a kilobyte JSON poll, "
+    "never a data-directory re-list), so between micro-batches it "
+    "picks up an incremental append (frozen quantizers) and a "
+    "distributed delete. Three availableNow serving runs share one "
+    "checkpoint — the restart model — with the index mutated between "
+    "them; each epoch's answers hash-check against brute force over "
+    "the corpus as of that epoch (probe-all IVF is exact).",
+)
+def st18_stream_serving_mutating_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_delete_from_index,
+        ann_index_mutation_seq,
+        ann_load_index,
+        ann_write_index,
+        ivf_build,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st18_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # append sink: clean per run
+    idx_dir = os.path.join(base, "index")
+    src_dir, out_dir, ckpt = (
+        os.path.join(base, "queries"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    os.makedirs(src_dir)
+    assigned, centroids = ivf_build(
+        em.filter(F.col("vec_id") < 400), "embedding", "vec_id", n_cells=8, seed=42
+    )
+    ann_write_index(idx_dir, assigned, centroids, "vec_id", "embedding")
+
+    # the served index is cached across epochs and re-loaded ONLY when
+    # the sidecar's mutation counter moves
+    holder = {"seq": -1, "idx": None}
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # trailing no-data micro-batch
+            return
+        seq = ann_index_mutation_seq(spark, idx_dir)
+        if holder["idx"] is None or seq != holder["seq"]:
+            holder["idx"] = ann_load_index(spark, idx_dir)
+            holder["seq"] = seq
+        res = holder["idx"].topk_join(batch_df, "embedding", "vec_id", k=3, n_probe=8)
+        res.select("query_id", "nbr_id", "rank").write.mode("append").parquet(out_dir)
+
+    def run_epoch(lo: int, hi: int) -> None:
+        # new query file lands, then one availableNow pass over the SAME
+        # checkpoint picks up exactly the unprocessed files (restart model)
+        em.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q = (
+            spark.readStream.schema(em.schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(serve)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_epoch(0, 3)  # epoch 1: index as built
+    ann_append_to_index(spark, idx_dir, em.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)))
+    run_epoch(3, 6)  # epoch 2: serving sees the appended rows
+    ann_delete_from_index(
+        spark, idx_dir, em.filter((F.col("vec_id") < 500) & (F.col("vec_id") % 7 == 3)).select("vec_id")
+    )
+    run_epoch(6, 9)  # epoch 3: serving sees the deletions
+    result_schema = "query_id bigint, nbr_id bigint, rank int"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], "epoch int, " + result_schema)
+    return (
+        spark.read.schema(result_schema)
+        .parquet(out_dir)
+        .select(
+            (F.floor(F.col("query_id") / 3) + 1).cast("int").alias("epoch"),
+            "query_id",
+            "nbr_id",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
