@@ -87,6 +87,40 @@ HEADLINE = [
 ]
 
 
+FLOOR_EXPECTED_SEC = 0.7  # measured stateless availableNow pass, quiet box
+FLOOR_HOT_RATIO = 1.3  # floor above expected*ratio => box is hot, back off
+FLOOR_MAX_RETRIES = 3
+_floor_seq = 0
+
+
+def measure_streaming_floor(spark) -> float:
+    """One stateless availableNow pass over the events file into a memory
+    sink — pure Structured Streaming engine spin-up (query start/stop,
+    offset/commit logs), no stateful work, negligible data (the filter
+    prunes every row group). This is the box-health canary: on a quiet
+    box it reads ~FLOOR_EXPECTED_SEC regardless of sf."""
+    global _floor_seq
+    from pyspark.sql import functions as F
+
+    _floor_seq += 1
+    qn = f"bench_floor_{_floor_seq}"
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .select("event_id")
+        .filter(F.col("event_id") < 0)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = get_spark("nagios-custom-etl-spark-bench")
     registry = all_queries()
@@ -94,6 +128,19 @@ def main() -> None:
 
     # one warm-up to exclude JVM/session init from per-query numbers
     registry[names[0]].fn(spark, SF_DIR).collect()
+
+    # self-calibration (VERDICT r6 task 6): the r6 driver bench ran right
+    # after its verify pass and recorded a 1.5x phantom. Measure the known
+    # streaming floor first; if the box reads hot, sleep and re-measure
+    # (bounded), and stamp the floor into the JSON so a reader can tell a
+    # hot box from a regression without re-running.
+    measure_streaming_floor(spark)  # untimed: streaming-path first-use JIT
+    floor = measure_streaming_floor(spark)
+    floor_retries = 0
+    while floor > FLOOR_HOT_RATIO * FLOOR_EXPECTED_SEC and floor_retries < FLOOR_MAX_RETRIES:
+        time.sleep(30)
+        floor_retries += 1
+        floor = measure_streaming_floor(spark)
 
     timings: dict[str, float] = {}
     spread_pct: dict[str, float] = {}
@@ -116,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread_pct": spread_pct,
+                "streaming_floor_sec": round(floor, 3),
+                "floor_retries": floor_retries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

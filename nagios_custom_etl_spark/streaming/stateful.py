@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -342,16 +343,37 @@ def session_finalizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             state.remove()
         else:
             start_ns, last_ns, n = state.get if state.exists else (None, None, 0)
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
-                for _, row in pdf.iterrows():
-                    ns = int(row["ts"].value)
-                    if last_ns is not None and ns - last_ns > gap_ns:
-                        emit(start_ns, last_ns, n)
-                        start_ns, n = ns, 0
-                    if start_ns is None:
-                        start_ns = ns
-                    last_ns, n = ns, n + 1
+            # Vectorized gaps-and-islands: one global sort, break flags via a
+            # shifted diff, then per-session min/max/count from run-boundary
+            # indices (sorted => each session is a contiguous slice). O(batch)
+            # numpy instead of a per-row Python loop; only the open tail
+            # session crosses into state.
+            frames = [p["ts"] for p in pdfs]
+            ns_arr = (
+                pd.concat(frames).sort_values().to_numpy("datetime64[ns]").astype("int64")
+                if frames
+                else np.empty(0, dtype="int64")
+            )
+            if ns_arr.size:
+                prev = np.empty_like(ns_arr)
+                prev[0] = last_ns if last_ns is not None else ns_arr[0]
+                prev[1:] = ns_arr[:-1]
+                brk = (ns_arr - prev) > gap_ns
+                starts_idx = np.flatnonzero(
+                    np.concatenate(([True], brk[1:]))
+                )
+                ends_idx = np.concatenate((starts_idx[1:] - 1, [ns_arr.size - 1]))
+                s_start = ns_arr[starts_idx].copy()
+                s_last = ns_arr[ends_idx]
+                s_n = (ends_idx - starts_idx + 1).astype("int64")
+                if last_ns is not None and brk[0]:
+                    emit(start_ns, last_ns, n)  # carried session closed by gap
+                elif last_ns is not None:
+                    s_start[0] = start_ns  # first run continues carried session
+                    s_n[0] += n
+                for i in range(len(s_start) - 1):  # closed in-batch sessions
+                    emit(int(s_start[i]), int(s_last[i]), int(s_n[i]))
+                start_ns, last_ns, n = int(s_start[-1]), int(s_last[-1]), int(s_n[-1])
             state.update((start_ns, last_ns, n))
             state.setTimeoutTimestamp((last_ns + gap_ns) // 1_000_000)
         if out:
