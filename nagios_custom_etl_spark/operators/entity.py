@@ -102,3 +102,54 @@ def fuzzy_join(
     return verified.select(
         F.col("_lid").alias(id_left), F.col("_rid").alias(id_right), "distance"
     )
+
+
+def editdist1_self_join(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Exact edit-distance<=1 self-join via the FastSS / SymSpell
+    deletion neighborhood — complete by construction, never all-pairs.
+
+    For a string ``s``, its deletion neighborhood D(s) = {s} plus every
+    single-character deletion of s. If levenshtein(s, t) <= 1 then
+    D(s) and D(t) intersect (substitution: delete the differing
+    position from both; insertion/deletion: the longer string's
+    deletion IS the shorter string) — so blocking on exploded deletion
+    variants misses nothing. The converse does not hold (transposed
+    "ab"/"ba" share variants at distance 2), so candidates are verified
+    with exact ``levenshtein`` before emitting; the blocking guarantees
+    RECALL, the verify guarantees PRECISION.
+
+    Returns (id_a, id_b, distance) with id_a < id_b, distinct.
+
+    100 TB notes: the variant explode is O(n * len) rows joined on the
+    variant string — an inverted-index bucket equi-join exactly like the
+    MinHash band join (operators/dedup.py), shuffled on the variant key
+    and AQE-split on hot buckets. Generalizing to k>1 multiplies the
+    neighborhood by len^k — for k>=2 the segment-pigeonhole family
+    (PassJoin) is the right tool; k=1 covers the dominant typo class
+    and is the exactness sweet spot.
+    """
+    c = F.col(str_col)
+    variants = F.array_union(
+        F.array(c),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                F.substring(c, F.lit(1), i - 1),
+                c.substr(i + 1, F.length(c)),
+            ),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        c.alias("_s"),
+        F.explode(F.when(F.length(c) >= 1, variants)).alias("_v"),
+    )
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_v")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_v")
+    return (
+        a.join(b, "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb").cast("long").alias("distance"))
+        .filter(F.col("distance") <= 1)
+        .distinct()
+    )

@@ -72,7 +72,14 @@ def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(fsio.read_text(spark, _manifest_path(root, version)))
 
 
-def _commit(spark: SparkSession, root: str, files: list[str], op: str, parent: int) -> int:
+def _commit(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    op: str,
+    parent: int,
+    stats: dict | None = None,
+) -> int:
     """Publish ``files`` as version ``parent + 1`` atomically.
 
     Create-if-absent of the manifest is the commit point: the filesystem
@@ -87,6 +94,7 @@ def _commit(spark: SparkSession, root: str, files: list[str], op: str, parent: i
         "parent": parent,
         "op": op,
         "files": sorted(files),
+        "stats": {f: stats[f] for f in sorted(stats)} if stats else {},
         "committed_at": time.time(),
     }
     try:
@@ -98,35 +106,69 @@ def _commit(spark: SparkSession, root: str, files: list[str], op: str, parent: i
     return version
 
 
-def _write_data_files(df: DataFrame, root: str) -> list[str]:
+def _file_stats(spark: SparkSession, path: str, sub: str, stats_cols: list[str]) -> dict:
+    """Per-file min/max for ``stats_cols`` in ONE distributed aggregate
+    over the just-written directory (grouped on input_file_name — a
+    map-side-combinable pass over only the stat columns). Returned keyed
+    by manifest-relative path. Numeric columns only: the values live in
+    JSON manifests and must compare exactly after a round trip."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per written file (manifest metadata)
+    )
+    return {
+        f"{sub}/{r['_f'].rsplit('/', 1)[-1]}": {
+            c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
+        }
+        for r in rows
+    }
+
+
+def _write_data_files(
+    df: DataFrame, root: str, stats_cols: list[str] | None = None
+) -> tuple[list[str], dict]:
     """Write ``df`` into an immutable uniquely-named data directory and
-    return the part files (relative paths). Files are never rewritten or
-    renamed after this — manifests may share them across versions."""
+    return (part files as relative paths, per-file stats). Files are
+    never rewritten or renamed after this — manifests may share them
+    across versions."""
     spark = df.sparkSession
     sub = f"data-{uuid.uuid4().hex[:12]}"
     df.write.parquet(f"{root}/{sub}")
-    return [
+    files = [
         f"{sub}/{f}"
         for f in fsio.list_names(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
+    stats = _file_stats(spark, f"{root}/{sub}", sub, stats_cols) if stats_cols else {}
+    return files, stats
 
 
-def append(df: DataFrame, root: str) -> int:
-    """Commit a new version = parent's files + ``df``'s new files."""
+def append(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:
+    """Commit a new version = parent's files + ``df``'s new files.
+    Parent files keep their recorded stats; new files add theirs."""
     spark = df.sparkSession
     parent = latest_version(spark, root)
-    base = _read_manifest(spark, root, parent)["files"] if parent else []
-    return _commit(spark, root, base + _write_data_files(df, root), "append", parent)
+    m = _read_manifest(spark, root, parent) if parent else {}
+    base, base_stats = m.get("files", []), m.get("stats", {})
+    files, stats = _write_data_files(df, root, stats_cols)
+    return _commit(spark, root, base + files, "append", parent, {**base_stats, **stats})
 
 
-def overwrite(df: DataFrame, root: str) -> int:
+def overwrite(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
     that is what makes time travel free."""
     spark = df.sparkSession
     parent = latest_version(spark, root)
-    return _commit(spark, root, _write_data_files(df, root), "overwrite", parent)
+    files, stats = _write_data_files(df, root, stats_cols)
+    return _commit(spark, root, files, "overwrite", parent, stats)
 
 
 def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -139,12 +181,55 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
     return spark.read.parquet(*[f"{root}/{f}" for f in m["files"]])
 
 
+def read_snapshot_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read a snapshot planning ONLY the files whose recorded
+    [min, max] for ``col`` intersects [lo, hi] — the Delta/Iceberg
+    data-skipping read, resolved at manifest-planning time with zero
+    file opens. Files without recorded stats are conservatively kept.
+    Returns (DataFrame, files_planned, files_total); the caller applies
+    the residual predicate (pruning is a superset guarantee, not a
+    filter). At 100 TB this is the difference between scheduling the
+    hundreds of files a day-range predicate touches and opening every
+    footer in a million-object table."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    stats = m.get("stats", {})
+
+    def overlaps(f: str) -> bool:
+        s = stats.get(f, {}).get(col)
+        if not s or s[0] is None or s[1] is None:
+            return True
+        return not (s[1] < lo or s[0] > hi)
+
+    planned = [f for f in m["files"] if overlaps(f)]
+    if not planned:
+        df = read_snapshot(spark, root, v).limit(0)
+        return df, 0, len(m["files"])
+    return (
+        spark.read.parquet(*[f"{root}/{f}" for f in planned]),
+        len(planned),
+        len(m["files"]),
+    )
+
+
 def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Publish an old version's file list as a NEW version (history is
     append-only; a rollback is itself a commit, never an erasure)."""
-    files = _read_manifest(spark, root, to_version)["files"]
+    m = _read_manifest(spark, root, to_version)
     return _commit(
-        spark, root, files, f"rollback-to-{to_version}", latest_version(spark, root)
+        spark,
+        root,
+        m["files"],
+        f"rollback-to-{to_version}",
+        latest_version(spark, root),
+        m.get("stats", {}),
     )
 
 
@@ -184,7 +269,7 @@ def merge_commit(
                 keys=keys,
                 when_matched_update=when_matched_update,
             )
-        files = _write_data_files(merged, root)
+        files, _ = _write_data_files(merged, root)
         try:
             return _commit(spark, root, files, "merge", parent)
         except ConcurrentCommitError as ex:  # lost the race: retry on new latest

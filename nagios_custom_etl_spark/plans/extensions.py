@@ -5127,3 +5127,432 @@ def x70_upsert_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         "value",
     ).orderBy("version", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# X71 — incremental materialized-view maintenance (signed CDC deltas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x71_incremental_mv",
+    oracle="""
+    -- the MV is built over the base slice (event_id % 3 != 0), then a
+    -- CDC batch INSERTS the % 3 == 0 rows and DELETES the % 5 == 0 base
+    -- rows; the view is maintained from signed per-group deltas only —
+    -- the base is never rescanned. Exact-decimal carriers make the
+    -- incremental sum bit-equal to this full recompute over the final
+    -- row set: base \\ deletes UNION inserts = (3|id) OR (5 does not
+    -- divide id).
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % 3 = 0 OR event_id % 5 <> 0
+    GROUP BY user_id, event_type
+    ORDER BY user_id NULLS FIRST, event_type
+    """,
+    doc="X71 incremental materialized-view maintenance (operators/"
+    "merge.py::mv_build/mv_apply_delta): the classic signed-delta view-"
+    "maintenance algorithm — inserts +1 / deletes -1, ONE aggregation "
+    "over the change batch, a null-safe full-outer merge into the view, "
+    "groups whose count reaches zero dropped. The base table is never "
+    "rescanned: per-batch cost is O(|delta|) + a join against the view "
+    "(|groups|, not |rows|). This is st7's rollup loop generalized to "
+    "DELETES — the reason a 100 TB warehouse can keep summary tables "
+    "current without recomputing them. Exact DECIMAL carriers make the "
+    "maintained sums bit-identical to a recompute (double sums cannot "
+    "re-associate exactly), which is precisely what the oracle checks.",
+)
+def x71_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+
+    keys = ["user_id", "event_type"]
+    sums = {"sum_value": ("value", 18, 6)}
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 3 != 0)
+    mv = mv_build(base, keys, "n_events", sums)
+    inserts = ev.filter(F.col("event_id") % 3 == 0)
+    deletes = base.filter(F.col("event_id") % 5 == 0)
+    out = mv_apply_delta(mv, inserts, deletes, keys, "n_events", sums)
+    return out.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy(F.asc_nulls_first("user_id"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# X74 — edit-distance<=1 self-join (FastSS deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x74_editdist_join",
+    oracle="""
+    -- exact edit-distance<=1 self-join over constructed short codes
+    -- ('d' || decade || letter — dense distance-1 neighborhoods within
+    -- a decade, substitution pairs across decades, insertion pairs
+    -- across code lengths). The Spark side blocks on FastSS deletion
+    -- neighborhoods (provably complete at k=1) and verifies with exact
+    -- levenshtein; the oracle is the brute-force quadratic join the
+    -- blocking must reproduce pair-for-pair.
+    WITH c AS (
+      SELECT doc_id AS id,
+             'd' || CAST(doc_id // 10 AS VARCHAR)
+                 || substr('abcdefghij', CAST(doc_id % 10 AS INT) + 1, 1) AS s
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+    FROM c a JOIN c b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+    ORDER BY id_a, id_b
+    """,
+    doc="X74 edit-distance<=1 similarity self-join (operators/entity.py::"
+    "editdist1_self_join): FastSS/SymSpell deletion-neighborhood "
+    "blocking — explode each string's single-deletion variants, "
+    "inverted-index equi-join on the variant, exact levenshtein verify. "
+    "The neighborhood intersection is COMPLETE for distance<=1 "
+    "(substitution: delete the differing position from both; indel: the "
+    "longer side's deletion IS the shorter string), so unlike x61's "
+    "rare-trigram blocking this one needs no recall gate — the oracle "
+    "brute force must match exactly. Complements x61 (k>=2 typo-"
+    "tolerant linking): k=1 is the high-volume case (single-keystroke "
+    "variants, OCR slips) and O(n*len) blocking keys beat O(n^2) "
+    "distance calls at any corpus size.",
+)
+def x74_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.entity import editdist1_self_join
+
+    codes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("d"),
+            F.expr("CAST(doc_id DIV 10 AS STRING)"),
+            F.substring(F.lit("abcdefghij"), (F.col("doc_id") % 10).cast("int") + 1, 1),
+        ).alias("s"),
+    )
+    return editdist1_self_join(codes, "id", "s").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X75 — one-pass column profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x75_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    ORDER BY col_name
+    """,
+    doc="X75 one-pass column profiling: per-column null count, exact "
+    "distinct count, typed min/max (numeric as DOUBLE, timestamps as "
+    "epoch-us, strings lexicographic) over orders, computed in ONE "
+    "aggregation (multiple COUNT(DISTINCT)s plan as a single Expand — "
+    "one scan multiplied by ncols, one shuffle) and unpivoted via "
+    "inline(). The schema-drift / data-quality audit every ingest "
+    "pipeline runs before accepting a drop. At 100 TB swap the exact "
+    "distincts for approx_count_distinct (a3/a8's contract) — the exact "
+    "form is kept here because the oracle can hash it.",
+)
+def x75_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    num_cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    ts_cols = ["o_orderdate"]
+    df = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in num_cols + str_cols + ts_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def entry(c: str, min_num, max_num, min_str, max_str):
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+            min_str.alias("min_str"),
+            max_str.alias("max_str"),
+        )
+
+    structs = (
+        [
+            entry(c, F.col(f"{c}__min").cast("double"), F.col(f"{c}__max").cast("double"),
+                  null_s, null_s)
+            for c in num_cols
+        ]
+        + [
+            entry(c, null_d, null_d, F.col(f"{c}__min"), F.col(f"{c}__max"))
+            for c in str_cols
+        ]
+        + [
+            # fixture parquet drifts between TIMESTAMP and TIMESTAMP_NTZ
+            # across regenerations; the cast normalizes (UTC session)
+            entry(c, F.unix_micros(F.col(f"{c}__min").cast("timestamp")).cast("double"),
+                  F.unix_micros(F.col(f"{c}__max").cast("timestamp")).cast("double"),
+                  null_s, null_s)
+            for c in ts_cols
+        ]
+    )
+    return row.select(F.inline(F.array(*structs))).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# X76 — stats-pruned snapshot reads (data skipping resolved from manifests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x76_stats_pruned_snapshot",
+    oracle="""
+    -- documents are committed to a snapshot table range-clustered on
+    -- doc_id with per-file min/max recorded IN the manifest at commit
+    -- time; the read plans only the files whose range intersects
+    -- [100, 399] — zero file opens, the pruning decision is a manifest
+    -- read. The residual filter makes the answer layout-invariant
+    -- (x64's convention), so the oracle is the plain predicate;
+    -- planned-files < total is pinned in tests/test_snapshots.py.
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 399
+    GROUP BY source ORDER BY source
+    """,
+    doc="X76 stats-pruned snapshot reads (operators/snapshots.py::"
+    "read_snapshot_pruned): x64's file-skipping manifest folded INTO "
+    "the snapshot layer — per-file min/max stats are computed in one "
+    "distributed pass at COMMIT time and live in the version manifest, "
+    "so every subsequent read prunes at manifest-planning time with "
+    "zero file opens and zero extra passes (x64 rebuilds its manifest "
+    "per read; a table format pays that cost once per commit). "
+    "Files without stats are conservatively kept; the residual "
+    "predicate keeps answers layout-invariant. This is the read path "
+    "Delta/Iceberg data skipping actually uses, and with x70's "
+    "snapshot-isolated MERGE it completes the table-format story: "
+    "versioned commits, stats, pruning, time travel on one manifest.",
+)
+def x76_stats_pruned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.snapshots import (
+        overwrite,
+        read_snapshot_pruned,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x76_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    overwrite(d.repartitionByRange(8, "doc_id"), root, stats_cols=["doc_id"])
+    pruned, _n_planned, _n_total = read_snapshot_pruned(spark, root, "doc_id", 100, 399)
+    return (
+        pruned.filter(F.col("doc_id").between(100, 399))  # residual: layout-invariant
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X77 — interval max-concurrency (sweep line as running signed sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x77_interval_concurrency",
+    oracle="""
+    -- max concurrent intervals per event_type: each event opens an
+    -- interval [ts, ts + 60 + event_id % 240 seconds); sweep line =
+    -- +1/-1 endpoint rows, running sum ordered by (time, delta) — the
+    -- delta tiebreak closes before it opens at the same instant
+    -- (half-open intervals), and within equal (t, delta) groups all
+    -- deltas share a sign so the prefix max is permutation-invariant.
+    -- CAST the windowed SUM: DuckDB widens it to HUGEINT.
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS t0,
+             epoch_us(ts) + (60 + event_id % 240) * 1000000 AS te
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, te, -1 FROM iv
+    ),
+    run AS (
+      SELECT event_type, delta,
+             CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type ORDER BY event_type
+    """,
+    doc="X77 interval max-concurrency: the sweep-line algorithm as pure "
+    "relational algebra — explode each interval to signed endpoints, "
+    "running SUM over an event-time window per type, MAX. Answers "
+    "'what was the peak number of simultaneously-open alerts/sessions/"
+    "connections' (the capacity-planning question over the reference's "
+    "service events) in two codegen'd passes with ONE shuffle on "
+    "(event_type). Scale note: the running sum serializes per "
+    "event_type partition — the right unit, since concurrency is "
+    "defined per type; a single global hot type would call for the "
+    "x18 two-pass range-partitioned prefix sum instead.",
+)
+def x77_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t0"),
+        (F.unix_micros("ts") + (F.lit(60) + F.col("event_id") % 240) * 1000000).alias("te"),
+    )
+    pts = iv.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("te").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w).cast("long"))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.sum((F.col("delta") == 1).cast("long")).cast("long").alias("n_intervals"),
+            F.max("conc").cast("long").alias("max_concurrent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X78 — deterministic weighted PPS sampling (integer-exact, map-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x78_weighted_pps_sample",
+    oracle="""
+    -- probability-proportional-to-size Bernoulli sampling with an
+    -- expected 100 docs: doc i is kept iff u_i < k * w_i / W, decided
+    -- by the INTEGER cross-multiplication h_i * W < k * w_i * 2^32
+    -- (h_i = first 8 md5 hex digits of the id) — no floating point
+    -- anywhere, so both engines make bit-identical keep decisions.
+    -- (The float-keyed Efraimidis-Spirakis order u^(1/w) was measured
+    -- to differ between Spark and DuckDB ln() at the ulp level — an
+    -- ordering no cross-engine hash can pin.)
+    WITH w AS (
+      SELECT doc_id, source, GREATEST(n_chars, 1) AS w FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+    kept AS (
+      SELECT doc_id, source, w FROM w, tot
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * tw
+            < 100 * w * 4294967296
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(w) AS BIGINT) AS w_sum
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="X78 deterministic weighted sampling (PPS Bernoulli): keep each "
+    "document with probability min(1, k*w/W) — longer documents "
+    "proportionally more likely, expected k kept — decided by an "
+    "integer cross-multiplied md5 threshold (x10's determinism "
+    "contract, weighted). Map-only over the corpus after one scalar "
+    "total-weight broadcast: NO shuffle, no ordering, no state — the "
+    "sampling shape that actually runs on 100 TB (fixed-size "
+    "Efraimidis-Spirakis top-k costs a global order; its float keys "
+    "also aren't cross-engine hashable — measured 6% ulp divergence "
+    "Spark-vs-DuckDB ln()). The integer compare needs h*W < 2^63: "
+    "exact up to ~2^31 total weight; beyond that, rescale weights or "
+    "widen to DECIMAL(38,0) cross-multiplication, protocol unchanged.",
+)
+def x78_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 100
+    w = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    tot = w.agg(F.sum("w").cast("long").alias("tw"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    kept = w.crossJoin(F.broadcast(tot)).filter(
+        h * F.col("tw") < F.lit(k) * F.col("w") * F.lit(4294967296)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("w").cast("long").alias("w_sum"),
+        )
+        .orderBy("source")
+    )

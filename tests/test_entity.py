@@ -79,3 +79,56 @@ def test_boilerplate_grams_never_block(spark):
     # entered a rare set the candidate count would explode quadratically
     # and this would still pass — so bound the verified pair count too
     assert out.count() == clean.count()
+
+
+# --- deletion-neighborhood edit-distance<=1 self-join (x74) ------------------
+
+
+def test_editdist1_planted_pair_classes(spark):
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.operators.entity import editdist1_self_join
+
+    rows = [
+        Row(id=1, s="alpha"),
+        Row(id=2, s="alphb"),   # substitution of 1
+        Row(id=3, s="alpha7"),  # insertion vs 1
+        Row(id=4, s="alph"),    # deletion vs 1 (and distance 1 to 2? alphb->alph = 1)
+        Row(id=5, s="ab"),
+        Row(id=6, s="ba"),      # transposition: distance 2 — must NOT pair
+        Row(id=7, s="zzzzz"),   # far from everything
+    ]
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in editdist1_self_join(spark.createDataFrame(rows), "id", "s").collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1  # substitution
+    assert (1, 3) in got and got[(1, 3)] == 1  # insertion
+    assert (1, 4) in got and got[(1, 4)] == 1  # deletion
+    assert (2, 4) in got  # alphb -> alph is also one deletion
+    assert (5, 6) not in got  # transposition is distance 2
+    assert not any(7 in p for p in got)
+
+
+def test_editdist1_matches_bruteforce(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.entity import editdist1_self_join
+
+    # dense constructed neighborhood: codes 'wXY' over two digits
+    rows = [Row(id=i, s=f"w{i // 7}{'abcdefg'[i % 7]}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b)
+        for r in editdist1_self_join(df, "id", "s").collect()
+    }
+    a = df.select(F.col("id").alias("ia"), F.col("s").alias("sa"))
+    b = df.select(F.col("id").alias("ib"), F.col("s").alias("sb"))
+    brute = {
+        (r.ia, r.ib)
+        for r in a.crossJoin(b)
+        .filter((F.col("ia") < F.col("ib")) & (F.levenshtein("sa", "sb") <= 1))
+        .collect()
+    }
+    assert got == brute

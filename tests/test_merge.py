@@ -197,3 +197,67 @@ def test_temporal_join_plan_is_equi_not_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# --- incremental MV maintenance (x71) ----------------------------------------
+
+
+def _mv_fixture(spark):
+    from nagios_custom_etl_spark.operators.merge import mv_build
+
+    base = spark.createDataFrame(
+        [
+            Row(k="a", v=1.5),
+            Row(k="a", v=2.5),
+            Row(k="b", v=10.0),
+            Row(k=None, v=4.0),
+        ]
+    )
+    return base, mv_build(base, ["k"], "n", {"sv": ("v", 18, 6)})
+
+
+def test_mv_delta_insert_delete_matches_recompute(spark):
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+
+    base, mv = _mv_fixture(spark)
+    inserts = spark.createDataFrame([Row(k="a", v=3.0), Row(k="c", v=7.0)])
+    deletes = spark.createDataFrame([Row(k="a", v=1.5)])
+    got = mv_apply_delta(mv, inserts, deletes, ["k"], "n", {"sv": ("v", 18, 6)})
+    final = base.exceptAll(deletes).unionByName(inserts)
+    want = mv_build(final, ["k"], "n", {"sv": ("v", 18, 6)})
+    def as_rows(df):
+        return sorted(
+            ((r.k, r.n, float(r.sv)) for r in df.collect()),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1:]),
+        )
+
+    assert as_rows(got) == as_rows(want)
+
+
+def test_mv_delta_group_deleted_to_zero_disappears(spark):
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta
+
+    base, mv = _mv_fixture(spark)
+    deletes = spark.createDataFrame([Row(k="b", v=10.0)])
+    got = mv_apply_delta(mv, deletes.limit(0), deletes, ["k"], "n", {"sv": ("v", 18, 6)})
+    assert "b" not in {r.k for r in got.collect()}
+
+
+def test_mv_delta_null_key_group_maintained(spark):
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta
+
+    base, mv = _mv_fixture(spark)
+    inserts = spark.createDataFrame([Row(k=None, v=6.0)], "k string, v double")
+    got = mv_apply_delta(mv, inserts, inserts.limit(0), ["k"], "n", {"sv": ("v", 18, 6)})
+    row = next(r for r in got.collect() if r.k is None)
+    assert row.n == 2 and float(row.sv) == 10.0
+
+
+def test_mv_delta_brand_new_group_inserted(spark):
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta
+
+    base, mv = _mv_fixture(spark)
+    inserts = spark.createDataFrame([Row(k="z", v=1.0), Row(k="z", v=2.0)])
+    got = mv_apply_delta(mv, inserts, inserts.limit(0), ["k"], "n", {"sv": ("v", 18, 6)})
+    row = next(r for r in got.collect() if r.k == "z")
+    assert row.n == 2 and float(row.sv) == 3.0

@@ -201,3 +201,61 @@ def test_manifest_contents_and_parent_chain(spark, root):
     # manifests are valid JSON on disk (readable by any other tool)
     raw = json.loads(fsio.read_text(spark, S._manifest_path(root, 2)))
     assert raw == m2
+
+
+# --- manifest file stats + pruned reads (x76) -------------------------------
+
+
+def _ranged(spark, n=40, files=4):
+    df = spark.createDataFrame([Row(i=i, s=f"r{i}") for i in range(n)], "i int, s string")
+    return df.repartitionByRange(files, "i")
+
+
+def test_commit_records_per_file_stats(spark, root):
+    v = S.overwrite(_ranged(spark), root, stats_cols=["i"])
+    m = S._read_manifest(spark, root, v)
+    assert set(m["stats"]) == set(m["files"])
+    for f in m["files"]:
+        lo, hi = m["stats"][f]["i"]
+        assert 0 <= lo <= hi <= 39
+    # the files jointly cover the domain with disjoint ranges (ranged write)
+    spans = sorted(tuple(m["stats"][f]["i"]) for f in m["files"])
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+
+
+def test_pruned_read_plans_fewer_files_same_answer(spark, root):
+    S.overwrite(_ranged(spark), root, stats_cols=["i"])
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 10, 19)
+    assert planned < total
+    got = sorted(r.i for r in df.filter("i BETWEEN 10 AND 19").collect())
+    assert got == list(range(10, 20))
+    # pruning is a superset guarantee: the planned files hold every match
+    assert {r.i for r in df.collect()} >= set(range(10, 20))
+
+
+def test_pruned_read_without_stats_keeps_all_files(spark, root):
+    S.overwrite(_ranged(spark), root)  # no stats_cols recorded
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 10, 19)
+    assert planned == total  # conservative: never drop an unknown file
+    assert df.count() == 40
+
+
+def test_pruned_read_empty_intersection(spark, root):
+    S.overwrite(_ranged(spark), root, stats_cols=["i"])
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 1000, 2000)
+    assert planned == 0 and total > 0
+    assert df.count() == 0
+
+
+def test_append_merges_stats_and_rollback_carries_them(spark, root):
+    S.overwrite(_ranged(spark, 40), root, stats_cols=["i"])
+    df2 = spark.createDataFrame([Row(i=i, s=f"r{i}") for i in range(100, 120)], "i int, s string")
+    v2 = S.append(df2.repartitionByRange(2, "i"), root, stats_cols=["i"])
+    m2 = S._read_manifest(spark, root, v2)
+    assert set(m2["stats"]) == set(m2["files"])  # old + new all carry stats
+    _, planned, total = S.read_snapshot_pruned(spark, root, "i", 100, 119, version=v2)
+    assert planned < total  # the appended files alone
+    v3 = S.rollback(spark, root, v2)
+    m3 = S._read_manifest(spark, root, v3)
+    assert m3["stats"] == m2["stats"]
