@@ -201,3 +201,43 @@ def stats_pruned_read(spark: SparkSession, path: str, col: str, lo, hi):
         len(keep),
         len(manifest),
     )
+
+
+def write_bucketed_table(
+    df,
+    spark: SparkSession,
+    name: str,
+    key: str,
+    path: str,
+    buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a bucketed + per-bucket-sorted table on ``key``.
+
+    Bucketing is the pre-paid shuffle: rows are hash-distributed into
+    ``buckets`` files by Murmur3(key) AT WRITE TIME, and the catalog
+    records that layout, so every later equi-join or aggregation on the
+    key reuses the distribution — the scan itself satisfies the join's
+    distribution requirement and Catalyst plans a SortMergeJoin with NO
+    Exchange on either side (asserted in tests/test_scale_joins.py).
+    The ``repartition(buckets, key)`` before the write aligns task
+    partitioning with the bucket function (both Murmur3-based), so each
+    bucket lands in exactly ONE file — which is also what lets the
+    sorted-bucket metadata eliminate the join's Sort at read time.
+
+    At 100 TB this is THE lever for repeated fact-to-fact joins: a
+    lineitem ⋈ orders on the orderkey shuffles terabytes every query
+    unless both sides are bucketed on it once. (Spark's bucketBy
+    requires a table catalog entry — ``saveAsTable`` with an explicit
+    path keeps the data external while the in-memory/Hive catalog
+    carries the bucket spec.)
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )

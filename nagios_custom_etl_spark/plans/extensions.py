@@ -5556,3 +5556,72 @@ def x78_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X72 — bucketed co-located join (zero Exchange on either side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x72_bucketed_join",
+    oracle="""
+    -- orders and lineitem are persisted BUCKETED on the orderkey (the
+    -- pre-paid shuffle), so the fact-to-fact join plans as a
+    -- SortMergeJoin with NO Exchange on either side — the layout, not
+    -- the data, changed, so the oracle is the plain logical join.
+    -- Exchange-free plan shape is pinned in tests/test_scale_joins.py.
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    doc="X72 bucketed co-located join (operators/maintenance.py::"
+    "write_bucketed_table): both fact tables persisted bucketed+sorted "
+    "on the orderkey, so the join's distribution requirement is "
+    "satisfied BY THE SCAN — SortMergeJoin with zero Exchange (and "
+    "sorted-bucket metadata eliminating the Sort), vs. the same "
+    "logical join shuffling both sides on every execution. The "
+    "broadcast hint is disabled via a merge hint so the co-location "
+    "is what the plan exercises. At 100 TB bucketing the two biggest "
+    "fact tables on their join key once turns every subsequent "
+    "join/groupBy on that key into a shuffle-free stage — the "
+    "single largest recurring-cost lever a warehouse layout owns. "
+    "Complements x50 (skew salting) and the catalog HASH spread "
+    "(which co-distributes only within one session's exchange reuse).",
+)
+def x72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.maintenance import write_bucketed_table
+
+    pid = os.getpid()
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_x72_{pid}")
+    t_orders, t_lineitem = f"x72_orders_{pid}", f"x72_lineitem_{pid}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        spark, t_orders, "o_orderkey", f"{base}/orders",
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        spark, t_lineitem, "l_orderkey", f"{base}/lineitem",
+    )
+    o, li = spark.table(t_orders), spark.table(t_lineitem)
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        o.hint("merge")
+        .join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

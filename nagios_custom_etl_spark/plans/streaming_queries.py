@@ -943,3 +943,89 @@ def st18_stream_serving_mutating_index(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "st19_stream_stream_outer_join",
+    oracle="""
+    -- stream-stream LEFT OUTER interval join: matches emit immediately
+    -- (st9), but the NULL row for an unmatched purchase can only emit
+    -- once the watermark PROVES no future error can match — i.e. when
+    -- wm = max(ts) - 20min passes p.ts + 10min. Purchases with
+    -- ts <= max(ts) - 31min are therefore fully resolved after the
+    -- AvailableNow no-data batch (strict margin over the 30-min
+    -- boundary), and restricting the result to them makes the outer
+    -- join's emission deterministic — the rows nearer the stream head
+    -- are exactly the ones a live deployment hasn't resolved yet
+    -- either. Oracle = batch left join under the same cutoff.
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    p AS (
+      SELECT event_id, ts FROM events
+      WHERE event_type = 'purchase'
+        AND ts <= (SELECT m FROM mx) - INTERVAL 31 MINUTE
+    ),
+    e AS (SELECT ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, CAST(COUNT(e.ts) AS BIGINT) AS n_nearby_errors
+    FROM p LEFT JOIN e
+      ON e.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+    doc="ST stream-stream LEFT OUTER join with watermark closure: st9's "
+    "bucketized interval join (equality on a 20-min bucket + exact "
+    "residual), outer variant — unmatched purchases emit their NULL "
+    "row only when the watermark proves no matching error can still "
+    "arrive, which is the semantics that lets an unbounded stream "
+    "produce 'no nearby error' facts without waiting forever. State "
+    "on both sides is bounded by watermark + interval exactly as in "
+    "the inner join; the deterministic-output cutoff (ts <= max - "
+    "31min) mirrors what a live pipeline sees: the head-of-stream "
+    "tail is pending, everything older is final. Zero-match counting "
+    "through the outer join is what the inner st9 cannot express.",
+)
+def st19_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 1200
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts").alias("p_ts"),
+            F.floor(F.unix_timestamp("ts") / width).alias("bucket"),
+        )
+        .withWatermark("p_ts", "20 minutes")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("e_ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.unix_timestamp("ts") - 600) / width),
+                        F.floor((F.unix_timestamp("ts") + 600) / width),
+                    )
+                )
+            ).alias("bucket"),
+        )
+        .withWatermark("e_ts", "20 minutes")
+    )
+    ten_min = F.expr("INTERVAL 10 MINUTES")
+    joined = purchases.join(
+        errors,
+        (purchases["bucket"] == errors["bucket"])
+        & (purchases["p_ts"] >= errors["e_ts"] - ten_min)
+        & (purchases["p_ts"] <= errors["e_ts"] + ten_min),
+        "leftOuter",
+    )
+    name = run_to_memory(joined.select("event_id", "p_ts", "e_ts"))
+    # resolved-only cutoff, computed relationally (broadcast 1-row agg)
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("p_ts") <= F.col("m") - F.expr("INTERVAL 31 MINUTES"))
+        .groupBy("event_id")
+        .agg(F.count("e_ts").cast("long").alias("n_nearby_errors"))
+        .orderBy("event_id")
+    )

@@ -241,3 +241,39 @@ def test_fact_spread_is_hash_on_join_key(spark):
     assert "roundrobin" in docs_plan.lower()
     dim_plan = plan_of(load_table(spark, sf, "nation"))
     assert "Exchange" not in dim_plan  # dimensions are never spread
+
+
+def test_x72_bucketed_join_smj_subtree_exchange_free(spark, sf_dir):
+    """The registered x72 query's SortMergeJoin consumes the bucketed
+    scans directly — no Exchange anywhere beneath the join (the two
+    post-join Exchanges for groupBy/orderBy are expected and cheap:
+    they move aggregated rows, not fact rows)."""
+    from nagios_custom_etl_spark.plans import all_queries
+
+    df = all_queries()["x72_bucketed_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    smj_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    assert not any("Exchange" in l for l in lines[smj_at:]), (
+        "shuffle below the bucketed join:\n" + "\n".join(lines[smj_at:])
+    )
+
+
+def test_write_bucketed_table_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """repartition(buckets, key) aligned with bucketBy => exactly one
+    data file per bucket (the precondition for sorted-bucket Sort
+    elimination and for bucket pruning to map 1:1 to files)."""
+    import os
+
+    from nagios_custom_etl_spark.operators.maintenance import write_bucketed_table
+
+    name = f"x72t_{os.getpid()}"
+    try:
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+            spark, name, "o_orderkey", str(tmp_path / "t"), buckets=8,
+        )
+        files = [f for f in os.listdir(tmp_path / "t") if f.endswith(".parquet")]
+        assert len(files) == 8  # 8 buckets, one file each
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
