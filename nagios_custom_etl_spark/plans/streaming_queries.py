@@ -958,7 +958,18 @@ def st18_stream_serving_mutating_index(spark: SparkSession, sf_dir: str) -> Data
     -- join's emission deterministic — the rows nearer the stream head
     -- are exactly the ones a live deployment hasn't resolved yet
     -- either. Oracle = batch left join under the same cutoff.
-    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    -- The engine's watermark is min over BOTH sides of (side max ts -
+    -- 20min): each side's tracker only sees its own type's rows (the
+    -- type filter sits below the watermark node even when written
+    -- above it — Catalyst pushes it), so the resolved prefix is
+    -- bounded by the OLDER side's head, not the global max ts. At
+    -- sf0.001 the newest error trails the newest purchase by 7h;
+    -- a global-max cutoff silently over-claims 3 purchases.
+    WITH mx AS (
+      SELECT LEAST(
+        MAX(ts) FILTER (WHERE event_type = 'purchase'),
+        MAX(ts) FILTER (WHERE event_type = 'error')) AS m
+      FROM events),
     p AS (
       SELECT event_id, ts FROM events
       WHERE event_type = 'purchase'
@@ -977,13 +988,23 @@ def st18_stream_serving_mutating_index(spark: SparkSession, sf_dir: str) -> Data
     "arrive, which is the semantics that lets an unbounded stream "
     "produce 'no nearby error' facts without waiting forever. State "
     "on both sides is bounded by watermark + interval exactly as in "
-    "the inner join; the deterministic-output cutoff (ts <= max - "
-    "31min) mirrors what a live pipeline sees: the head-of-stream "
+    "the inner join; the deterministic-output cutoff (ts <= "
+    "least(side heads) - 31min — the prefix the engine's actual "
+    "watermark, min over both sides, has finalized) mirrors what a "
+    "live pipeline sees: the head-of-stream "
     "tail is pending, everything older is final. Zero-match counting "
     "through the outer join is what the inner st9 cannot express.",
 )
 def st19_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = 1200
+    # Each side's watermark tracker only ever sees its OWN type's rows —
+    # the event_type filter sits below the watermark node even when
+    # written above it (Catalyst pushes deterministic predicates through
+    # EventTimeWatermark) — so the join's watermark is
+    # min(max purchase ts, max error ts) - 20min, NOT global max - 20min.
+    # The resolved-prefix cutoff below mirrors that exactly; a global-max
+    # cutoff over-claims whenever one side's head trails the other's
+    # (7h at sf0.001, where it withheld 3 NULL rows).
     purchases = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -1019,8 +1040,16 @@ def st19_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "leftOuter",
     )
     name = run_to_memory(joined.select("event_id", "p_ts", "e_ts"))
-    # resolved-only cutoff, computed relationally (broadcast 1-row agg)
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    # resolved-only cutoff, computed relationally (broadcast 1-row agg):
+    # the prefix the engine's ACTUAL watermark has finalized — bounded by
+    # the older side's head (see the watermark comment above)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+        ).alias("m")
+    )
     return (
         spark.table(name)
         .crossJoin(F.broadcast(mx))
