@@ -38,6 +38,16 @@ All three reach their r5 minima, so the r6 deltas were run-to-run noise
 (the verify-adjacent hot-box phantom), not a regression from the r5
 scan-spread lever or the regenerated fixtures. Verdict: exonerated.
 
+st6 decomposition (r7): after the gaps-and-islands vectorization of
+error_streaks (per-row iterrows loop removed in r7; O(batch) numpy),
+st6 settles at ~1.7-1.85 s and is INVARIANT to the state partition
+count (measured 8/2/32 partitions: 1.71/1.69/1.66 s minima) — the
+residual above the ~0.6 s floor is fixed applyInPandasWithState
+machinery (state-store init, Python state workers, Arrow round trip,
+commit logs), not data work. That fixed cost amortizes on a
+long-running stream; the vectorization is what matters at scale
+(batch cost is now O(rows) numpy, previously O(rows) Python-loop).
+
 Streaming floor: every st* entry pays ~0.7 s of Structured Streaming
 engine spin-up per run (measured: a stateless availableNow pass over
 the same events file into a memory sink) — query start/stop, offset and

@@ -298,3 +298,40 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
     return sorted(set(deleted))
+
+
+def gc_orphans(spark: SparkSession, root: str) -> list[str]:
+    """Delete data files referenced by NO manifest — the obverse of
+    :func:`vacuum` (which expires OLD versions): orphans are files a
+    writer produced before LOSING a commit race (merge_commit writes
+    data first, then arbitrates) or before crashing mid-commit. Safe by
+    the commit protocol: a file absent from every manifest can never
+    BECOME referenced (a commit only references files its own writer
+    just wrote under a fresh uuid directory), so deleting it cannot
+    race a reader or a writer. Returns the deleted relative paths.
+
+    This is the maintenance job Delta spells ``VACUUM`` for
+    un-committed files; it must LIST the data directories (the one
+    place listing is unavoidable — orphans are by definition outside
+    all metadata), which is why it runs as a scheduled job, never on
+    the read path. Empty orphaned directories are removed with their
+    files."""
+    reachable: set[str] = set()
+    for v in _manifest_versions(spark, root):
+        reachable.update(_read_manifest(spark, root, v)["files"])
+    deleted = []
+    for d in fsio.list_names(spark, root):
+        if not d.startswith("data-"):
+            continue
+        names = fsio.list_names(spark, f"{root}/{d}")
+        live = False
+        for f in names:
+            rel = f"{d}/{f}"
+            if f.endswith(".parquet"):
+                if rel in reachable:
+                    live = True
+                elif fsio.delete(spark, f"{root}/{rel}", recursive=False):
+                    deleted.append(rel)
+        if not live:
+            fsio.delete(spark, f"{root}/{d}", recursive=True)
+    return sorted(deleted)

@@ -5625,3 +5625,162 @@ def x72_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X79 — orphan-file GC (the obverse of vacuum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x79_orphan_gc",
+    oracle="""
+    -- a writer writes data files but never commits (crashed / lost the
+    -- optimistic race — merge_commit writes data FIRST, then
+    -- arbitrates); gc_orphans deletes exactly those unreferenced files
+    -- and nothing else. The committed v1 read through its manifest is
+    -- byte-identical after the GC (this query IS the post-GC read),
+    -- and the orphaned write's file count (2 — repartition(2)) is the
+    -- deleted count. Orphan deletion safety: an unreferenced file can
+    -- never become referenced, so GC cannot race a reader.
+    SELECT CAST(2 AS BIGINT) AS n_orphans_deleted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="X79 orphan-file GC (operators/snapshots.py::gc_orphans): "
+    "deletes data files referenced by NO manifest — the files a writer "
+    "produced before losing a commit race or crashing mid-commit, "
+    "which the optimistic protocol (x70) deliberately leaves behind "
+    "because data is written before arbitration. Completes the "
+    "snapshot layer's storage-reclamation story alongside vacuum "
+    "(expired OLD versions): together every byte on disk is reachable "
+    "from a retained manifest. Listing is confined to this scheduled "
+    "job (orphans are by definition outside all metadata); the read "
+    "path still never lists. Non-interference with committed reads "
+    "and exactly-the-orphans deletion are what the oracle pins; "
+    "manifest-untouched/empty-dir-removal in tests/test_snapshots.py.",
+)
+def x79_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x79_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    v1 = S.overwrite(d.filter(F.col("doc_id") < 300), root)
+    # a crashed writer: data files on disk, no manifest references them
+    S._write_data_files(d.filter(F.col("doc_id") % 2 == 0).repartition(2), root)
+    deleted = S.gc_orphans(spark, root)
+    return S.read_snapshot(spark, root, v1).agg(
+        F.lit(len(deleted)).cast("long").alias("n_orphans_deleted"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X80 — declarative constraint audit (dbt-style data tests at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x80_constraint_audit",
+    oracle="""
+    SELECT 'accepted_values_o_orderstatus' AS check_name,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'not_null_l_orderkey',
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'pk_orders_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+    doc="X80 declarative constraint audit — the dbt-test / Deequ shape: "
+    "primary-key uniqueness (COUNT - COUNT DISTINCT), referential "
+    "integrity both directions (LEFT ANTI joins — the dimension side "
+    "broadcasts, the fact side streams), NOT NULL, and accepted-values "
+    "domain checks, one row of violation counts per constraint. The "
+    "pre-publish gate a warehouse runs on every batch before promoting "
+    "it (t6's row-level conformance gate aggregated to table-level "
+    "contracts). Each check is a scan-plus-aggregate or an anti-join; "
+    "nothing materializes violating rows unless a check fails — at "
+    "100 TB the audit costs one pass per constraint table, not per "
+    "constraint (same-table checks share the scan via cache_once).",
+)
+def x80_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = cache_once(load_table(spark, sf_dir, "orders"))
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("n_violations"))
+
+    pk = one(
+        "pk_orders_unique",
+        orders.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+            .cast("long")
+            .alias("n_violations")
+        ),
+    )
+    fk_o = one(
+        "fk_orders_customer",
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")),
+    )
+    fk_l = one(
+        "fk_lineitem_orders",
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")),
+    )
+    nn = one(
+        "not_null_l_orderkey",
+        li.agg(F.sum(F.col("l_orderkey").isNull().cast("long")).cast("long").alias("n_violations")),
+    )
+    av = one(
+        "accepted_values_o_orderstatus",
+        orders.agg(
+            F.sum(
+                (
+                    (~F.col("o_orderstatus").isin("O", "F", "P"))
+                    | F.col("o_orderstatus").isNull()
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_violations")
+        ),
+    )
+    return pk.unionByName(fk_o).unionByName(fk_l).unionByName(nn).unionByName(av).orderBy(
+        "check_name"
+    )

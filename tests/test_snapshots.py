@@ -259,3 +259,41 @@ def test_append_merges_stats_and_rollback_carries_them(spark, root):
     v3 = S.rollback(spark, root, v2)
     m3 = S._read_manifest(spark, root, v3)
     assert m3["stats"] == m2["stats"]
+
+
+# --- orphan-file GC (x79) ----------------------------------------------------
+
+
+def test_gc_orphans_deletes_only_unreferenced(spark, root):
+    v1 = S.overwrite(_df(spark, 0, 10), root)
+    files_v1 = set(S._read_manifest(spark, root, v1)["files"])
+    orphan_files, _ = S._write_data_files(_df(spark, 50, 60), root)
+    deleted = S.gc_orphans(spark, root)
+    assert set(deleted) == set(orphan_files)
+    # committed version untouched: manifest identical, content readable
+    assert set(S._read_manifest(spark, root, v1)["files"]) == files_v1
+    assert _rows(S.read_snapshot(spark, root, v1)) == [(i, f"r{i}") for i in range(10)]
+    # the orphaned data directory itself is gone
+    orphan_dir = orphan_files[0].split("/")[0]
+    assert not fsio.exists(spark, f"{root}/{orphan_dir}")
+
+
+def test_gc_orphans_spares_files_shared_by_old_versions(spark, root):
+    S.overwrite(_df(spark, 0, 5), root)  # v1
+    S.append(_df(spark, 5, 8), root)  # v2 shares v1's files
+    S.overwrite(_df(spark, 100, 103), root)  # v3 references neither
+    deleted = S.gc_orphans(spark, root)
+    assert deleted == []  # every file is reachable from SOME manifest
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(8)]
+
+
+def test_gc_orphans_idempotent_and_empty_table(spark, root):
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    assert S.gc_orphans(spark, root) == []  # no manifests, no data: no-op
+    S.overwrite(_df(spark, 0, 3), root)
+    S._write_data_files(_df(spark, 9, 12), root)
+    first = S.gc_orphans(spark, root)
+    assert first  # removed the orphan
+    assert S.gc_orphans(spark, root) == []  # second run finds nothing
