@@ -5784,3 +5784,306 @@ def x80_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.unionByName(fk_o).unionByName(fk_l).unionByName(nn).unionByName(av).orderBy(
         "check_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# X81 — time-series gap fill (date spine + LOCF + linear interpolation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x81_gapfill_interpolate",
+    oracle="""
+    -- hypertable gap fill (TimescaleDB time_bucket_gapfill / rrdtool
+    -- resample semantics): per series, a regular hourly spine over THAT
+    -- series' own extent, observations placed on it, gaps filled two
+    -- ways — locf (last observation carried forward; NULL before the
+    -- first observation) and linear interpolation between the bracketing
+    -- observations (boundary gaps take the single available neighbor).
+    -- frac is a ratio of epoch differences, so any timezone offset
+    -- cancels; the interpolation arithmetic is written in the identical
+    -- order on both engines (IEEE ops are deterministic when not
+    -- re-associated).
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, MAX(value) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    placed AS (
+      SELECT s.event_type, s.h, o.v FROM spine s
+      LEFT JOIN obs o ON o.event_type = s.event_type AND o.h = s.h
+    ),
+    edged AS (
+      SELECT event_type, h, v,
+        LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        FIRST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM placed
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           (v IS NULL) AS is_gap,
+           prev_v AS locf,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * ((CAST(epoch(h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT))
+                     / (CAST(epoch(next_h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT)))
+           END AS interpolated
+    FROM edged
+    ORDER BY event_type, hour
+    """,
+    doc="X81 time-series gap fill — the hypertable resampling op "
+    "(TimescaleDB time_bucket_gapfill + locf/interpolate; rrdtool's "
+    "fixed-step rebinning, the data model behind the reference's RRD "
+    "exports, url_service_status_InfluxDB_insert.py:1-170): per series, "
+    "an hourly spine generated from THAT series' own extent "
+    "(sequence+explode — per-key, fully distributed, no global spine "
+    "and no cross join), left join of observations, then LOCF and "
+    "linear interpolation from two ignoreNulls window edges. At 100 TB "
+    "the spine explode and both windows key on the series — one "
+    "shuffle by series id, spine length bounded per key; interpolation "
+    "arithmetic is order-pinned so the oracle hash-checks doubles "
+    "bit-for-bit. frac is a ratio of epoch deltas (timezone cancels).",
+)
+def x81_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    placed = spine.join(obs, ["event_type", "h"], "left")
+    back = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("event_type").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    edged = placed.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("prev_h"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    frac = (F.unix_timestamp("h") - F.unix_timestamp("prev_h")) / (
+        F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")
+    )
+    return edged.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").isNull().alias("is_gap"),
+        F.col("prev_v").alias("locf"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("interpolated"),
+    ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# X82 — M4 visualization-aware downsampling (min/max/first/last per pixel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x82_m4_downsample",
+    oracle="""
+    -- M4 downsampling (Jugel et al., VLDB 2014): per series and pixel
+    -- bucket keep min, max, first and last — the exact set of points a
+    -- w-pixel line chart needs for pixel-perfect rendering, reducing
+    -- arbitrarily many points to <= 4w per series. Buckets are computed
+    -- in pure BIGINT arithmetic (epoch-us offsets cross-multiplied by
+    -- the pixel count, floor-divided by the span) so the binning is
+    -- bit-identical across engines; first/last are resolved by the
+    -- total order (ts, event_id) to be tie-deterministic.
+    WITH b AS (
+      SELECT event_type, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    pts AS (
+      SELECT e.event_type, e.value, epoch_us(e.ts) AS eu, e.event_id,
+             ((epoch_us(e.ts) - b.lo) * 400) // (b.hi - b.lo + 1) AS bucket
+      FROM events e JOIN b ON e.event_type = b.event_type
+    ),
+    ranked AS (
+      SELECT event_type, bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY eu, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY eu DESC, event_id DESC) AS rn_d
+      FROM pts
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS v_min, MAX(value) AS v_max,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last
+    FROM ranked GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="X82 M4 downsampling (Jugel/Markl, 'M4: A Visualization-Oriented "
+    "Time Series Data Aggregation', VLDB 2014) — the relational standard "
+    "for time-series chart rendering and the scale answer to 'plot a "
+    "100 TB metric': min/max/first/last per (series, pixel bucket), "
+    "grouping-only — one shuffle on (series, bucket), the two ROW_NUMBER "
+    "windows share that exact partitioning so the sort amortizes, and "
+    "output is bounded by 4*pixels*series regardless of input rows. "
+    "Bucket ids are pure-BIGINT cross-multiplication (no float binning "
+    "drift); ties broken by (ts, event_id) so first/last are exact. "
+    "This is what the reference's Grafana/InfluxDB consumers do to its "
+    "RRD series downstream; here it is a first-class operator.",
+)
+def x82_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    pts = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("eu"),
+        "event_id",
+        F.expr("((unix_micros(ts) - lo) * 400) DIV (hi - lo + 1)").alias("bucket"),
+    )
+    wa = W.partitionBy("event_type", "bucket").orderBy("eu", "event_id")
+    wd = W.partitionBy("event_type", "bucket").orderBy(F.desc("eu"), F.desc("event_id"))
+    ranked = pts.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X83 — EWMA smoothing (finite-horizon, power-of-two weights, order-pinned)
+# ---------------------------------------------------------------------------
+
+
+def _ewma_fragment() -> str:
+    """One arithmetic fragment over columns ``v, l1..l7`` shared VERBATIM
+    by the Spark plan and the DuckDB oracle: an 8-term exponentially
+    weighted average with alpha = 1/2. Every weight 0.5^(k+1) is a dyadic
+    rational, exact in both decimal literals and binary doubles, and each
+    ``lk * w`` is an exponent shift (exact); the sum is written as one
+    left-associated chain neither engine re-associates, so the smoothed
+    doubles hash-check bit-for-bit. Head-of-series rows renormalize over
+    the weights actually present (the standard adjusted/bias-corrected
+    EWM, pandas ewm(adjust=True))."""
+    ws = ["0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625", "0.0078125", "0.00390625"]
+    num = [f"v * CAST({ws[0]} AS DOUBLE)"]
+    den = [f"CAST({ws[0]} AS DOUBLE)"]
+    for k in range(1, 8):
+        num.append(
+            f"(CASE WHEN l{k} IS NULL THEN CAST(0 AS DOUBLE)"
+            f" ELSE l{k} * CAST({ws[k]} AS DOUBLE) END)"
+        )
+        den.append(
+            f"(CASE WHEN l{k} IS NULL THEN CAST(0 AS DOUBLE)"
+            f" ELSE CAST({ws[k]} AS DOUBLE) END)"
+        )
+    return f"({' + '.join(num)}) / ({' + '.join(den)})"
+
+
+@register(
+    "x83_ewma_smoothing",
+    oracle=f"""
+    -- finite-horizon EWMA (alpha = 1/2, 8 taps) over each series'
+    -- hourly observations — the standard monitoring smoother (Grafana's
+    -- exponentialMovingAverage, pandas ewm) made relational: a LAG
+    -- chain plus one shared arithmetic fragment. See _ewma_fragment for
+    -- why the doubles are bit-identical across engines.
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, MAX(value) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lagged AS (
+      SELECT event_type, h, v,
+             LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+             LAG(v, 3) OVER w AS l3, LAG(v, 4) OVER w AS l4,
+             LAG(v, 5) OVER w AS l5, LAG(v, 6) OVER w AS l6,
+             LAG(v, 7) OVER w AS l7
+      FROM obs
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           v,
+           {_ewma_fragment()} AS ewma
+    FROM lagged
+    ORDER BY event_type, hour
+    """,
+    doc="X83 EWMA smoothing — exponentially weighted moving average with "
+    "a finite 8-tap horizon (alpha=1/2, adjusted weights at the series "
+    "head), the monitoring-dashboard smoother over the reference's RRD "
+    "series. The infinite-recurrence EWMA is not expressible as a "
+    "window aggregate; truncating at 8 taps bounds the error at 2^-8 "
+    "of the signal while keeping the operator a pure LAG chain — "
+    "codegen'd, one shuffle on the series key, embarrassingly parallel "
+    "at 100 TB (contrast the sequential per-row recurrence, which "
+    "would force applyInPandas). The weight arithmetic is shared "
+    "verbatim with the oracle and exact in doubles (_ewma_fragment), "
+    "so this smoothing of arbitrary float data still hash-checks.",
+)
+def x83_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max("value").alias("v"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = obs.select(
+        "event_type",
+        "h",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    return lagged.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "v",
+        F.expr(_ewma_fragment()).alias("ewma"),
+    ).orderBy("event_type", "hour")
