@@ -1058,3 +1058,118 @@ def st19_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("e_ts").cast("long").alias("n_nearby_errors"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "st20_stream_stream_full_outer",
+    oracle="""
+    -- stream-stream FULL OUTER interval join: matches emit immediately;
+    -- each side's NULL row emits only when the OTHER side's watermark
+    -- proves no partner can still arrive. Both grains are restricted to
+    -- the watermark-resolved prefix (ts <= least(side heads) - 31min,
+    -- the st19 closure applied symmetrically) and summarized as
+    -- (side, id, n_matches) — n_matches = 0 rows are exactly the
+    -- NULL-extended emissions, on BOTH sides, which neither the inner
+    -- st9 nor the left-outer st19 can express for errors. A resolved
+    -- row's partners need no cutoff of their own: a partner is within
+    -- 10min of a resolved row, hence well inside the finalized prefix.
+    WITH mx AS (
+      SELECT LEAST(
+        MAX(ts) FILTER (WHERE event_type = 'purchase'),
+        MAX(ts) FILTER (WHERE event_type = 'error')) AS m
+      FROM events)
+    SELECT 'purchase' AS side, p.event_id AS id,
+           CAST(COUNT(e.ts) AS BIGINT) AS n_matches
+    FROM (SELECT event_id, ts FROM events
+          WHERE event_type = 'purchase'
+            AND ts <= (SELECT m FROM mx) - INTERVAL 31 MINUTE) p
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+      ON e.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id
+    UNION ALL
+    SELECT 'error', e.event_id, CAST(COUNT(p.ts) AS BIGINT)
+    FROM (SELECT event_id, ts FROM events
+          WHERE event_type = 'error'
+            AND ts <= (SELECT m FROM mx) - INTERVAL 31 MINUTE) e
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+    ORDER BY side, id
+    """,
+    doc="ST stream-stream FULL OUTER join with two-sided watermark "
+    "closure — the symmetric completion of st9 (inner) and st19 (left): "
+    "unmatched rows on EITHER side emit their NULL row once the other "
+    "side's watermark proves no partner can arrive, so a live pipeline "
+    "can assert both 'purchase had no nearby error' and 'error had no "
+    "nearby purchase' from one join's state. Bucketized equality key "
+    "(20-min buckets, error side exploded into its two covering "
+    "buckets) keeps state partitioned and bounded by watermark + "
+    "interval on both sides; the error grain groups its per-bucket "
+    "rows so bucket explosion never double-counts. Result restricted "
+    "to the engine's actual finalized prefix (least of side heads - "
+    "31min) on both grains, mirroring what a deployment has resolved.",
+)
+def st20_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 1200
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            F.floor(F.unix_timestamp("ts") / width).alias("bucket"),
+        )
+        .withWatermark("p_ts", "20 minutes")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("ts").alias("e_ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.unix_timestamp("ts") - 600) / width),
+                        F.floor((F.unix_timestamp("ts") + 600) / width),
+                    )
+                )
+            ).alias("bucket"),
+        )
+        .withWatermark("e_ts", "20 minutes")
+    )
+    ten_min = F.expr("INTERVAL 10 MINUTES")
+    joined = purchases.join(
+        errors,
+        (purchases["bucket"] == errors["bucket"])
+        & (purchases["p_ts"] >= errors["e_ts"] - ten_min)
+        & (purchases["p_ts"] <= errors["e_ts"] + ten_min),
+        "fullOuter",
+    )
+    name = run_to_memory(joined.select("p_id", "p_ts", "e_id", "e_ts"))
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+        ).alias("m")
+    )
+    sink = spark.table(name).crossJoin(F.broadcast(mx))
+    cutoff = F.col("m") - F.expr("INTERVAL 31 MINUTES")
+    p_grain = (
+        sink.filter(F.col("p_id").isNotNull() & (F.col("p_ts") <= cutoff))
+        .groupBy(F.col("p_id").alias("id"))
+        .agg(F.count("e_ts").cast("long").alias("n_matches"))
+        .select(F.lit("purchase").alias("side"), "id", "n_matches")
+    )
+    # the error side was exploded into buckets: a match arrives from
+    # exactly one covering bucket (the ±10min window spans < one bucket
+    # width) and an unmatched bucket-row contributes a NULL partner, so
+    # grouping by e_id counts true matches without double-counting
+    e_grain = (
+        sink.filter(F.col("e_id").isNotNull() & (F.col("e_ts") <= cutoff))
+        .groupBy(F.col("e_id").alias("id"))
+        .agg(F.count("p_ts").cast("long").alias("n_matches"))
+        .select(F.lit("error").alias("side"), "id", "n_matches")
+    )
+    return p_grain.unionByName(e_grain).orderBy("side", "id")
