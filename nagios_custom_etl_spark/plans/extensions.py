@@ -6087,3 +6087,82 @@ def x83_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.expr(_ewma_fragment()).alias("ewma"),
     ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# X85 — materialized-view automatic query rewrite (read-side of x71)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x85_mv_query_rewrite",
+    oracle="""
+    -- the query is WRITTEN against the base events table; the engine
+    -- answers it from a (day, event_type)-grain summary parquet via
+    -- aggregate MV substitution (rewrite provenance asserted in the
+    -- plan function — a silent fallback fails the query). Distributive
+    -- aggregates re-aggregate from partial states; avg derives as
+    -- exact-DECIMAL sum / nonnull count, so the rewritten answer is
+    -- bit-identical to this direct base-table SQL.
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="X85 automatic MV query rewrite (operators/mv_rewrite.py) — "
+    "Calcite-style aggregate materialized-view substitution, the "
+    "read-side complement of x71's incremental maintenance: a GROUP BY "
+    "event_type over the base fact is transparently routed to a "
+    "(day, event_type) summary parquet because the summary's grain "
+    "subsumes the query's and count/sum/min/max re-aggregate from "
+    "partial states (avg derived as exact sum / nonnull count, never "
+    "stored). At 100 TB this turns the all-day dashboard scan of the "
+    "fact (10^11 rows) into a scan of the grain cardinality (10^5) "
+    "with zero query changes. Conservative matcher: count_distinct or "
+    "an unknown grain falls back to the base table — fallback and "
+    "rewrite-equivalence (incl. NULL measures) pinned in "
+    "tests/test_mv_rewrite.py; the rewritten scan provably reads the "
+    "MV files, asserted there via explain.",
+)
+def x85_mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.mv_rewrite import (
+        AggSpec,
+        SummaryView,
+        build_summary,
+        rewrite_aggregate,
+    )
+
+    measures = {"value": (18, 6)}
+    base = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    summary, view_kwargs = build_summary(base, ["day", "event_type"], measures)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x85_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    summary.write.mode("overwrite").parquet(path)
+    views = {"daily_events": SummaryView(df=spark.read.parquet(path), **view_kwargs)}
+
+    aggs = [
+        AggSpec("count", None, "n_events"),
+        AggSpec("sum", "value", "sum_value"),
+        AggSpec("avg", "value", "avg_value"),
+        AggSpec("min", "value", "min_value"),
+        AggSpec("max", "value", "max_value"),
+    ]
+    plan, provenance = rewrite_aggregate(base, ["event_type"], aggs, views, measures)
+    if provenance != "mv:daily_events":  # the rewrite IS the operator under test
+        raise AssertionError(f"expected MV rewrite, planned from {provenance}")
+    return plan.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "avg_value",
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
