@@ -6166,3 +6166,64 @@ def x85_mv_query_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# X84 — incremental snapshot read (append-only change feed from manifests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x84_snapshot_incremental_read",
+    oracle="""
+    -- three appends land on a snapshot table (doc_id <200, 200-349,
+    -- 350-499); a consumer that last saw v1 reads the delta since v1 —
+    -- which the manifest layer resolves as the FILE-SET DIFFERENCE of
+    -- two manifests (append-only proven from the op chain), so the scan
+    -- reads only the two newer appends' files. The aggregate below is
+    -- over exactly those rows; the old files are never opened.
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id >= 200 AND doc_id < 500
+    GROUP BY source ORDER BY source
+    """,
+    doc="X84 incremental snapshot read (operators/snapshots.py::"
+    "read_incremental) — the Iceberg incremental-append scan / Delta "
+    "change-feed read: the row delta between two versions of an "
+    "append-only table is exactly the file-set difference of their "
+    "manifests, so a downstream consumer (x71's MV refresh, a "
+    "streaming backfill) reads O(new files) per cycle and never "
+    "re-scans or row-diffs the table — the read-side completion of the "
+    "snapshot family (time travel x69, isolation x70, pruning x76, GC "
+    "x79). Soundness is checked, not assumed: any overwrite/rollback "
+    "or vacuumed manifest inside the range is refused (tests), because "
+    "only an append-only chain proves newer files == newer rows.",
+)
+def x84_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x84_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = S.append(d.filter(F.col("doc_id") < 200), root)
+    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), root)
+    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), root)
+    delta = S.read_incremental(spark, root, since_version=v1)
+    return (
+        delta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -297,3 +297,45 @@ def test_gc_orphans_idempotent_and_empty_table(spark, root):
     first = S.gc_orphans(spark, root)
     assert first  # removed the orphan
     assert S.gc_orphans(spark, root) == []  # second run finds nothing
+
+
+# --- incremental read (x84) --------------------------------------------------
+
+
+def test_incremental_read_is_exactly_the_appended_rows(spark, root):
+    v1 = S.append(_df(spark, 0, 5), root)
+    S.append(_df(spark, 5, 8), root)
+    v3 = S.append(_df(spark, 8, 12), root)
+    inc = S.read_incremental(spark, root, since_version=v1)
+    assert _rows(inc) == [(i, f"r{i}") for i in range(5, 12)]
+    # bounded range: only the middle append
+    mid = S.read_incremental(spark, root, v1, to_version=v3 - 1)
+    assert _rows(mid) == [(i, f"r{i}") for i in range(5, 8)]
+    # since the beginning: everything; empty range: nothing, typed
+    assert _rows(S.read_incremental(spark, root, 0)) == [(i, f"r{i}") for i in range(12)]
+    empty = S.read_incremental(spark, root, v3)
+    assert empty.collect() == [] and empty.columns == _df(spark, 0, 1).columns
+
+
+def test_incremental_read_refuses_non_append_history(spark, root):
+    v1 = S.append(_df(spark, 0, 5), root)
+    S.overwrite(_df(spark, 100, 103), root)
+    S.append(_df(spark, 103, 105), root)
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, since_version=v1)
+    # a range that stays past the overwrite is fine again
+    assert _rows(S.read_incremental(spark, root, since_version=2)) == [
+        (i, f"r{i}") for i in range(103, 105)
+    ]
+
+
+def test_incremental_read_refuses_vacuumed_range(spark, root):
+    S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 3, 6), root)
+    S.append(_df(spark, 6, 9), root)
+    S.vacuum(spark, root, keep_last=2)  # v1's manifest is gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        S.read_incremental(spark, root, since_version=0)
+    assert _rows(S.read_incremental(spark, root, since_version=2)) == [
+        (i, f"r{i}") for i in range(6, 9)
+    ]
