@@ -44,6 +44,45 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+class SchemaMismatchError(RuntimeError):
+    """The batch's schema differs from the table's recorded schema and
+    evolution was not requested (or the change is a type change, which
+    is never allowed — Delta/Iceberg semantics: columns may be added,
+    never silently retyped)."""
+
+
+def _schema_list(df: DataFrame) -> list[list[str]]:
+    """Manifest-recorded schema: ordered [name, simple type] pairs —
+    JSON-stable and sufficient to reconcile heterogeneous data files."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _merged_schema(
+    parent: list[list[str]] | None, new: list[list[str]], evolve: bool
+) -> list[list[str]]:
+    """Table schema after committing a batch with schema ``new`` onto a
+    table with schema ``parent``: identical -> unchanged; added/omitted
+    columns -> allowed only with ``evolve`` (added columns go to the end,
+    omitted ones stay — old files simply lack the new columns and new
+    files lack the omitted ones; reads reconcile both with NULLs); a
+    TYPE change is refused unconditionally."""
+    if parent is None:
+        return [list(x) for x in new]
+    pt = {n: t for n, t in parent}
+    nt = {n: t for n, t in new}
+    retyped = sorted(n for n in pt.keys() & nt.keys() if pt[n] != nt[n])
+    if retyped:
+        raise SchemaMismatchError(f"type change on {retyped} is not allowed")
+    added = [[n, t] for n, t in new if n not in pt]
+    omitted = [n for n, _ in parent if n not in nt]
+    if (added or omitted) and not evolve:
+        raise SchemaMismatchError(
+            f"schema drift (added {[n for n, _ in added]}, omitted {omitted}); "
+            "pass evolve=True to evolve the table schema"
+        )
+    return [list(x) for x in parent] + added
+
+
 def _snap_dir(root: str) -> str:
     return f"{root}/_snapshots"
 
@@ -79,6 +118,7 @@ def _commit(
     op: str,
     parent: int,
     stats: dict | None = None,
+    schema: list[list[str]] | None = None,
 ) -> int:
     """Publish ``files`` as version ``parent + 1`` atomically.
 
@@ -97,6 +137,8 @@ def _commit(
         "stats": {f: stats[f] for f in sorted(stats)} if stats else {},
         "committed_at": time.time(),
     }
+    if schema is not None:
+        manifest["schema"] = schema
     try:
         fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(manifest))
     except FileExistsError as ex:
@@ -150,25 +192,40 @@ def _write_data_files(
     return files, stats
 
 
-def append(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:
+def append(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    evolve: bool = False,
+) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
-    Parent files keep their recorded stats; new files add theirs."""
+    Parent files keep their recorded stats; new files add theirs. The
+    batch's schema is enforced against the table's recorded schema:
+    drift raises :class:`SchemaMismatchError` unless ``evolve=True``,
+    which records the merged schema (added columns appended; reads
+    reconcile heterogeneous files with NULLs — Delta mergeSchema
+    semantics). Type changes are refused unconditionally."""
     spark = df.sparkSession
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
     base, base_stats = m.get("files", []), m.get("stats", {})
+    schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
     files, stats = _write_data_files(df, root, stats_cols)
-    return _commit(spark, root, base + files, "append", parent, {**base_stats, **stats})
+    return _commit(
+        spark, root, base + files, "append", parent, {**base_stats, **stats}, schema
+    )
 
 
 def overwrite(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
-    that is what makes time travel free."""
+    that is what makes time travel free. An overwrite redefines the
+    table, so it records ``df``'s schema wholesale (Delta's
+    overwriteSchema path)."""
     spark = df.sparkSession
     parent = latest_version(spark, root)
     files, stats = _write_data_files(df, root, stats_cols)
-    return _commit(spark, root, files, "overwrite", parent, stats)
+    return _commit(spark, root, files, "overwrite", parent, stats, _schema_list(df))
 
 
 def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -178,7 +235,30 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
     m = _read_manifest(spark, root, v)
     if not m["files"]:
         raise ValueError(f"version {v} is empty")
-    return spark.read.parquet(*[f"{root}/{f}" for f in m["files"]])
+    return _read_files(spark, root, m["files"], m.get("schema"))
+
+
+def _read_files(
+    spark: SparkSession, root: str, files: list[str], schema: list[list[str]] | None
+) -> DataFrame:
+    """Plan a read over manifest-listed files. With a recorded table
+    schema the files may be heterogeneous (schema evolution):
+    mergeSchema unions the footers, columns absent from EVERY planned
+    file are materialized as typed NULLs, and the projection is pinned
+    to the manifest's column order — so every reader sees the table
+    schema regardless of which files survived pruning."""
+    if schema is None:
+        return spark.read.parquet(*[f"{root}/{f}" for f in files])
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[f"{root}/{f}" for f in files]
+    )
+    cols = [
+        F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+        for n, t in schema
+    ]
+    return df.select(*cols)
 
 
 def read_snapshot_pruned(
@@ -213,7 +293,7 @@ def read_snapshot_pruned(
         df = read_snapshot(spark, root, v).limit(0)
         return df, 0, len(m["files"])
     return (
-        spark.read.parquet(*[f"{root}/{f}" for f in planned]),
+        _read_files(spark, root, planned, m.get("schema")),
         len(planned),
         len(m["files"]),
     )
@@ -230,6 +310,7 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
         f"rollback-to-{to_version}",
         latest_version(spark, root),
         m.get("stats", {}),
+        m.get("schema"),
     )
 
 
@@ -271,7 +352,7 @@ def merge_commit(
             )
         files, _ = _write_data_files(merged, root)
         try:
-            return _commit(spark, root, files, "merge", parent)
+            return _commit(spark, root, files, "merge", parent, None, _schema_list(merged))
         except ConcurrentCommitError as ex:  # lost the race: retry on new latest
             last_err = ex
     raise last_err  # type: ignore[misc]

@@ -6227,3 +6227,73 @@ def x84_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X73 — snapshot schema evolution (enforcement + evolve-on-append)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x73_snapshot_schema_evolution",
+    oracle="""
+    -- v1 appends (doc_id, source); v2 appends WITH a new n_chars column
+    -- under evolve=True. The table schema evolves (column appended),
+    -- old data files are untouched, and the read reconciles
+    -- heterogeneous files: v1 rows surface n_chars as NULL. Equivalent
+    -- relational statement: union with an explicit typed NULL.
+    WITH t AS (
+      SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id, source, n_chars
+      FROM documents WHERE doc_id >= 150 AND doc_id < 300
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY source ORDER BY source
+    """,
+    doc="X73 snapshot schema evolution (operators/snapshots.py): the "
+    "table's schema is part of the committed manifest; an append whose "
+    "batch drifts from it is REFUSED (SchemaMismatchError) unless "
+    "evolve=True, which records the merged schema — added columns "
+    "append, omitted columns persist, type changes are never allowed "
+    "(Delta mergeSchema/Iceberg add-column semantics). Old data files "
+    "are immutable and untouched: reads mergeSchema the heterogeneous "
+    "footers, materialize columns missing from every planned file as "
+    "typed NULLs, and pin the manifest's column order, so readers of "
+    "any version see one coherent schema. At 100 TB this is what makes "
+    "adding a column O(1) metadata instead of a table rewrite. "
+    "Enforcement/refusal/type-change/pruned-read interplay pinned in "
+    "tests/test_snapshots.py.",
+)
+def x73_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x73_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.append(d.filter(F.col("doc_id") < 150).select("doc_id", "source"), root)
+    S.append(
+        d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).select(
+            "doc_id", "source", "n_chars"
+        ),
+        root,
+        evolve=True,
+    )
+    return (
+        S.read_snapshot(spark, root)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("n_chars").cast("long").alias("n_with_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

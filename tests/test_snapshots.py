@@ -15,6 +15,7 @@ import shutil
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark import fsio
 from nagios_custom_etl_spark.operators import snapshots as S
@@ -339,3 +340,57 @@ def test_incremental_read_refuses_vacuumed_range(spark, root):
     assert _rows(S.read_incremental(spark, root, since_version=2)) == [
         (i, f"r{i}") for i in range(6, 9)
     ]
+
+
+# --- schema evolution (x73) --------------------------------------------------
+
+
+def test_append_refuses_schema_drift_without_evolve(spark, root):
+    S.append(_df(spark, 0, 3), root)
+    widened = _df(spark, 3, 5).withColumn("extra", F.lit(7))
+    with pytest.raises(S.SchemaMismatchError, match="evolve=True"):
+        S.append(widened, root)
+    v = S.append(widened, root, evolve=True)
+    m = S._read_manifest(spark, root, v)
+    assert [c for c, _ in m["schema"]] == _df(spark, 0, 1).columns + ["extra"]
+    got = S.read_snapshot(spark, root).orderBy("i").collect()
+    assert [r["extra"] for r in got] == [None, None, None, 7, 7]
+
+
+def test_type_change_refused_even_with_evolve(spark, root):
+    S.append(_df(spark, 0, 3), root)
+    retyped = _df(spark, 3, 5).withColumn("s", F.lit(1))  # string -> int
+    with pytest.raises(S.SchemaMismatchError, match="type change"):
+        S.append(retyped, root, evolve=True)
+
+
+def test_evolved_append_may_omit_old_columns(spark, root):
+    S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 3, 5).drop("s"), root, evolve=True)
+    got = S.read_snapshot(spark, root).orderBy("i").collect()
+    assert [r["s"] for r in got] == ["r0", "r1", "r2", None, None]
+
+
+def test_pruned_read_materializes_column_absent_from_planned_files(spark, root):
+    # stats recorded on i; the evolved column exists only in files the
+    # pruned read does NOT plan — it must still surface, typed, as NULL
+    S.append(_df(spark, 0, 5).coalesce(1), root, stats_cols=["i"])
+    S.append(
+        _df(spark, 100, 103).coalesce(1).withColumn("extra", F.lit(9)),
+        root,
+        stats_cols=["i"],
+        evolve=True,
+    )
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 0, 4)
+    assert planned < total
+    rows = df.orderBy("i").collect()
+    assert [r["i"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(r["extra"] is None for r in rows)
+    assert dict(df.dtypes)["extra"] == "int"
+
+
+def test_rollback_restores_pre_evolution_schema(spark, root):
+    v1 = S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 3, 5).withColumn("extra", F.lit(1)), root, evolve=True)
+    v3 = S.rollback(spark, root, v1)
+    assert S.read_snapshot(spark, root, v3).columns == _df(spark, 0, 1).columns
