@@ -1173,3 +1173,84 @@ def st20_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.lit("error").alias("side"), "id", "n_matches")
     )
     return p_grain.unionByName(e_grain).orderBy("side", "id")
+
+
+@register(
+    "st21_snapshot_tail_stream",
+    oracle="""
+    -- a streaming consumer TAILS the snapshot table's manifest log:
+    -- offsets are commit versions, each micro-batch's input partitions
+    -- are exactly the files the consumed commits added (manifest
+    -- file-set difference — never a data-directory listing, never a
+    -- re-read of old files). Three appends land (doc_id <200, 200-349,
+    -- 350-499); the first availableNow pass drains v1-v2, v3 commits,
+    -- the second pass resumes from the CHECKPOINTED version offset and
+    -- reads only v3's files. Per-commit provenance is part of the
+    -- output, so the grouping below pins which rows arrived in which
+    -- commit — a duplicated or skipped batch flips the hash.
+    SELECT CAST(CASE WHEN doc_id < 200 THEN 1
+                     WHEN doc_id < 350 THEN 2 ELSE 3 END AS BIGINT)
+             AS commit_version,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 500
+    GROUP BY commit_version, source
+    ORDER BY commit_version, source
+    """,
+    doc="ST-ext manifest-tailing streaming source (sources/"
+    "snapshot_tail.py) — the streaming twin of x84's incremental read "
+    "and the Delta-streaming-source / Iceberg-incremental-scan "
+    "protocol, as a Spark 4 Python DataSourceStreamReader: offsets are "
+    "commit versions (checkpointed like any offset), partitions(start, "
+    "end) resolves to the data files those commits ADDED via manifest "
+    "set difference, executors read them as Arrow RecordBatches "
+    "(vectorized; evolved schemas reconciled with typed nulls), and "
+    "non-append commits in range fail the batch (tailing a mutating "
+    "table is unsound). A downstream consumer follows a 100 TB table "
+    "reading O(new files) per trigger. Restart-resume across commits "
+    "is exercised here with two availableNow passes sharing one "
+    "checkpoint; exactly-once accounting is hash-pinned per commit.",
+)
+def st21_snapshot_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+
+    spark.dataSource.register(SnapshotTailSource)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st21_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "table")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", root)
+            .option("schema_ddl", "doc_id bigint, source string, n_chars bigint")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    S.append(d.filter(F.col("doc_id") < 200), root)
+    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), root)
+    drain()  # consumes v1 + v2
+    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), root)
+    drain()  # resumes from the checkpointed offset: only v3
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("commit_version", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("commit_version", "source")
+    )

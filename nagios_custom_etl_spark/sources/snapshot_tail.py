@@ -1,0 +1,184 @@
+"""Structured Streaming source that TAILS a snapshot table's manifest
+log (operators/snapshots.py) — the streaming twin of x84's batch
+incremental read, and the same idea as Delta's streaming source /
+Iceberg's incremental scan: offsets are COMMIT VERSIONS, each micro-batch
+covers the versions committed since the checkpointed offset, and the
+batch's input partitions are exactly the data files those commits added
+(the file-set difference of consecutive manifests). A consumer therefore
+reads O(new files) per trigger, never lists data directories, and never
+re-reads old data — which is the only viable way to follow a 100 TB
+table.
+
+Soundness mirrors ``read_incremental``: every version in the consumed
+range must be an append (newer files == newer rows); a non-append commit
+in range fails the batch rather than silently emitting wrong deltas.
+
+Driver-side metadata IO (manifest list/read) goes through ``pyarrow.fs``
+— the DataSourceStreamReader runs in the driver's Python process with no
+SparkSession, so the Hadoop-FS helper used elsewhere is unavailable;
+pyarrow.fs resolves local paths and ``s3://``-style URIs the same way.
+Executor-side reads use pyarrow parquet and yield Arrow RecordBatches
+(vectorized — never per-row Python), reconciling evolved schemas by
+materializing missing columns as typed nulls, exactly like the batch
+reader's ``_read_files``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_SNAP_DIR = "_snapshots"
+
+# Spark simpleString -> pyarrow type factory, for typed-null backfill of
+# columns an old data file predates (schema evolution, x73)
+_ARROW_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+    "date": "date32",
+    "timestamp": "timestamp_us",
+    "timestamp_ntz": "timestamp_us",
+}
+
+
+def _arrow_type(simple: str):
+    import pyarrow as pa
+
+    name = _ARROW_TYPES.get(simple)
+    if name is None:
+        raise ValueError(f"snapshot_tail: unsupported column type {simple!r}")
+    if name == "timestamp_us":
+        return pa.timestamp("us")
+    return getattr(pa, name)()
+
+
+def _open_fs(root: str):
+    from pyarrow import fs as pafs
+
+    if "://" in root:
+        f, path = pafs.FileSystem.from_uri(root)
+        return f, path
+    return pafs.LocalFileSystem(), root
+
+
+def _read_json(fs, path: str) -> dict:
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _manifest_versions(fs, base: str) -> list[int]:
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(f"{base}/{_SNAP_DIR}", allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        name = info.base_name
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:9]))
+    return sorted(out)
+
+
+@dataclass
+class NewFilePartition(InputPartition):
+    path: str  # absolute (fs-relative) data file path
+    commit_version: int
+
+
+class SnapshotTailStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, ddl_schema: str):
+        self.root = options["root"]
+        self.end_version = (
+            int(options["end_version"]) if "end_version" in options else None
+        )
+        self.start_version = int(options.get("start_version", "0"))
+        # [(name, simple_type)] parsed from the declared DDL, with the
+        # trailing provenance column stripped (the reader synthesizes it)
+        self.columns = [
+            tuple(c.strip().rsplit(" ", 1)) for c in ddl_schema.split(",")
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        fs, base = _open_fs(self.root)
+        versions = _manifest_versions(fs, base)
+        latest = versions[-1] if versions else self.start_version
+        if self.end_version is not None:
+            latest = min(latest, self.end_version)
+        return {"version": max(latest, self.start_version)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        fs, base = _open_fs(self.root)
+        parts: list[InputPartition] = []
+        prev: set[str] = (
+            set(_read_json(fs, f"{base}/{_SNAP_DIR}/v{lo:08d}.json")["files"])
+            if lo > 0
+            else set()
+        )
+        for v in range(lo + 1, hi + 1):  # versions consumed by THIS batch
+            m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
+            if m["op"] != "append":
+                raise ValueError(
+                    f"snapshot_tail: version {v} is '{m['op']}', not append — "
+                    "tailing a mutating table is unsound; use snapshot CDC"
+                )
+            new = sorted(f for f in m["files"] if f not in prev)
+            parts.extend(NewFilePartition(f"{base}/{f}", v) for f in new)
+            prev = set(m["files"])
+        return parts
+
+    def read(self, partition: NewFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        arrays, fields = [], []
+        for name, simple in self.columns:
+            typ = _arrow_type(simple)
+            if name in table.column_names:
+                arrays.append(table.column(name).cast(typ).combine_chunks())
+            else:  # pre-evolution file: typed-null backfill
+                arrays.append(pa.nulls(n, typ))
+            fields.append(pa.field(name, typ))
+        arrays.append(pa.array([partition.commit_version] * n, pa.int64()))
+        fields.append(pa.field("commit_version", pa.int64()))
+        yield from pa.Table.from_arrays(arrays, schema=pa.schema(fields)).to_batches()
+
+    def commit(self, end: dict) -> None:  # checkpoint owns progress
+        pass
+
+
+class SnapshotTailSource(DataSource):
+    """``spark.readStream.format("snapshot_tail")`` — options:
+    ``root`` (table root), ``schema_ddl`` (the table columns to surface,
+    e.g. ``"doc_id bigint, source string"``), optional ``start_version``
+    / ``end_version`` bounds. Output schema = declared columns +
+    ``commit_version bigint`` provenance."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_tail"
+
+    def schema(self) -> str:
+        return self.options["schema_ddl"] + ", commit_version bigint"
+
+    def streamReader(self, schema) -> SnapshotTailStreamReader:
+        return SnapshotTailStreamReader(self.options, self.options["schema_ddl"])

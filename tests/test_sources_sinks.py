@@ -4,6 +4,8 @@ sink contract, and InfluxDB line-protocol rendering."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import GreaterThanOrEqual, In, EqualTo, IsNotNull
 
@@ -443,3 +445,68 @@ def test_influx_manifest_replay_follows_numeric_job_order(tmp_path):
         "m,job=2 v=1 1700000000",
         "m,job=10 v=1 1700000000",
     ]
+
+
+# --- snapshot_tail streaming source (st21) -----------------------------------
+
+
+def _snap_df(spark, lo, hi):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(i=i, s=f"r{i}") for i in range(lo, hi)], "i int, s string"
+    )
+
+
+def _tail_once(spark, root, out, ckpt, ddl="i int, s string"):
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+
+    spark.dataSource.register(SnapshotTailSource)
+    q = (
+        spark.readStream.format("snapshot_tail")
+        .option("root", root)
+        .option("schema_ddl", ddl)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_snapshot_tail_refuses_non_append_commit(spark, tmp_path):
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = str(tmp_path / "table")
+    S.append(_snap_df(spark, 0, 3), root)
+    S.overwrite(_snap_df(spark, 10, 12), root)  # mutating commit in range
+    with pytest.raises(StreamingQueryException, match="not append"):
+        _tail_once(spark, root, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+
+def test_snapshot_tail_backfills_evolved_column_with_typed_nulls(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = str(tmp_path / "table")
+    S.append(_snap_df(spark, 0, 2), root)  # pre-evolution files lack 'extra'
+    S.append(
+        _snap_df(spark, 2, 4).withColumn("extra", F.col("i").cast("bigint") * 10),
+        root,
+        evolve=True,
+    )
+    got = _tail_once(
+        spark,
+        root,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        ddl="i int, s string, extra bigint",
+    )
+    rows = {r["i"]: (r["extra"], r["commit_version"]) for r in got.collect()}
+    assert rows == {0: (None, 1), 1: (None, 1), 2: (20, 2), 3: (30, 2)}
+    assert dict(got.dtypes)["extra"] == "bigint"
