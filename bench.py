@@ -103,6 +103,11 @@ HEADLINE = [
     # visible — streaming-path perf is invisible to a batch-only headline
     "st7_incremental_rollup",
     "st6_stateful_error_streaks",
+    # r7 additions: time-series downsampling (grouping-only, the
+    # plot-100TB shape) and the MV rewrite (summary-scan path — its cost
+    # should be grain-bound, near-constant in SF)
+    "x82_m4_downsample",
+    "x85_mv_query_rewrite",
 ]
 
 
