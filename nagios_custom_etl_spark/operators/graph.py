@@ -1,0 +1,142 @@
+"""Graph analytics over co-occurrence relations: co-purchase edge
+extraction and distributed triangle counting.
+
+The reference's nearest capability is the hostgroup/servicegroup
+membership fan-out (extract.py:56-78 walks group->member edges one REST
+page at a time); this module treats the same "items sharing a
+container" relation as a graph and computes a second-order structure
+(triangles = cliques of 3 mutually co-occurring items) that no
+single-pass script can: which parts form stable co-purchase cliques.
+
+Scale design (the part that matters at 100 TB):
+
+* **Edges** come from a self-join of (container, item) pairs on the
+  container key — the shuffle is on ``l_orderkey``, which
+  ``catalog.load_table`` already hash-distributes, and per-container
+  pair fan-out is C(items_per_container, 2), bounded by the order size
+  (TPC-H: <= 7 -> <= 21 pairs).
+* **Triangles** use the degree-ordered orientation (Suri &
+  Vassilvitskii's MR triangle counting; also Schank's forward
+  algorithm): orient every undirected edge from its (degree, id)-lesser
+  endpoint to its greater, then count wedges only at each edge's SOURCE
+  and close them with a hash join back to the oriented edge set. Wedge
+  work is sum_v C(outdeg(v), 2) with outdeg bounded by O(sqrt(m)) —
+  a heavy hub of degree d contributes O(m) wedges instead of the
+  O(d^2) the naive id-ordering pays when low ids happen to be hubs.
+  Every join here is an equi-join on (src) or (src, dst): plain
+  shuffle-hash territory, no broadcast of anything unbounded, no
+  cartesian step anywhere.
+* The triangle SET is orientation-invariant: each triangle {a,b,c} is
+  emitted exactly once whatever total order is used, so a naive
+  id-ordered construction (the DuckDB oracle's) produces the identical
+  result — pinned by the x86 oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.catalog import cache_once
+
+
+def cooccurrence_edges(
+    pairs: DataFrame,
+    container_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edges ``(u, v, support)`` with u < v.
+
+    ``support`` = number of distinct containers in which both items
+    appear; one shuffle on the container key + one on the (u, v) pair.
+    """
+    p = pairs.select(container_col, item_col).distinct()
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, on=container_col)
+        .where(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
+        .groupBy(
+            F.col(f"a.{item_col}").alias("u"),
+            F.col(f"b.{item_col}").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= int(min_support))
+        .select("u", "v")
+    )
+
+
+def _orient(edges: DataFrame) -> DataFrame:
+    """Orient undirected (u, v) edges by the (degree, id) total order.
+
+    Returns ``(src, dst, dst_key)`` where src precedes dst in the
+    order and ``dst_key`` is dst's sort key struct (carried so wedge
+    enumeration can order the two endpoints without re-joining degrees).
+    """
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    def key(deg_col: Column, id_col: Column) -> Column:
+        return F.struct(deg_col.alias("d"), id_col.alias("i"))
+
+    # the degree table is |V| rows — broadcast it so annotating the |E|
+    # edge rows (the big side) never shuffles them; at graphs where |V|
+    # itself is huge, drop the hint and let AQE pick the join
+    du = F.broadcast(deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u")))
+    dv = F.broadcast(deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v")))
+    e = edges.join(du, "u").join(dv, "v")
+    ku, kv = key(F.col("deg_u"), F.col("u")), key(F.col("deg_v"), F.col("v"))
+    return e.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles ``(a, b, c)`` of the undirected graph, each once.
+
+    Degree-ordered forward algorithm: wedges are enumerated only at the
+    orientation-minimal vertex and closed against the oriented edge set
+    with an equi-join on (src, dst).
+    """
+    # the edge set feeds the degree aggregate AND both orientation
+    # joins — cache it, or the upstream co-occurrence self-join
+    # recomputes three times; likewise the oriented set feeds the wedge
+    # self-join and the closing join
+    oe = cache_once(_orient(cache_once(edges)))
+    # SHUFFLE_HASH on both wedge-side joins: the wedge stream is the
+    # huge side (sum_v C(outdeg,2) rows) and hash-probing it against
+    # the edge set skips the sort a merge join would impose on it
+    e1, e2 = oe.alias("e1"), oe.hint("SHUFFLE_HASH").alias("e2")
+    wedges = e1.join(e2, on="src").where(F.col("e1.dst_key") < F.col("e2.dst_key"))
+    closing = oe.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
+    return (
+        wedges.select(
+            F.col("src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+        .join(
+            closing.hint("SHUFFLE_HASH"),
+            on=(F.col("b") == F.col("w1")) & (F.col("c") == F.col("w2")),
+        )
+        .select("a", "b", "c")
+    )
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle membership counts ``(node, n_triangles)``.
+
+    Each triangle contributes one count to each of its three vertices
+    (explode + codegen'd aggregate — no HOF free-ref trap)."""
+    tri = triangles(edges)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -119,6 +119,7 @@ def _commit(
     parent: int,
     stats: dict | None = None,
     schema: list[list[str]] | None = None,
+    txn: str | None = None,
 ) -> int:
     """Publish ``files`` as version ``parent + 1`` atomically.
 
@@ -139,6 +140,8 @@ def _commit(
     }
     if schema is not None:
         manifest["schema"] = schema
+    if txn is not None:
+        manifest["txn"] = txn
     try:
         fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(manifest))
     except FileExistsError as ex:
@@ -197,6 +200,7 @@ def append(
     root: str,
     stats_cols: list[str] | None = None,
     evolve: bool = False,
+    txn: str | None = None,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
     Parent files keep their recorded stats; new files add theirs. The
@@ -204,16 +208,36 @@ def append(
     drift raises :class:`SchemaMismatchError` unless ``evolve=True``,
     which records the merged schema (added columns appended; reads
     reconcile heterogeneous files with NULLs — Delta mergeSchema
-    semantics). Type changes are refused unconditionally."""
+    semantics). Type changes are refused unconditionally.
+
+    ``txn`` is an idempotence token recorded in the manifest (Delta's
+    ``txn``/``setTransaction`` action): a writer that may retry the
+    same logical batch checks :func:`txn_version` first and skips the
+    commit if its token already landed — exactly-once for streaming
+    foreachBatch sinks whose batch id is replayed on recovery."""
     spark = df.sparkSession
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
     base, base_stats = m.get("files", []), m.get("stats", {})
     schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
     files, stats = _write_data_files(df, root, stats_cols)
     return _commit(
-        spark, root, base + files, "append", parent, {**base_stats, **stats}, schema
+        spark, root, base + files, "append", parent, {**base_stats, **stats}, schema, txn=txn
     )
+
+
+def txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
+    """Version that recorded idempotence token ``txn``, or None.
+
+    O(retained manifests) metadata reads — at 100 TB the scan is over
+    small JSON files, and a long-lived writer caches the answer: a
+    token is immutable once committed."""
+    for v in reversed(_manifest_versions(spark, root)):
+        if _read_manifest(spark, root, v).get("txn") == txn:
+            return v
+    return None
 
 
 def overwrite(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:

@@ -6297,3 +6297,155 @@ def x73_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X86 — co-purchase graph triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x86_copurchase_triangles",
+    oracle="""
+    -- per-part triangle participation in the co-purchase graph: nodes
+    -- are parts, an edge links two parts that ever share an order, a
+    -- triangle is three mutually co-purchased parts. The oracle uses
+    -- the NAIVE id-ordering construction (a < b < c); the engine runs
+    -- the degree-ordered forward algorithm -- the triangle SET is
+    -- orientation-invariant, so the hashes must agree, which pins the
+    -- orientation logic itself.
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node ORDER BY node
+    """,
+    doc="X86 distributed triangle counting (operators/graph.py) over "
+    "the co-purchase graph (parts sharing an order, the graph reading "
+    "of the reference's group->member fan-out, extract.py:56-78). "
+    "Edges: one self-join on the order key (<= C(7,2) pairs/order). "
+    "Triangles: Suri-Vassilvitskii degree-ordered orientation -- "
+    "wedges enumerated only at each edge's (degree,id)-minimal "
+    "endpoint, sum_v C(outdeg(v),2) work with outdeg O(sqrt(m)) on "
+    "hubs, closed by an equi-join back to the oriented edge set; no "
+    "cartesian step, no broadcast of anything unbounded. The oracle "
+    "deliberately uses the naive id-ordering: identical triangle set, "
+    "so the hash pins orientation-invariance. K4/planted fixtures in "
+    "tests/test_graph.py.",
+)
+def x86_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_participation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=1)
+    return (
+        triangle_participation(edges)
+        .select("node", F.col("n_triangles").cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X87 — runtime Bloom-filter-pruned shuffle join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x87_bloom_pruned_join",
+    oracle="""
+    -- revenue per EUROPE supplier. The ENGINE side must answer this
+    -- with a runtime Bloom filter injected on the fact scan (asserted
+    -- in-plan: the query function fails if might_contain is absent) --
+    -- the filter is pruning-only, so the answer equals this plain join.
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY s_name ORDER BY s_name
+    """,
+    doc="X87 runtime Bloom-filter semi-join pruning: when the dim side "
+    "is too big to broadcast (forced here with "
+    "autoBroadcastJoinThreshold=-1 -- the 100 TB regime where the "
+    "filtered dim is GBs), Spark's InjectRuntimeFilter plants a "
+    "bloom_filter_agg subquery over the dim keys and a might_contain "
+    "guard on the fact scan, so the shuffle ships only probably-"
+    "matching fact rows -- at a 1/5 region selectivity that is ~80% "
+    "less fact shuffle for one compact bitset broadcast. The query fn "
+    "ASSERTS might_contain is in the optimized plan (a silent "
+    "fallback to an unfiltered shuffle is a perf cliff, so provenance "
+    "is a checked value, as with x85) and materializes under the "
+    "forced-shuffle confs before restoring them. False-positive "
+    "semantics: bloom passes extra rows, the join drops them -- "
+    "result-identical to the plain join, which is what the oracle "
+    "hash-pins. Plan shape also pinned in tests/test_relational.py.",
+)
+def x87_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bloom_confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in bloom_confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        sup = load_table(spark, sf_dir, "supplier")
+        nat = load_table(spark, sf_dir, "nation")
+        reg = load_table(spark, sf_dir, "region")
+        dim = (
+            sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+            .join(reg, nat.n_regionkey == reg.r_regionkey)
+            .where(F.col("r_name") == "EUROPE")
+            .select("s_suppkey", "s_name")
+        )
+        res = (
+            li.join(dim, li.l_suppkey == dim.s_suppkey)
+            .groupBy("s_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        optimized = res._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in optimized:  # the injection IS the operator
+            raise AssertionError("runtime bloom filter was not injected")
+        # execute under the forced-shuffle confs, then restore them
+        return res.orderBy("s_name").localCheckpoint()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1254,3 +1254,76 @@ def st21_snapshot_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "source")
     )
+
+
+@register(
+    "st22_snapshot_stream_sink",
+    oracle="""
+    -- the streaming WRITE side of the snapshot table: three ts-ranged
+    -- micro-batches each commit one snapshot version with the batch id
+    -- recorded as an idempotence token, then batch 0 is REPLAYED (the
+    -- crash-recovery path) and must be a no-op. n_versions pins the
+    -- version count at exactly 3 -- a non-idempotent sink would commit
+    -- a 4th version and double rows, flipping both columns' hashes.
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ST-ext exactly-once streaming commits into the snapshot table "
+    "(streaming/ops.py::snapshot_append_sink) -- the write twin of "
+    "st21's manifest-tailing source, closing the streaming loop over "
+    "the table format: each micro-batch's files land first, the atomic "
+    "manifest create is the commit point, and the batch id is recorded "
+    "as a Delta-style txn token so a replayed batch (same batch_id "
+    "after a sink crash, exercised here by invoking the sink again "
+    "with batch_id=0) is skipped instead of double-committed. History "
+    "is one version per micro-batch, so downstream consumers tail "
+    "incrementally (st21/x84) rather than re-reading the store. "
+    "Token/version mechanics unit-pinned in tests/test_snapshots.py.",
+)
+def st22_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import snapshot_append_sink
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st22_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir, root, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "table"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    # three ts-ranged source files -> three micro-batches -> 3 commits
+    ev.repartitionByRange(3, "ts").write.parquet(src_dir)
+    sink = snapshot_append_sink(root)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # crash-recovery replay of batch 0: the token is already in the
+    # manifest log, so this MUST NOT commit a 4th version
+    sink(ev, 0)
+    n_versions = S.latest_version(spark, root)
+    return (
+        S.read_snapshot(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .orderBy("event_type")
+    )

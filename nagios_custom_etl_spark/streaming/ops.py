@@ -377,3 +377,38 @@ def keyed_upsert_sink(out_dir: str, n_buckets: int = 8):
             latest.unpersist()
 
     return write
+
+
+def snapshot_append_sink(root: str):
+    """foreachBatch sink committing each micro-batch as a SNAPSHOT
+    version of a manifest table (operators/snapshots.py) — the write
+    side of st21's manifest-tailing source, and the streaming analog of
+    the reference's append-only `data_extract.txt` handoff
+    (extract.py:115-132) with real transactional semantics.
+
+    Exactly-once: Structured Streaming replays a micro-batch (same
+    batch_id, same data) after a sink failure mid-write; parquet-append
+    sinks deduplicate via their own log, this sink does it the Delta
+    way — the batch id is recorded in the manifest as an idempotence
+    token (``txn``), and a replayed batch whose token already landed is
+    a no-op. Readers never see a torn batch: data files land first,
+    the atomic manifest create IS the commit point, and an incomplete
+    retry leaves only unreferenced files for gc_orphans.
+
+    At 100 TB: per-batch cost is the batch's data files + one O(files)
+    manifest write; the store's history is every micro-batch, so
+    downstream consumers tail it incrementally (st21/x84) instead of
+    re-listing a growing directory.
+    """
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        token = f"stream-batch-{batch_id}"
+        if S.txn_version(spark, root, token) is not None:
+            return  # replayed batch: already committed, exactly-once
+        if batch_df.isEmpty():
+            return  # trailing no-data trigger: nothing to publish
+        S.append(batch_df, root, txn=token)
+
+    return write

@@ -1,0 +1,63 @@
+"""Triangle counting (operators/graph.py): closed-form fixtures and
+orientation invariance. The x86 oracle additionally hash-pins the full
+co-purchase pipeline against a naive id-ordered DuckDB construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nagios_custom_etl_spark.operators.graph import (
+    cooccurrence_edges,
+    triangle_participation,
+    triangles,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame([(int(u), int(v)) for u, v in pairs], "u long, v long")
+
+
+def test_k4_has_four_triangles_each_vertex_in_three(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri = triangles(_edges_df(spark, k4)).collect()
+    assert len(tri) == 4
+    # each emitted once: the 4 vertex triples of K4, unordered-unique
+    triples = {frozenset((r["a"], r["b"], r["c"])) for r in tri}
+    assert triples == {frozenset(t) for t in [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]}
+    part = {r["node"]: r["n_triangles"] for r in triangle_participation(_edges_df(spark, k4)).collect()}
+    assert part == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_free_graph_is_empty(spark):
+    # C4 (4-cycle) + a pendant edge: no triangles
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4)]
+    assert triangles(_edges_df(spark, c4)).count() == 0
+
+
+def test_hub_graph_orientation_invariance(spark):
+    """A hub (vertex 0) adjacent to all of 1..9, plus ring edges among
+    the leaves: degree orientation points every hub edge AWAY from the
+    leaves (hub has max degree), yet the triangle set must equal the
+    naive id-ordered enumeration."""
+    hub = [(0, i) for i in range(1, 10)]
+    ring = [(i, i + 1) for i in range(1, 9)] + [(1, 9)]
+    edges = _edges_df(spark, hub + ring)
+    got = {
+        frozenset((r["a"], r["b"], r["c"])) for r in triangles(edges).collect()
+    }
+    # naive: every ring edge (i,j) closes with the hub -> 9 triangles
+    expected = {frozenset((0, i, j)) for i, j in ring}
+    assert got == expected
+
+
+def test_cooccurrence_edges_support_threshold(spark):
+    rows = [
+        (1, 10), (1, 11), (1, 12),  # order 1: pairs (10,11) (10,12) (11,12)
+        (2, 10), (2, 11),           # order 2: pair (10,11) again
+        (2, 10),                    # duplicate line: must not double-count
+    ]
+    df = spark.createDataFrame(rows, "ok long, item long")
+    e1 = {(r["u"], r["v"]) for r in cooccurrence_edges(df, "ok", "item").collect()}
+    assert e1 == {(10, 11), (10, 12), (11, 12)}
+    e2 = {(r["u"], r["v"]) for r in cooccurrence_edges(df, "ok", "item", min_support=2).collect()}
+    assert e2 == {(10, 11)}

@@ -109,3 +109,28 @@ def test_no_query_poisons_the_table_cache(spark, sf_dir):
         qs[name].fn(spark, sf_dir).collect()
     plan = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_x87_runtime_bloom_filter_is_injected_and_confs_restored(spark, sf_dir):
+    """x87's contract: the fact-side scan carries a might_contain guard
+    fed by a bloom_filter_agg over the filtered dim keys (the no-
+    broadcast semi-join pruning path), and the forced-shuffle confs the
+    query sets are restored afterwards."""
+    from tests.conftest import SF_ORACLE
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = all_queries()["x87_bloom_pruned_join"].fn(spark, SF_ORACLE)
+    # 1/5 region selectivity over >=100 suppliers: nonempty at sf0.01
+    # under any fixture regeneration (P(empty) ~ 0.8^100)
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # the in-fn provenance assertion is live: with injection disabled
+    # the query must refuse to run rather than silently fall back
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "0")
+    try:
+        import pytest
+
+        with pytest.raises(AssertionError, match="bloom"):
+            all_queries()["x87_bloom_pruned_join"].fn(spark, SF_ORACLE)
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")

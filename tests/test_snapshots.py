@@ -394,3 +394,36 @@ def test_rollback_restores_pre_evolution_schema(spark, root):
     S.append(_df(spark, 3, 5).withColumn("extra", F.lit(1)), root, evolve=True)
     v3 = S.rollback(spark, root, v1)
     assert S.read_snapshot(spark, root, v3).columns == _df(spark, 0, 1).columns
+
+
+def test_txn_token_recorded_and_looked_up(spark, root):
+    v1 = S.append(_df(spark, 0, 2), root, txn="batch-0")
+    v2 = S.append(_df(spark, 2, 4), root, txn="batch-1")
+    S.append(_df(spark, 4, 5), root)  # token-less commit in between
+    assert S.txn_version(spark, root, "batch-0") == v1
+    assert S.txn_version(spark, root, "batch-1") == v2
+    assert S.txn_version(spark, root, "batch-9") is None
+
+
+def test_append_refuses_duplicate_txn(spark, root):
+    S.append(_df(spark, 0, 2), root, txn="batch-0")
+    with pytest.raises(ValueError, match="already committed"):
+        S.append(_df(spark, 0, 2), root, txn="batch-0")
+    assert S.latest_version(spark, root) == 1  # nothing was committed
+
+
+def test_snapshot_append_sink_replay_is_noop(spark, root):
+    """The st22 sink: a replayed micro-batch (same batch_id after a
+    sink crash) must not commit a second version or duplicate rows."""
+    from nagios_custom_etl_spark.streaming.ops import snapshot_append_sink
+
+    sink = snapshot_append_sink(root)
+    sink(_df(spark, 0, 3), 0)
+    sink(_df(spark, 3, 5), 1)
+    assert S.latest_version(spark, root) == 2
+    sink(_df(spark, 0, 3), 0)  # replay of batch 0
+    assert S.latest_version(spark, root) == 2
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(5)]
+    # empty trailing trigger commits nothing
+    sink(_df(spark, 0, 0), 2)
+    assert S.latest_version(spark, root) == 2
