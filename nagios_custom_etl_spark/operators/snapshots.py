@@ -233,7 +233,11 @@ def txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
 
     O(retained manifests) metadata reads — at 100 TB the scan is over
     small JSON files, and a long-lived writer caches the answer: a
-    token is immutable once committed."""
+    token is immutable once committed. Retention caveat (same as
+    Delta's setTransaction): vacuum drops expired manifests and their
+    tokens with them, so a replay arriving LATER than the vacuum
+    horizon would re-commit — keep the vacuum window longer than any
+    possible stream-recovery gap."""
     for v in reversed(_manifest_versions(spark, root)):
         if _read_manifest(spark, root, v).get("txn") == txn:
             return v
