@@ -244,16 +244,25 @@ def txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
     return None
 
 
-def overwrite(df: DataFrame, root: str, stats_cols: list[str] | None = None) -> int:
+def overwrite(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    txn: str | None = None,
+) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
     that is what makes time travel free. An overwrite redefines the
     table, so it records ``df``'s schema wholesale (Delta's
-    overwriteSchema path)."""
+    overwriteSchema path). ``txn`` is the same idempotence token as
+    :func:`append`'s — a read-merge-overwrite maintainer records its
+    batch id so a replayed batch is provably skippable."""
     spark = df.sparkSession
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     files, stats = _write_data_files(df, root, stats_cols)
-    return _commit(spark, root, files, "overwrite", parent, stats, _schema_list(df))
+    return _commit(spark, root, files, "overwrite", parent, stats, _schema_list(df), txn=txn)
 
 
 def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:

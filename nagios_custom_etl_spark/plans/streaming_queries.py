@@ -1327,3 +1327,78 @@ def st22_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(n_versions).cast("long"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "st23_medallion_incremental",
+    oracle="""
+    -- the medallion loop end-to-end over the table format: raw rows
+    -- land in a BRONZE snapshot table (three appends), a streaming
+    -- consumer TAILS its manifest log (st21's source), and each micro-
+    -- batch's partial aggregate is merged into a SILVER snapshot table
+    -- exactly-once (st22's txn tokens). Silver's final content must
+    -- equal the full batch aggregate however the commits were batched
+    -- into triggers, because count/sum are additive; replay_noop pins
+    -- that re-running a committed batch changed nothing.
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM documents WHERE doc_id < 500
+    GROUP BY source ORDER BY source
+    """,
+    doc="ST-ext incremental aggregate maintenance across two snapshot "
+    "tables (streaming/ops.py::snapshot_agg_merge_sink): bronze "
+    "appends are tailed as commit-version offsets, per-batch partials "
+    "merge additively into silver (read current, full-outer join the "
+    "delta, publish as a NEW version -- safe mid-read without any "
+    "materialize guard because overwrite never touches old files), "
+    "batch ids recorded as txn tokens so sink-crash replays are "
+    "no-ops. Two availableNow passes share one checkpoint (restart-"
+    "resume); the replay probe asserts silver's version count is "
+    "unchanged and surfaces it as a hash-pinned column. The Delta-"
+    "Live-Tables/dbt-incremental shape: at 100 TB the merge is "
+    "O(grain + batch), never O(history).",
+)
+def st23_medallion_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    spark.dataSource.register(SnapshotTailSource)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st23_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    silver, ckpt = os.path.join(base, "silver"), os.path.join(base, "ckpt")
+    sink = snapshot_agg_merge_sink(silver)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", bronze)
+            .option("schema_ddl", "doc_id bigint, source string, n_chars bigint")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    S.append(d.filter(F.col("doc_id") < 200), bronze)
+    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), bronze)
+    drain()  # merges v1 + v2 into silver
+    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), bronze)
+    drain()  # resumes from the checkpointed offset: only v3's delta
+    before = S.latest_version(spark, silver)
+    sink(d, 0)  # crash-recovery replay of batch 0: must not re-merge
+    replay_noop = S.latest_version(spark, silver) == before
+    return (
+        S.read_snapshot(spark, silver)
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("source")
+    )

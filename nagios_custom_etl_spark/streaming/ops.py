@@ -412,3 +412,64 @@ def snapshot_append_sink(root: str):
         S.append(batch_df, root, txn=token)
 
     return write
+
+
+def snapshot_agg_merge_sink(silver_root: str, txn_prefix: str = "silver-batch"):
+    """foreachBatch sink maintaining an ADDITIVE aggregate snapshot
+    table (the medallion silver tier) from micro-batches of raw rows:
+    per-batch partial aggregates are merged into the current silver
+    content and published as a new snapshot version, with the batch id
+    as the txn idempotence token.
+
+    Composed with the manifest-tailing source (sources/snapshot_tail)
+    this is end-to-end incremental aggregate maintenance over the table
+    format: the source's checkpoint guarantees each bronze commit is
+    DELIVERED once, the txn token guarantees each batch is COMMITTED
+    once, and additivity (count/sum re-aggregate from partials) makes
+    the merged result equal the full batch recompute — st7's
+    continuous-aggregate idea, upgraded with version isolation on both
+    ends. Readers mid-merge are safe without any materialize step:
+    overwrite writes NEW files and the manifest flip is atomic, so the
+    plan reading the old version never races its own output (unlike
+    dynamic partition overwrite, which rewrites in place and needs the
+    localCheckpoint guard in keyed_upsert_sink).
+
+    At 100 TB: the silver table is grain-sized (per-source rows), so
+    the per-batch merge is O(grain + batch), never O(history); the
+    bronze history stays tail-readable for backfill/audit.
+    """
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        token = f"{txn_prefix}-{batch_id}"
+        if S.txn_version(spark, silver_root, token) is not None:
+            return  # replayed batch: already merged, exactly-once
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        if S.latest_version(spark, silver_root) > 0:
+            cur = S.read_snapshot(spark, silver_root)
+            merged = (
+                cur.alias("t")
+                .join(delta.alias("s"), on="source", how="full_outer")
+                .select(
+                    "source",
+                    (
+                        F.coalesce(F.col("t.n_docs"), F.lit(0))
+                        + F.coalesce(F.col("s.n_docs"), F.lit(0))
+                    ).alias("n_docs"),
+                    (
+                        F.coalesce(F.col("t.total_chars"), F.lit(0))
+                        + F.coalesce(F.col("s.total_chars"), F.lit(0))
+                    ).alias("total_chars"),
+                )
+            )
+        else:
+            merged = delta
+        S.overwrite(merged, silver_root, txn=token)
+
+    return write

@@ -427,3 +427,35 @@ def test_snapshot_append_sink_replay_is_noop(spark, root):
     # empty trailing trigger commits nothing
     sink(_df(spark, 0, 0), 2)
     assert S.latest_version(spark, root) == 2
+
+
+def test_overwrite_txn_and_agg_merge_sink_replay(spark, root):
+    """The st23 silver maintainer: additive merges land as overwrite
+    commits with txn tokens; a replayed batch must not re-merge."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "source string, n_chars long")
+
+    sink = snapshot_agg_merge_sink(root)
+    sink(batch([("a", 10), ("a", 5), ("b", 1)]), 0)
+    sink(batch([("b", 2), ("c", 7)]), 1)
+    want = [("a", 2, 15), ("b", 2, 3), ("c", 1, 7)]
+    got = sorted(tuple(r) for r in S.read_snapshot(spark, root).collect())
+    assert got == want
+    assert S.latest_version(spark, root) == 2
+    sink(batch([("a", 999)]), 0)  # replay: token committed, no-op
+    assert S.latest_version(spark, root) == 2
+    assert sorted(tuple(r) for r in S.read_snapshot(spark, root).collect()) == want
+    # direct overwrite with a duplicate token is refused loudly
+    with pytest.raises(ValueError, match="already committed"):
+        S.overwrite(
+            batch([("z", 1)]).groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            ),
+            root,
+            txn="silver-batch-0",
+        )
