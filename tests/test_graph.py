@@ -61,3 +61,26 @@ def test_cooccurrence_edges_support_threshold(spark):
     assert e1 == {(10, 11), (10, 12), (11, 12)}
     e2 = {(r["u"], r["v"]) for r in cooccurrence_edges(df, "ok", "item", min_support=2).collect()}
     assert e2 == {(10, 11)}
+
+
+def test_random_graphs_match_bruteforce(spark):
+    """Property pin across arbitrary topologies: the degree-ordered
+    forward algorithm equals brute-force triple enumeration on seeded
+    Erdos-Renyi graphs (hubs, ties, isolated vertices, all of it)."""
+    import itertools
+    import random
+
+    for seed, n, p in [(1, 12, 0.4), (2, 18, 0.25), (3, 25, 0.15)]:
+        rng = random.Random(seed)
+        pairs = [(u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < p]
+        adj = set(pairs)
+        expected = {
+            frozenset(t)
+            for t in itertools.combinations(range(n), 3)
+            if (t[0], t[1]) in adj and (t[0], t[2]) in adj and (t[1], t[2]) in adj
+        }
+        got = {
+            frozenset((r["a"], r["b"], r["c"]))
+            for r in triangles(_edges_df(spark, pairs)).collect()
+        }
+        assert got == expected, f"seed={seed}: {len(got)} vs {len(expected)}"
