@@ -37,8 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nagios_custom_etl_spark.catalog import cache_once
-
 
 def cooccurrence_edges(
     pairs: DataFrame,
