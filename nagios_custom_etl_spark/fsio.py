@@ -9,14 +9,22 @@ sidecar (operators/similarity.py) and the snapshot manifest layer
 (operators/snapshots.py) both route through this module.
 
 The one primitive object stores make awkward — atomic create-if-absent —
-is exposed as :func:`create_text_atomic`: ``FileSystem.create(path,
-overwrite=false)`` raises when the path exists, which on HDFS / local FS
-arbitrates racing writers exactly like ``O_CREAT|O_EXCL``. On S3A the
-same call maps to a conditional PUT (If-None-Match) on recent Hadoop,
-else the caller layers a lock service; the protocol is unchanged.
+is exposed as :func:`create_text_atomic`. It is two-phase so a reader can
+never observe a torn commit: the full content is written under a temp
+name first, then renamed into place with ``FileContext.rename(...,
+Rename.NONE)`` — the no-overwrite rename Delta's HDFSLogStore commits
+through. The rename is the commit point: the destination either does not
+exist or holds COMPLETE content, and of two racing writers exactly one
+wins (the loser gets :class:`FileExistsError`). On HDFS the no-overwrite
+check is enforced server-side in one namenode op; on raw local FS it is
+check-then-rename (the same guarantee Delta accepts for ``file:/``); on
+S3A it maps to a conditional PUT (If-None-Match) on recent Hadoop, else
+the caller layers a lock service — protocol unchanged either way.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from py4j.protocol import Py4JJavaError
 
@@ -40,24 +48,43 @@ def write_text(spark, path: str, text: str) -> None:
 def create_text_atomic(spark, path: str, text: str) -> None:
     """Create ``path`` with ``text`` iff it does not already exist.
 
-    The create call is the atomic commit point (the filesystem
-    arbitrates racing writers); raises :class:`FileExistsError` for the
-    loser. Other IO failures propagate unchanged.
+    Two-phase (see module docstring): content lands complete under a
+    sibling ``_tmp_*`` name, then a no-overwrite ``FileContext.rename``
+    moves it into place — so the destination path NEVER holds partial
+    content (the old create-then-write form exposed an empty/torn
+    window a concurrent ``latest_version`` + manifest read could hit).
+    Raises :class:`FileExistsError` for the loser of a commit race (its
+    temp file is cleaned up); other IO failures propagate unchanged. A
+    writer that crashes before rename leaves only a ``_tmp_*`` file,
+    which readers ignore and the orphan GC sweeps.
     """
-    fs, jpath, _ = _fs(spark, path)
+    fs, jpath, jvm = _fs(spark, path)
+    qual = fs.makeQualified(jpath)
+    tmp = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(jpath.getParent(), f"_tmp_{uuid.uuid4().hex}")
+    )
+    out = fs.create(tmp, True)
     try:
-        out = fs.create(jpath, False)
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    gw = spark.sparkContext._gateway
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_cls, 1)
+    opts[0] = rename_cls.NONE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        qual.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    try:
+        fc.rename(tmp, qual, opts)
     except Py4JJavaError as ex:
+        fs.delete(tmp, False)
         jex = ex.java_exception
         name = jex.getClass().getName() if jex is not None else ""
         msg = str(jex.getMessage() or "") if jex is not None else ""
         if "AlreadyExists" in name or "already exists" in msg.lower():
             raise FileExistsError(path) from ex
         raise
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
 
 
 def read_text(spark, path: str) -> str:
@@ -99,3 +126,28 @@ def list_names(spark, path: str) -> list[str]:
     if not fs.exists(jpath):
         return []
     return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
+def list_files_recursive(spark, path: str) -> list[str]:
+    """Relative paths of every FILE under ``path``, at any depth ([] if
+    the dir is absent). Metadata-scale use only (orphan GC's walk of one
+    data directory; partitioned data dirs hold ``col=val`` subdirs)."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    base = str(fs.makeQualified(jpath).toUri().getPath()).rstrip("/")
+    out = []
+    it = fs.listFiles(jpath, True)  # recursive RemoteIterator
+    while it.hasNext():
+        st = it.next()
+        full = str(st.getPath().toUri().getPath())
+        out.append(full[len(base) + 1 :])
+    return sorted(out)
+
+
+def mtime_ms(spark, path: str) -> int:
+    """Modification time of a path in epoch millis — the retention
+    signal orphan GC uses to spare files an in-flight writer just wrote
+    but has not yet committed (Delta VACUUM's retention check)."""
+    fs, jpath, _ = _fs(spark, path)
+    return int(fs.getFileStatus(jpath).getModificationTime())

@@ -139,10 +139,19 @@ def editdist1_self_join(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
             ),
         ),
     )
+    # length >= 1: the usual deletion neighborhood; length == 0: the empty
+    # string is its own (only) variant — dropping it would lose ("", "")
+    # distance-0 and ("", one-char) distance-1 pairs (the one-char side's
+    # deletion IS ""); NULL strings fall out of the explode (no variants),
+    # matching SQL's null-never-equals join semantics.
     ex = df.select(
         F.col(id_col).alias("_id"),
         c.alias("_s"),
-        F.explode(F.when(F.length(c) >= 1, variants)).alias("_v"),
+        F.explode(
+            F.when(F.length(c) >= 1, variants).otherwise(
+                F.when(c.isNotNull(), F.array(c))
+            )
+        ).alias("_v"),
     )
     a = ex.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_v")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_v")

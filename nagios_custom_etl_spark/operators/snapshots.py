@@ -120,6 +120,7 @@ def _commit(
     stats: dict | None = None,
     schema: list[list[str]] | None = None,
     txn: str | None = None,
+    partition_spec: list[str] | None = None,
 ) -> int:
     """Publish ``files`` as version ``parent + 1`` atomically.
 
@@ -142,6 +143,8 @@ def _commit(
         manifest["schema"] = schema
     if txn is not None:
         manifest["txn"] = txn
+    if partition_spec:
+        manifest["partition_spec"] = partition_spec
     try:
         fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(manifest))
     except FileExistsError as ex:
@@ -155,8 +158,10 @@ def _file_stats(spark: SparkSession, path: str, sub: str, stats_cols: list[str])
     """Per-file min/max for ``stats_cols`` in ONE distributed aggregate
     over the just-written directory (grouped on input_file_name — a
     map-side-combinable pass over only the stat columns). Returned keyed
-    by manifest-relative path. Numeric columns only: the values live in
-    JSON manifests and must compare exactly after a round trip."""
+    by manifest-relative path (which may include ``col=val`` partition
+    segments — basenames alone collide across partition dirs). Numeric
+    columns only: the values live in JSON manifests and must compare
+    exactly after a round trip."""
     from pyspark.sql import functions as F
 
     aggs = []
@@ -168,31 +173,57 @@ def _file_stats(spark: SparkSession, path: str, sub: str, stats_cols: list[str])
         .agg(*aggs)
         .collect()  # bounded: one row per written file (manifest metadata)
     )
+
+    def rel(full: str) -> str:
+        return full[full.index(f"/{sub}/") + 1 :]
+
     return {
-        f"{sub}/{r['_f'].rsplit('/', 1)[-1]}": {
-            c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
-        }
+        rel(r["_f"]): {c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols}
         for r in rows
     }
 
 
 def _write_data_files(
-    df: DataFrame, root: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    partition_by: str | None = None,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into an immutable uniquely-named data directory and
     return (part files as relative paths, per-file stats). Files are
     never rewritten or renamed after this — manifests may share them
-    across versions."""
+    across versions. With ``partition_by`` the directory is Hive-layout
+    (``col=val`` subdirs); the partition value is recoverable from each
+    file's relative path, so manifests need no extra field."""
     spark = df.sparkSession
     sub = f"data-{uuid.uuid4().hex[:12]}"
-    df.write.parquet(f"{root}/{sub}")
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(f"{root}/{sub}")
     files = [
         f"{sub}/{f}"
-        for f in fsio.list_names(spark, f"{root}/{sub}")
+        for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
     stats = _file_stats(spark, f"{root}/{sub}", sub, stats_cols) if stats_cols else {}
     return files, stats
+
+
+def _check_partition_spec(
+    parent_manifest: dict, partition_by: str | None
+) -> list[str] | None:
+    """A table's declared partition column is part of its contract: an
+    append must match the parent's spec exactly (None on an unpartitioned
+    table), else file layouts diverge and partition pruning turns
+    unsound. Overwrites redefine the table and may change the spec."""
+    parent_spec = parent_manifest.get("partition_spec")
+    new_spec = [partition_by] if partition_by else None
+    if parent_manifest and parent_spec != new_spec:
+        raise SchemaMismatchError(
+            f"partition spec mismatch: table has {parent_spec}, append has {new_spec}"
+        )
+    return new_spec
 
 
 def append(
@@ -201,6 +232,7 @@ def append(
     stats_cols: list[str] | None = None,
     evolve: bool = False,
     txn: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
     Parent files keep their recorded stats; new files add theirs. The
@@ -220,11 +252,20 @@ def append(
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
+    spec = _check_partition_spec(m, partition_by)
     base, base_stats = m.get("files", []), m.get("stats", {})
     schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
-    files, stats = _write_data_files(df, root, stats_cols)
+    files, stats = _write_data_files(df, root, stats_cols, partition_by)
     return _commit(
-        spark, root, base + files, "append", parent, {**base_stats, **stats}, schema, txn=txn
+        spark,
+        root,
+        base + files,
+        "append",
+        parent,
+        {**base_stats, **stats},
+        schema,
+        txn=txn,
+        partition_spec=spec,
     )
 
 
@@ -249,6 +290,7 @@ def overwrite(
     root: str,
     stats_cols: list[str] | None = None,
     txn: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
@@ -261,38 +303,107 @@ def overwrite(
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
-    files, stats = _write_data_files(df, root, stats_cols)
-    return _commit(spark, root, files, "overwrite", parent, stats, _schema_list(df), txn=txn)
+    files, stats = _write_data_files(df, root, stats_cols, partition_by)
+    return _commit(
+        spark,
+        root,
+        files,
+        "overwrite",
+        parent,
+        stats,
+        _schema_list(df),
+        txn=txn,
+        partition_spec=[partition_by] if partition_by else None,
+    )
 
 
-def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Read the table as of ``version`` (default: latest). Plans from
-    the manifest's explicit file list — no directory listing."""
+def version_as_of(spark: SparkSession, root: str, ts: float) -> int:
+    """Resolve a timestamp to the newest RETAINED version with
+    ``committed_at <= ts`` — the ``TIMESTAMP AS OF`` half of the
+    time-travel contract (``committed_at`` has been in every manifest
+    since v1 of this layer). Refused when no retained version is old
+    enough: either ``ts`` predates the table, or the versions that were
+    current at ``ts`` have been vacuumed — both mean the requested state
+    is not reconstructible, and a silent "nearest newer" answer would be
+    wrong (Delta raises the same way)."""
+    best = None
+    for v in _manifest_versions(spark, root):
+        if _read_manifest(spark, root, v)["committed_at"] <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version committed at or before ts={ts} "
+            "(timestamp predates the table or the version was vacuumed)"
+        )
+    return best
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> DataFrame:
+    """Read the table as of ``version`` (VERSION AS OF), or as of epoch
+    timestamp ``as_of_ts`` (TIMESTAMP AS OF; resolved via
+    :func:`version_as_of`), default latest. Plans from the manifest's
+    explicit file list — no directory listing."""
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version or as_of_ts, not both")
+    if as_of_ts is not None:
+        version = version_as_of(spark, root, as_of_ts)
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     if not m["files"]:
         raise ValueError(f"version {v} is empty")
-    return _read_files(spark, root, m["files"], m.get("schema"))
+    return _read_files(spark, root, m["files"], m.get("schema"), m.get("partition_spec"))
 
 
 def _read_files(
-    spark: SparkSession, root: str, files: list[str], schema: list[list[str]] | None
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema: list[list[str]] | None,
+    partition_spec: list[str] | None = None,
 ) -> DataFrame:
     """Plan a read over manifest-listed files. With a recorded table
     schema the files may be heterogeneous (schema evolution):
     mergeSchema unions the footers, columns absent from EVERY planned
     file are materialized as typed NULLs, and the projection is pinned
-    to the manifest's column order — so every reader sees the table
-    schema regardless of which files survived pruning."""
-    if schema is None:
-        return spark.read.parquet(*[f"{root}/{f}" for f in files])
+    to the manifest's column order (and cast to its types — Hive-layout
+    partition values are strings on disk and must come back as the
+    declared type) — so every reader sees the table schema regardless
+    of which files survived pruning.
+
+    Partitioned tables group the planned files per data directory and
+    read each group under its own ``basePath`` (that is how Spark
+    reconstitutes ``col=val`` path values as columns); the union is over
+    O(retained commits) groups, bounded by compaction."""
     from pyspark.sql import functions as F
 
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[f"{root}/{f}" for f in files]
-    )
+    if partition_spec:
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            groups.setdefault(f.split("/", 1)[0], []).append(f)
+        parts = [
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", f"{root}/{sub}")
+            .parquet(*[f"{root}/{f}" for f in fl])
+            for sub, fl in sorted(groups.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+    elif schema is None:
+        return spark.read.parquet(*[f"{root}/{f}" for f in files])
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{root}/{f}" for f in files]
+        )
+    if schema is None:
+        return df
     cols = [
-        F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+        F.col(n).cast(t).alias(n) if n in df.columns else F.lit(None).cast(t).alias(n)
         for n, t in schema
     ]
     return df.select(*cols)
@@ -312,25 +423,54 @@ def read_snapshot_pruned(
     file opens. Files without recorded stats are conservatively kept.
     Returns (DataFrame, files_planned, files_total); the caller applies
     the residual predicate (pruning is a superset guarantee, not a
-    filter). At 100 TB this is the difference between scheduling the
-    hundreds of files a day-range predicate touches and opening every
-    footer in a million-object table."""
+    filter). On a partitioned table (declared ``partition_spec``) a
+    predicate on the partition column additionally prunes via the
+    ``col=val`` path values — no stats consultation, no file opens:
+    whole partitions drop at manifest-planning time. At 100 TB this is
+    the difference between scheduling the hundreds of files a day-range
+    predicate touches and opening every footer in a million-object
+    table."""
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     stats = m.get("stats", {})
+    spec = m.get("partition_spec") or []
+    simple = dict(m.get("schema") or []).get(col)
+
+    def part_value(f: str):
+        """Typed partition value parsed from the file's relative path,
+        None if absent/null-partition (then pruning falls back to
+        stats/conservative)."""
+        for seg in f.split("/")[1:-1]:
+            if seg.startswith(f"{col}="):
+                raw = seg[len(col) + 1 :]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                try:
+                    if simple in ("tinyint", "smallint", "int", "bigint"):
+                        return int(raw)
+                    if simple in ("float", "double"):
+                        return float(raw)
+                except ValueError:
+                    return None
+                return raw
+        return None
 
     def overlaps(f: str) -> bool:
         s = stats.get(f, {}).get(col)
-        if not s or s[0] is None or s[1] is None:
-            return True
-        return not (s[1] < lo or s[0] > hi)
+        if s and s[0] is not None and s[1] is not None:
+            return not (s[1] < lo or s[0] > hi)
+        if col in spec:
+            v_part = part_value(f)
+            if v_part is not None:
+                return lo <= v_part <= hi
+        return True
 
     planned = [f for f in m["files"] if overlaps(f)]
     if not planned:
         df = read_snapshot(spark, root, v).limit(0)
         return df, 0, len(m["files"])
     return (
-        _read_files(spark, root, planned, m.get("schema")),
+        _read_files(spark, root, planned, m.get("schema"), m.get("partition_spec")),
         len(planned),
         len(m["files"]),
     )
@@ -348,6 +488,7 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
         latest_version(spark, root),
         m.get("stats", {}),
         m.get("schema"),
+        partition_spec=m.get("partition_spec"),
     )
 
 
@@ -357,6 +498,8 @@ def merge_commit(
     keys: list[str],
     when_matched_update=None,
     max_retries: int = 3,
+    prune_on: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE a change batch into the table's LATEST snapshot and publish
     the result as a new version — the snapshot-isolated form of the
@@ -365,31 +508,91 @@ def merge_commit(
     mid-upsert sees its snapshot byte-identical, and the new state only
     becomes visible at the atomic manifest commit.
 
+    ``prune_on`` (a column in ``keys``) makes the merge COPY-ON-WRITE at
+    file granularity, the Delta/Iceberg shape: only files whose recorded
+    [min, max] for that column (the x76 manifest stats) can intersect the
+    source's key range are read, merged, and rewritten; every other
+    file's reference — and its stats — is carried into the child manifest
+    unchanged. Sound because a matched key k lies within the source range
+    and within its file's recorded range, so any file holding a match
+    must intersect; non-intersecting files can hold only unmatched rows,
+    which MERGE keeps verbatim. Source rows with NULL key never match
+    (SQL MERGE semantics) and land as inserts in the new files. At
+    100 TB this is the flagged-scale fix: a 1 GB keyed batch rewrites the
+    handful of files containing its keys plus one manifest, not the
+    table. ``stats_cols`` (default ``[prune_on]``) records stats on the
+    newly written files so subsequent merges keep pruning.
+
     Optimistic concurrency: data files are written FIRST (expensive,
     conflict-free), then the manifest commit arbitrates; on
     ConcurrentCommitError the merge re-runs against the new latest (the
     just-written files are orphaned — unreachable from any manifest, so
     harmless to readers; a Delta-style orphan-file GC reclaims them).
     First commit on an empty table inserts the batch as version 1.
+    Reference behavior: extract.py:115-132 — the flat-file in-place
+    rewrite this replaces with transactional, file-pruned semantics.
     """
+    from pyspark.sql import functions as F
+
     from nagios_custom_etl_spark.operators.merge import merge_upsert
 
     spark = source.sparkSession
+    if prune_on is not None and prune_on not in keys:
+        raise ValueError(f"prune_on {prune_on!r} must be one of keys {keys}")
+    if stats_cols is None and prune_on is not None:
+        stats_cols = [prune_on]
     last_err: Exception | None = None
     for _ in range(max_retries):
         parent = latest_version(spark, root)
+        m = _read_manifest(spark, root, parent) if parent else {}
+        untouched: list[str] = []
         if parent == 0:
             merged = source
         else:
-            merged = merge_upsert(
-                read_snapshot(spark, root, parent),
-                source,
-                keys=keys,
-                when_matched_update=when_matched_update,
-            )
-        files, _ = _write_data_files(merged, root)
+            touched = m["files"]
+            if prune_on is not None:
+                fstats = m.get("stats", {})
+                lo, hi = source.agg(F.min(prune_on), F.max(prune_on)).first()
+
+                def can_match(f: str) -> bool:
+                    if lo is None:  # all-NULL (or empty) source: no file matches
+                        return False
+                    s = fstats.get(f, {}).get(prune_on)
+                    if not s or s[0] is None or s[1] is None:
+                        return True  # no stats: conservatively rewrite
+                    return not (s[1] < lo or s[0] > hi)
+
+                touched = [f for f in m["files"] if can_match(f)]
+                untouched = [f for f in m["files"] if f not in set(touched)]
+            if touched:
+                target = _read_files(
+                    spark, root, touched, m.get("schema"), m.get("partition_spec")
+                )
+                merged = merge_upsert(
+                    target, source, keys=keys, when_matched_update=when_matched_update
+                )
+            else:  # no file can contain a match: the whole batch inserts
+                merged = source
+            if m.get("schema"):  # pin insert-only batches to table column order
+                merged = merged.select(*[n for n, _ in m["schema"]])
+        spec = m.get("partition_spec")
+        files, stats = _write_data_files(
+            merged, root, stats_cols, spec[0] if spec else None
+        )
+        carried_stats = {
+            f: s for f, s in m.get("stats", {}).items() if f in set(untouched)
+        }
         try:
-            return _commit(spark, root, files, "merge", parent, None, _schema_list(merged))
+            return _commit(
+                spark,
+                root,
+                untouched + files,
+                "merge",
+                parent,
+                {**carried_stats, **stats} if (carried_stats or stats) else None,
+                m.get("schema") or _schema_list(merged),
+                partition_spec=spec,
+            )
         except ConcurrentCommitError as ex:  # lost the race: retry on new latest
             last_err = ex
     raise last_err  # type: ignore[misc]
@@ -418,22 +621,37 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     return sorted(set(deleted))
 
 
-def gc_orphans(spark: SparkSession, root: str) -> list[str]:
+def gc_orphans(
+    spark: SparkSession, root: str, min_age_sec: float = 6 * 3600.0
+) -> list[str]:
     """Delete data files referenced by NO manifest — the obverse of
     :func:`vacuum` (which expires OLD versions): orphans are files a
     writer produced before LOSING a commit race (merge_commit writes
-    data first, then arbitrates) or before crashing mid-commit. Safe by
-    the commit protocol: a file absent from every manifest can never
-    BECOME referenced (a commit only references files its own writer
-    just wrote under a fresh uuid directory), so deleting it cannot
-    race a reader or a writer. Returns the deleted relative paths.
+    data first, then arbitrates) or before crashing mid-commit.
 
-    This is the maintenance job Delta spells ``VACUUM`` for
-    un-committed files; it must LIST the data directories (the one
-    place listing is unavoidable — orphans are by definition outside
-    all metadata), which is why it runs as a scheduled job, never on
-    the read path. Empty orphaned directories are removed with their
-    files."""
+    An unreferenced file CAN still become referenced: every writer
+    (append, overwrite, merge_commit) writes its data files BEFORE the
+    manifest commit, so a concurrent GC could delete an in-flight
+    writer's files and let its subsequent commit publish dangling
+    references. The ``min_age_sec`` retention guard closes that window
+    — exactly Delta VACUUM's retention check: only files whose mtime is
+    older than the threshold are deleted, and the threshold need only
+    exceed the longest possible write-files→commit gap. Pass ``0`` only
+    when no writer can be in flight (single-writer maintenance window).
+    Files already past retention are safe by the commit protocol: a
+    commit only references files its own writer JUST wrote under a
+    fresh uuid directory, never hours-old strays.
+
+    Returns the deleted relative paths (data files, plus any aged-out
+    ``_snapshots/_tmp_*`` left by writers that crashed between the
+    manifest temp-write and its atomic rename). The walk recurses into
+    Hive-layout ``col=val`` subdirs of partitioned tables. This is the
+    maintenance job Delta spells ``VACUUM`` for un-committed files; it
+    must LIST the data directories (the one place listing is
+    unavoidable — orphans are by definition outside all metadata),
+    which is why it runs as a scheduled job, never on the read path.
+    Directories left with no live files are removed with them."""
+    cutoff_ms = (time.time() - min_age_sec) * 1000.0
     reachable: set[str] = set()
     for v in _manifest_versions(spark, root):
         reachable.update(_read_manifest(spark, root, v)["files"])
@@ -441,22 +659,83 @@ def gc_orphans(spark: SparkSession, root: str) -> list[str]:
     for d in fsio.list_names(spark, root):
         if not d.startswith("data-"):
             continue
-        names = fsio.list_names(spark, f"{root}/{d}")
         live = False
-        for f in names:
+        for f in fsio.list_files_recursive(spark, f"{root}/{d}"):
+            if not f.endswith(".parquet"):
+                continue
             rel = f"{d}/{f}"
-            if f.endswith(".parquet"):
-                if rel in reachable:
-                    live = True
-                elif fsio.delete(spark, f"{root}/{rel}", recursive=False):
-                    deleted.append(rel)
+            if rel in reachable:
+                live = True
+            elif fsio.mtime_ms(spark, f"{root}/{rel}") > cutoff_ms:
+                live = True  # young: may belong to an in-flight commit
+            elif fsio.delete(spark, f"{root}/{rel}", recursive=False):
+                deleted.append(rel)
         if not live:
             fsio.delete(spark, f"{root}/{d}", recursive=True)
+    for f in fsio.list_names(spark, _snap_dir(root)):
+        rel = f"_snapshots/{f}"
+        if f.startswith("_tmp_") and fsio.mtime_ms(spark, f"{root}/{rel}") <= cutoff_ms:
+            if fsio.delete(spark, f"{root}/{rel}", recursive=False):
+                deleted.append(rel)
     return sorted(deleted)
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_file_count: int = 1,
+    min_files: int = 2,
+) -> int | None:
+    """Rewrite the LATEST snapshot's sliver files into
+    ``target_file_count`` files and publish the result as a layout-only
+    ``replace`` version — Delta/Iceberg ``OPTIMIZE`` through the
+    manifest: same rows, same schema, same stats semantics (per-file
+    min/max recomputed for every column the manifest tracked), old
+    versions still readable, and the slivers reclaimable by a later
+    :func:`vacuum`. Streaming snapshot sinks (st22/st23) produce one
+    small-file version per micro-batch; without this job a tailed table
+    decays into millions of kilobyte files whose per-file scheduling
+    overhead dominates 100 TB scans. Returns the new version, or None
+    when the table already has <= ``min_files`` files (idempotence: a
+    second compact is a no-op, not an empty churn commit).
+
+    The ``replace`` op is deliberately NOT ``append``: incremental
+    readers (x84 / snapshot_tail) refuse ranges crossing it, because a
+    layout rewrite re-adds existing ROWS under new FILES and a file-diff
+    consumer would double-count them. Consumers resume from the
+    compacted version. Partitioned tables keep their layout (rewrites
+    coalesce within the declared partitioning)."""
+    parent = latest_version(spark, root)
+    if parent == 0:
+        return None
+    m = _read_manifest(spark, root, parent)
+    if len(m["files"]) <= max(min_files, target_file_count):
+        return None
+    df = _read_files(spark, root, m["files"], m.get("schema"), m.get("partition_spec"))
+    stats_cols = sorted({c for s in m.get("stats", {}).values() for c in s}) or None
+    spec = m.get("partition_spec")
+    files, stats = _write_data_files(
+        df.coalesce(target_file_count), root, stats_cols, spec[0] if spec else None
+    )
+    return _commit(
+        spark,
+        root,
+        files,
+        "replace",
+        parent,
+        stats or None,
+        m.get("schema"),
+        partition_spec=spec,
+    )
+
+
 def read_incremental(
-    spark: SparkSession, root: str, since_version: int, to_version: int | None = None
+    spark: SparkSession,
+    root: str,
+    since_version: int | None = None,
+    to_version: int | None = None,
+    since_ts: float | None = None,
+    to_ts: float | None = None,
 ) -> DataFrame:
     """Read ONLY the rows added after ``since_version`` (exclusive) up
     to ``to_version`` (inclusive, default latest) — the Iceberg
@@ -474,7 +753,27 @@ def read_incremental(
     the chain is checked and non-append histories are refused (consume
     a mutating table through x41's snapshot CDC instead). A vacuumed
     (missing) manifest inside the range is likewise refused: the
-    append-only proof cannot be reconstructed."""
+    append-only proof cannot be reconstructed.
+
+    Bounds may be given as versions or as epoch timestamps
+    (``since_ts`` / ``to_ts``, resolved through :func:`version_as_of` —
+    "changes since 2 a.m." without knowing version numbers). The delta
+    is planned through the same schema-reconciling reader as full
+    snapshots: when the range spans an ``evolve=True`` append the new
+    files are heterogeneous, and every row comes back in the
+    ``to_version`` table schema with typed-NULL backfill — a plain
+    parquet read would let whichever footer wins inference drop or
+    surface the evolved columns at random."""
+    if since_version is not None and since_ts is not None:
+        raise ValueError("pass since_version or since_ts, not both")
+    if to_version is not None and to_ts is not None:
+        raise ValueError("pass to_version or to_ts, not both")
+    if since_ts is not None:
+        since_version = version_as_of(spark, root, since_ts)
+    if since_version is None:
+        raise ValueError("one of since_version / since_ts is required")
+    if to_ts is not None:
+        to_version = version_as_of(spark, root, to_ts)
     v_to = latest_version(spark, root) if to_version is None else to_version
     if v_to < since_version:
         raise ValueError(f"to_version {v_to} precedes since_version {since_version}")
@@ -485,9 +784,9 @@ def read_incremental(
         op = _read_manifest(spark, root, v)["op"]
         if op != "append":
             raise ValueError(f"version {v} is '{op}', not append: incremental read unsound")
-    cur = _read_manifest(spark, root, v_to)["files"]
+    m_to = _read_manifest(spark, root, v_to)
     base = set(_read_manifest(spark, root, since_version)["files"]) if since_version else set()
-    new = [f for f in cur if f not in base]
+    new = [f for f in m_to["files"] if f not in base]
     if not new:
         return read_snapshot(spark, root, v_to).limit(0)
-    return spark.read.parquet(*[f"{root}/{f}" for f in new])
+    return _read_files(spark, root, new, m_to.get("schema"), m_to.get("partition_spec"))

@@ -5675,9 +5675,12 @@ def x79_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     v1 = S.overwrite(d.filter(F.col("doc_id") < 300), root)
-    # a crashed writer: data files on disk, no manifest references them
+    # a crashed writer: data files on disk, no manifest references them.
+    # min_age_sec=0 because this maintenance window provably has no
+    # in-flight writer; production runs keep the default retention so GC
+    # cannot eat files a concurrent writer wrote but has not committed.
     S._write_data_files(d.filter(F.col("doc_id") % 2 == 0).repartition(2), root)
-    deleted = S.gc_orphans(spark, root)
+    deleted = S.gc_orphans(spark, root, min_age_sec=0.0)
     return S.read_snapshot(spark, root, v1).agg(
         F.lit(len(deleted)).cast("long").alias("n_orphans_deleted"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),

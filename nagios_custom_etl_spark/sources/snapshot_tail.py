@@ -148,7 +148,13 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
+        # partition.path is fs-RELATIVE (FileSystem.from_uri strips the
+        # scheme when resolving s3://-style roots), so the filesystem must
+        # be re-resolved here on the executor — a bare pq.read_table would
+        # try the stripped path against the local FS and fail for any
+        # non-local root.
+        fs, _ = _open_fs(self.root)
+        table = pq.read_table(partition.path, filesystem=fs)
         n = table.num_rows
         arrays, fields = [], []
         for name, simple in self.columns:

@@ -414,12 +414,29 @@ def snapshot_append_sink(root: str):
     return write
 
 
-def snapshot_agg_merge_sink(silver_root: str, txn_prefix: str = "silver-batch"):
+def snapshot_agg_merge_sink(
+    silver_root: str,
+    dims: list[str] | None = None,
+    measures: dict[str, tuple[str, str | None, str]] | None = None,
+    txn_prefix: str = "silver-batch",
+):
     """foreachBatch sink maintaining an ADDITIVE aggregate snapshot
     table (the medallion silver tier) from micro-batches of raw rows:
     per-batch partial aggregates are merged into the current silver
     content and published as a new snapshot version, with the batch id
     as the txn idempotence token.
+
+    Parameterized over the aggregate spec (the mv_rewrite/x71 carrier
+    convention): ``dims`` is the grain, ``measures`` maps each output
+    column to ``(kind, source_col, carrier_type)`` with kind in
+    {"count", "sum"} — the self-decomposable aggregates whose partials
+    re-aggregate exactly; use a ``decimal(p,s)`` carrier for money-like
+    sums (bit-exact re-association) and ``long`` for counts/int sums.
+    Defaults reproduce the original st23 silver schema (per-source doc
+    and char counts), which is now just one instantiation. The merge is
+    a union + re-aggregate over (current grain rows + batch partials) —
+    one shuffle at grain cardinality, NULL dim values grouping naturally
+    (no join null-matching pitfalls).
 
     Composed with the manifest-tailing source (sources/snapshot_tail)
     this is end-to-end incremental aggregate maintenance over the table
@@ -440,6 +457,31 @@ def snapshot_agg_merge_sink(silver_root: str, txn_prefix: str = "silver-batch"):
     """
     from nagios_custom_etl_spark.operators import snapshots as S
 
+    dims = list(dims) if dims is not None else ["source"]
+    measures = measures or {
+        "n_docs": ("count", None, "long"),
+        "total_chars": ("sum", "n_chars", "long"),
+    }
+    for out, (kind, _src, _typ) in measures.items():
+        if kind not in ("count", "sum"):
+            raise ValueError(
+                f"measure {out!r}: kind {kind!r} is not additive "
+                "(count/sum only — min/max/distinct do not re-aggregate)"
+            )
+
+    def _partials(df: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (kind, src, typ) in measures.items():
+            expr = F.count(F.lit(1)) if kind == "count" else F.sum(F.col(src).cast(typ))
+            aggs.append(expr.cast(typ).alias(out))
+        return df.groupBy(*dims).agg(*aggs)
+
+    def _remerge(df: DataFrame) -> DataFrame:
+        aggs = [
+            F.sum(out).cast(typ).alias(out) for out, (_k, _s, typ) in measures.items()
+        ]
+        return df.groupBy(*dims).agg(*aggs)
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         token = f"{txn_prefix}-{batch_id}"
@@ -447,27 +489,10 @@ def snapshot_agg_merge_sink(silver_root: str, txn_prefix: str = "silver-batch"):
             return  # replayed batch: already merged, exactly-once
         if batch_df.isEmpty():
             return
-        delta = batch_df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
+        delta = _partials(batch_df)
         if S.latest_version(spark, silver_root) > 0:
-            cur = S.read_snapshot(spark, silver_root)
-            merged = (
-                cur.alias("t")
-                .join(delta.alias("s"), on="source", how="full_outer")
-                .select(
-                    "source",
-                    (
-                        F.coalesce(F.col("t.n_docs"), F.lit(0))
-                        + F.coalesce(F.col("s.n_docs"), F.lit(0))
-                    ).alias("n_docs"),
-                    (
-                        F.coalesce(F.col("t.total_chars"), F.lit(0))
-                        + F.coalesce(F.col("s.total_chars"), F.lit(0))
-                    ).alias("total_chars"),
-                )
-            )
+            cur = S.read_snapshot(spark, silver_root).select(*delta.columns)
+            merged = _remerge(cur.unionByName(delta))
         else:
             merged = delta
         S.overwrite(merged, silver_root, txn=token)

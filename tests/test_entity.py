@@ -132,3 +132,24 @@ def test_editdist1_matches_bruteforce(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_editdist1_empty_strings_and_nulls(spark):
+    """r8 ADVICE: length-0 strings are their own only deletion variant —
+    ("", "") at distance 0 and ("", single-char) at distance 1 must be
+    found; NULL strings never pair (SQL null-equality semantics)."""
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.operators.entity import editdist1_self_join
+
+    df = spark.createDataFrame(
+        [Row(id=1, s=""), Row(id=2, s=""), Row(id=3, s="a"), Row(id=4, s="ab"),
+         Row(id=5, s=None), Row(id=6, s=None)],
+        "id int, s string",
+    )
+    got = {(r.id_a, r.id_b, r.distance) for r in editdist1_self_join(df, "id", "s").collect()}
+    assert got == {
+        (1, 2, 0),  # "" == ""
+        (1, 3, 1), (2, 3, 1),  # "" <-> "a"
+        (3, 4, 1),  # "a" <-> "ab"
+    }

@@ -269,7 +269,7 @@ def test_gc_orphans_deletes_only_unreferenced(spark, root):
     v1 = S.overwrite(_df(spark, 0, 10), root)
     files_v1 = set(S._read_manifest(spark, root, v1)["files"])
     orphan_files, _ = S._write_data_files(_df(spark, 50, 60), root)
-    deleted = S.gc_orphans(spark, root)
+    deleted = S.gc_orphans(spark, root, min_age_sec=0.0)
     assert set(deleted) == set(orphan_files)
     # committed version untouched: manifest identical, content readable
     assert set(S._read_manifest(spark, root, v1)["files"]) == files_v1
@@ -283,7 +283,7 @@ def test_gc_orphans_spares_files_shared_by_old_versions(spark, root):
     S.overwrite(_df(spark, 0, 5), root)  # v1
     S.append(_df(spark, 5, 8), root)  # v2 shares v1's files
     S.overwrite(_df(spark, 100, 103), root)  # v3 references neither
-    deleted = S.gc_orphans(spark, root)
+    deleted = S.gc_orphans(spark, root, min_age_sec=0.0)
     assert deleted == []  # every file is reachable from SOME manifest
     assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(8)]
 
@@ -292,12 +292,12 @@ def test_gc_orphans_idempotent_and_empty_table(spark, root):
     import os
 
     os.makedirs(root, exist_ok=True)
-    assert S.gc_orphans(spark, root) == []  # no manifests, no data: no-op
+    assert S.gc_orphans(spark, root, min_age_sec=0.0) == []  # no manifests, no data: no-op
     S.overwrite(_df(spark, 0, 3), root)
     S._write_data_files(_df(spark, 9, 12), root)
-    first = S.gc_orphans(spark, root)
+    first = S.gc_orphans(spark, root, min_age_sec=0.0)
     assert first  # removed the orphan
-    assert S.gc_orphans(spark, root) == []  # second run finds nothing
+    assert S.gc_orphans(spark, root, min_age_sec=0.0) == []  # second run finds nothing
 
 
 # --- incremental read (x84) --------------------------------------------------
@@ -459,3 +459,349 @@ def test_overwrite_txn_and_agg_merge_sink_replay(spark, root):
             root,
             txn="silver-batch-0",
         )
+
+
+# --- gc retention guard / atomic manifest rename (r8 ADVICE) -----------------
+
+
+def test_gc_orphans_retention_spares_young_files(spark, root):
+    """An in-flight writer's just-written files (pre-commit) must survive
+    a concurrent GC: default retention spares anything younger than the
+    threshold, and the file is committable afterwards."""
+    S.overwrite(_df(spark, 0, 3), root)
+    orphan_files, _ = S._write_data_files(_df(spark, 9, 12), root)
+    assert S.gc_orphans(spark, root) == []  # default retention: too young
+    for f in orphan_files:
+        assert fsio.exists(spark, f"{root}/{f}")
+    # the "in-flight writer" now commits those very files: no dangling refs
+    v = S._commit(spark, root, orphan_files, "append", S.latest_version(spark, root))
+    assert sorted(r.i for r in S.read_snapshot(spark, root, v).collect()) == [9, 10, 11]
+    # aged-out orphans still die under an explicit zero retention
+    more, _ = S._write_data_files(_df(spark, 20, 22), root)
+    assert set(S.gc_orphans(spark, root, min_age_sec=0.0)) == set(more)
+
+
+def test_manifest_commit_is_rename_atomic(spark, root):
+    """create_text_atomic lands content via tmp-write + no-overwrite
+    rename: the final path never exists without complete content, the
+    race loser errors, and no _tmp_ residue survives a successful commit."""
+    path = f"{root}/_snapshots/v00000001.json"
+    fsio.mkdirs(spark, f"{root}/_snapshots")
+    fsio.create_text_atomic(spark, path, '{"version": 1}')
+    assert json.loads(fsio.read_text(spark, path)) == {"version": 1}
+    with pytest.raises(FileExistsError):
+        fsio.create_text_atomic(spark, path, '{"version": "loser"}')
+    assert json.loads(fsio.read_text(spark, path)) == {"version": 1}  # winner intact
+    assert [
+        f for f in fsio.list_names(spark, f"{root}/_snapshots") if f.startswith("_tmp_")
+    ] == []
+
+
+def test_crashed_tmp_manifest_is_invisible_and_gc_swept(spark, root):
+    """A writer that died between tmp-write and rename leaves a _tmp_
+    file: readers ignore it (not a version) and gc_orphans sweeps it once
+    aged out."""
+    S.overwrite(_df(spark, 0, 2), root)
+    fsio.write_text(spark, f"{root}/_snapshots/_tmp_deadbeef", '{"torn": ')
+    assert S._manifest_versions(spark, root) == [1]
+    assert _rows(S.read_snapshot(spark, root)) == [(0, "r0"), (1, "r1")]
+    assert S.gc_orphans(spark, root) == []  # young tmp: retained
+    deleted = S.gc_orphans(spark, root, min_age_sec=0.0)
+    assert deleted == ["_snapshots/_tmp_deadbeef"]
+    assert not fsio.exists(spark, f"{root}/_snapshots/_tmp_deadbeef")
+
+
+def test_incremental_read_reconciles_evolved_schema(spark, root):
+    """r8 ADVICE: a range spanning an evolve=True append must surface the
+    evolved column from ALL delta files — typed-null backfill for files
+    that predate it, exactly like read_snapshot."""
+    v1 = S.append(_df(spark, 0, 3).coalesce(1), root)
+    S.append(_df(spark, 3, 5).coalesce(1), root)  # pre-evolution delta file
+    S.append(
+        _df(spark, 5, 7).coalesce(1).withColumn("extra", F.lit(9)), root, evolve=True
+    )
+    inc = S.read_incremental(spark, root, since_version=v1)
+    rows = inc.orderBy("i").collect()
+    assert [r["i"] for r in rows] == [3, 4, 5, 6]
+    assert [r["extra"] for r in rows] == [None, None, 9, 9]
+    assert dict(inc.dtypes)["extra"] == "int"
+
+
+# --- file-pruned copy-on-write MERGE (x88) -----------------------------------
+
+
+def _keyed(spark, lo, hi, tag="base"):
+    return spark.createDataFrame(
+        [Row(k=i, v=f"{tag}{i}") for i in range(lo, hi)], "k int, v string"
+    )
+
+
+def test_merge_commit_prunes_untouched_files(spark, root):
+    # three single-file appends with disjoint key ranges + stats
+    S.append(_keyed(spark, 0, 10).coalesce(1), root, stats_cols=["k"])
+    S.append(_keyed(spark, 10, 20).coalesce(1), root, stats_cols=["k"])
+    v3 = S.append(_keyed(spark, 20, 30).coalesce(1), root, stats_cols=["k"])
+    m3 = S._read_manifest(spark, root, v3)
+    assert len(m3["files"]) == 3
+    by_range = {tuple(m3["stats"][f]["k"]): f for f in m3["files"]}
+    touched_file = by_range[(10, 19)]
+    untouched = sorted(set(m3["files"]) - {touched_file})
+    # merge a batch whose keys live entirely in the middle file
+    src = spark.createDataFrame([Row(k=12, v="UPD"), Row(k=17, v="UPD")], "k int, v string")
+    v4 = S.merge_commit(
+        root,
+        src,
+        keys=["k"],
+        when_matched_update={"k": F.col("t.k"), "v": F.col("s.v")},
+        prune_on="k",
+    )
+    m4 = S._read_manifest(spark, root, v4)
+    # untouched file REFERENCES survive byte-identical (same relative
+    # paths — no rewrite), and their stats are carried forward unchanged
+    assert set(untouched) <= set(m4["files"])
+    assert touched_file not in m4["files"]
+    for f in untouched:
+        assert m4["stats"][f] == m3["stats"][f]
+    got = {r.k: r.v for r in S.read_snapshot(spark, root, v4).collect()}
+    assert len(got) == 30
+    assert got[12] == "UPD" and got[17] == "UPD"
+    assert got[5] == "base5" and got[25] == "base25" and got[11] == "base11"
+    # new files carry stats on the prune key so the NEXT merge prunes too
+    new_files = set(m4["files"]) - set(untouched)
+    for f in new_files:
+        assert "k" in m4["stats"][f]
+
+
+def test_merge_commit_pure_insert_batch_carries_every_file(spark, root):
+    S.append(_keyed(spark, 0, 10).coalesce(1), root, stats_cols=["k"])
+    v2 = S.append(_keyed(spark, 10, 20).coalesce(1), root, stats_cols=["k"])
+    m2 = S._read_manifest(spark, root, v2)
+    src = _keyed(spark, 100, 103, tag="new")
+    v3 = S.merge_commit(root, src, keys=["k"], prune_on="k")
+    m3 = S._read_manifest(spark, root, v3)
+    assert set(m2["files"]) <= set(m3["files"])  # nothing rewritten
+    got = {r.k: r.v for r in S.read_snapshot(spark, root, v3).collect()}
+    assert len(got) == 23 and got[100] == "new100" and got[5] == "base5"
+
+
+def test_merge_commit_without_stats_rewrites_conservatively(spark, root):
+    S.append(_keyed(spark, 0, 10).coalesce(1), root)  # no stats recorded
+    src = spark.createDataFrame([Row(k=3, v="UPD")], "k int, v string")
+    v = S.merge_commit(
+        root,
+        src,
+        keys=["k"],
+        when_matched_update={"k": F.col("t.k"), "v": F.col("s.v")},
+        prune_on="k",
+    )
+    got = {r.k: r.v for r in S.read_snapshot(spark, root, v).collect()}
+    assert got[3] == "UPD" and len(got) == 10
+
+
+def test_merge_commit_null_key_source_inserts_without_rewrite(spark, root):
+    S.append(_keyed(spark, 0, 5).coalesce(1), root, stats_cols=["k"])
+    v1_files = S._read_manifest(spark, root, 1)["files"]
+    src = spark.createDataFrame([Row(k=None, v="nullrow")], "k int, v string")
+    v = S.merge_commit(root, src, keys=["k"], prune_on="k")
+    m = S._read_manifest(spark, root, v)
+    assert set(v1_files) <= set(m["files"])  # all-NULL source: no file touched
+    rows = S.read_snapshot(spark, root, v).collect()
+    assert len(rows) == 6 and any(r.k is None and r.v == "nullrow" for r in rows)
+
+
+def test_merge_commit_prune_on_must_be_a_key(spark, root):
+    with pytest.raises(ValueError, match="prune_on"):
+        S.merge_commit(root, _keyed(spark, 0, 2), keys=["k"], prune_on="v")
+
+
+# --- timestamp time travel (x90) ---------------------------------------------
+
+
+def test_read_snapshot_as_of_ts_and_boundaries(spark, root):
+    v1 = S.overwrite(_df(spark, 0, 2), root)
+    v2 = S.overwrite(_df(spark, 10, 12), root)
+    ca1 = S._read_manifest(spark, root, v1)["committed_at"]
+    ca2 = S._read_manifest(spark, root, v2)["committed_at"]
+    assert ca1 < ca2
+    # exact commit timestamp resolves to THAT version (<=, not <)
+    assert S.version_as_of(spark, root, ca1) == v1
+    assert S.version_as_of(spark, root, ca2) == v2
+    assert _rows(S.read_snapshot(spark, root, as_of_ts=(ca1 + ca2) / 2)) == [
+        (0, "r0"),
+        (1, "r1"),
+    ]
+    assert _rows(S.read_snapshot(spark, root, as_of_ts=ca2 + 1)) == [(10, "r10"), (11, "r11")]
+    # pre-v1 timestamps are refused, never silently rounded up
+    with pytest.raises(ValueError, match="predates the table|vacuumed"):
+        S.read_snapshot(spark, root, as_of_ts=ca1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, root, version=v1, as_of_ts=ca1)
+
+
+def test_version_as_of_refuses_vacuumed_window(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.overwrite(_df(spark, 2, 4), root)
+    ca1 = S._read_manifest(spark, root, 1)["committed_at"]
+    S.vacuum(spark, root, keep_last=1)  # v1's manifest is gone
+    with pytest.raises(ValueError, match="vacuumed|predates"):
+        S.version_as_of(spark, root, ca1)  # that state is unreconstructible
+
+
+def test_read_incremental_ts_bounds(spark, root):
+    v1 = S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 3, 5), root)
+    v3 = S.append(_df(spark, 5, 8), root)
+    ca1 = S._read_manifest(spark, root, v1)["committed_at"]
+    ca2 = S._read_manifest(spark, root, 2)["committed_at"]
+    ca3 = S._read_manifest(spark, root, v3)["committed_at"]
+    assert _rows(S.read_incremental(spark, root, since_ts=ca1)) == [
+        (i, f"r{i}") for i in range(3, 8)
+    ]
+    assert _rows(S.read_incremental(spark, root, since_ts=ca1, to_ts=ca2)) == [
+        (i, f"r{i}") for i in range(3, 5)
+    ]
+    assert _rows(S.read_incremental(spark, root, since_version=v1, to_ts=ca3)) == [
+        (i, f"r{i}") for i in range(3, 8)
+    ]
+    with pytest.raises(ValueError, match="not both"):
+        S.read_incremental(spark, root, since_version=v1, since_ts=ca1)
+    with pytest.raises(ValueError, match="required"):
+        S.read_incremental(spark, root)
+
+
+# --- transactional compaction (x91) ------------------------------------------
+
+
+def test_compact_rewrites_slivers_same_rows(spark, root):
+    for lo in range(0, 12, 3):  # four single-file sliver appends
+        S.append(_df(spark, lo, lo + 3).coalesce(1), root, stats_cols=["i"])
+    v4 = S.latest_version(spark, root)
+    m4 = S._read_manifest(spark, root, v4)
+    assert len(m4["files"]) == 4
+    v5 = S.compact(spark, root)
+    m5 = S._read_manifest(spark, root, v5)
+    assert m5["op"] == "replace" and len(m5["files"]) == 1
+    # identical rows, identical schema, stats recomputed on tracked cols
+    assert _rows(S.read_snapshot(spark, root, v5)) == [(i, f"r{i}") for i in range(12)]
+    assert m5["schema"] == m4["schema"]
+    (f,) = m5["files"]
+    assert m5["stats"][f]["i"] == [0, 11]
+    # pre-compact versions stay readable (layout-only change)
+    assert _rows(S.read_snapshot(spark, root, v4)) == [(i, f"r{i}") for i in range(12)]
+    # idempotent: nothing left to compact -> no churn commit
+    assert S.compact(spark, root) is None
+    assert S.latest_version(spark, root) == v5
+
+
+def test_vacuum_after_compact_reclaims_slivers(spark, root):
+    for lo in range(0, 9, 3):
+        S.append(_df(spark, lo, lo + 3).coalesce(1), root)
+    sliver_files = S._read_manifest(spark, root, 3)["files"]
+    v = S.compact(spark, root)
+    deleted = S.vacuum(spark, root, keep_last=1)
+    assert set(deleted) == set(sliver_files)  # all slivers unreachable now
+    assert _rows(S.read_snapshot(spark, root, v)) == [(i, f"r{i}") for i in range(9)]
+
+
+def test_incremental_read_refuses_range_across_compaction(spark, root):
+    v1 = S.append(_df(spark, 0, 3).coalesce(1), root)
+    S.append(_df(spark, 3, 6).coalesce(1), root)
+    S.append(_df(spark, 6, 9).coalesce(1), root)
+    assert S.compact(spark, root) is not None
+    with pytest.raises(ValueError, match="replace"):
+        S.read_incremental(spark, root, since_version=v1)
+
+
+# --- partition-valued tables (x92) -------------------------------------------
+
+
+def _part_df(spark, rows):
+    return spark.createDataFrame(rows, "i int, cat string")
+
+
+def test_partitioned_roundtrip_and_spec_in_manifest(spark, root):
+    df = _part_df(spark, [Row(i=i, cat="ab"[i % 2]) for i in range(10)])
+    v = S.overwrite(df.repartition(1), root, partition_by="cat")
+    m = S._read_manifest(spark, root, v)
+    assert m["partition_spec"] == ["cat"]
+    assert all("cat=" in f for f in m["files"])
+    got = sorted((r.i, r.cat) for r in S.read_snapshot(spark, root).collect())
+    assert got == sorted((i, "ab"[i % 2]) for i in range(10))
+    # appends must match the declared spec
+    with pytest.raises(S.SchemaMismatchError, match="partition spec"):
+        S.append(df, root)
+    S.append(
+        _part_df(spark, [Row(i=100, cat="c")]).repartition(1), root, partition_by="cat"
+    )
+    got = sorted((r.i, r.cat) for r in S.read_snapshot(spark, root).collect())
+    assert (100, "c") in got and len(got) == 11
+
+
+def test_partition_pruned_read_drops_whole_partitions(spark, root):
+    df = _part_df(spark, [Row(i=i, cat=c) for i in range(6) for c in ("a", "b", "c")])
+    S.overwrite(df.repartition(1), root, partition_by="cat")
+    sub, planned, total = S.read_snapshot_pruned(spark, root, "cat", "b", "b")
+    assert total == 3 and planned == 1  # no stats consulted: path values
+    rows = sub.collect()
+    assert {r.cat for r in rows} == {"b"} and len(rows) == 6
+    # unpartitioned column without stats: conservative full plan
+    _, planned_i, total_i = S.read_snapshot_pruned(spark, root, "i", 0, 1)
+    assert planned_i == total_i
+
+
+def test_partitioned_merge_commit_keeps_layout(spark, root):
+    df = _part_df(spark, [Row(i=i, cat="ab"[i % 2]) for i in range(8)])
+    S.overwrite(df.repartition(1), root, partition_by="cat", stats_cols=["i"])
+    src = _part_df(spark, [Row(i=1, cat="UPD")])
+    v = S.merge_commit(
+        root,
+        src,
+        keys=["i"],
+        when_matched_update={"i": F.col("t.i"), "cat": F.col("s.cat")},
+    )
+    m = S._read_manifest(spark, root, v)
+    assert m["partition_spec"] == ["cat"]  # layout survives the merge
+    assert all("cat=" in f for f in m["files"])
+    got = {r.i: r.cat for r in S.read_snapshot(spark, root, v).collect()}
+    assert got[1] == "UPD" and got[0] == "a" and len(got) == 8
+
+
+def test_unpartitioned_tables_unaffected_by_partition_plumbing(spark, root):
+    v = S.append(_df(spark, 0, 4), root)
+    assert "partition_spec" not in S._read_manifest(spark, root, v)
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(4)]
+
+
+# --- generalized snapshot_agg_merge_sink (r8 task 4) -------------------------
+
+
+def test_agg_merge_sink_custom_dims_and_measures(spark, root):
+    """Second instantiation over different dims + a decimal sum carrier:
+    the sink is a reusable operator, not a demo of one schema."""
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "region string, tier string, amount double")
+
+    sink = snapshot_agg_merge_sink(
+        root,
+        dims=["region", "tier"],
+        measures={
+            "n_rows": ("count", None, "long"),
+            "total_amount": ("sum", "amount", "decimal(18,6)"),
+        },
+        txn_prefix="gold-batch",
+    )
+    sink(batch([("eu", "a", 1.5), ("eu", "a", 2.0), ("us", "b", 3.0)]), 0)
+    sink(batch([("eu", "a", 0.5), ("ap", None, 9.0)]), 1)  # NULL dim value groups
+    got = sorted(
+        (r.region, r.tier, r.n_rows, float(r.total_amount))
+        for r in S.read_snapshot(spark, root).collect()
+    )
+    assert got == [
+        ("ap", None, 1, 9.0),
+        ("eu", "a", 3, 4.0),
+        ("us", "b", 1, 3.0),
+    ]
+    sink(batch([("eu", "a", 999.0)]), 0)  # replay: txn token, no-op
+    assert S.latest_version(spark, root) == 2
