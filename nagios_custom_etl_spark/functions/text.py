@@ -149,3 +149,81 @@ def rolling_hashes(col: str | Column, k: int = 8) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1)))
     return F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, k)))
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment (X4's last named sub-feature, SURVEY §2.12: "simple
+# lexicon sentiment via map-literal join")
+# ---------------------------------------------------------------------------
+
+# Deliberately includes words the fixture corpus actually uses (fast/slow)
+# so the operator scores real text, not just planted suffixes.
+SENTIMENT_POS = (
+    "good", "great", "excellent", "love", "happy", "best",
+    "wonderful", "amazing", "fast", "reliable",
+)
+SENTIMENT_NEG = (
+    "bad", "terrible", "awful", "hate", "sad", "worst",
+    "horrible", "slow", "broken", "unreliable",
+)
+SENTIMENT_NEGATORS = ("not", "no", "never", "without", "hardly")
+
+SENTIMENT_TOKEN_RE = "[a-z]+"
+
+
+def lexicon_sentiment(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_words: tuple[str, ...] = SENTIMENT_POS,
+    neg_words: tuple[str, ...] = SENTIMENT_NEG,
+    negators: tuple[str, ...] = SENTIMENT_NEGATORS,
+):
+    """Per-document lexicon sentiment: tokenize, broadcast-join tokens
+    against a ±1-weighted lexicon, flip a hit's polarity when the
+    immediately preceding token is a negator ("not good" counts
+    negative), and aggregate to (n_tokens, n_pos, n_neg, score, label).
+
+    The lexicon join is the "map-literal join" the survey names: a
+    driver-literal word→weight relation broadcast to every executor —
+    the same plan shape scales to a real 100k-entry lexicon table
+    (still broadcast-sized), while the token side streams. Negation is
+    a LAG over (doc, position) — one window at per-document width, no
+    second pass over the text. Everything is built-in expressions
+    (regexp tokenize, broadcast hash join, window, aggregate): zero
+    Python in the hot path, so the per-token cost is JVM codegen.
+    Docs with no tokens produce no row (both engines agree: nothing to
+    score). Reference scope: the reference has no text analytics; this
+    extends its perfdata parsing (extract.py) toward the LLM-pipeline
+    quality stack per SURVEY §2.12/PAPERS.md:5.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(w, 1) for w in pos_words] + [(w, -1) for w in neg_words],
+            "word string, weight int",
+        )
+    )
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(SENTIMENT_TOKEN_RE), 0
+    )
+    t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    j = t.join(lex, t.tok == lex.word, "left")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flip = F.when(F.lag("tok").over(w).isin(*negators), F.lit(-1)).otherwise(F.lit(1))
+    signed = (F.coalesce(F.col("weight"), F.lit(0)) * flip).alias("signed")
+    per_tok = j.select(F.col(id_col), signed)
+    agg = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("signed") > 0).cast("int")).cast("long").alias("n_pos"),
+        F.sum((F.col("signed") < 0).cast("int")).cast("long").alias("n_neg"),
+        F.sum("signed").cast("long").alias("score"),
+    )
+    label = (
+        F.when(F.col("score") > 0, F.lit("positive"))
+        .when(F.col("score") < 0, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+    return agg.withColumn("label", label)

@@ -6452,3 +6452,380 @@ def x87_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# X88 — file-pruned copy-on-write MERGE (r7 verdict task 1: the flagged
+# scale defect — merge_commit used to rewrite the whole table per batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x88_merge_file_pruned",
+    oracle="""
+    -- the table is three single-file appends with disjoint doc_id
+    -- ranges ([0,100) [100,200) [200,300)) and per-file min/max stats;
+    -- the merge batch updates keys in [120,180) and inserts keys >= 1e6,
+    -- so its key range [120, 1000009] can intersect files 2 and 3 but
+    -- NOT file 1 — copy-on-write rewrites only those, carrying file 1's
+    -- reference into the child manifest unchanged (n_files_carried = 1,
+    -- computed from the two manifests' intersection). The merged CONTENT
+    -- is layout-invariant — exactly this plain merge:
+    WITH base AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 300
+    )
+    SELECT CAST(1 AS BIGINT) AS n_files_carried, doc_id, source, n_chars
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 120 AND doc_id < 180 THEN 'UPD'
+                  ELSE source END AS source,
+             n_chars
+      FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, 'NEW', n_chars FROM base WHERE doc_id < 10
+    )
+    ORDER BY doc_id
+    """,
+    doc="X88 file-pruned copy-on-write MERGE (operators/snapshots.py::"
+    "merge_commit prune_on=): the Delta/Iceberg COW shape — anti-join "
+    "the source key range against the per-file min/max stats already in "
+    "the manifest (the x76 machinery), read+merge+rewrite ONLY files "
+    "that can contain matched keys, union every other file reference "
+    "(and its stats) into the child manifest untouched. Sound because a "
+    "matched key lies inside both the source range and its file's "
+    "recorded range; NULL-key source rows never match and insert. At "
+    "100 TB a 1 GB keyed batch rewrites the files holding its keys plus "
+    "one manifest — not the table (the r7-flagged scale defect). The "
+    "oracle pins the layout-invariant merged content AND the carried "
+    "count (files(v_child) ∩ files(v_parent), read from the manifests); "
+    "byte-identical carried refs/stats are pinned in "
+    "tests/test_snapshots.py. Replaces reference extract.py:115-132's "
+    "whole-file rewrite with transactional, pruned semantics.",
+)
+def x88_merge_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x88_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for lo in (0, 100, 200):  # three files with disjoint key ranges + stats
+        S.append(
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)).coalesce(1),
+            root,
+            stats_cols=["doc_id"],
+        )
+    v_parent = S.latest_version(spark, root)
+    parent_files = set(S._read_manifest(spark, root, v_parent)["files"])
+    updates = d.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 180)).withColumn(
+        "source", F.lit("UPD")
+    )
+    inserts = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("NEW").alias("source"),
+        "n_chars",
+    )
+    v_child = S.merge_commit(
+        root,
+        updates.unionByName(inserts),
+        keys=["doc_id"],
+        when_matched_update={
+            c: F.col(f"s.{c}") for c in ("doc_id", "source", "n_chars")
+        },
+        prune_on="doc_id",
+    )
+    child_files = set(S._read_manifest(spark, root, v_child)["files"])
+    n_carried = len(parent_files & child_files)
+    return (
+        S.read_snapshot(spark, root, v_child)
+        .select(
+            F.lit(n_carried).cast("long").alias("n_files_carried"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X89 — lexicon sentiment (the last SURVEY §2.12 X4 named sub-feature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x89_lexicon_sentiment",
+    oracle="""
+    -- ±1-weighted lexicon join over regexp tokens with LAG-based
+    -- negation flip ("not good" scores negative); a deterministic
+    -- planted suffix per doc_id%4 guarantees every polarity class and
+    -- the negated-phrase path are exercised on top of the fixture
+    -- text's own hits (fast/slow are lexicon members on purpose).
+    WITH d2 AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN ' good good'
+                       WHEN 1 THEN ' not good'
+                       WHEN 2 THEN ' bad'
+                       ELSE '' END AS text2
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text2), '[a-z]+') AS arr
+            FROM d2)
+    ),
+    lex(word, weight) AS (VALUES
+      ('good', 1), ('great', 1), ('excellent', 1), ('love', 1),
+      ('happy', 1), ('best', 1), ('wonderful', 1), ('amazing', 1),
+      ('fast', 1), ('reliable', 1),
+      ('bad', -1), ('terrible', -1), ('awful', -1), ('hate', -1),
+      ('sad', -1), ('worst', -1), ('horrible', -1), ('slow', -1),
+      ('broken', -1), ('unreliable', -1)
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COALESCE(l.weight, 0)
+               * CASE WHEN LAG(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+                        IN ('not', 'no', 'never', 'without', 'hardly')
+                      THEN -1 ELSE 1 END AS signed
+      FROM tok t LEFT JOIN lex l ON t.tok = l.word
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN signed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN signed < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(signed) AS BIGINT) AS score,
+           CASE WHEN SUM(signed) > 0 THEN 'positive'
+                WHEN SUM(signed) < 0 THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="X89 lexicon sentiment (functions/text.py::lexicon_sentiment): "
+    "SURVEY §2.12's 'simple lexicon sentiment via map-literal join' "
+    "(PAPERS.md:5, EDBT in-database text analytics) — the last named "
+    "X4 sub-feature. Tokens broadcast-hash-join a driver-literal "
+    "±1-weighted lexicon (same plan shape up to real 100k-word "
+    "lexicons: dim broadcasts, tokens stream); negation is one LAG "
+    "window at per-document width flipping a hit whose preceding token "
+    "is a negator; per-doc aggregate emits counts, signed score, and a "
+    "3-way label. All built-in expressions — regexp tokenize, "
+    "broadcast join, window, aggregate — zero Python per token. The "
+    "planted per-doc_id%4 suffix makes every branch (positive, "
+    "negated-positive, negative, neutral) oracle-checked; planted "
+    "phrase tests in tests/test_text.py.",
+)
+def x89_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.functions.text import lexicon_sentiment
+
+    d = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(F.lit(" good good"), F.lit(" not good"), F.lit(" bad"), F.lit("")),
+        F.pmod("doc_id", F.lit(4)).cast("int") + 1,
+    )
+    d2 = d.select("doc_id", F.concat("text", suffix).alias("text"))
+    return lexicon_sentiment(d2, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X90 — TIMESTAMP AS OF time travel (r7 verdict task 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x90_snapshot_as_of_ts",
+    oracle="""
+    -- v1 = docs < 100 (overwrite), v2 = [100,200) appended. The query
+    -- reads back each manifest's committed_at and resolves three
+    -- TIMESTAMP AS OF reads: exactly ca1 -> v1 (<= boundary), exactly
+    -- ca2 -> v2, and the midpoint between commits -> still v1 (newest
+    -- version committed at-or-before the timestamp). Content per
+    -- resolved version is exactly:
+    SELECT read_tag, doc_id, source, n_chars FROM (
+      SELECT 'at_ca1' AS read_tag, doc_id, source, n_chars
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT 'mid', doc_id, source, n_chars
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT 'at_ca2', doc_id, source, n_chars
+      FROM documents WHERE doc_id < 200
+    )
+    ORDER BY read_tag, doc_id
+    """,
+    doc="X90 TIMESTAMP AS OF time travel (operators/snapshots.py::"
+    "version_as_of + read_snapshot(as_of_ts=)): resolves a timestamp to "
+    "the newest RETAINED version with committed_at <= ts — the half of "
+    "the time-travel contract VERSION AS OF (x69) lacked. Refuses "
+    "timestamps that predate the table or whose governing version was "
+    "vacuumed (a silent nearest-newer answer would be wrong; Delta "
+    "raises identically). The query derives its probe timestamps from "
+    "the manifests themselves (exact-boundary, and mid-gap), so the "
+    "oracle is clock-free and deterministic; refusal boundaries and "
+    "ts-bounded change feeds (read_incremental since_ts/to_ts) are "
+    "pinned in tests/test_snapshots.py.",
+)
+def x90_snapshot_as_of_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x90_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = S.overwrite(d.filter(F.col("doc_id") < 100), root)
+    v2 = S.append(
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)), root
+    )
+    ca1 = S._read_manifest(spark, root, v1)["committed_at"]
+    ca2 = S._read_manifest(spark, root, v2)["committed_at"]
+    out = None
+    for tag, ts in (("at_ca1", ca1), ("mid", (ca1 + ca2) / 2), ("at_ca2", ca2)):
+        snap = S.read_snapshot(spark, root, as_of_ts=ts).select(
+            F.lit(tag).alias("read_tag"), "doc_id", "source", "n_chars"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("read_tag", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X91 — transactional snapshot compaction (r7 verdict task 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x91_snapshot_compaction",
+    oracle="""
+    -- three single-file sliver appends (the shape st22/st23 streaming
+    -- sinks produce) compacted into ONE file as a layout-only 'replace'
+    -- version: same rows (this SELECT — layout-invariant), file count
+    -- 3 -> 1 (manifest-counted literals), prior version still readable
+    -- (n_rows_pre, counted through the PRE-compact manifest after the
+    -- compact committed).
+    SELECT CAST(3 AS BIGINT) AS pre_file_count,
+           CAST(1 AS BIGINT) AS post_file_count,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 300) AS BIGINT)
+             AS n_rows_pre,
+           doc_id, source, n_chars
+    FROM documents WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    doc="X91 transactional compaction (operators/snapshots.py::compact): "
+    "OPTIMIZE through the manifest — rewrite the latest version's "
+    "sliver files into target_file_count files and publish as a "
+    "layout-only 'replace' commit: same rows, same schema, per-file "
+    "min/max stats recomputed for every tracked column, old versions "
+    "still readable, slivers reclaimable by the next vacuum. The "
+    "maintenance job that keeps a streaming-fed table (st22/st23: one "
+    "small-file version per micro-batch) scannable at 100 TB, where "
+    "per-file open/schedule overhead otherwise dominates. Incremental "
+    "readers refuse ranges crossing the replace (a file-diff consumer "
+    "would double-count rewritten rows) — pinned with idempotence "
+    "(second compact is a no-op, not churn) and vacuum-after-compact "
+    "reachability in tests/test_snapshots.py.",
+)
+def x91_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x91_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for lo in (0, 100, 200):
+        S.append(
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)).coalesce(1),
+            root,
+            stats_cols=["doc_id"],
+        )
+    v_pre = S.latest_version(spark, root)
+    pre_files = len(S._read_manifest(spark, root, v_pre)["files"])
+    v_post = S.compact(spark, root)
+    post_files = len(S._read_manifest(spark, root, v_post)["files"])
+    n_rows_pre = S.read_snapshot(spark, root, v_pre).count()  # still readable
+    return (
+        S.read_snapshot(spark, root, v_post)
+        .select(
+            F.lit(pre_files).cast("long").alias("pre_file_count"),
+            F.lit(post_files).cast("long").alias("post_file_count"),
+            F.lit(n_rows_pre).cast("long").alias("n_rows_pre"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X92 — partition-valued snapshot tables (r7 verdict task 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x92_partitioned_snapshot",
+    oracle="""
+    -- events written as a snapshot table declared partitioned on
+    -- event_type (Hive col=val layout, spec in the manifest; one task
+    -- -> one file per partition value). A pruned read for the
+    -- alphabetically-first type plans exactly 1 of count(distinct
+    -- event_type) files from PATH VALUES alone — no stats, no file
+    -- opens — and its residual-filtered rows equal this plain filter:
+    WITH t AS (SELECT MIN(event_type) AS pt FROM events
+               WHERE event_type IS NOT NULL)
+    SELECT CAST(1 AS BIGINT) AS files_planned,
+           CAST((SELECT COUNT(DISTINCT event_type) FROM events
+                 WHERE event_type IS NOT NULL) AS BIGINT) AS files_total,
+           event_id, event_type, value
+    FROM events, t WHERE event_type = t.pt
+    ORDER BY event_id
+    """,
+    doc="X92 partition-valued snapshot tables (operators/snapshots.py "
+    "partition_by= / partition_spec): the declared-partition-column "
+    "contract Delta/Iceberg tables carry — appends must match the "
+    "spec, file paths embed col=val, readers reconstruct the column "
+    "per data dir via basePath, and read_snapshot_pruned drops whole "
+    "partitions from PATH values with zero stats consultation (the "
+    "cheapest pruning there is: a predicate on the partition column "
+    "never opens a footer). Gives streaming snapshot sinks a natural "
+    "bucketing and makes time/tenant-partitioned 100 TB layouts "
+    "first-class. Spec enforcement, merge-through-partitioning, and "
+    "unpartitioned-table invariance are pinned in "
+    "tests/test_snapshots.py.",
+)
+def x92_partitioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x92_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.overwrite(ev.repartition(1), root, partition_by="event_type")
+    pt = ev.agg(F.min("event_type")).first()[0]
+    sub, planned, total = S.read_snapshot_pruned(spark, root, "event_type", pt, pt)
+    return (
+        sub.filter(F.col("event_type") == pt)  # residual: pruning is a superset
+        .select(
+            F.lit(planned).cast("long").alias("files_planned"),
+            F.lit(total).cast("long").alias("files_total"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )

@@ -100,3 +100,33 @@ def test_bigram_lm_ranks_repetition_above_novelty(spark):
     # must rank first (most surprising)
     assert out[0]["doc_id"] == 100
     assert all(out[0]["avg_logp_r"] < r["avg_logp_r"] for r in out[1:])
+
+
+def test_lexicon_sentiment_planted_phrases(spark):
+    """x89's operator on planted sentences: positive, negative,
+    negated-positive ("not good" counts negative), negated-negative
+    ("never bad" counts positive), mixed, and lexicon-free neutral."""
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.functions.text import lexicon_sentiment
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The service was good, great even. Amazing!"),
+            Row(doc_id=2, text="terrible and broken; truly awful"),
+            Row(doc_id=3, text="this is not good"),
+            Row(doc_id=4, text="it was never bad"),
+            Row(doc_id=5, text="good but slow"),
+            Row(doc_id=6, text="a plain factual sentence"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pos, r.n_neg, r.score, r.label)
+        for r in lexicon_sentiment(docs).collect()
+    }
+    assert got[1] == (7, 3, 0, 3, "positive")
+    assert got[2] == (5, 0, 3, -3, "negative")
+    assert got[3] == (4, 0, 1, -1, "negative")  # negation flips 'good'
+    assert got[4] == (4, 1, 0, 1, "positive")  # negation flips 'bad'
+    assert got[5] == (3, 1, 1, 0, "neutral")  # balanced mix
+    assert got[6] == (4, 0, 0, 0, "neutral")  # no lexicon hits
