@@ -38,6 +38,14 @@ All three reach their r5 minima, so the r6 deltas were run-to-run noise
 (the verify-adjacent hot-box phantom), not a regression from the r5
 scan-spread lever or the regenerated fixtures. Verdict: exonerated.
 
+Clean re-measure (r8, VERDICT r7 task 6): x7_training_data_pipeline —
+the one r7 shared query outside its spread band (0.537 -> 0.650, +21%
+vs 5.1% spread) — re-run 8x after warmup on the settled box: min 0.519 /
+med 0.706 (runs 0.924, 0.719, 0.732, 0.653, 0.726, 0.692, 0.593,
+0.519). The minimum reaches (beats) the r5 record 0.537, so the r7
+delta was run-to-run noise, not the r7 catalog/checkpoint changes.
+Verdict: exonerated; no bisection warranted.
+
 st6 decomposition (r7): after the gaps-and-islands vectorization of
 error_streaks (per-row iterrows loop removed in r7; O(batch) numpy),
 st6 settles at ~1.7-1.85 s and is INVARIANT to the state partition
