@@ -121,6 +121,7 @@ def _commit(
     schema: list[list[str]] | None = None,
     txn: str | None = None,
     partition_spec: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Publish ``files`` as version ``parent + 1`` atomically.
 
@@ -128,7 +129,8 @@ def _commit(
     arbitrates racing writers, exactly one sees the version appear under
     its pen. Losers get ConcurrentCommitError and must retry against the
     new latest (re-running their conflict check — optimistic
-    concurrency)."""
+    concurrency). ``extra`` carries op-family fields (the MoR layer's
+    ``seqs``/``deletes``) verbatim into the manifest."""
     fsio.mkdirs(spark, _snap_dir(root))
     version = parent + 1
     manifest = {
@@ -145,6 +147,8 @@ def _commit(
         manifest["txn"] = txn
     if partition_spec:
         manifest["partition_spec"] = partition_spec
+    if extra:
+        manifest.update(extra)
     try:
         fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(manifest))
     except FileExistsError as ex:
@@ -266,6 +270,7 @@ def append(
         schema,
         txn=txn,
         partition_spec=spec,
+        extra=_mor_extra(m, files, parent + 1),
     )
 
 
@@ -356,7 +361,7 @@ def read_snapshot(
     m = _read_manifest(spark, root, v)
     if not m["files"]:
         raise ValueError(f"version {v} is empty")
-    return _read_files(spark, root, m["files"], m.get("schema"), m.get("partition_spec"))
+    return _live_view(spark, root, m, m["files"])
 
 
 def _read_files(
@@ -407,6 +412,180 @@ def _read_files(
         for n, t in schema
     ]
     return df.select(*cols)
+
+
+def _all_data_refs(m: dict) -> set[str]:
+    """Every data file a manifest keeps alive: the row files in
+    ``files`` PLUS the equality-delete key files of pending MoR
+    deletes — both must survive vacuum/GC for the version to stay
+    readable."""
+    refs = set(m.get("files", []))
+    for e in m.get("deletes", []) or []:
+        refs.update(e["files"])
+    return refs
+
+
+def _mor_extra(m: dict, new_files: list[str], version: int) -> dict | None:
+    """Carry a parent's MoR state (``seqs`` + pending ``deletes``)
+    through a commit that adds ``new_files`` at ``version``. None when
+    the table has no pending deletes — plain tables keep their slim
+    manifests."""
+    if not m.get("deletes"):
+        return None
+    seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m.get("files", [])}
+    seqs.update({f: version for f in new_files})
+    return {"seqs": seqs, "deletes": m["deletes"]}
+
+
+def _live_view(
+    spark: SparkSession, root: str, m: dict, files: list[str]
+) -> DataFrame:
+    """Plan ``files`` and apply the manifest's pending equality deletes
+    — the merge-on-read (MoR) read path, Iceberg's equality-delete
+    semantics: a delete entry committed at sequence ``dseq`` erases
+    matching keys from every data file with a SMALLER sequence (files a
+    mor_upsert added in the same commit carry the delete's own seq, so
+    the delete never eats its companion inserts). Planned as one
+    anti-join: row files group by their seq (O(commits since last
+    compact) groups, bounded by compaction), delete files union into a
+    keyed build side, and the join condition is key-equality AND
+    ``dseq > seq`` — Spark extracts the equi keys for a hash join and
+    applies the seq comparison as a residual, so the read stays one
+    shuffle-free pass when the delete side broadcasts (it is the
+    accumulated change keys, megabytes against a 100 TB scan). Tables
+    with no pending deletes skip all of this."""
+    from pyspark.sql import functions as F
+
+    schema, spec = m.get("schema"), m.get("partition_spec")
+    dels = m.get("deletes") or []
+    if not dels:
+        return _read_files(spark, root, files, schema, spec)
+    seqs = m.get("seqs", {})
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        groups.setdefault(int(seqs.get(f, 0)), []).append(f)
+    df = None
+    for s, fl in sorted(groups.items()):
+        part = _read_files(spark, root, fl, schema, spec).withColumn(
+            "_mor_seq", F.lit(s)
+        )
+        df = part if df is None else df.unionByName(part)
+    keys = dels[0]["keys"]
+    dd = None
+    for e in dels:
+        part = (
+            spark.read.parquet(*[f"{root}/{f}" for f in e["files"]])
+            .select(*[F.col(k).alias(f"_mor_{k}") for k in keys])
+            .withColumn("_mor_dseq", F.lit(int(e["seq"])))
+        )
+        dd = part if dd is None else dd.unionByName(part)
+    cond = F.col("_mor_dseq") > F.col("_mor_seq")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_mor_{k}"))
+    return df.join(dd, on=cond, how="left_anti").drop("_mor_seq")
+
+
+def _check_mor_keys(m: dict, keys: list[str]) -> None:
+    """A table's MoR key set is part of its contract: every pending
+    delete entry must use the same keys, or the single-join read plan
+    (and the delete semantics) would fork per entry."""
+    dict_schema = dict(m.get("schema") or [])
+    missing = [k for k in keys if dict_schema and k not in dict_schema]
+    if missing:
+        raise ValueError(f"MoR keys {missing} are not table columns")
+    for e in m.get("deletes", []) or []:
+        if list(e["keys"]) != list(keys):
+            raise ValueError(
+                f"MoR key mismatch: table has pending deletes on {e['keys']}, "
+                f"this operation uses {keys}"
+            )
+
+
+def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
+    """DELETE WHERE key IN (...) as merge-on-read: commit a small
+    equality-delete key file instead of rewriting any data file —
+    Iceberg v2 equality deletes / Delta deletion vectors, the
+    write-cheap complement to the copy-on-write :func:`merge_commit`.
+    The deleted rows physically remain in their (immutable, shared)
+    files; every read through :func:`read_snapshot` anti-joins them
+    away, and the next :func:`compact` materializes the survivors and
+    clears the delete list. At 100 TB this turns "delete 1k users from
+    a million-file table" from a multi-hour rewrite into one key-file
+    write + one manifest commit; the deferred cost is a broadcast
+    anti-join per read, bounded by compaction cadence. Reference
+    behavior: extract.py:115-132 rewrites the whole flat file to drop
+    rows — this is that delete with O(changed keys) writes."""
+    spark = deletes.sparkSession
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError("mor_delete on an empty table")
+    m = _read_manifest(spark, root, parent)
+    _check_mor_keys(m, keys)
+    dfiles, _ = _write_data_files(deletes.select(*keys).dropDuplicates(keys), root)
+    version = parent + 1
+    seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
+    entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
+    return _commit(
+        spark,
+        root,
+        m["files"],
+        "mor-delete",
+        parent,
+        m.get("stats"),
+        m.get("schema"),
+        partition_spec=m.get("partition_spec"),
+        extra={"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]},
+    )
+
+
+def mor_upsert(
+    source: DataFrame,
+    root: str,
+    keys: list[str],
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Keyed UPSERT as merge-on-read: ONE commit adds the source rows
+    as new data files AND an equality-delete entry on the source's keys
+    — delete-before-insert, Iceberg's streaming-CDC upsert shape. The
+    delete entry's sequence equals the commit version and applies only
+    to files with a smaller sequence, so it erases the OLD versions of
+    the upserted keys everywhere while leaving its own companion
+    inserts untouched. Write cost is O(batch): no existing file is
+    read, merged, or rewritten — the fit for high-frequency keyed
+    streams where :func:`merge_commit`'s copy-on-write (read+rewrite
+    the files holding the keys) would dominate; reads pay the deferred
+    anti-join until :func:`compact` folds the deletes in. ``source``
+    must be key-unique (duplicate keys would all insert) and match the
+    table schema exactly — MoR never evolves schema mid-flight."""
+    spark = source.sparkSession
+    parent = latest_version(spark, root)
+    if parent == 0:
+        return append(source, root, stats_cols=stats_cols)
+    m = _read_manifest(spark, root, parent)
+    _check_mor_keys(m, keys)
+    if m.get("schema"):
+        _merged_schema(m["schema"], _schema_list(source), evolve=False)
+        source = source.select(*[n for n, _ in m["schema"]])
+    spec = m.get("partition_spec")
+    nfiles, nstats = _write_data_files(
+        source, root, stats_cols, spec[0] if spec else None
+    )
+    dfiles, _ = _write_data_files(source.select(*keys).dropDuplicates(keys), root)
+    version = parent + 1
+    seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
+    seqs.update({f: version for f in nfiles})
+    entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
+    return _commit(
+        spark,
+        root,
+        m["files"] + nfiles,
+        "mor-upsert",
+        parent,
+        {**(m.get("stats") or {}), **nstats} or None,
+        m.get("schema") or _schema_list(source),
+        partition_spec=spec,
+        extra={"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]},
+    )
 
 
 def read_snapshot_pruned(
@@ -470,7 +649,7 @@ def read_snapshot_pruned(
         df = read_snapshot(spark, root, v).limit(0)
         return df, 0, len(m["files"])
     return (
-        _read_files(spark, root, planned, m.get("schema"), m.get("partition_spec")),
+        _live_view(spark, root, m, planned),
         len(planned),
         len(m["files"]),
     )
@@ -489,6 +668,7 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
         m.get("stats", {}),
         m.get("schema"),
         partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
     )
 
 
@@ -565,9 +745,7 @@ def merge_commit(
                 touched = [f for f in m["files"] if can_match(f)]
                 untouched = [f for f in m["files"] if f not in set(touched)]
             if touched:
-                target = _read_files(
-                    spark, root, touched, m.get("schema"), m.get("partition_spec")
-                )
+                target = _live_view(spark, root, m, touched)
                 merged = merge_upsert(
                     target, source, keys=keys, when_matched_update=when_matched_update
                 )
@@ -582,6 +760,16 @@ def merge_commit(
         carried_stats = {
             f: s for f, s in m.get("stats", {}).items() if f in set(untouched)
         }
+        extra = None
+        if m.get("deletes") and untouched:
+            # pending MoR deletes still govern the untouched files (their
+            # dead rows were NOT materialized away); the rewritten files
+            # carry this commit's seq, above every pending delete. A full
+            # rewrite (no untouched files) materialized every delete and
+            # drops the list instead.
+            seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
+            seqs.update({f: parent + 1 for f in files})
+            extra = {"seqs": seqs, "deletes": m["deletes"]}
         try:
             return _commit(
                 spark,
@@ -592,6 +780,7 @@ def merge_commit(
                 {**carried_stats, **stats} if (carried_stats or stats) else None,
                 m.get("schema") or _schema_list(merged),
                 partition_spec=spec,
+                extra=extra,
             )
         except ConcurrentCommitError as ex:  # lost the race: retry on new latest
             last_err = ex
@@ -609,12 +798,12 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     keep_versions = set(versions[-keep_last:]) if keep_last > 0 else set()
     reachable: set[str] = set()
     for v in keep_versions:
-        reachable.update(_read_manifest(spark, root, v)["files"])
+        reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
     deleted = []
     for v in versions:
         if v in keep_versions:
             continue
-        for f in _read_manifest(spark, root, v)["files"]:
+        for f in _all_data_refs(_read_manifest(spark, root, v)):
             if f not in reachable and fsio.delete(spark, f"{root}/{f}", recursive=False):
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
@@ -654,7 +843,7 @@ def gc_orphans(
     cutoff_ms = (time.time() - min_age_sec) * 1000.0
     reachable: set[str] = set()
     for v in _manifest_versions(spark, root):
-        reachable.update(_read_manifest(spark, root, v)["files"])
+        reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
     deleted = []
     for d in fsio.list_names(spark, root):
         if not d.startswith("data-"):
@@ -685,6 +874,8 @@ def compact(
     root: str,
     target_file_count: int = 1,
     min_files: int = 2,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int | None:
     """Rewrite the LATEST snapshot's sliver files into
     ``target_file_count`` files and publish the result as a layout-only
@@ -704,19 +895,67 @@ def compact(
     layout rewrite re-adds existing ROWS under new FILES and a file-diff
     consumer would double-count them. Consumers resume from the
     compacted version. Partitioned tables keep their layout (rewrites
-    coalesce within the declared partitioning)."""
+    coalesce within the declared partitioning).
+
+    On a merge-on-read table, compaction is also the delete
+    materializer: the rewrite plans through the deletes-applied view,
+    so the survivors land in the new files and the published manifest
+    carries NO pending deletes — reads go back to plain scans and the
+    delete-key files age out through vacuum. This runs even when the
+    file count is already small (pending deletes alone justify the
+    rewrite).
+
+    ``cluster_by`` is OPTIMIZE ZORDER BY: before writing, rows are
+    range-partitioned and sorted on a Morton interleave of the named
+    numeric columns (each equal-width-bucketized into ``2**zorder_bits``
+    buckets between its observed min/max — one bounded 2-value-per-
+    column aggregate), so each output file covers a small rectangle of
+    the clustered space and the manifest's per-file min/max stats (which
+    this recomputes, now also over ``cluster_by``) prune multi-column
+    predicates to a few files. Pure static bit expressions
+    (operators/maintenance.py::zorder_key) — codegen'd, no UDF; the
+    range partitioning is the same one exchange the rewrite needs
+    anyway to produce ``target_file_count`` files."""
+    from pyspark.sql import functions as F
+
     parent = latest_version(spark, root)
     if parent == 0:
         return None
     m = _read_manifest(spark, root, parent)
-    if len(m["files"]) <= max(min_files, target_file_count):
+    if len(m["files"]) <= max(min_files, target_file_count) and not (
+        m.get("deletes") or cluster_by
+    ):
         return None
-    df = _read_files(spark, root, m["files"], m.get("schema"), m.get("partition_spec"))
-    stats_cols = sorted({c for s in m.get("stats", {}).values() for c in s}) or None
-    spec = m.get("partition_spec")
-    files, stats = _write_data_files(
-        df.coalesce(target_file_count), root, stats_cols, spec[0] if spec else None
+    df = _live_view(spark, root, m, m["files"])
+    stats_cols = (
+        sorted({c for s in m.get("stats", {}).values() for c in s} | set(cluster_by or []))
+        or None
     )
+    spec = m.get("partition_spec")
+    if cluster_by:
+        from nagios_custom_etl_spark.operators.maintenance import zorder_key
+
+        n = 1 << zorder_bits
+        bounds = df.agg(
+            *[f(c).alias(f"{p}_{c}") for c in cluster_by for p, f in (("lo", F.min), ("hi", F.max))]
+        ).first()
+        buckets = []
+        for c in cluster_by:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi == lo:
+                buckets.append(F.lit(0))
+            else:
+                b = F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
+                buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(n - 1)))
+        shaped = (
+            df.withColumn("_zk", zorder_key(buckets, bits=zorder_bits))
+            .repartitionByRange(target_file_count, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+        )
+    else:
+        shaped = df.coalesce(target_file_count)
+    files, stats = _write_data_files(shaped, root, stats_cols, spec[0] if spec else None)
     return _commit(
         spark,
         root,

@@ -6829,3 +6829,219 @@ def x92_partitioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X93 — merge-on-read with equality deletion vectors (the write-cheap
+# complement to x88's copy-on-write MERGE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x93_mor_upsert_delete",
+    oracle="""
+    -- merge-on-read over a 3-file base ([0,100) [100,200) [200,300)):
+    --   v4 mor_upsert  keys [50,150) -> 'MOR', + inserts doc_id+2e6
+    --   v5 mor_delete  doc_id % 10 = 0 (doc_id < 300 keys only)
+    --   v6 mor_upsert  doc_id = 60 -> 'BACK' (re-inserts a deleted key)
+    -- No base data file is ever rewritten (n_base_files_kept = 3, from
+    -- the manifests' file-set intersection): each commit adds only new
+    -- row files and/or an equality-delete key file with a sequence
+    -- number; the read anti-joins deletes against strictly-older files,
+    -- so v5's delete erases the v4 'MOR' rows it postdates while v6's
+    -- 'BACK' row (newer than the delete) survives. Content equals this
+    -- plain evaluation of the same three steps:
+    WITH base AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 300
+    ),
+    v4 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 50 AND doc_id < 150 THEN 'MOR'
+                  ELSE source END AS source,
+             n_chars
+      FROM base
+      UNION ALL
+      SELECT doc_id + 2000000, 'NEW2', n_chars FROM base WHERE doc_id < 5
+    ),
+    v5 AS (SELECT * FROM v4 WHERE NOT (doc_id % 10 = 0 AND doc_id < 300)),
+    v6 AS (
+      SELECT * FROM v5
+      UNION ALL
+      SELECT doc_id, 'BACK', n_chars FROM base WHERE doc_id = 60
+    )
+    SELECT CAST(3 AS BIGINT) AS n_base_files_kept, doc_id, source, n_chars
+    FROM v6 ORDER BY doc_id
+    """,
+    doc="X93 merge-on-read mutations (operators/snapshots.py::mor_upsert/"
+    "mor_delete/_live_view): Iceberg v2 equality deletes / Delta deletion "
+    "vectors — a keyed DELETE or UPSERT commits O(batch) new files (row "
+    "files and/or a small delete-key file) with a sequence number, never "
+    "reading or rewriting existing data; reads apply the pending deletes "
+    "as ONE key-equality anti-join with a `dseq > seq` residual, so a "
+    "delete erases matching keys only from strictly-older files and a "
+    "same-commit upsert never eats its own inserts. compact() is the "
+    "delete materializer (folds survivors into plain files and clears "
+    "the list). At 100 TB this turns 'delete 1k users from a million-"
+    "file table' from a multi-hour copy-on-write rewrite into one "
+    "metadata commit, with read cost bounded by compaction cadence. The "
+    "oracle pins the seq-ordering semantics through an upsert->delete->"
+    "re-upsert chain AND the zero-rewrite invariant (base file refs "
+    "survive every commit, counted from manifest intersection); "
+    "concurrency/vacuum/rollback edges in tests/test_snapshots.py. "
+    "Replaces reference extract.py:115-132's whole-file rewrite with "
+    "O(changed-keys) writes.",
+)
+def x93_mor_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = d.filter(F.col("doc_id") < 300)
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x93_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for lo in (0, 100, 200):  # three immutable base files
+        S.append(
+            base.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)).coalesce(1),
+            root,
+            stats_cols=["doc_id"],
+        )
+    base_files = set(S._read_manifest(spark, root, S.latest_version(spark, root))["files"])
+    updates = base.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150)).withColumn(
+        "source", F.lit("MOR")
+    )
+    inserts = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("NEW2").alias("source"),
+        "n_chars",
+    )
+    S.mor_upsert(updates.unionByName(inserts), root, keys=["doc_id"])
+    S.mor_delete(
+        base.filter(F.col("doc_id") % 10 == 0).select("doc_id"), root, keys=["doc_id"]
+    )
+    v6 = S.mor_upsert(
+        base.filter(F.col("doc_id") == 60).select(
+            "doc_id", F.lit("BACK").alias("source"), "n_chars"
+        ),
+        root,
+        keys=["doc_id"],
+    )
+    kept = len(base_files & set(S._read_manifest(spark, root, v6)["files"]))
+    return (
+        S.read_snapshot(spark, root, v6)
+        .select(
+            F.lit(kept).cast("long").alias("n_base_files_kept"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X94 — Z-order clustered compaction (OPTIMIZE ZORDER BY through the
+# snapshot manifest: x51's layout primitive wired into x91's compactor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x94_zorder_compaction",
+    oracle="""
+    -- orders written as 8 files split on o_orderkey % 8 — every file
+    -- spans the FULL (custkey, order-day) space, so a custkey-range
+    -- pruned read must plan all 8 (pre_planned = 8). compact(cluster_by=
+    -- [o_custkey, day_i]) rewrites them Morton-ordered; afterwards each
+    -- file covers a small rectangle, so narrow range reads on EITHER
+    -- clustered column plan strictly fewer than 8 files (the booleans)
+    -- while pruning stays a superset: the residual-filtered counts out
+    -- of the pruned reads equal these plain filters, and the rewritten
+    -- table's content is unchanged (n_rows / sum_price).
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day_i,
+             o_totalprice
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+             MIN(day_i) AS dlo, MAX(day_i) AS dhi
+      FROM o
+    )
+    SELECT CAST(8 AS BIGINT) AS files_total,
+           CAST(8 AS BIGINT) AS pre_planned,
+           TRUE AS cust_pruned,
+           TRUE AS day_pruned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN o_custkey <= (SELECT clo + (chi - clo) // 10 FROM b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_cust,
+           CAST(SUM(CASE WHEN day_i <= (SELECT dlo + (dhi - dlo) // 10 FROM b)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_day
+    FROM o
+    """,
+    doc="X94 Z-order clustered compaction (operators/snapshots.py::"
+    "compact cluster_by= — x51's Morton-key layout primitive driving "
+    "x91's transactional OPTIMIZE): rows are equal-width-bucketized per "
+    "clustered column (one bounded 2-value aggregate for the bounds), "
+    "range-partitioned and sorted on the static codegen'd bit "
+    "interleave, and republished as a layout-only replace version whose "
+    "per-file min/max stats now prune MULTI-column predicates — the "
+    "Delta/Iceberg OPTIMIZE ZORDER BY. The one exchange is the range "
+    "partition the rewrite needs anyway to control file count; no UDF, "
+    "no extra pass. The oracle pins content invariance, pre-compact "
+    "non-prunability (8/8 planned), post-compact prunability on BOTH "
+    "columns, and pruning's superset guarantee (residual-filtered "
+    "counts equal plain filters). Old versions stay readable "
+    "(tests/test_snapshots.py).",
+)
+def x94_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_i"),
+        "o_totalprice",
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x94_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for k in range(8):  # 8 files, each spanning the full clustered space
+        S.append(
+            o.filter(F.col("o_orderkey") % 8 == k).coalesce(1),
+            root,
+            stats_cols=["o_custkey", "day_i"],
+        )
+    clo, chi, dlo, dhi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("day_i"), F.max("day_i")
+    ).first()
+    cust_hi = clo + (chi - clo) // 10
+    day_hi = dlo + (dhi - dlo) // 10
+    _, pre_planned, total = S.read_snapshot_pruned(spark, root, "o_custkey", clo, cust_hi)
+    S.compact(spark, root, target_file_count=8, cluster_by=["o_custkey", "day_i"])
+    full = S.read_snapshot(spark, root)
+    cdf, c_planned, c_total = S.read_snapshot_pruned(spark, root, "o_custkey", clo, cust_hi)
+    ddf, d_planned, d_total = S.read_snapshot_pruned(spark, root, "day_i", dlo, day_hi)
+    n_cust = cdf.filter(F.col("o_custkey") <= cust_hi).count()  # residual
+    n_day = ddf.filter(F.col("day_i") <= day_hi).count()
+    return full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    ).select(
+        F.lit(total).cast("long").alias("files_total"),
+        F.lit(pre_planned).cast("long").alias("pre_planned"),
+        F.lit(bool(c_planned < c_total)).alias("cust_pruned"),
+        F.lit(bool(d_planned < d_total)).alias("day_pruned"),
+        "n_rows",
+        "sum_price",
+        F.lit(n_cust).cast("long").alias("n_rows_cust"),
+        F.lit(n_day).cast("long").alias("n_rows_day"),
+    )

@@ -805,3 +805,175 @@ def test_agg_merge_sink_custom_dims_and_measures(spark, root):
     ]
     sink(batch([("eu", "a", 999.0)]), 0)  # replay: txn token, no-op
     assert S.latest_version(spark, root) == 2
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (x93): equality deletes, sequence ordering, compaction as
+# delete materializer, reachability through vacuum/GC
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_is_metadata_only_and_read_applies_it(spark, root):
+    S.append(_df(spark, 0, 4).coalesce(1), root)  # v1, seq 0 files
+    before = S._read_manifest(spark, root, 1)["files"]
+    v2 = S.mor_delete(spark.createDataFrame([Row(i=1), Row(i=3)], "i int"), root, keys=["i"])
+    m = S._read_manifest(spark, root, v2)
+    assert m["files"] == before  # zero data files rewritten or dropped
+    assert len(m["deletes"]) == 1 and m["deletes"][0]["seq"] == v2
+    assert _rows(S.read_snapshot(spark, root)) == [(0, "r0"), (2, "r2")]
+    # the pre-delete version is untouched (time travel through MoR)
+    assert _rows(S.read_snapshot(spark, root, 1)) == [(i, f"r{i}") for i in range(4)]
+
+
+def test_mor_upsert_delete_before_insert_ordering(spark, root):
+    S.append(_df(spark, 0, 4).coalesce(1), root)  # v1
+    up = spark.createDataFrame([Row(i=2, s="NEW2"), Row(i=9, s="r9")], "i int, s string")
+    S.mor_upsert(up, root, keys=["i"])  # v2: delete(2,9)@2 + insert files@2
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (0, "r0"), (1, "r1"), (2, "NEW2"), (3, "r3"), (9, "r9"),
+    ]
+    # a later delete erases the upserted key; a later upsert resurrects it
+    S.mor_delete(spark.createDataFrame([Row(i=2)], "i int"), root, keys=["i"])
+    assert (2, "NEW2") not in _rows(S.read_snapshot(spark, root))
+    S.mor_upsert(spark.createDataFrame([Row(i=2, s="BACK")], "i int, s string"), root, keys=["i"])
+    assert (2, "BACK") in _rows(S.read_snapshot(spark, root))
+
+
+def test_mor_key_contract_enforced(spark, root):
+    S.append(_df(spark, 0, 2).coalesce(1), root)
+    S.mor_delete(spark.createDataFrame([Row(i=0)], "i int"), root, keys=["i"])
+    with pytest.raises(ValueError, match="MoR key mismatch"):
+        S.mor_delete(spark.createDataFrame([Row(s="r1")], "s string"), root, keys=["s"])
+    with pytest.raises(ValueError, match="not table columns"):
+        S.mor_upsert(_df(spark, 5, 6), root, keys=["nope"])
+
+
+def test_append_carries_pending_deletes_and_new_files_escape_them(spark, root):
+    S.append(_df(spark, 0, 3).coalesce(1), root)  # v1
+    S.mor_delete(spark.createDataFrame([Row(i=1)], "i int"), root, keys=["i"])  # v2
+    # a later plain append may re-add the deleted key: its files carry a
+    # HIGHER seq than the delete, so the delete must not eat the new row
+    v3 = S.append(_df(spark, 1, 2).coalesce(1), root)
+    m = S._read_manifest(spark, root, v3)
+    assert m["deletes"], "append must carry the pending delete list"
+    assert _rows(S.read_snapshot(spark, root)) == [(0, "r0"), (1, "r1"), (2, "r2")]
+
+
+def test_compact_materializes_deletes_and_clears_them(spark, root):
+    S.append(_df(spark, 0, 4).coalesce(1), root)
+    S.append(_df(spark, 4, 8).coalesce(1), root)
+    S.mor_delete(spark.createDataFrame([Row(i=k) for k in (0, 5)], "i int"), root, keys=["i"])
+    v = S.compact(spark, root)
+    m = S._read_manifest(spark, root, v)
+    assert m["op"] == "replace" and "deletes" not in m and "seqs" not in m
+    expect = [(i, f"r{i}") for i in range(8) if i not in (0, 5)]
+    assert _rows(S.read_snapshot(spark, root)) == expect
+    # pre-compact MoR versions still time-travel correctly
+    assert _rows(S.read_snapshot(spark, root, 3)) == expect
+
+
+def test_compact_runs_on_pending_deletes_even_below_min_files(spark, root):
+    S.append(_df(spark, 0, 3).coalesce(1), root)  # a single file
+    assert S.compact(spark, root) is None  # nothing to do on a plain table
+    S.mor_delete(spark.createDataFrame([Row(i=0)], "i int"), root, keys=["i"])
+    v = S.compact(spark, root)  # pending deletes alone justify the rewrite
+    assert v is not None
+    assert "deletes" not in S._read_manifest(spark, root, v)
+
+
+def test_vacuum_and_gc_keep_delete_files_reachable(spark, root):
+    S.append(_df(spark, 0, 4).coalesce(1), root)  # v1
+    v2 = S.mor_delete(spark.createDataFrame([Row(i=1)], "i int"), root, keys=["i"])
+    S.append(_df(spark, 4, 5).coalesce(1), root)  # v3
+    m2 = S._read_manifest(spark, root, v2)
+    dfiles = m2["deletes"][0]["files"]
+    # v2/v3 both retained: the delete-key files must survive vacuum + GC
+    deleted = S.vacuum(spark, root, keep_last=2)
+    assert not set(dfiles) & set(deleted)
+    assert not set(dfiles) & set(S.gc_orphans(spark, root, min_age_sec=0.0))
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (0, "r0"), (2, "r2"), (3, "r3"), (4, "r4"),
+    ]
+    # drop every MoR version (compact then retain only the replace):
+    # the delete-key files become unreachable and vacuum reclaims them
+    S.compact(spark, root)
+    reclaimed = S.vacuum(spark, root, keep_last=1)
+    assert set(dfiles) <= set(reclaimed)
+
+
+def test_merge_commit_on_mor_table_respects_pending_deletes(spark, root):
+    # two files with disjoint key ranges + stats so the merge prunes
+    S.append(_df(spark, 0, 5).coalesce(1), root, stats_cols=["i"])
+    S.append(_df(spark, 10, 15).coalesce(1), root, stats_cols=["i"])
+    S.mor_delete(spark.createDataFrame([Row(i=k) for k in (0, 12)], "i int"), root, keys=["i"])
+    src = spark.createDataFrame([Row(i=1, s="UPD")], "i int, s string")
+    v = S.merge_commit(root, src, keys=["i"], prune_on="i")
+    m = S._read_manifest(spark, root, v)
+    # the [10,15) file was untouched, so the delete on 12 must survive
+    assert m["deletes"], "carried deletes missing"
+    got = _rows(S.read_snapshot(spark, root, v))
+    assert (0, "r0") not in got  # materialized away in the rewritten file
+    assert (12, "r12") not in got  # still masked by the carried delete
+    assert (1, "UPD") in got and (11, "r11") in got
+
+
+def test_mor_rollback_carries_delete_state(spark, root):
+    S.append(_df(spark, 0, 3).coalesce(1), root)  # v1
+    v2 = S.mor_delete(spark.createDataFrame([Row(i=1)], "i int"), root, keys=["i"])
+    S.compact(spark, root)  # v3: deletes folded in
+    v4 = S.rollback(spark, root, v2)  # back to the MoR view
+    m = S._read_manifest(spark, root, v4)
+    assert m["deletes"] == S._read_manifest(spark, root, v2)["deletes"]
+    assert _rows(S.read_snapshot(spark, root)) == [(0, "r0"), (2, "r2")]
+
+
+def test_incremental_read_refuses_mor_commits(spark, root):
+    S.append(_df(spark, 0, 2).coalesce(1), root)
+    S.mor_upsert(spark.createDataFrame([Row(i=5, s="r5")], "i int, s string"), root, keys=["i"])
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, since_version=1)
+
+
+def test_pruned_read_applies_deletes(spark, root):
+    S.append(_df(spark, 0, 5).coalesce(1), root, stats_cols=["i"])
+    S.append(_df(spark, 10, 15).coalesce(1), root, stats_cols=["i"])
+    S.mor_delete(spark.createDataFrame([Row(i=3)], "i int"), root, keys=["i"])
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 0, 5)
+    assert (planned, total) == (1, 2)
+    assert _rows(df) == [(i, f"r{i}") for i in range(5) if i != 3]
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered compaction (x94)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_compact_content_invariant_and_prunes_both_columns(spark, root):
+    import random
+
+    rnd = random.Random(7)
+    rows = [Row(a=rnd.randrange(1000), b=rnd.randrange(1000), k=k) for k in range(400)]
+    df = spark.createDataFrame(rows, "a int, b int, k int")
+    for m8 in range(4):  # 4 files each spanning the full (a, b) space
+        S.append(df.filter(F.col("k") % 4 == m8).coalesce(1), root, stats_cols=["a", "b"])
+    before = sorted((r.a, r.b, r.k) for r in S.read_snapshot(spark, root).collect())
+    pre = S.read_snapshot_pruned(spark, root, "a", 0, 100)
+    assert pre[1] == pre[2] == 4  # unclustered: every file overlaps
+    v = S.compact(spark, root, target_file_count=4, cluster_by=["a", "b"])
+    assert v is not None
+    after = sorted((r.a, r.b, r.k) for r in S.read_snapshot(spark, root).collect())
+    assert after == before  # layout-only: same rows
+    _, pa, ta = S.read_snapshot_pruned(spark, root, "a", 0, 100)
+    _, pb, tb = S.read_snapshot_pruned(spark, root, "b", 0, 100)
+    assert pa < ta and pb < tb  # both clustered columns prune now
+    # old (pre-compact) version still readable and identical
+    assert sorted((r.a, r.b, r.k) for r in S.read_snapshot(spark, root, 4).collect()) == before
+
+
+def test_zorder_compact_records_cluster_column_stats(spark, root):
+    df = spark.createDataFrame([Row(a=i, b=i * 2) for i in range(50)], "a int, b int")
+    S.append(df.filter(F.col("a") < 25).coalesce(1), root)  # no stats tracked
+    S.append(df.filter(F.col("a") >= 25).coalesce(1), root)
+    v = S.compact(spark, root, target_file_count=2, cluster_by=["a"])
+    m = S._read_manifest(spark, root, v)
+    assert all("a" in s for s in m["stats"].values())  # cluster col stats appear
