@@ -7045,3 +7045,162 @@ def x94_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_cust).cast("long").alias("n_rows_cust"),
         F.lit(n_day).cast("long").alias("n_rows_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X95 — fixed-iteration PageRank (iterative graph fixpoint as K chained
+# join+aggregate rounds; oracle = the recurrence unrolled in SQL)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    step = """
+r{k} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM p)
+         + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr / od.deg), 0) AS pr
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN od ON od.src = e.src
+  LEFT JOIN r{km1} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+    return (
+        """
+    -- PageRank recurrence unrolled: r_k(v) = 0.15/N + 0.85 * sum of
+    -- r_{k-1}(u)/outdeg(u) over in-edges (u,v); 5 rounds over the
+    -- customer->order co-occurrence graph (keys folded mod 512).
+    WITH e AS (SELECT DISTINCT o_custkey % 512 AS src,
+                               o_orderkey % 512 AS dst FROM orders),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    p AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM p) AS pr FROM nodes),"""
+        + ",".join(step.format(k=k, km1=k - 1) for k in range(1, iterations + 1))
+        + f"""
+    SELECT node, ROUND(pr, 6) AS pr_r FROM r{iterations} ORDER BY node
+    """
+    )
+
+
+@register(
+    "x95_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="X95 fixed-iteration PageRank (operators/graph.py::pagerank): "
+    "the canonical iterative graph fixpoint, expressed as K=5 chained "
+    "rounds of ONE edge-join on src + ONE aggregate on dst — the "
+    "Python loop builds the plan, Spark executes bounded-depth chained "
+    "stages; edges+outdeg computed once and cached; at 100 TB the edge "
+    "relation is bucketed on src so each round moves only the O(nodes) "
+    "rank vector. Dangling mass is ignored (the SQL-expressible "
+    "variant), which is what makes every round — and therefore the "
+    "whole fixpoint — DuckDB-checkable: the oracle unrolls the exact "
+    "recurrence 5 times over the same customer->order graph (keys "
+    "folded mod 512) and both engines round to 6 dp. Generalizes the "
+    "reference's group->member fan-out walk (extract.py:56-78) to a "
+    "whole-graph fixpoint.",
+)
+def x95_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 512).alias("src"),
+        (F.col("o_orderkey") % 512).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("node", F.round("pr", 6).alias("pr_r")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# X96 — Pareto skyline data selection (multi-objective curation: keep the
+# documents nothing else beats on BOTH axes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x96_pareto_skyline",
+    oracle="""
+    -- skyline (maximize length AND lexical diversity): a doc survives
+    -- iff no other doc is >= on both axes and > on at least one.
+    WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS b
+               FROM documents)
+    SELECT t.doc_id, t.a AS n_chars_obj, t.b AS n_distinct_obj FROM m t
+    WHERE NOT EXISTS (SELECT 1 FROM m o
+                      WHERE o.a >= t.a AND o.b >= t.b
+                        AND (o.a > t.a OR o.b > t.b))
+    ORDER BY t.doc_id
+    """,
+    doc="X96 Pareto skyline selection (operators/selection.py::"
+    "pareto_skyline): multi-objective curation — keep the documents no "
+    "other document beats on BOTH (length, lexical diversity); the "
+    "skyline query of the BNL/SFS literature, generalizing the "
+    "reference's single-column threshold filters (extract.py:53-61). "
+    "Fully distributed, no O(n^2) pass and no single-partition scan "
+    "over data: same-x domination collapses via groupBy-max (one "
+    "shuffle), equal-width buckets of the x-axis prune via a B-row "
+    "suffix-max summary (window over a CONSTANT-size frame, broadcast "
+    "back), and the SFS running-max scan runs as a window partitioned "
+    "PER BUCKET. The oracle is the quadratic NOT EXISTS dominance "
+    "definition — algorithm-independent ground truth.",
+)
+def x96_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_obj"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct_obj"),
+    )
+    return pareto_skyline(d, "n_chars_obj", "n_distinct_obj").select(
+        "doc_id", "n_chars_obj", "n_distinct_obj"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X97 — exact duplicated n-gram SPAN coverage (sub-document exact-substring
+# dedup: which token spans are repeated corpus-wide, per document)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x97_dup_span_coverage",
+    oracle="""
+    -- positions covered by an 8-gram occurring >= 2 times corpus-wide;
+    -- the oracle unions positions the dumb way (DISTINCT over an
+    -- exploded range) — algorithm-independent of the engine's
+    -- interval-merge implementation.
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, len(toks) AS n, toks FROM d),
+    sh AS (SELECT doc_id, n, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS sh
+           FROM t, UNNEST(range(0, n - 7)) AS u(i) WHERE n >= 8),
+    dup AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY sh) AS c FROM sh)
+            WHERE c >= 2),
+    cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered
+            FROM dup, UNNEST(range(pos, pos + 8)) AS v(p) GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS dup_covered,
+           ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / t.n, 6) AS dup_ratio_r
+    FROM t LEFT JOIN cov USING(doc_id) ORDER BY t.doc_id
+    """,
+    doc="X97 duplicated n-gram span coverage (operators/dedup.py::"
+    "dup_span_coverage): the span-level half of exact-substring "
+    "training-data dedup — per document, how many token positions sit "
+    "inside an 8-gram repeated anywhere in the corpus. Positional "
+    "shingles from one static transform(sequence(...)) expression "
+    "(codegen'd, zero UDF), occurrence counts via ONE shuffle on the "
+    "shingle (xxhash64 it at 100 TB to cut shuffle bytes), and "
+    "coverage by gaps-and-islands interval merge — O(duplicated "
+    "shingles) window rows, not the O(tokens) position explode the "
+    "oracle deliberately uses as its independent ground truth. "
+    "Sub-document refinement of the reference's whole-row dedup "
+    "(extract.py:115-132).",
+)
+def x97_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.dedup import dup_span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(d, "doc_id", "text", n=8, min_count=2).orderBy("doc_id")

@@ -342,3 +342,46 @@ def test_stars_cc_equals_minlabel_and_bounds_rounds(spark):
         for r in connected_components_stars(chain, max_iterations=12).collect()
     }
     assert got == {n: min(nodes) for n in nodes}
+
+
+def test_dup_span_coverage_planted(spark):
+    from nagios_custom_etl_spark.operators.dedup import dup_span_coverage
+
+    rep = "a b c d e f g h"  # the shared 8-gram
+    docs = spark.createDataFrame(
+        [
+            # doc 0: the repeated 8-gram at pos 2 of 12 tokens -> 8 covered
+            (0, "x y " + rep + " z Q"),
+            # doc 1: overlapping duplicated region — positions 0..8 (9 tokens):
+            # shingles at 0 and 1 both duplicated (1's window is b..h i? no —
+            # only the planted 8-gram repeats), so exactly pos 0..7 again
+            (1, rep + " tail1 tail2"),
+            # doc 2: no duplicated shingle, long enough to have shingles
+            (2, "p q r s t u v w x y z"),
+            # doc 3: shorter than 8 tokens -> zero shingles, zero coverage
+            (3, "too short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_covered, r.dup_ratio_r)
+        for r in dup_span_coverage(docs, "doc_id", "text", n=8).collect()
+    }
+    assert got[0] == (12, 8, round(8 / 12, 6))
+    assert got[1] == (10, 8, round(8 / 10, 6))
+    assert got[2] == (11, 0, 0.0)
+    assert got[3] == (3, 0, 0.0)
+
+
+def test_dup_span_coverage_merges_overlapping_islands(spark):
+    from nagios_custom_etl_spark.operators.dedup import dup_span_coverage
+
+    # two docs sharing a 10-token run -> shingles at pos 0,1,2 all repeat;
+    # the three [p, p+7] intervals merge into ONE island covering 10
+    run = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(0, run + " uniqA uniqB"), (1, run + " other tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.dup_covered for r in dup_span_coverage(docs, "doc_id", "text").collect()}
+    assert got == {0: 10, 1: 10}

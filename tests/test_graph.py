@@ -4,6 +4,7 @@ co-purchase pipeline against a naive id-ordered DuckDB construction."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nagios_custom_etl_spark.operators.graph import (
@@ -84,3 +85,29 @@ def test_random_graphs_match_bruteforce(spark):
             for r in triangles(_edges_df(spark, pairs)).collect()
         }
         assert got == expected, f"seed={seed}: {len(got)} vs {len(expected)}"
+
+
+def test_pagerank_star_and_cycle(spark):
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    # star: 2->1, 3->1 — the hub collects mass, the leaves keep the floor
+    star = spark.createDataFrame([(2, 1), (3, 1)], "src long, dst long")
+    r = {x.node: x.pr for x in pagerank(star, iterations=10).collect()}
+    assert r[2] == pytest.approx(r[3])
+    assert r[1] > r[2]
+    assert r[2] == pytest.approx(0.15 / 3)  # leaves have no in-edges
+    # 3-cycle: symmetric, every node converges to 1/3
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    for row in pagerank(cyc, iterations=20).collect():
+        assert row.pr == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_ignored(spark):
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    # 1->2, 2 dangles: the documented variant lets 2's mass vanish
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = {x.node: x.pr for x in pagerank(e, iterations=3).collect()}
+    base = 0.15 / 2
+    assert r[1] == pytest.approx(base)  # no in-edges, every round
+    assert r[2] == pytest.approx(base + 0.85 * base)  # receives 1's full rank
