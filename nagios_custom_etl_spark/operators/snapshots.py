@@ -844,6 +844,11 @@ def gc_orphans(
     reachable: set[str] = set()
     for v in _manifest_versions(spark, root):
         reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
+    # Staged-but-unpublished WAP batches are referenced by their staged
+    # manifest, not by any version — they are pending work, not orphans
+    # (abort_staged is their reclaim path, at any age).
+    for sid in _staged_ids(spark, root):
+        reachable.update(_read_staged(spark, root, sid)["files"])
     deleted = []
     for d in fsio.list_names(spark, root):
         if not d.startswith("data-"):
@@ -1029,3 +1034,171 @@ def read_incremental(
     if not new:
         return read_snapshot(spark, root, v_to).limit(0)
     return _read_files(spark, root, new, m_to.get("schema"), m_to.get("partition_spec"))
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP): stage a batch OUTSIDE the version chain, audit
+# the would-be table, then publish atomically (or abort). Iceberg's
+# stage-only commit + cherry-pick workflow, over the same manifests.
+# ---------------------------------------------------------------------------
+
+
+def _staged_path(root: str, stage_id: str) -> str:
+    return f"{_snap_dir(root)}/staged-{stage_id}.json"
+
+
+def _staged_ids(spark: SparkSession, root: str) -> list[str]:
+    return sorted(
+        f[len("staged-") : -len(".json")]
+        for f in fsio.list_names(spark, _snap_dir(root))
+        if f.startswith("staged-") and f.endswith(".json")
+    )
+
+
+def _read_staged(spark: SparkSession, root: str, stage_id: str) -> dict:
+    p = _staged_path(root, stage_id)
+    if not fsio.exists(spark, p):
+        raise ValueError(f"no staged batch {stage_id!r} at {root}")
+    return json.loads(fsio.read_text(spark, p))
+
+
+def stage_append(
+    df: DataFrame,
+    root: str,
+    stage_id: str,
+    stats_cols: list[str] | None = None,
+    evolve: bool = False,
+) -> str:
+    """Write ``df``'s data files and a STAGED manifest that no version
+    references — the write half of write-audit-publish. The batch is
+    invisible to every reader (``read_snapshot``, time travel, change
+    feed, tailing streams) until :func:`publish_staged` commits it;
+    a failed audit calls :func:`abort_staged` and the table's history
+    never shows the batch existed. Schema and partition-spec contracts
+    are enforced at stage time (fail fast, before the audit spends
+    anything) and re-checked at publish (the table may have moved).
+
+    The staged manifest itself is created atomically (create-if-absent),
+    so a stage_id names exactly one batch: a retried staging job gets
+    ``FileExistsError`` semantics as a ValueError instead of silently
+    writing a second copy. Staged data files are protected from
+    :func:`gc_orphans` by being listed in the staged manifest (the GC
+    reads those too); an abandoned stage is reclaimed by
+    :func:`abort_staged`, not by ad-hoc file deletion."""
+    spark = df.sparkSession
+    if not stage_id or any(ch in stage_id for ch in "/\\ "):
+        raise ValueError(f"invalid stage_id {stage_id!r}")
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent) if parent else {}
+    spec = m.get("partition_spec")
+    schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
+    files, stats = _write_data_files(
+        df, root, stats_cols, spec[0] if spec else None
+    )
+    staged = {
+        "stage_id": stage_id,
+        "op": "staged-append",
+        "parent": parent,
+        "files": sorted(files),
+        "stats": stats,
+        "schema": schema,
+        "staged_at": time.time(),
+    }
+    if spec:
+        staged["partition_spec"] = spec
+    try:
+        fsio.create_text_atomic(spark, _staged_path(root, stage_id), json.dumps(staged))
+    except FileExistsError as ex:
+        raise ValueError(f"stage_id {stage_id!r} already staged") from ex
+    return stage_id
+
+
+def read_staged(spark: SparkSession, root: str, stage_id: str) -> DataFrame:
+    """The table AS IT WOULD BE after publishing ``stage_id`` — the
+    audit surface: current latest content plus the staged files, through
+    the same schema-reconciling, MoR-applying reader as
+    :func:`read_snapshot`. Pending equality deletes do NOT eat staged
+    rows (they are sequenced as newer than any committed delete),
+    matching what publish will produce."""
+    s = _read_staged(spark, root, stage_id)
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent) if parent else {}
+    files = m.get("files", []) + s["files"]
+    pseudo = dict(m)
+    pseudo["schema"] = _merged_schema(m.get("schema"), s["schema"], evolve=True)
+    extra = _mor_extra(m, s["files"], parent + 1)
+    if extra:
+        pseudo.update(extra)
+    return _live_view(spark, root, pseudo, files)
+
+
+def publish_staged(spark: SparkSession, root: str, stage_id: str) -> int:
+    """Commit staged batch ``stage_id`` as the next version (the
+    cherry-pick half of WAP). The batch is re-parented onto the CURRENT
+    latest — an append commutes with any intervening history, because
+    the published content is by definition (current content) + (batch
+    rows); schema and partition-spec compatibility are re-verified
+    against the current manifest, and pending MoR deletes are carried
+    so they keep applying only to strictly-older files. Whether an
+    audit that ran BEFORE an intervening commit is still meaningful is
+    the caller's policy (Iceberg's cherry-pick has the same contract);
+    the staged parent version is recorded in the published manifest for
+    exactly that provenance check.
+
+    Publishing is idempotent per stage_id: the committed manifest
+    records ``{"stage_id": ...}``, and a retry (crash between commit
+    and staged-manifest cleanup) finds it and returns the already-
+    committed version instead of double-appending. Losing a commit race
+    raises ConcurrentCommitError; retry — the conflict checks rerun."""
+    s = _read_staged(spark, root, stage_id)
+    for v in reversed(_manifest_versions(spark, root)):
+        if _read_manifest(spark, root, v).get("stage_id") == stage_id:
+            fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
+            return v
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent) if parent else {}
+    if m.get("partition_spec") != s.get("partition_spec"):
+        raise SchemaMismatchError(
+            f"partition spec changed since stage: table has "
+            f"{m.get('partition_spec')}, staged batch has {s.get('partition_spec')}"
+        )
+    schema = _merged_schema(m.get("schema"), s["schema"], evolve=True)
+    version = _commit(
+        spark,
+        root,
+        m.get("files", []) + s["files"],
+        "wap-publish",
+        parent,
+        {**m.get("stats", {}), **s.get("stats", {})},
+        schema,
+        partition_spec=s.get("partition_spec"),
+        extra={
+            **(_mor_extra(m, s["files"], parent + 1) or {}),
+            "stage_id": stage_id,
+            "staged_parent": s["parent"],
+        },
+    )
+    fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
+    return version
+
+
+def abort_staged(spark: SparkSession, root: str, stage_id: str) -> list[str]:
+    """Drop staged batch ``stage_id``: delete its manifest FIRST (the
+    stage atomically stops being publishable), then its data files —
+    which no version references, so the table's history is untouched.
+    Returns the deleted data-file paths."""
+    s = _read_staged(spark, root, stage_id)
+    fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
+    deleted = []
+    dirs = set()
+    for rel in s["files"]:
+        if fsio.delete(spark, f"{root}/{rel}", recursive=False):
+            deleted.append(rel)
+        dirs.add(rel.split("/", 1)[0])
+    for d in sorted(dirs):
+        if not any(
+            f.endswith(".parquet")
+            for f in fsio.list_files_recursive(spark, f"{root}/{d}")
+        ):
+            fsio.delete(spark, f"{root}/{d}", recursive=True)
+    return sorted(deleted)

@@ -7204,3 +7204,175 @@ def x97_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(d, "doc_id", "text", n=8, min_count=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X98 — time-weighted average over irregular samples (TWAP). x83's EWMA
+# weights by sample COUNT; a sensor/price stream sampled at irregular
+# intervals needs weighting by HOLDING TIME: each observation holds until
+# the next one arrives.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x98_time_weighted_avg",
+    oracle="""
+    -- duration-weighted mean per user: each value holds from its ts to
+    -- the next event's ts (LEAD over the (ts, event_id) total order);
+    -- the last observation has no holding interval and carries zero
+    -- weight. All arithmetic exact until the final division: durations
+    -- are epoch-MICROSECOND bigints, values quantize to DECIMAL(18,6)
+    -- (the repo-wide convention), and the weighted sum accumulates in
+    -- DECIMAL — double SUMs re-associate differently across engines and
+    -- are NOT hash-safe.
+    WITH o AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+           ROUND(CAST(SUM(v * (t_next - t)) AS DOUBLE)
+                 / CAST(MAX(t) - MIN(t) AS DOUBLE), 6) AS twap_r
+    FROM o
+    GROUP BY user_id
+    HAVING MAX(t) > MIN(t)
+    ORDER BY user_id
+    """,
+    doc="X98 time-weighted average (TWAP) over irregularly-sampled "
+    "per-user event streams: LEAD over the (ts, event_id) total order "
+    "gives each observation its holding duration; the weighted mean is "
+    "sum(v*dur)/span. One shuffle on user_id shared by the window AND "
+    "the aggregate (the sort-based window's hash partitioning satisfies "
+    "the groupBy's distribution — no second exchange), all codegen'd "
+    "built-ins. Exactness: durations are epoch-us BIGINTs, values "
+    "quantized to DECIMAL(18,6), the weighted sum accumulated in exact "
+    "DECIMAL, one double division at the end — bit-identical across "
+    "engines (double-SUM re-association is the trap this avoids). "
+    "Extends the reference's rrdexport averaging (url_service_status_"
+    "InfluxDB_insert.py:110-127), which assumes regular sampling.",
+)
+def x98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * (F.col("t_next") - F.col("t"))).cast("double")
+                / (F.max("t") - F.min("t")).cast("double"),
+                6,
+            ).alias("twap_r"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X99 — write-audit-publish (WAP): stage -> audit -> abort/publish over the
+# snapshot table layer (Iceberg's stage-only commit + cherry-pick workflow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x99_wap_staged_publish",
+    oracle="""
+    -- WAP round: base = orders < 1000. A BAD batch ([1000,2000) with
+    -- prices negated on o_orderkey % 7 = 0) is staged, audited
+    -- (positive-price constraint), and ABORTED; a clean batch of the
+    -- same keys is staged, audits clean, and publishes. Deterministic
+    -- aftermath: the audit counted exactly the planted violations, the
+    -- bad batch was never visible (visible-row count at audit time ==
+    -- base count), and the final table is base + clean batch with the
+    -- ORIGINAL prices (the negated ones died with the abort).
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders
+            WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+              AND o_orderkey % 7 = 0) AS BIGINT) AS n_bad_violations,
+      CAST(0 AS BIGINT) AS n_clean_violations,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000) AS BIGINT)
+        AS n_visible_during_stage,
+      o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+    """,
+    doc="X99 write-audit-publish (operators/snapshots.py::stage_append/"
+    "read_staged/publish_staged/abort_staged): a batch lands as a "
+    "STAGED manifest outside the version chain — invisible to every "
+    "reader, time-travel, change-feed and tailing stream — while the "
+    "audit (here an x80-style accepted-range constraint over the "
+    "would-be table) runs against read_staged; a failing audit aborts "
+    "(files deleted, history never shows the batch), a passing one "
+    "publishes atomically via the same create-if-absent commit, "
+    "re-parented onto the current latest (appends commute), with the "
+    "stage_id recorded for idempotent retry. gc_orphans treats staged "
+    "files as pending work, not orphans. The quality gate the "
+    "reference applies row-by-row inside its ETL (extract.py:53-61) "
+    "lifted to TRANSACTIONAL batch promotion. Race/rebase/idempotence/"
+    "GC contracts pinned in tests/test_snapshots.py.",
+)
+def x99_wap_staged_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") < 1000)
+    batch = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    bad = batch.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x99_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.overwrite(base, root)  # v1
+
+    def audit_violations(stage_id: str) -> int:
+        return (
+            S.read_staged(spark, root, stage_id)
+            .filter(F.col("o_totalprice") <= 0)
+            .count()
+        )
+
+    S.stage_append(bad, root, "bad-batch")
+    n_bad = audit_violations("bad-batch")
+    n_visible = S.read_snapshot(spark, root).count()  # batch must NOT show
+    S.abort_staged(spark, root, "bad-batch")
+
+    S.stage_append(batch, root, "clean-batch")
+    n_clean = audit_violations("clean-batch")
+    assert n_clean == 0, "clean batch must audit clean"
+    S.publish_staged(spark, root, "clean-batch")
+
+    return (
+        S.read_snapshot(spark, root)
+        .select(
+            F.lit(n_bad).cast("long").alias("n_bad_violations"),
+            F.lit(n_clean).cast("long").alias("n_clean_violations"),
+            F.lit(n_visible).cast("long").alias("n_visible_during_stage"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -977,3 +977,135 @@ def test_zorder_compact_records_cluster_column_stats(spark, root):
     v = S.compact(spark, root, target_file_count=2, cluster_by=["a"])
     m = S._read_manifest(spark, root, v)
     assert all("a" in s for s in m["stats"].values())  # cluster col stats appear
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (x99): stage -> audit -> publish/abort
+# ---------------------------------------------------------------------------
+
+
+def test_wap_stage_is_invisible_until_publish(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # v1
+    S.stage_append(_df(spark, 3, 5), root, "batch-a")
+    # no reader sees the staged rows: latest content, version, history
+    assert S.latest_version(spark, root) == 1
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(3)]
+    # the audit surface sees base + batch
+    assert _rows(S.read_staged(spark, root, "batch-a")) == [
+        (i, f"r{i}") for i in range(5)
+    ]
+    v = S.publish_staged(spark, root, "batch-a")
+    assert v == 2
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(5)]
+    m = S._read_manifest(spark, root, 2)
+    assert m["op"] == "wap-publish"
+    assert m["stage_id"] == "batch-a"
+    assert m["staged_parent"] == 1
+    # staged manifest consumed
+    with pytest.raises(ValueError, match="no staged batch"):
+        S.read_staged(spark, root, "batch-a")
+
+
+def test_wap_abort_removes_files_and_leaves_history_untouched(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)
+    S.stage_append(_df(spark, 3, 5), root, "bad")
+    staged_files = S._read_staged(spark, root, "bad")["files"]
+    assert staged_files
+    deleted = S.abort_staged(spark, root, "bad")
+    assert deleted == sorted(staged_files)
+    for rel in staged_files:
+        assert not fsio.exists(spark, f"{root}/{rel}")
+    assert S.latest_version(spark, root) == 1
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(3)]
+    with pytest.raises(ValueError, match="no staged batch"):
+        S.publish_staged(spark, root, "bad")
+
+
+def test_wap_publish_rebases_over_concurrent_append(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.stage_append(_df(spark, 10, 12), root, "late")  # staged against v1
+    S.append(_df(spark, 2, 4), root)  # v2 lands first
+    v = S.publish_staged(spark, root, "late")
+    assert v == 3
+    # published content = CURRENT table + batch, not stage-time table
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in (0, 1, 2, 3, 10, 11)
+    ]
+    m = S._read_manifest(spark, root, 3)
+    assert (m["parent"], m["staged_parent"]) == (2, 1)
+
+
+def test_wap_duplicate_stage_id_refused(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.stage_append(_df(spark, 2, 3), root, "b1")
+    with pytest.raises(ValueError, match="already staged"):
+        S.stage_append(_df(spark, 3, 4), root, "b1")
+    # the loser's data files are its own orphan problem (fresh uuid dir);
+    # the original staged batch is intact and publishable
+    assert _rows(S.read_staged(spark, root, "b1")) == [(0, "r0"), (1, "r1"), (2, "r2")]
+
+
+def test_wap_publish_idempotent_after_cleanup_crash(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.stage_append(_df(spark, 2, 4), root, "once")
+    staged_json = fsio.read_text(spark, S._staged_path(root, "once"))
+    v = S.publish_staged(spark, root, "once")
+    # simulate a crash between commit and staged-manifest cleanup:
+    # the leftover staged file reappears, publish is retried
+    fsio.write_text(spark, S._staged_path(root, "once"), staged_json)
+    assert S.publish_staged(spark, root, "once") == v
+    assert S.latest_version(spark, root) == v  # no double-append
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(4)]
+
+
+def test_wap_gc_orphans_spares_staged_files(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.stage_append(_df(spark, 2, 4), root, "pending")
+    staged_files = S._read_staged(spark, root, "pending")["files"]
+    assert S.gc_orphans(spark, root, min_age_sec=0.0) == []
+    for rel in staged_files:
+        assert fsio.exists(spark, f"{root}/{rel}")
+    # after publish the files are version-referenced; still no orphans
+    S.publish_staged(spark, root, "pending")
+    assert S.gc_orphans(spark, root, min_age_sec=0.0) == []
+
+
+def test_wap_schema_contract_enforced_at_stage_time(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    drifted = spark.createDataFrame([Row(i=9, s="r9", extra=1.0)], "i int, s string, extra double")
+    with pytest.raises(S.SchemaMismatchError):
+        S.stage_append(drifted, root, "drift")
+    S.stage_append(drifted, root, "drift", evolve=True)
+    assert S.publish_staged(spark, root, "drift") == 2
+    got = {(r.i, r.s, r.extra) for r in S.read_snapshot(spark, root).collect()}
+    assert got == {(0, "r0", None), (1, "r1", None), (9, "r9", 1.0)}
+
+
+def test_wap_publish_refuses_partition_spec_change(spark, root):
+    df = spark.createDataFrame(
+        [Row(i=i, s=f"r{i}", k=i % 2) for i in range(4)], "i int, s string, k int"
+    )
+    S.overwrite(df, root)  # unpartitioned v1
+    S.stage_append(_df_part(spark, 4, 6), root, "p0")
+    # table is redefined as partitioned while the batch is staged
+    S.overwrite(df, root, partition_by="k")
+    with pytest.raises(S.SchemaMismatchError, match="partition spec changed"):
+        S.publish_staged(spark, root, "p0")
+
+
+def _df_part(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(i=i, s=f"r{i}", k=i % 2) for i in range(lo, hi)], "i int, s string, k int"
+    )
+
+
+def test_wap_staged_on_partitioned_table_keeps_layout(spark, root):
+    S.overwrite(_df_part(spark, 0, 4), root, partition_by="k")
+    S.stage_append(_df_part(spark, 4, 8), root, "pp")
+    v = S.publish_staged(spark, root, "pp")
+    m = S._read_manifest(spark, root, v)
+    assert m["partition_spec"] == ["k"]
+    # staged files were written Hive-layout so partition pruning holds
+    assert all("/k=" in f for f in S._read_manifest(spark, root, v)["files"])
+    got = {(r.i, r.k) for r in S.read_snapshot(spark, root).select("i", "k").collect()}
+    assert got == {(i, i % 2) for i in range(8)}
