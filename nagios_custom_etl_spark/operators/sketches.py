@@ -152,3 +152,104 @@ def count_min_estimates(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable register-level HLL: the sketch as a RELATION (group, register,
+# rho), built from md5 — bit-identical in any engine that has md5, which is
+# what makes it (unlike the DataSketches binaries above) exactly
+# cross-engine checkable AND maintainable by any max-merging store.
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def hll_register_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+    salt: str = ":hll",
+) -> DataFrame:
+    """HyperLogLog registers as rows ``group_cols + (reg, rho)`` — one
+    row per (group, non-zero register), ``rho`` already max-merged
+    within the group. ``2**p`` registers; the hash is md5 (identical
+    bytes in Spark, DuckDB, Python — the portability that lets an
+    oracle replicate every register exactly, where DataSketches blobs
+    (:func:`vocab_sketch_rollup`) can only be bounds-checked).
+
+    The relational representation IS the merge algebra: a coarser
+    rollup, a cross-shard union, or an incremental micro-batch merge
+    are all ``groupBy(granu, reg).max(rho)`` — max is idempotent,
+    commutative and associative, so re-delivery and re-ordering are
+    free (the property st24 leans on). Register index = first ``p``
+    bits of the hash, rho = 1 + leading zeros of the next 64 bits,
+    computed with string built-ins only (codegen'd; each hex char is 4
+    bits, so a zero-run count plus a 4-way CASE on the first non-zero
+    char needs no 128-bit arithmetic anywhere). One shuffle at
+    (group, register) cardinality — bounded by ``|groups| * 2**p``
+    regardless of data size; the map side pre-aggregates, so at 100 TB
+    the shuffle moves kilobytes per group, the HLL promise."""
+    reg, rho = hll_reg_rho(key_col, p=p, salt=salt)
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_reg_rho(key_col: str, p: int = 8, salt: str = ":hll"):
+    """The per-ROW half of :func:`hll_register_rows`: pure Column
+    expressions ``(reg, rho)`` for one key — what a streaming plan maps
+    over its micro-batch before handing (dims, reg, rho) rows to a
+    max-merging sink (st24). Kept separate so the stream stays a
+    stateless projection and ALL merging happens in the sink's
+    idempotent groupBy-max."""
+    if not 4 <= p <= 12 or p % 2:
+        raise ValueError("p must be even and in [4, 12] (whole hex chars)")
+    hc = p // 4  # hex chars consumed by the register index
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    idx = sum(
+        (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) * (16 ** (hc - 1 - i))
+        for i in range(hc)
+    )
+    tail = F.substring(h, hc + 1, 16)
+    zrun = F.length(F.regexp_extract(tail, "^0*", 0))
+    fc = tail.substr(zrun + 1, F.lit(1))
+    extra = (
+        F.when(fc == "1", 3)
+        .when(fc.isin("2", "3"), 2)
+        .when(fc.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return idx.cast("int"), (zrun * 4 + extra + 1).cast("int")
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Distinct-count estimate per group from register rows (any
+    max-merged granularity of :func:`hll_register_rows`): the Flajolet
+    HLL estimator with the small-range (linear-counting) correction.
+    The register sum Σ 2^-rho accumulates EXACTLY — each term is a
+    power of two scaled to an integer DECIMAL(38,0), so the sum is
+    association-free and bit-identical across engines; the estimate
+    does one double division (plus one ln on the linear-counting path)
+    per GROUP, not per row."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    scaled = F.pow(F.lit(2.0), 70 - F.col("rho")).cast("decimal(38,0)")
+    g = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_present"),
+        F.sum(scaled).alias("_s"),
+    )
+    two70 = F.pow(F.lit(2.0), F.lit(70)).cast("decimal(38,0)")
+    v_zero = F.lit(m) - F.col("_n_present")
+    total = (F.col("_s") + v_zero.cast("decimal(38,0)") * two70).cast("double")
+    raw = F.lit(alpha * m * m) * F.pow(F.lit(2.0), F.lit(70)) / total
+    est = F.when(
+        (raw <= 2.5 * m) & (v_zero > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+    ).otherwise(raw)
+    return g.select(
+        *group_cols,
+        v_zero.cast("long").alias("v_zero"),
+        est.alias("est_distinct"),
+    )

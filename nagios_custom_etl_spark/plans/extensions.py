@@ -7376,3 +7376,133 @@ def x99_wap_staged_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# X100 — portable register-level HLL (the sketch as a relation). x20's
+# DataSketches blobs can only be bounds-checked (DuckDB has no DataSketches);
+# these md5-built registers are bit-identical in ANY engine with md5, so the
+# whole sketch — every register — hash-checks exactly.
+# ---------------------------------------------------------------------------
+
+
+_HLL_ORACLE = """
+    -- md5-register HLL, p=8 (m=256), replicated end-to-end: register
+    -- index = first 2 hex chars, rho = 1 + leading zero BITS of the
+    -- next 16 hex chars (4 per leading '0' char + a 4-way CASE on the
+    -- first non-zero char — no 128-bit arithmetic). The register sum
+    -- accumulates as integer DECIMAL(38,0) (each 2^(70-rho) is exact),
+    -- so it is association-free; the estimator is one double division
+    -- (raw branch) or one ln (linear-counting branch) per group. Both
+    -- branches run: 'cust' sketches ~thousands of custkeys (raw),
+    -- 'status' sketches 3 values (linear counting).
+    WITH src AS (
+      SELECT 'cust' AS level, o_orderpriority, CAST(o_custkey AS VARCHAR) AS key
+      FROM orders
+      UNION ALL
+      SELECT 'status', o_orderpriority, o_orderstatus FROM orders
+    ),
+    h AS (SELECT level, o_orderpriority, md5(key || ':hll') AS h FROM src),
+    r AS (SELECT level, o_orderpriority,
+            16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+            4*length(regexp_extract(substr(h,3,16), '^0*'))
+              + CASE substr(substr(h,3,16),
+                            length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    m AS (SELECT level, o_orderpriority, reg, MAX(rho) AS rho
+          FROM r GROUP BY level, o_orderpriority, reg),
+    g AS (SELECT level, o_orderpriority,
+                 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m GROUP BY level, o_orderpriority),
+    e AS (SELECT level, o_orderpriority, v_zero,
+                 ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                  * 256) * 256 * power(2, 70) / total AS raw
+          FROM g),
+    x AS (SELECT level, o_orderpriority, v_zero,
+                 CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e),
+    exact AS (
+      SELECT 'cust' AS level, o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'status', o_orderpriority,
+             COUNT(DISTINCT o_orderstatus) FROM orders GROUP BY 2
+    )
+    SELECT x.level, x.o_orderpriority,
+           CAST(x.v_zero AS BIGINT) AS v_zero,
+           ROUND(x.est, 4) AS est_r,
+           CAST(exact.n_exact AS BIGINT) AS n_exact
+    FROM x JOIN exact USING (level, o_orderpriority)
+    ORDER BY level, o_orderpriority
+"""
+
+
+@register(
+    "x100_hll_registers_exact",
+    oracle=_HLL_ORACLE,
+    doc="X100 portable register-level HLL (operators/sketches.py::"
+    "hll_register_rows/hll_estimate): HyperLogLog as a RELATION (group, "
+    "register, rho) built from md5 — bit-identical in every engine with "
+    "md5, so unlike x20's DataSketches blobs the ENTIRE sketch "
+    "hash-checks against DuckDB, register by register, and the estimate "
+    "matches to the rounded digit. The relational form is the merge "
+    "algebra: rollups, shard unions and micro-batch maintenance are all "
+    "groupBy-max — idempotent/commutative/associative, so re-delivery "
+    "is free (st24 builds exactly-once distinct-count maintenance on "
+    "it). One shuffle bounded at |groups| * 256 rows regardless of data "
+    "size, map-side combined. The Spark side deliberately builds "
+    "per-(priority, status) PARTIAL sketches and max-merges them to the "
+    "priority grain — the oracle computes single-level, pinning merge "
+    "losslessness, and both estimator branches (raw harmonic mean, "
+    "linear counting) are exercised and checked.",
+)
+def x100_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    o = cache_once(load_table(spark, sf_dir, "orders"))
+
+    def sketch(level: str, key: str) -> DataFrame:
+        # partial sketches at a FINER grain, then max-merged up: the
+        # mergeability the estimate's correctness rests on.
+        partial = hll_register_rows(
+            o, ["o_orderpriority", "o_orderstatus"], key, p=8
+        ).withColumn("level", F.lit(level))
+        return partial.groupBy("level", "o_orderpriority", "reg").agg(
+            F.max("rho").alias("rho")
+        )
+
+    regs = sketch("cust", "o_custkey").unionByName(sketch("status", "o_orderstatus"))
+    est = hll_estimate(regs, ["level", "o_orderpriority"], p=8)
+    exact = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_exact"))
+        .withColumn("level", F.lit("cust"))
+        .unionByName(
+            o.groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_orderstatus").cast("long").alias("n_exact"))
+            .withColumn("level", F.lit("status"))
+        )
+    )
+    return (
+        est.join(exact, ["level", "o_orderpriority"])
+        .select(
+            "level",
+            "o_orderpriority",
+            "v_zero",
+            F.round("est_distinct", 4).alias("est_r"),
+            "n_exact",
+        )
+        .orderBy("level", "o_orderpriority")
+    )

@@ -1402,3 +1402,134 @@ def st23_medallion_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("source")
     )
+
+
+@register(
+    "st24_hll_distinct_silver",
+    oracle="""
+    -- COUNT DISTINCT is the canonical aggregate the additive medallion
+    -- loop (st23) CANNOT maintain: distinct partials do not re-add. It
+    -- rides the same sink as md5-HLL register rows under a 'max'
+    -- measure at (event_type, register) grain — max is idempotent,
+    -- commutative and associative, so micro-batch boundaries, merge
+    -- order AND replays all collapse to the same silver table, which
+    -- this oracle replicates register-for-register from the raw rows
+    -- (md5 is bit-identical across engines; see x100 for the encoding).
+    WITH src AS (SELECT event_type, CAST(user_id AS VARCHAR) AS key
+                 FROM events WHERE event_id < 6000),
+    h AS (SELECT event_type, md5(key || ':hll') AS h FROM src),
+    r AS (SELECT event_type,
+            16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+            4*length(regexp_extract(substr(h,3,16), '^0*'))
+              + CASE substr(substr(h,3,16),
+                            length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    m AS (SELECT event_type, reg, MAX(rho) AS rho
+          FROM r GROUP BY event_type, reg),
+    g AS (SELECT event_type,
+                 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m GROUP BY event_type),
+    e AS (SELECT event_type, v_zero,
+                 ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                  * 256) * 256 * power(2, 70) / total AS raw
+          FROM g),
+    x AS (SELECT event_type, v_zero,
+                 CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+              FROM events WHERE event_id < 6000 GROUP BY event_type)
+    SELECT x.event_type,
+           CAST(x.v_zero AS BIGINT) AS v_zero,
+           ROUND(x.est, 4) AS est_users_r,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM x JOIN exact USING (event_type)
+    ORDER BY x.event_type
+    """,
+    doc="ST-ext streaming COUNT-DISTINCT maintenance over the medallion "
+    "loop (streaming/ops.py::snapshot_agg_merge_sink 'max' kind + "
+    "operators/sketches.py::hll_reg_rho): bronze event commits are "
+    "tailed (st21 source), each micro-batch projects per-row md5-HLL "
+    "(register, rho) pairs — a stateless map, no stream state — and "
+    "the sink max-merges them into a SILVER register table at "
+    "(event_type, register) grain with batch-id txn tokens. Because "
+    "max is idempotent/commutative/associative, batching, merge order "
+    "and crash replays are all invisible in the final registers, which "
+    "the oracle replicates exactly from the raw rows; the estimate "
+    "then reads O(groups * 256) silver rows, never the history — the "
+    "only way a 100 TB stream keeps per-key distinct counts queryable "
+    "without reshuffling every distinct value per refresh.",
+)
+def st24_hll_distinct_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.sketches import hll_estimate, hll_reg_rho
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    spark.dataSource.register(SnapshotTailSource)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st24_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    silver, ckpt = os.path.join(base, "silver"), os.path.join(base, "ckpt")
+    sink = snapshot_agg_merge_sink(
+        silver,
+        dims=["event_type", "reg"],
+        measures={"rho": ("max", "rho", "int")},
+        txn_prefix="hll-batch",
+    )
+
+    def drain() -> None:
+        reg, rho = hll_reg_rho("user_id", p=8)
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", bronze)
+            .option("schema_ddl", "event_id bigint, user_id bigint, event_type string")
+            .load()
+            .select("event_type", reg.alias("reg"), rho.alias("rho"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    S.append(ev.filter(F.col("event_id") < 2000), bronze)
+    S.append(ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)), bronze)
+    drain()  # merges v1 + v2 registers into silver
+    S.append(ev.filter((F.col("event_id") >= 4000) & (F.col("event_id") < 6000)), bronze)
+    drain()  # resumes from the checkpointed offset: only v3's registers
+    before = S.latest_version(spark, silver)
+    reg, rho = hll_reg_rho("user_id", p=8)
+    sink(ev.select("event_type", reg.alias("reg"), rho.alias("rho")), 0)
+    replay_noop = S.latest_version(spark, silver) == before
+    regs = S.read_snapshot(spark, silver)
+    exact = (
+        ev.filter(F.col("event_id") < 6000)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        hll_estimate(regs, ["event_type"], p=8)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "v_zero",
+            F.round("est_distinct", 4).alias("est_users_r"),
+            "n_exact",
+            F.lit(bool(replay_noop)).alias("replay_noop"),
+        )
+        .orderBy("event_type")
+    )

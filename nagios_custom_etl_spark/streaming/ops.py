@@ -429,9 +429,15 @@ def snapshot_agg_merge_sink(
     Parameterized over the aggregate spec (the mv_rewrite/x71 carrier
     convention): ``dims`` is the grain, ``measures`` maps each output
     column to ``(kind, source_col, carrier_type)`` with kind in
-    {"count", "sum"} — the self-decomposable aggregates whose partials
-    re-aggregate exactly; use a ``decimal(p,s)`` carrier for money-like
-    sums (bit-exact re-association) and ``long`` for counts/int sums.
+    {"count", "sum", "min", "max"} — the self-decomposable aggregates
+    whose partials re-aggregate exactly (count/sum are additive;
+    min/max are sound because this sink's bronze feed is insert-only —
+    nothing ever retracts); use a ``decimal(p,s)`` carrier for
+    money-like sums (bit-exact re-association) and ``long`` for
+    counts/int sums. COUNT DISTINCT is the canonical NON-decomposable
+    aggregate — it rides this sink as HLL register rows under a "max"
+    measure at (dims, register) grain (st24), which is both mergeable
+    and idempotent under replay.
     Defaults reproduce the original st23 silver schema (per-source doc
     and char counts), which is now just one instantiation. The merge is
     a union + re-aggregate over (current grain rows + batch partials) —
@@ -463,22 +469,34 @@ def snapshot_agg_merge_sink(
         "total_chars": ("sum", "n_chars", "long"),
     }
     for out, (kind, _src, _typ) in measures.items():
-        if kind not in ("count", "sum"):
+        if kind not in ("count", "sum", "min", "max"):
             raise ValueError(
-                f"measure {out!r}: kind {kind!r} is not additive "
-                "(count/sum only — min/max/distinct do not re-aggregate)"
+                f"measure {out!r}: kind {kind!r} does not re-aggregate from "
+                "partials (count/sum are additive; min/max are sound for "
+                "this sink's INSERT-ONLY bronze feed — they cannot retract; "
+                "distinct needs a sketch carrier: HLL registers under a "
+                "'max' measure, see st24)"
             )
+
+    _AGG = {"count": None, "sum": F.sum, "min": F.min, "max": F.max}
 
     def _partials(df: DataFrame) -> DataFrame:
         aggs = []
         for out, (kind, src, typ) in measures.items():
-            expr = F.count(F.lit(1)) if kind == "count" else F.sum(F.col(src).cast(typ))
+            expr = (
+                F.count(F.lit(1))
+                if kind == "count"
+                else _AGG[kind](F.col(src).cast(typ))
+            )
             aggs.append(expr.cast(typ).alias(out))
         return df.groupBy(*dims).agg(*aggs)
 
     def _remerge(df: DataFrame) -> DataFrame:
+        # partials re-aggregate under their own kind, except count
+        # partials which re-combine by SUM
         aggs = [
-            F.sum(out).cast(typ).alias(out) for out, (_k, _s, typ) in measures.items()
+            _AGG[kind if kind != "count" else "sum"](F.col(out)).cast(typ).alias(out)
+            for out, (kind, _s, typ) in measures.items()
         ]
         return df.groupBy(*dims).agg(*aggs)
 

@@ -84,3 +84,59 @@ def test_count_min_never_underestimates(spark):
     # 700 items over 64 buckets: expected overshoot ~11 per row; min over
     # 4 independent rows keeps the heavy hitter's estimate tight
     assert est["hot"] - exact["hot"] <= 60
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    """The relational HLL's whole value: max-merging shard-level
+    register rows is LOSSLESS — identical to sketching the union
+    directly. Pinned on random data split across 4 shards."""
+    import random
+
+    from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(4), rnd.randrange(3000)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "shard int, k long")
+    direct = {
+        (r.reg, r.rho)
+        for r in hll_register_rows(df.select(F.lit(1).alias("g"), "k"), ["g"], "k").collect()
+    }
+    sharded = hll_register_rows(df, ["shard"], "k")
+    merged = {
+        (r.reg, r.rho)
+        for r in sharded.groupBy("reg").agg(F.max("rho").alias("rho")).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_accuracy_and_linear_counting(spark):
+    """Standard error at p=8 is 1.04/sqrt(256) = 6.5%; assert a 3-sigma
+    bound on 5000 planted distinct keys (duplicated 3x — duplicates must
+    not move a distinct sketch). Tiny cardinalities take the
+    linear-counting branch and come back near-exact."""
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    big = spark.range(0, 15000).select(
+        F.lit("big").alias("g"), (F.col("id") % 5000).alias("k")
+    )
+    small = spark.range(0, 500).select(
+        F.lit("small").alias("g"), (F.col("id") % 7).alias("k")
+    )
+    regs = hll_register_rows(big.unionByName(small), ["g"], "k")
+    out = {r.g: r.est_distinct for r in hll_estimate(regs, ["g"]).collect()}
+    assert abs(out["big"] - 5000) / 5000 < 0.20
+    assert abs(out["small"] - 7) < 1.0
+
+
+def test_hll_register_rows_validates_p(spark):
+    import pytest
+
+    from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+    df = spark.range(3).select(F.lit(1).alias("g"), F.col("id").alias("k"))
+    for bad in (3, 7, 14):
+        with pytest.raises(ValueError):
+            hll_register_rows(df, ["g"], "k", p=bad)

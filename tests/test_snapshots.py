@@ -807,6 +807,37 @@ def test_agg_merge_sink_custom_dims_and_measures(spark, root):
     assert S.latest_version(spark, root) == 2
 
 
+def test_agg_merge_sink_min_max_kinds_order_invariant(spark, root):
+    """min/max measures re-aggregate from partials on an insert-only
+    feed; delivering the same rows in a different batching must land the
+    identical silver content (the property st24's HLL registers, a
+    'max' measure, rest on). Unknown kinds still refuse."""
+    import pytest
+
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v int")
+
+    def run(dst, batches):
+        sink = snapshot_agg_merge_sink(
+            dst,
+            dims=["k"],
+            measures={"lo": ("min", "v", "int"), "hi": ("max", "v", "int")},
+            txn_prefix="mm",
+        )
+        for i, rows in enumerate(batches):
+            sink(batch(rows), i)
+        return sorted((r.k, r.lo, r.hi) for r in S.read_snapshot(spark, dst).collect())
+
+    rows = [("a", 5), ("a", 1), ("b", 7), ("a", 9), ("b", 2), ("b", 7)]
+    one = run(f"{root}/one", [rows])
+    split = run(f"{root}/split", [rows[:2], rows[2:4], rows[4:]])
+    assert one == split == [("a", 1, 9), ("b", 2, 7)]
+    with pytest.raises(ValueError, match="does not re-aggregate"):
+        snapshot_agg_merge_sink(root, dims=["k"], measures={"d": ("distinct", "v", "long")})
+
+
 # ---------------------------------------------------------------------------
 # merge-on-read (x93): equality deletes, sequence ordering, compaction as
 # delete materializer, reachability through vacuum/GC
