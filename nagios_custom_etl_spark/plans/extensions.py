@@ -7506,3 +7506,93 @@ def x100_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X101 — integer-lattice k-means (iterative clustering fixpoint; oracle =
+# the Lloyd rounds unrolled in SQL, exact because every step is integer)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(iterations: int = 3) -> str:
+    step = """
+a{k} AS (
+  SELECT id, x, y, cid FROM (
+    SELECT p.id, p.x, p.y, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.id
+             ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+    FROM pts p CROSS JOIN c{km1} c) WHERE rn = 1),
+c{k} AS (SELECT cid, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cx,
+                CAST(SUM(y) // COUNT(*) AS BIGINT) AS cy
+         FROM a{k} GROUP BY cid),"""
+    rounds = "".join(step.format(k=k, km1=k - 1) for k in range(1, iterations + 1))
+    return (
+        """
+    -- Lloyd's rounds unrolled: assign = lowest-cid integer-distance
+    -- argmin (ROW_NUMBER over (dist, cid) — ties identical to the
+    -- engine's CASE chain), update = floor-divided lattice centroid.
+    -- Exact end-to-end: integer coords, integer distances, integer
+    -- division — no float argmin anywhere, which is what makes an
+    -- iterative CLUSTERING fixpoint hash-checkable at all.
+    WITH pts AS (SELECT o_orderkey AS id, o_orderkey % 97 AS x,
+                        o_custkey % 89 AS y FROM orders),
+    c0(cid, cx, cy) AS (VALUES (0, 10, 10), (1, 50, 50), (2, 90, 90)),"""
+        + rounds
+        + f"""
+    fin AS (
+      SELECT id, x, y, cid FROM (
+        SELECT p.id, p.x, p.y, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.id
+                 ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+        FROM pts p CROSS JOIN c{iterations} c) WHERE rn = 1)
+    SELECT f.cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+           c.cx, c.cy,
+           CAST(SUM((f.x-c.cx)*(f.x-c.cx)+(f.y-c.cy)*(f.y-c.cy)) AS BIGINT)
+             AS wcss
+    FROM fin f JOIN c{iterations} c USING (cid)
+    GROUP BY f.cid, c.cx, c.cy ORDER BY f.cid
+    """
+    )
+
+
+@register(
+    "x101_kmeans_lattice",
+    oracle=_kmeans_oracle(),
+    doc="X101 integer-lattice k-means (operators/ml.py::kmeans_lattice): "
+    "Lloyd's algorithm as an iterative DataFrame fixpoint — per round "
+    "ONE codegen'd CASE assignment against K broadcast centroid "
+    "literals and ONE K-row aggregate; only K rows reach the driver "
+    "per round (MLlib's own loop shape; the points never shuffle). "
+    "The lattice variant (integer coords, integer squared distances, "
+    "floor-divided centroids, lowest-id tie-break) is chosen — like "
+    "x95's ignore-dangling PageRank — because every step is exact "
+    "integer arithmetic, so a DuckDB oracle replays all three rounds "
+    "bit-identically; float argmin would ulp-flip assignments. "
+    "Empty clusters drop (restart-free standard handling). Closed-form "
+    "convergence tests in tests/test_ml.py.",
+)
+def x101_kmeans_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.ml import kmeans_lattice
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 97).alias("x"),
+        (F.col("o_custkey") % 89).alias("y"),
+    )
+    assigned, cents = kmeans_lattice(o, "x", "y", [(10, 10), (50, 50), (90, 90)], 3)
+    cdf = assigned.sparkSession.createDataFrame(cents, "cid int, cx long, cy long")
+    return (
+        assigned.join(F.broadcast(cdf), "cid")
+        .groupBy("cid", "cx", "cy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+            )
+            .cast("long")
+            .alias("wcss"),
+        )
+        .select("cid", "n_points", "cx", "cy", "wcss")
+        .orderBy("cid")
+    )

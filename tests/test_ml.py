@@ -59,3 +59,46 @@ def test_x19_contract_query_confusion_matrix(spark):
     total = sum(rows.values())
     correct = rows.get((0, 0), 0) + rows.get((1, 1), 0)
     assert total > 0 and correct / total > 0.85, rows
+
+
+def test_kmeans_lattice_separated_blobs_converge(spark):
+    """Two well-separated integer blobs with centers planted at (10,10)
+    and (90,90): from deliberately-bad inits the lattice centroids must
+    land exactly on the blob means (closed-form: each blob is symmetric
+    around its center, so sum DIV n is the center)."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.ml import kmeans_lattice
+
+    rows = []
+    i = 0
+    for cx, cy in ((10, 10), (90, 90)):
+        for dx in (-2, -1, 0, 1, 2):
+            for dy in (-2, 0, 2):
+                rows.append((i, cx + dx, cy + dy))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    assigned, cents = kmeans_lattice(df, "x", "y", [(0, 0), (30, 30)], iterations=4)
+    assert cents == [(0, 10, 10), (1, 90, 90)]
+    # every point assigned to its own blob's centroid
+    got = {(r.id, r.cid) for r in assigned.select("id", "cid").collect()}
+    assert got == {(j, 0 if j < 15 else 1) for j in range(30)}
+
+
+def test_kmeans_lattice_tie_breaks_to_lowest_cid(spark):
+    from nagios_custom_etl_spark.operators.ml import kmeans_lattice
+
+    # a point equidistant from both inits must take cid 0; one round,
+    # so the assignment is directly against the inits
+    df = spark.createDataFrame([(0, 5, 0)], "id long, x long, y long")
+    assigned, _ = kmeans_lattice(df, "x", "y", [(0, 0), (10, 0)], iterations=0)
+    assert assigned.collect()[0].cid == 0
+
+
+def test_kmeans_lattice_empty_cluster_drops(spark):
+    from nagios_custom_etl_spark.operators.ml import kmeans_lattice
+
+    # all mass near (0,0); the far init never wins a point and vanishes
+    df = spark.createDataFrame([(i, i % 3, 0) for i in range(9)], "id long, x long, y long")
+    _, cents = kmeans_lattice(df, "x", "y", [(1, 0), (99, 99)], iterations=2)
+    assert cents == [(0, 1, 0)]
