@@ -253,3 +253,81 @@ def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFram
         v_zero.cast("long").alias("v_zero"),
         est.alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram: the quantile analog of the register-level
+# HLL above — bin counts are ADDITIVE (a "sum" measure for any partial-
+# aggregating store), and every step is replicable cross-engine, where the
+# KLL blobs (x20) can only be bounds-checked.
+# ---------------------------------------------------------------------------
+
+
+def hist_bin_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Equi-width histogram as rows ``group_cols + (bin, n)`` over the
+    declared domain [lo, hi) — values outside clamp into the edge bins
+    (the sketch never drops mass, so merged totals reconcile). Counts
+    are ADDITIVE: shard/micro-batch partials re-aggregate by plain SUM,
+    which is what lets a percentile MV ride the same incremental
+    maintenance as any sum (st23's sink) — the mergeable-quantile story
+    without a sketch binary. One shuffle bounded at |groups| * bins
+    regardless of data size, map-side combined. The binning expression
+    ``floor((x - lo) * bins / (hi - lo))`` is the same IEEE double
+    sequence in any engine — bit-identical bins, unlike rank-based
+    exact quantiles whose global sort this replaces at 100 TB."""
+    if hi <= lo or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    raw = F.floor(
+        (F.col(val_col).cast("double") - F.lit(float(lo)))
+        * bins
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+    )
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimate per group from (merged) histogram rows: find
+    the bin where the cumulative count crosses ``q * total`` and
+    interpolate linearly inside it — error bounded by one bin width.
+    Per GROUP this is a bins-row window (constant-size by construction)
+    plus scalar double arithmetic; nothing data-sized moves."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    width = (hi - lo) / bins
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(Window.partitionBy(*group_cols)).alias("_tot"),
+    )
+    target = F.lit(float(q)) * F.col("_tot")
+    hit = (
+        cum.filter(F.col("_cum") >= target)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    est = F.lit(float(lo)) + (
+        F.col("bin") + (target - (F.col("_cum") - F.col("n"))) / F.col("n")
+    ) * F.lit(float(width))
+    return hit.select(*group_cols, est.alias("quantile_est"))

@@ -7596,3 +7596,86 @@ def x101_kmeans_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_points", "cx", "cy", "wcss")
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# X102 — mergeable equi-width histogram quantiles (the quantile analog of
+# x100: additive bin counts, cross-engine-exact, MV-maintainable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x102_hist_quantiles",
+    oracle="""
+    -- equi-width histogram over o_totalprice in [0, 600000), 128 bins
+    -- (out-of-range clamps to the edge bins — no mass dropped), built
+    -- per (priority, status) and SUM-merged to priority — additivity is
+    -- the point: percentile MVs maintain these counts like any sum.
+    -- Quantile = linear interpolation inside the crossing bin; every
+    -- double op is replicated in the same order, so the estimate is
+    -- bit-identical before the final ROUND.
+    WITH b AS (
+      SELECT o_orderpriority AS pr,
+             CAST(least(greatest(floor((o_totalprice - 0.0) * 128
+                                       / (600000.0 - 0.0)), 0), 127) AS INT)
+               AS bin
+      FROM orders),
+    h AS (SELECT pr, bin, COUNT(*) AS n FROM b GROUP BY pr, bin),
+    c AS (SELECT pr, bin, n,
+                 SUM(n) OVER (PARTITION BY pr ORDER BY bin) AS cum,
+                 SUM(n) OVER (PARTITION BY pr) AS tot
+          FROM h),
+    qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+    hit AS (SELECT pr, q, bin, n, cum, tot,
+                   ROW_NUMBER() OVER (PARTITION BY pr, q ORDER BY bin) AS rn
+            FROM c CROSS JOIN qs WHERE cum >= q * tot),
+    est AS (SELECT pr, q, tot,
+                   0.0 + (bin + (q * tot - (cum - n)) / n)
+                       * ((600000.0 - 0.0) / 128) AS e
+            FROM hit WHERE rn = 1)
+    SELECT pr AS o_orderpriority,
+           CAST(MAX(tot) AS BIGINT) AS n_total,
+           ROUND(MAX(CASE WHEN q = 0.5 THEN e END), 6) AS p50_est_r,
+           ROUND(MAX(CASE WHEN q = 0.95 THEN e END), 6) AS p95_est_r
+    FROM est GROUP BY pr ORDER BY pr
+    """,
+    doc="X102 mergeable equi-width histogram quantiles (operators/"
+    "sketches.py::hist_bin_counts/hist_quantile): the quantile analog "
+    "of x100's relational HLL — bin counts are ADDITIVE rows, so "
+    "shard/micro-batch partials re-aggregate by plain SUM (a 'sum' "
+    "measure for st23's sink: percentile MVs with no sketch binary), "
+    "and every binning/interpolation double op replays in the same "
+    "IEEE order cross-engine, so unlike x20's KLL blobs the estimate "
+    "hash-checks exactly. The Spark side builds per-(priority, status) "
+    "partials and SUM-merges to priority — the oracle bins single-"
+    "level, pinning merge losslessness. One shuffle bounded at "
+    "|groups| * 128 rows; replaces the global sort exact per-group "
+    "percentiles (a7) cost at 100 TB, with error <= one bin width "
+    "(bounds-tested in tests/test_sketches.py).",
+)
+def x102_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import (
+        hist_bin_counts,
+        hist_quantile,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi, bins = 0.0, 600000.0, 128
+    partial = hist_bin_counts(
+        o, ["o_orderpriority", "o_orderstatus"], "o_totalprice", lo, hi, bins
+    )
+    merged = partial.groupBy("o_orderpriority", "bin").agg(F.sum("n").alias("n"))
+    tot = merged.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    p50 = hist_quantile(merged, ["o_orderpriority"], 0.5, lo, hi, bins).select(
+        "o_orderpriority", F.round("quantile_est", 6).alias("p50_est_r")
+    )
+    p95 = hist_quantile(merged, ["o_orderpriority"], 0.95, lo, hi, bins).select(
+        "o_orderpriority", F.round("quantile_est", 6).alias("p95_est_r")
+    )
+    return (
+        tot.join(p50, "o_orderpriority")
+        .join(p95, "o_orderpriority")
+        .orderBy("o_orderpriority")
+    )

@@ -140,3 +140,51 @@ def test_hll_register_rows_validates_p(spark):
     for bad in (3, 7, 14):
         with pytest.raises(ValueError):
             hll_register_rows(df, ["g"], "k", p=bad)
+
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    """Histogram quantile estimates vs exact percentile: error must be
+    <= one bin width on 10k uniform values, and edge clamping must keep
+    total mass (values outside [lo, hi) land in the edge bins)."""
+    from nagios_custom_etl_spark.operators.sketches import (
+        hist_bin_counts,
+        hist_quantile,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    hist = hist_bin_counts(df, ["g"], "v", 0.0, 1000.0, bins=100)
+    assert hist.agg(F.sum("n")).first()[0] == 10_000
+    for q, exact in ((0.5, 499.5), (0.95, 949.5)):
+        est = hist_quantile(hist, ["g"], q, 0.0, 1000.0, bins=100).first().quantile_est
+        assert abs(est - exact) <= 10.0, (q, est)
+    # out-of-domain values clamp, not drop
+    wild = spark.createDataFrame([("g", -5.0), ("g", 4e6)], "g string, v double")
+    h2 = hist_bin_counts(wild, ["g"], "v", 0.0, 1000.0, bins=100)
+    got = {(r.bin, r.n) for r in h2.collect()}
+    assert got == {(0, 1), (99, 1)}
+
+
+def test_hist_merge_equals_direct(spark):
+    """SUM-merging shard partials equals binning the union directly —
+    the additivity a percentile MV maintains counts through."""
+    import random
+
+    from nagios_custom_etl_spark.operators.sketches import hist_bin_counts
+
+    rnd = random.Random(3)
+    rows = [(rnd.randrange(4), rnd.uniform(-10, 1010)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "shard int, v double")
+    direct = {
+        (r.bin, r.n)
+        for r in hist_bin_counts(
+            df.select(F.lit(1).alias("g"), "v"), ["g"], "v", 0.0, 1000.0, 64
+        ).collect()
+    }
+    sharded = hist_bin_counts(df, ["shard"], "v", 0.0, 1000.0, 64)
+    merged = {
+        (r.bin, r.n)
+        for r in sharded.groupBy("bin").agg(F.sum("n").alias("n")).collect()
+    }
+    assert merged == direct
