@@ -116,6 +116,11 @@ HEADLINE = [
     # should be grain-bound, near-constant in SF)
     "x82_m4_downsample",
     "x85_mv_query_rewrite",
+    # r8 additions: sub-document exact-substring dedup (shingle shuffle +
+    # gaps-and-islands — the per-token-cost family) and the portable HLL
+    # (sketch-path representative: shuffle bounded at groups*registers)
+    "x97_dup_span_coverage",
+    "x100_hll_registers_exact",
 ]
 
 
