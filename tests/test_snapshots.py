@@ -938,7 +938,15 @@ def test_merge_commit_on_mor_table_respects_pending_deletes(spark, root):
     S.append(_df(spark, 10, 15).coalesce(1), root, stats_cols=["i"])
     S.mor_delete(spark.createDataFrame([Row(i=k) for k in (0, 12)], "i int"), root, keys=["i"])
     src = spark.createDataFrame([Row(i=1, s="UPD")], "i int, s string")
-    v = S.merge_commit(root, src, keys=["i"], prune_on="i")
+    # merge_upsert's matched default keeps the TARGET row; an upsert
+    # that overwrites must say so (same as every other call site)
+    v = S.merge_commit(
+        root,
+        src,
+        keys=["i"],
+        prune_on="i",
+        when_matched_update={"s": F.col("s.s")},
+    )
     m = S._read_manifest(spark, root, v)
     # the [10,15) file was untouched, so the delete on 12 must survive
     assert m["deletes"], "carried deletes missing"
