@@ -804,6 +804,8 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
         if v in keep_versions:
             continue
         for f in _all_data_refs(_read_manifest(spark, root, v)):
+            if f.startswith(".."):
+                continue  # parent-owned (branch ref): never this table's to delete
             if f not in reachable and fsio.delete(spark, f"{root}/{f}", recursive=False):
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
@@ -1202,3 +1204,86 @@ def abort_staged(spark: SparkSession, root: str, stage_id: str) -> list[str]:
         ):
             fsio.delete(spark, f"{root}/{d}", recursive=True)
     return sorted(deleted)
+
+
+# ---------------------------------------------------------------------------
+# Branches: a divergent version chain over the SAME data files (Iceberg
+# branches / Delta shallow clone). Zero-copy at creation; the branch then
+# evolves independently with every operator above (append, merge, MoR,
+# compact, time travel) against its own manifest log.
+# ---------------------------------------------------------------------------
+
+_BRANCH_UP = "../.."  # a branch root sits at <root>/_branches/<name>
+
+
+def create_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> str:
+    """Create branch ``name`` at the given source version (default
+    latest) and return its table root — usable with EVERY operator in
+    this module: the branch is a full snapshot table whose v1 manifest
+    references the source's data files by RELATIVE parent paths
+    (``../../data-*``), so creation writes one manifest and zero data
+    bytes however large the table. Writes after the branch point land
+    under the branch root; reads resolve the mixed file list through
+    the same planner. Pending MoR delete state is carried, so the
+    branch sees exactly the source version's live rows.
+
+    Ownership contract (Delta shallow-clone semantics): the branch
+    never owns parent-referenced files — its :func:`vacuum` skips
+    ``../`` refs (drop the manifest, never the shared file) and its
+    :func:`gc_orphans` walk never ascends; :func:`compact` rewrites the
+    live rows into branch-local files, detaching it entirely. The
+    source is UNAWARE of branches: vacuuming the source past the branch
+    point can break an undetached branch, exactly Delta's documented
+    shallow-clone caveat — keep source retention longer than branch
+    lifetime, or detach via compact. Partitioned sources are refused
+    (partition values are rebuilt from ``basePath``-relative dirs,
+    which parent refs would garble)."""
+    if not name or any(ch in name for ch in "/\\ "):
+        raise ValueError(f"invalid branch name {name!r}")
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version or as_of_ts, not both")
+    if as_of_ts is not None:
+        version = version_as_of(spark, root, as_of_ts)
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if m.get("partition_spec"):
+        raise ValueError("branches of partitioned tables are not supported")
+    broot = f"{root}/_branches/{name}"
+    if _manifest_versions(spark, broot):
+        raise ValueError(f"branch {name!r} already exists")
+    up = lambda f: f"{_BRANCH_UP}/{f}"  # noqa: E731
+    extra: dict = {"branched_from_version": v}
+    if m.get("deletes"):
+        extra["seqs"] = {up(f): s for f, s in m.get("seqs", {}).items()}
+        extra["deletes"] = [
+            {**e, "files": [up(f) for f in e["files"]]} for e in m["deletes"]
+        ]
+    _commit(
+        spark,
+        broot,
+        [up(f) for f in m["files"]],
+        "branch",
+        0,
+        {up(f): s for f, s in m.get("stats", {}).items()},
+        m.get("schema"),
+        extra=extra,
+    )
+    return broot
+
+
+def list_branches(spark: SparkSession, root: str) -> list[str]:
+    """Branch names under ``root`` (tables with at least one manifest)."""
+    bdir = f"{root}/_branches"
+    if not fsio.exists(spark, bdir):
+        return []
+    return sorted(
+        n
+        for n in fsio.list_names(spark, bdir)
+        if _manifest_versions(spark, f"{bdir}/{n}")
+    )

@@ -7679,3 +7679,80 @@ def x102_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p95, "o_orderpriority")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X103 — zero-copy branches (Iceberg branches / Delta shallow clone):
+# divergent version chains over shared data files
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x103_snapshot_branch",
+    oracle="""
+    -- main = orders < 1000, branched, then the two chains diverge:
+    -- [1000,1500) appended to the BRANCH, [2000,2500) to MAIN. Each
+    -- side must see exactly its own history; branch creation copied
+    -- ZERO data files (n_copied_files, counted from the branch-point
+    -- manifest's local refs, is a hash-pinned literal).
+    SELECT read_tag, n_copied_files, o_orderkey, o_orderstatus FROM (
+      SELECT 'main' AS read_tag, CAST(0 AS BIGINT) AS n_copied_files,
+             o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey < 1000
+                     OR (o_orderkey >= 2000 AND o_orderkey < 2500)
+      UNION ALL
+      SELECT 'branch', CAST(0 AS BIGINT), o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey < 1500
+    )
+    ORDER BY read_tag, o_orderkey
+    """,
+    doc="X103 zero-copy branches (operators/snapshots.py::create_branch/"
+    "list_branches): a branch is a full snapshot table whose v1 "
+    "manifest references the source's files by relative parent paths — "
+    "one manifest write, zero data bytes, however large the table "
+    "(Iceberg branches / Delta SHALLOW CLONE). The branch then evolves "
+    "with EVERY table operator (append/merge/MoR/compact/time travel) "
+    "against its own log; ownership is explicit — branch vacuum/GC "
+    "never delete parent-owned refs, compact detaches the branch "
+    "entirely, and the documented caveat (source vacuum past the "
+    "branch point can break an undetached branch — Delta's own "
+    "shallow-clone contract) is pinned in tests/test_snapshots.py "
+    "along with divergence, MoR-carry and refusal contracts. The "
+    "what-if staging surface (x99 WAP is the one-commit special case; "
+    "branches hold arbitrary divergent work).",
+)
+def x103_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x103_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.overwrite(o.filter(F.col("o_orderkey") < 1000), root)  # main v1
+    broot = S.create_branch(spark, root, "exp")
+    S.append(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)), broot
+    )
+    S.append(
+        o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500)), root
+    )
+    n_copied = sum(
+        not f.startswith("..") for f in S._read_manifest(spark, broot, 1)["files"]
+    )
+
+    def tagged(tag: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("read_tag"),
+            F.lit(n_copied).cast("long").alias("n_copied_files"),
+            "o_orderkey",
+            "o_orderstatus",
+        )
+
+    return (
+        tagged("main", S.read_snapshot(spark, root))
+        .unionByName(tagged("branch", S.read_snapshot(spark, broot)))
+        .orderBy("read_tag", "o_orderkey")
+    )

@@ -1148,3 +1148,87 @@ def test_wap_staged_on_partitioned_table_keeps_layout(spark, root):
     assert all("/k=" in f for f in S._read_manifest(spark, root, v)["files"])
     got = {(r.i, r.k) for r in S.read_snapshot(spark, root).select("i", "k").collect()}
     assert got == {(i, i % 2) for i in range(8)}
+
+
+# ---------------------------------------------------------------------------
+# branches (x103): zero-copy divergent version chains over shared files
+# ---------------------------------------------------------------------------
+
+
+def test_branch_is_zero_copy_and_content_identical(spark, root):
+    S.overwrite(_df(spark, 0, 4), root)  # v1
+    S.append(_df(spark, 4, 6), root)  # v2
+    broot = S.create_branch(spark, root, "exp")
+    m = S._read_manifest(spark, broot, 1)
+    assert m["op"] == "branch" and m["branched_from_version"] == 2
+    assert all(f.startswith("../../data-") for f in m["files"])
+    # zero data bytes written: no local data dirs under the branch root
+    assert not [d for d in fsio.list_names(spark, broot) if d.startswith("data-")]
+    assert _rows(S.read_snapshot(spark, broot)) == [(i, f"r{i}") for i in range(6)]
+    # branching at an older version = time-travel branch
+    b1 = S.create_branch(spark, root, "old", version=1)
+    assert _rows(S.read_snapshot(spark, b1)) == [(i, f"r{i}") for i in range(4)]
+    assert S.list_branches(spark, root) == ["exp", "old"]
+
+
+def test_branch_diverges_independently(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)
+    broot = S.create_branch(spark, root, "exp")
+    S.append(_df(spark, 10, 12), broot)  # branch-local commit
+    S.append(_df(spark, 20, 22), root)  # main moves separately
+    assert _rows(S.read_snapshot(spark, broot)) == [
+        (0, "r0"), (1, "r1"), (2, "r2"), (10, "r10"), (11, "r11"),
+    ]
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (0, "r0"), (1, "r1"), (2, "r2"), (20, "r20"), (21, "r21"),
+    ]
+    # a MoR delete on the branch must not leak into main
+    S.mor_delete(spark.createDataFrame([Row(i=1)], "i int"), broot, keys=["i"])
+    assert (1, "r1") not in _rows(S.read_snapshot(spark, broot))
+    assert (1, "r1") in _rows(S.read_snapshot(spark, root))
+
+
+def test_branch_carries_pending_mor_deletes(spark, root):
+    S.append(_df(spark, 0, 4).coalesce(1), root)
+    S.mor_delete(spark.createDataFrame([Row(i=2)], "i int"), root, keys=["i"])
+    broot = S.create_branch(spark, root, "b")
+    assert _rows(S.read_snapshot(spark, broot)) == [(0, "r0"), (1, "r1"), (3, "r3")]
+
+
+def test_branch_compact_detaches_from_source(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)
+    broot = S.create_branch(spark, root, "det")
+    S.compact(spark, broot)  # rewrites live rows into branch-local files
+    m = S._read_manifest(spark, broot, S.latest_version(spark, broot))
+    assert all(not f.startswith("..") for f in m["files"])
+    # source moves on and vacuums past the branch point; branch unaffected
+    S.overwrite(_df(spark, 50, 52), root)
+    S.vacuum(spark, root, keep_last=1)
+    S.vacuum(spark, broot, keep_last=1)  # drop the shared-ref manifest too
+    assert _rows(S.read_snapshot(spark, broot)) == [(i, f"r{i}") for i in range(3)]
+
+
+def test_branch_vacuum_never_deletes_parent_files(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)
+    broot = S.create_branch(spark, root, "v")
+    S.overwrite(_df(spark, 9, 10), broot)  # branch v2 drops the shared refs
+    deleted = S.vacuum(spark, broot, keep_last=1)  # expires branch v1
+    assert deleted == []  # ../ refs skipped, never the source's files
+    # source still fully readable
+    assert _rows(S.read_snapshot(spark, root)) == [(0, "r0"), (1, "r1"), (2, "r2")]
+
+
+def test_branch_refusals(spark, root):
+    df = spark.createDataFrame(
+        [Row(i=i, s=f"r{i}", k=i % 2) for i in range(4)], "i int, s string, k int"
+    )
+    S.overwrite(df, root, partition_by="k")
+    with pytest.raises(ValueError, match="partitioned"):
+        S.create_branch(spark, root, "p")
+    root2 = f"{root}_plain"
+    S.overwrite(_df(spark, 0, 2), root2)
+    S.create_branch(spark, root2, "dup")
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_branch(spark, root2, "dup")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        S.create_branch(spark, root2, "a/b")
