@@ -241,3 +241,52 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(name)
     )
+
+
+def token_file_index(spark: SparkSession, path: str, text_col: str) -> "DataFrame":
+    """Inverted FILE index over a parquet directory: (token, file)
+    posting rows — which data files contain at least one document with
+    the token. The text-search analog of the min/max stats manifest
+    (:func:`file_stats_manifest`): numeric skipping prunes by range,
+    token skipping prunes by posting list. Built in one pass
+    (tokenize -> distinct on (token, file)); size is bounded by
+    |vocabulary| x |files|, independent of corpus row count, and the
+    index is itself a DataFrame — store it as a snapshot table and it
+    rides the same incremental maintenance as everything else (new
+    files append their postings; rewrites rebuild only their own).
+    At 100 TB this is how a needle-term search reads megabytes, not the
+    corpus: Lucene's file-level idea expressed relationally."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "file")
+        .agg(F.count(F.lit(1)).alias("n_docs_hint"))
+    )
+
+
+def token_pruned_search(
+    spark: SparkSession, index: "DataFrame", token: str, text_col: str
+) -> tuple["DataFrame", int]:
+    """Search documents containing ``token`` by planning ONLY the files
+    its posting list names: returns (matching rows, files planned).
+    The posting-list collect is bounded by the file count (metadata,
+    like a manifest read); the residual tokenized re-check inside the
+    planned files keeps the answer exact — the index prunes, it never
+    decides. An absent token plans zero files and scans nothing."""
+    from pyspark.sql import functions as F
+
+    files = [
+        r["file"] for r in index.filter(F.col("token") == token).select("file").collect()
+    ]
+    if not files:
+        return spark.range(0).selectExpr("CAST(NULL AS string) AS _none"), 0
+    hit = spark.read.parquet(*files).filter(
+        F.array_contains(F.split(F.col(text_col), " "), token)
+    )
+    return hit, len(files)

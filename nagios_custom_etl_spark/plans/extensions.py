@@ -7756,3 +7756,80 @@ def x103_snapshot_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged("branch", S.read_snapshot(spark, broot)))
         .orderBy("read_tag", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# X104 — inverted file index: token-level data skipping (the text-search
+# analog of x64/x76 min-max stats pruning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x104_token_file_index",
+    oracle="""
+    -- docs < 800 laid out as 8 files by doc_id % 8, with the needle
+    -- token planted on doc_id % 320 = 0 (docs 0/320/640 — all in group
+    -- 0, so a working index plans exactly ONE of the 8 files; the
+    -- fixture's natural vocabulary is corpus-wide and cannot prune).
+    -- n_files_planned is derived independently from the layout, so a
+    -- regression that silently plans every file fails the hash.
+    WITH hits AS (SELECT doc_id FROM documents
+                  WHERE doc_id < 800 AND doc_id % 320 = 0)
+    SELECT 'zzneedle' AS probe_token,
+           CAST((SELECT COUNT(DISTINCT doc_id % 8) FROM hits) AS BIGINT)
+             AS n_files_planned,
+           CAST(8 AS BIGINT) AS n_files_total,
+           doc_id
+    FROM hits ORDER BY doc_id
+    """,
+    doc="X104 inverted file index (operators/maintenance.py::"
+    "token_file_index/token_pruned_search): token-level data skipping — "
+    "the text-search analog of min/max stats pruning (x64/x76): one "
+    "tokenize->distinct pass builds (token, file) posting rows (bounded "
+    "by |vocab| x |files|, not corpus rows), a needle search collects "
+    "the posting list (metadata, like a manifest read), plans ONLY "
+    "those files, and re-checks the token inside them so the index "
+    "prunes but never decides. The planned-file count is itself "
+    "hash-pinned: the oracle derives it from the deterministic "
+    "doc_id%8 layout, so a regression that silently plans every file "
+    "fails the hash, not just a perf eyeball. Lucene's file-level idea "
+    "expressed relationally; at 100 TB a rare-term search reads "
+    "megabytes, not the corpus.",
+)
+def x104_token_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        token_file_index,
+        token_pruned_search,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    # plant the needle on doc_id % 320 == 0: docs 0/320/640 all land in
+    # group 0, so the posting list names exactly one of the 8 files —
+    # the fixture's natural vocabulary is corpus-wide and cannot prune
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 320 == 0, F.concat(F.col("text"), F.lit(" zzneedle"))
+        ).otherwise(F.col("text")),
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x104_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    # exactly ONE file per doc_id%8 group: repartition ON g routes each
+    # group to a single task, partitionBy(g) splits that task's output
+    # per directory — so n_files_planned == distinct groups hit, which
+    # the oracle derives independently
+    d.withColumn("g", F.col("doc_id") % 8).repartition(8, "g").write.partitionBy(
+        "g"
+    ).parquet(root)
+    idx = token_file_index(spark, root, "text")
+    hit, n_planned = token_pruned_search(spark, idx, "zzneedle", "text")
+    return hit.select(
+        F.lit("zzneedle").alias("probe_token"),
+        F.lit(n_planned).cast("long").alias("n_files_planned"),
+        F.lit(8).cast("long").alias("n_files_total"),
+        "doc_id",
+    ).orderBy("doc_id")

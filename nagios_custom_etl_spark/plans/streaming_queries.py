@@ -1533,3 +1533,122 @@ def st24_hll_distinct_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "st25_streaming_wap_gate",
+    oracle="""
+    -- write-audit-publish as a STREAMING quality gate: each bronze
+    -- commit arrives as one micro-batch, is STAGED into silver (x99's
+    -- manifests — invisible), audited, and only then published; the
+    -- middle commit carries planted violations (negative values on
+    -- event_id % 11 = 0) and is aborted, so silver's final content is
+    -- exactly batches 1 and 3, and the table's history never shows
+    -- batch 2 existed. Promotion is atomic and idempotent per batch id
+    -- (stage_id), so sink-crash replays cannot double-publish.
+    SELECT CAST(1 AS BIGINT) AS n_aborted,
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_id >= 2000 AND event_id < 4000
+                   AND event_id % 11 = 0) AS BIGINT) AS n_violations,
+           CAST(TRUE AS BOOLEAN) AS replay_noop,
+           event_id, event_type, ABS(value) AS value
+    FROM events
+    WHERE event_id < 2000 OR (event_id >= 4000 AND event_id < 6000)
+    ORDER BY event_id
+    """,
+    doc="ST-ext streaming write-audit-publish gate (operators/"
+    "snapshots.py WAP layer driven from foreachBatch): bronze commits "
+    "tail in one-per-trigger (st21 source), each micro-batch stages "
+    "into silver via stage_append(stage_id=batch_id), the audit "
+    "(accepted-range constraint, the x80 shape) runs against the "
+    "staged files, and the batch atomically publishes or aborts — "
+    "t6's row-level conformance gate lifted to TRANSACTIONAL batch "
+    "promotion inside a stream. Exactly-once falls out of WAP's own "
+    "algebra: publish is idempotent per stage_id (a replayed batch "
+    "finds its stage_id in a committed manifest and no-ops) and a "
+    "replayed abort re-stages then re-aborts, leaving no trace. At "
+    "100 TB the gate costs one constraint scan of the BATCH, never "
+    "the table, and a rejected batch never pollutes downstream "
+    "consumers (change feeds, tails) because it never enters the "
+    "version chain at all.",
+)
+def st25_streaming_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+
+    spark.dataSource.register(SnapshotTailSource)
+    # bronze values are normalized to ABS at ingest so "value < 0" is
+    # true iff this query PLANTED it — the gate cannot be tripped (or
+    # the oracle skewed) by whatever sign distribution a regenerated
+    # fixture ships with
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.abs("value").alias("value")
+    )
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st25_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    silver, ckpt = os.path.join(base, "silver"), os.path.join(base, "ckpt")
+    aborted: list[int] = []
+
+    def gate(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sid = f"b{batch_id}"
+        if any(
+            S._read_manifest(sp, silver, v).get("stage_id") == sid
+            for v in S._manifest_versions(sp, silver)
+        ):
+            return  # replayed, already published: exactly-once no-op
+        if batch_df.isEmpty():
+            return
+        S.stage_append(batch_df, silver, sid)
+        n_bad = (
+            S.read_staged(sp, silver, sid).filter(F.col("value") < 0).count()
+        )
+        if n_bad > 0:
+            S.abort_staged(sp, silver, sid)
+            aborted.append(batch_id)
+        else:
+            S.publish_staged(sp, silver, sid)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", bronze)
+            .option("schema_ddl", "event_id bigint, event_type string, value double")
+            .load()
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    bad = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, -F.abs("value")).otherwise(F.col("value")),
+    )
+    n_violations = bad.filter(F.col("value") < 0).count()
+    S.append(ev.filter(F.col("event_id") < 2000), bronze)
+    drain()  # batch 0: clean -> published
+    S.append(bad, bronze)
+    drain()  # batch 1: planted violations -> aborted
+    S.append(ev.filter((F.col("event_id") >= 4000) & (F.col("event_id") < 6000)), bronze)
+    drain()  # batch 2: clean -> published
+    before = S.latest_version(spark, silver)
+    gate(ev.filter(F.col("event_id") < 2000), 0)  # crash-recovery replay
+    replay_noop = S.latest_version(spark, silver) == before
+    return (
+        S.read_snapshot(spark, silver)
+        .select(
+            F.lit(len(aborted)).cast("long").alias("n_aborted"),
+            F.lit(n_violations).cast("long").alias("n_violations"),
+            F.lit(bool(replay_noop)).alias("replay_noop"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )

@@ -337,3 +337,31 @@ def test_file_stats_skipping_empty_intersection(spark, tmp_path):
     assert n_read == 0 and n_total == 4
     assert df.count() == 0
     assert df.schema == li.schema
+
+
+def test_token_file_index_prunes_and_stays_exact(spark, tmp_path):
+    """The posting list plans only files containing the token; the
+    pruned answer equals the full scan; an absent token plans nothing."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        token_file_index,
+        token_pruned_search,
+    )
+
+    rows = [(i, "common filler " + ("needle" if i in (3, 7) else "hay")) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "toks")
+    df.withColumn("g", F.col("doc_id") % 4).repartition(4, "g").write.partitionBy(
+        "g"
+    ).parquet(path)
+    idx = token_file_index(spark, path, "text")
+    hit, n = token_pruned_search(spark, idx, "needle", "text")
+    assert n == 1  # docs 3 and 7 share group 3 -> one file
+    assert sorted(r.doc_id for r in hit.collect()) == [3, 7]
+    # the common token plans every file and still answers exactly
+    hit_all, n_all = token_pruned_search(spark, idx, "common", "text")
+    assert n_all == 4 and hit_all.count() == 8
+    # absent token: zero files planned, zero rows, no scan at all
+    none, n0 = token_pruned_search(spark, idx, "zzabsent", "text")
+    assert n0 == 0 and none.count() == 0
