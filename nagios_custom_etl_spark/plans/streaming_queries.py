@@ -1543,17 +1543,18 @@ def st24_hll_distinct_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- manifests — invisible), audited, and only then published; the
     -- middle commit carries planted violations (negative values on
     -- event_id % 11 = 0) and is aborted, so silver's final content is
-    -- exactly batches 1 and 3, and the table's history never shows
+    -- exactly batches 1 and 3 (id ranges sized to exist at EVERY
+    -- fixture sf — sf0.001 ships 1000 events), and history never shows
     -- batch 2 existed. Promotion is atomic and idempotent per batch id
     -- (stage_id), so sink-crash replays cannot double-publish.
     SELECT CAST(1 AS BIGINT) AS n_aborted,
            CAST((SELECT COUNT(*) FROM events
-                 WHERE event_id >= 2000 AND event_id < 4000
+                 WHERE event_id >= 300 AND event_id < 600
                    AND event_id % 11 = 0) AS BIGINT) AS n_violations,
            CAST(TRUE AS BOOLEAN) AS replay_noop,
            event_id, event_type, ABS(value) AS value
     FROM events
-    WHERE event_id < 2000 OR (event_id >= 4000 AND event_id < 6000)
+    WHERE event_id < 300 OR (event_id >= 600 AND event_id < 900)
     ORDER BY event_id
     """,
     doc="ST-ext streaming write-audit-publish gate (operators/"
@@ -1624,21 +1625,26 @@ def st25_streaming_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # block until the availableNow query self-terminates: a bounded
+        # wait can return BEFORE the batch commits on a loaded box, and
+        # the next drain would then fold two bronze commits into one
+        # micro-batch — harmless for st23's additive merges, fatal for a
+        # per-batch accept/reject gate
+        q.awaitTermination()
 
-    bad = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).withColumn(
+    bad = ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)).withColumn(
         "value",
         F.when(F.col("event_id") % 11 == 0, -F.abs("value")).otherwise(F.col("value")),
     )
     n_violations = bad.filter(F.col("value") < 0).count()
-    S.append(ev.filter(F.col("event_id") < 2000), bronze)
+    S.append(ev.filter(F.col("event_id") < 300), bronze)
     drain()  # batch 0: clean -> published
     S.append(bad, bronze)
     drain()  # batch 1: planted violations -> aborted
-    S.append(ev.filter((F.col("event_id") >= 4000) & (F.col("event_id") < 6000)), bronze)
+    S.append(ev.filter((F.col("event_id") >= 600) & (F.col("event_id") < 900)), bronze)
     drain()  # batch 2: clean -> published
     before = S.latest_version(spark, silver)
-    gate(ev.filter(F.col("event_id") < 2000), 0)  # crash-recovery replay
+    gate(ev.filter(F.col("event_id") < 300), 0)  # crash-recovery replay
     replay_noop = S.latest_version(spark, silver) == before
     return (
         S.read_snapshot(spark, silver)
