@@ -41,7 +41,9 @@ from pyspark.sql import functions as F
 def pareto_skyline_points(df: DataFrame, a: str, b: str, buckets: int = 64) -> DataFrame:
     """Skyline point set (columns ``a``, ``b``) of ``df`` maximizing
     both columns. Join the result back on (a, b) to recover the rows
-    that sit on the frontier."""
+    that sit on the frontier. Rows with a NULL objective never reach
+    the frontier (dominance is undefined on NULL; they drop at the
+    bucket join) — filter or impute upstream if they should compete."""
     pts = df.groupBy(a).agg(F.max(b).alias(b))
     lo, hi = pts.agg(F.min(a), F.max(a)).first()
     if lo is None:
