@@ -7833,3 +7833,121 @@ def x104_token_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).cast("long").alias("n_files_total"),
         "doc_id",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X105 — rolling 7-day distinct users from HLL registers (the sketch-path
+# twin of x37's exact rolling actives: same question, shuffle bounded at
+# days x 256 instead of days x users)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x105_rolling_distinct_hll",
+    oracle="""
+    -- per-day md5-HLL registers (x100 encoding), fanned out to the 7
+    -- trailing windows each day contributes to (explode 0..6 — exact
+    -- densification: a register seen on d-3 but absent on d still
+    -- reaches d's window sketch), max-merged at (window_day, register),
+    -- then estimated; exact COUNT(DISTINCT) over the same window join
+    -- rides along as the accuracy reference. Window days outside the
+    -- observed range are dropped so every output window is fully real.
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS key
+               FROM events),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e),
+    h AS (SELECT d, md5(key || ':hll') AS h FROM e),
+    r AS (SELECT d,
+            16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+            4*length(regexp_extract(substr(h,3,16), '^0*'))
+              + CASE substr(substr(h,3,16),
+                            length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    daily AS (SELECT d, reg, MAX(rho) AS rho FROM r GROUP BY d, reg),
+    fan AS (SELECT d + CAST(off AS INT) AS wd, reg, rho
+            FROM daily, UNNEST(range(0, 7)) AS u(off)),
+    wreg AS (SELECT wd, reg, MAX(rho) AS rho FROM fan
+             WHERE wd <= (SELECT dmax FROM bounds) GROUP BY wd, reg),
+    g AS (SELECT wd,
+                 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM wreg GROUP BY wd),
+    e2 AS (SELECT wd, v_zero,
+                  ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                   * 256) * 256 * power(2, 70) / total AS raw
+           FROM g),
+    x AS (SELECT wd, v_zero,
+                 CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e2),
+    exact AS (SELECT w.wd, COUNT(DISTINCT e.key) AS n_exact
+              FROM (SELECT DISTINCT wd FROM wreg) w
+              JOIN e ON e.d BETWEEN w.wd - 6 AND w.wd
+              GROUP BY w.wd)
+    SELECT strftime(x.wd, '%Y-%m-%d') AS window_day,
+           CAST(x.v_zero AS BIGINT) AS v_zero,
+           ROUND(x.est, 4) AS est_users_r,
+           CAST(exact.n_exact AS BIGINT) AS n_exact
+    FROM x JOIN exact ON exact.wd = x.wd
+    ORDER BY window_day
+    """,
+    doc="X105 rolling 7-day distinct users from HLL registers "
+    "(operators/sketches.py::hll_reg_rho/hll_estimate): the sketch-path "
+    "twin of x37's exact rolling actives — per-day registers fan out "
+    "to the 7 trailing windows they contribute to (explode 0..6, the "
+    "exact densification a naive per-day window-max would miss: a "
+    "register seen on d-3 but absent on d must still reach d's "
+    "sketch), max-merge at (window_day, register), estimate per "
+    "window. Shuffle bounded at days x 256 x 7 rows however many "
+    "users exist — x37's exact self-join shuffles days x USERS, which "
+    "at 10^9 DAU is the difference between kilobytes and terabytes "
+    "per refresh. Register-exact cross-engine (x100 encoding); the "
+    "exact distinct count rides along so the bench and the oracle "
+    "both witness the accuracy, not just the consistency.",
+)
+def x105_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import hll_estimate, hll_reg_rho
+
+    ev = cache_once(
+        load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("d"), "user_id"
+        )
+    )
+    dmax = ev.agg(F.max("d")).first()[0]  # scalar bound: drop phantom tail windows
+    reg, rho = hll_reg_rho("user_id", p=8)
+    daily = (
+        ev.select("d", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("d", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d", "reg", "rho"
+    ).select(F.date_add("d", F.col("off")).alias("wd"), "reg", "rho")
+    wreg = (
+        fan.filter(F.col("wd") <= F.lit(dmax))
+        .groupBy("wd", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(wreg, ["wd"], p=8)
+    wdays = wreg.select("wd").distinct()
+    exact = (
+        wdays.join(ev, (ev.d >= F.date_sub(wdays.wd, 6)) & (ev.d <= wdays.wd))
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "wd")
+        .select(
+            F.date_format("wd", "yyyy-MM-dd").alias("window_day"),
+            "v_zero",
+            F.round("est_distinct", 4).alias("est_users_r"),
+            "n_exact",
+        )
+        .orderBy("window_day")
+    )
