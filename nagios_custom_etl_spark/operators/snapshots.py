@@ -1287,3 +1287,72 @@ def list_branches(spark: SparkSession, root: str) -> list[str]:
         for n in fsio.list_names(spark, bdir)
         if _manifest_versions(spark, f"{bdir}/{n}")
     )
+
+
+def replace_partitions(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    txn: str | None = None,
+) -> int:
+    """Transactional DYNAMIC PARTITION OVERWRITE (Delta ``replaceWhere``
+    / Spark's dynamic mode, through the manifest): atomically replace
+    exactly the partitions PRESENT in ``df`` — parent files under other
+    partition values carry into the child manifest untouched (names,
+    stats and all), files under the replaced values drop from the
+    reference set but stay on disk for time travel. The daily-restate
+    shape: recompute one day of a 100 TB date-partitioned table and
+    publish it as one O(files-touched) commit, with none of the
+    read-your-own-output hazards of Spark's in-place dynamic overwrite
+    (old files are never deleted, the manifest flip is the only
+    mutation).
+
+    Requires a declared partition spec (unpartitioned tables have no
+    partition to replace — use :func:`overwrite`); the replaced value
+    set is ``df``'s distinct partition values (bounded metadata, like
+    Spark's own dynamic mode). Refused while MoR deletes are pending:
+    a global key-delete's scope over a partially-replaced table is
+    ambiguous — compact first. ``txn`` is the usual idempotence token."""
+    spark = df.sparkSession
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
+    parent = latest_version(spark, root)
+    m = _read_manifest(spark, root, parent) if parent else {}
+    spec = m.get("partition_spec")
+    if not spec:
+        raise ValueError("replace_partitions needs a partitioned table")
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: their scope over a partial replace is "
+            "ambiguous — compact() to materialize them first"
+        )
+    pcol = spec[0]
+    _merged_schema(m.get("schema"), _schema_list(df), evolve=False)
+    raw_values = [r[0] for r in df.select(pcol).distinct().collect()]  # bounded
+    if any(v is None for v in raw_values):
+        raise ValueError(
+            "NULL partition values cannot be replaced (Hive default-"
+            "partition escaping is not round-trippable here)"
+        )
+    values = {str(v) for v in raw_values}
+    if not values:
+        raise ValueError("empty batch: nothing to replace")
+
+    def replaced(f: str) -> bool:
+        seg = f.split("/", 2)[1]  # data-<uuid>/<col>=<val>/part-...
+        return seg.split("=", 1)[0] == pcol and seg.split("=", 1)[1] in values
+
+    kept = [f for f in m.get("files", []) if not replaced(f)]
+    files, stats = _write_data_files(df, root, stats_cols, pcol)
+    kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(kept)}
+    return _commit(
+        spark,
+        root,
+        kept + files,
+        "replace-partitions",
+        parent,
+        {**kept_stats, **stats},
+        m.get("schema") or _schema_list(df),
+        txn=txn,
+        partition_spec=spec,
+    )

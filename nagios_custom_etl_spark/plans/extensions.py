@@ -7951,3 +7951,82 @@ def x105_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# X106 — transactional dynamic partition overwrite (Delta replaceWhere /
+# Spark dynamic mode, through the manifest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x106_replace_partitions",
+    oracle="""
+    -- events < 900 partitioned by event_type; the alphabetically-first
+    -- type is RESTATED (its even-id half republished), every other
+    -- partition carried untouched (byte-identical file names — pinned
+    -- in tests); n_untouched_carried counts the other types' partitions
+    -- from the data, independent of the engine's file bookkeeping.
+    WITH e AS (SELECT event_id, event_type, user_id FROM events
+               WHERE event_id < 900),
+    first_t AS (SELECT MIN(event_type) AS t FROM e)
+    SELECT CAST((SELECT COUNT(DISTINCT event_type) FROM e
+                 WHERE event_type <> (SELECT t FROM first_t)) AS BIGINT)
+             AS n_untouched_carried,
+           event_id, event_type, user_id
+    FROM e
+    WHERE event_type <> (SELECT t FROM first_t)
+       OR (event_type = (SELECT t FROM first_t) AND event_id % 2 = 0)
+    ORDER BY event_id
+    """,
+    doc="X106 transactional dynamic partition overwrite (operators/"
+    "snapshots.py::replace_partitions): Delta replaceWhere / Spark "
+    "dynamic-mode semantics through the manifest — replace exactly the "
+    "partitions present in the batch; every other partition's files "
+    "carry into the child manifest untouched (names + stats, pinned "
+    "byte-identical in tests/test_snapshots.py), replaced files stay "
+    "on disk for time travel. The daily-restate shape: recomputing one "
+    "day of a 100 TB date-partitioned table costs O(files-touched) + "
+    "one manifest, with none of in-place dynamic overwrite's "
+    "read-your-own-output hazards (the manifest flip is the only "
+    "mutation). NULL partition values and MoR-pending tables refused; "
+    "txn-token idempotent. The restated partition is derived (MIN "
+    "event_type) so the oracle replays it without engine file "
+    "bookkeeping.",
+)
+def x106_replace_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    ).filter(F.col("event_id") < 900)
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x106_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.overwrite(ev, root, partition_by="event_type")  # v1
+    first_t = ev.agg(F.min("event_type")).first()[0]
+    restated = ev.filter(
+        (F.col("event_type") == first_t) & (F.col("event_id") % 2 == 0)
+    )
+    v = S.replace_partitions(restated, root, txn="restate-1")
+    n_untouched = sum(
+        1
+        for f in {
+            f.split("/", 2)[1]
+            for f in S._read_manifest(spark, root, v)["files"]
+        }
+        if f != f"event_type={first_t}"
+    )
+    return (
+        S.read_snapshot(spark, root)
+        .select(
+            F.lit(n_untouched).cast("long").alias("n_untouched_carried"),
+            "event_id",
+            "event_type",
+            "user_id",
+        )
+        .orderBy("event_id")
+    )

@@ -1232,3 +1232,57 @@ def test_branch_refusals(spark, root):
         S.create_branch(spark, root2, "dup")
     with pytest.raises(ValueError, match="invalid branch name"):
         S.create_branch(spark, root2, "a/b")
+
+
+# ---------------------------------------------------------------------------
+# replace_partitions (x106): transactional dynamic partition overwrite
+# ---------------------------------------------------------------------------
+
+
+def test_replace_partitions_swaps_only_named_partitions(spark, root):
+    S.overwrite(_df_part(spark, 0, 8), root, partition_by="k")  # k=0: 0,2,4,6
+    before = S._read_manifest(spark, root, 1)["files"]
+    batch = spark.createDataFrame(
+        [Row(i=100, s="NEW", k=0)], "i int, s string, k int"
+    )
+    v = S.replace_partitions(batch, root)
+    m = S._read_manifest(spark, root, v)
+    assert m["op"] == "replace-partitions"
+    # k=1 files carried byte-identical; k=0 files dropped from refs
+    k1_before = sorted(f for f in before if "/k=1/" in f)
+    assert sorted(f for f in m["files"] if "/k=1/" in f) == k1_before
+    assert not any(f in m["files"] for f in before if "/k=0/" in f)
+    got = sorted((r.i, r.s, r.k) for r in S.read_snapshot(spark, root).collect())
+    assert got == [(1, "r1", 1), (3, "r3", 1), (5, "r5", 1), (7, "r7", 1), (100, "NEW", 0)]
+    # time travel to the pre-replace version still sees the old rows
+    assert len(S.read_snapshot(spark, root, 1).collect()) == 8
+
+
+def test_replace_partitions_refusals(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # unpartitioned
+    flat = spark.createDataFrame([Row(i=1, s="x")], "i int, s string")
+    with pytest.raises(ValueError, match="partitioned table"):
+        S.replace_partitions(flat, root)
+    root2 = f"{root}_mor"
+    S.overwrite(_df_part(spark, 0, 4), root2, partition_by="k")
+    S.mor_delete(spark.createDataFrame([Row(i=1)], "i int"), root2, keys=["i"])
+    batch = spark.createDataFrame([Row(i=9, s="n", k=0)], "i int, s string, k int")
+    with pytest.raises(ValueError, match="pending MoR deletes"):
+        S.replace_partitions(batch, root2)
+    nulls = spark.createDataFrame([Row(i=9, s="n", k=None)], "i int, s string, k int")
+    root3 = f"{root}_nulls"
+    S.overwrite(_df_part(spark, 0, 4), root3, partition_by="k")
+    with pytest.raises(ValueError, match="NULL partition values"):
+        S.replace_partitions(nulls, root3)
+    with pytest.raises(S.SchemaMismatchError):
+        S.replace_partitions(
+            spark.createDataFrame([Row(i=9, k=0)], "i int, k int"), root3
+        )
+
+
+def test_replace_partitions_txn_idempotence(spark, root):
+    S.overwrite(_df_part(spark, 0, 4), root, partition_by="k")
+    batch = spark.createDataFrame([Row(i=9, s="n", k=0)], "i int, s string, k int")
+    S.replace_partitions(batch, root, txn="restate-day0")
+    with pytest.raises(ValueError, match="already committed"):
+        S.replace_partitions(batch, root, txn="restate-day0")
