@@ -188,3 +188,44 @@ def test_x65_quotas_sum_to_budget_exactly(spark):
         # the fill stops at the first doc crossing the quota: selected
         # chars reach the quota but never by more than one document
         assert r.chars_selected >= min(r.quota, r.weight)
+
+
+def test_time_weighted_avg_closed_form(spark):
+    """x98's operator shape on planted irregular samples: value 10 held
+    for 3s then 40 for 1s -> TWAP (10*3 + 40*1)/4 = 17.5 regardless of
+    the final observation's value (zero holding weight); a single-
+    observation user (no span) is excluded."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=3), 40.0),
+        (1, t0 + dt.timedelta(seconds=4), 999.0),  # last: zero weight
+        (2, t0, 5.0),  # lone sample: no span, excluded
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    w = W.partitionBy("user_id").orderBy("ts")
+    o = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    got = (
+        o.groupBy("user_id")
+        .agg(
+            (F.max("t") - F.min("t")).alias("span"),
+            (
+                F.sum(F.col("v") * (F.col("t_next") - F.col("t"))).cast("double")
+                / (F.max("t") - F.min("t")).cast("double")
+            ).alias("twap"),
+        )
+        .filter(F.col("span") > 0)
+        .collect()
+    )
+    assert len(got) == 1 and got[0].user_id == 1
+    assert abs(got[0].twap - 17.5) < 1e-12
