@@ -26,6 +26,15 @@ Derivability rules implemented:
 - ``count_distinct(c)`` and anything else -> NOT derivable (a distinct
   set cannot be re-aggregated from counts); the planner falls back to
   the base table, and the fallback is part of the contract (tested).
+- ``approx_count_distinct(c)`` -> derivable iff the summary stores an
+  md5-HLL register map for ``c`` (operators/sketches.py encoding, kept
+  as a ``map<reg, rho>`` column at the summary grain). Registers merge
+  by max, so re-aggregating stored registers over a coarser grouping
+  yields BIT-IDENTICAL registers — and therefore a bit-identical
+  estimate — to sketching the base rows directly: unlike opaque sketch
+  blobs, the rewrite is provably lossless and equivalence-testable,
+  which is what makes routing a distinct-count dashboard to a summary
+  sound. The exact ``count_distinct`` still always falls back.
 
 The matcher is intentionally structural and conservative: dims are
 matched by column name against the logical base view (which may carry
@@ -48,8 +57,11 @@ __all__ = ["AggSpec", "SummaryView", "build_summary", "rewrite_aggregate"]
 @dataclass(frozen=True)
 class AggSpec:
     """One requested aggregate: ``kind`` in {'count', 'sum', 'avg',
-    'min', 'max', 'count_distinct'}, ``col`` the base column (None for
-    count), ``alias`` the output name."""
+    'min', 'max', 'count_distinct', 'approx_count_distinct'}, ``col``
+    the base column (None for count), ``alias`` the output name.
+    ``approx_count_distinct`` is the DETERMINISTIC md5-HLL estimate
+    (operators/sketches.py) — same answer from base rows or from a
+    summary's stored registers."""
 
     kind: str
     col: str | None
@@ -71,6 +83,7 @@ class SummaryView:
     counts: dict[str, str] = field(default_factory=dict)
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
+    hlls: dict[str, str] = field(default_factory=dict)  # col -> map<reg,rho> column
 
     def derives(self, a: AggSpec) -> bool:
         if a.kind == "count":
@@ -83,19 +96,26 @@ class SummaryView:
             return a.col in self.mins
         if a.kind == "max":
             return a.col in self.maxs
-        return False  # count_distinct and unknown kinds: never derivable
+        if a.kind == "approx_count_distinct":
+            return a.col in self.hlls
+        return False  # exact count_distinct and unknown kinds: never derivable
 
 
 def build_summary(
     base: DataFrame,
     dims: list[str],
     measures: dict[str, tuple[int, int]],
+    hll_cols: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, object]]:
     """Aggregate ``base`` to ``dims`` grain with, per measure column, an
     exact DECIMAL(p,s) sum (the x71 carrier convention — re-aggregatable
-    without float drift), a nonnull count, and min/max. Returns the
-    summary DataFrame plus the kwargs to construct a :class:`SummaryView`
-    over wherever the caller materializes it."""
+    without float drift), a nonnull count, and min/max; plus, per
+    ``hll_cols`` entry, an md5-HLL register map (``map<reg, rho>``,
+    <= 256 entries — kilobytes per group) from which any coarser
+    grouping can answer ``approx_count_distinct`` bit-identically to
+    the base rows. Returns the summary DataFrame plus the kwargs to
+    construct a :class:`SummaryView` over wherever the caller
+    materializes it."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     sums: dict[str, str] = {}
     counts: dict[str, str] = {}
@@ -107,6 +127,22 @@ def build_summary(
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
         sums[c], counts[c], mins[c], maxs[c] = f"sum_{c}", f"nn_{c}", f"min_{c}", f"max_{c}"
+    summary = base.groupBy(*dims).agg(*aggs)
+    hlls: dict[str, str] = {}
+    for c in hll_cols or []:
+        from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+        mp = (
+            hll_register_rows(base, dims, c)
+            .groupBy(*dims)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("reg", "rho"))  # bounded: <= 256 entries
+                ).alias(f"hll_{c}")
+            )
+        )
+        summary = summary.join(mp, list(dims))
+        hlls[c] = f"hll_{c}"
     view_kwargs = {
         "dims": tuple(dims),
         "count_col": "n_rows",
@@ -114,8 +150,9 @@ def build_summary(
         "counts": counts,
         "mins": mins,
         "maxs": maxs,
+        "hlls": hlls,
     }
-    return base.groupBy(*dims).agg(*aggs), view_kwargs
+    return summary, view_kwargs
 
 
 def _base_expr(a: AggSpec, measures: dict[str, tuple[int, int]]):
@@ -152,6 +189,17 @@ def _mv_expr(a: AggSpec, mv: SummaryView):
     raise ValueError(f"non-derivable kind reached _mv_expr: {a.kind}")
 
 
+def _hll_join(plan: DataFrame, dims: list[str], a: AggSpec, regs: DataFrame) -> DataFrame:
+    """Attach one approx-distinct estimate (from (dims, reg, rho) rows)
+    to a dims-grain plan."""
+    from nagios_custom_etl_spark.operators.sketches import hll_estimate
+
+    est = hll_estimate(regs, dims).select(
+        *dims, F.col("est_distinct").alias(a.alias)
+    )
+    return plan.join(est, dims)
+
+
 def rewrite_aggregate(
     base: DataFrame,
     dims: list[str],
@@ -165,10 +213,37 @@ def rewrite_aggregate(
     ``(plan, provenance)`` with provenance ``"mv:<name>"`` or
     ``"base"`` — callers (and tests) assert on it, because a silent
     fallback is a 10^6x perf cliff and a silent rewrite bug is a wrong
-    answer."""
+    answer.
+
+    ``approx_count_distinct`` plans as a second aggregation stage
+    joined on the grain: registers re-max-merged from the summary's
+    stored map (MV path) or built from raw rows (base path) — the two
+    are BIT-IDENTICAL because register max-merge is lossless, which the
+    equivalence tests assert literally. Requires a non-empty ``dims``
+    (the join needs a grain)."""
+    from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+    hll_aggs = [a for a in aggs if a.kind == "approx_count_distinct"]
+    norm = [a for a in aggs if a.kind != "approx_count_distinct"]
+    if hll_aggs and not dims:
+        raise ValueError("approx_count_distinct rewrite needs a non-empty grain")
     for name, mv in views.items():
         if set(dims) <= set(mv.dims) and all(mv.derives(a) for a in aggs):
-            plan = mv.df.groupBy(*dims).agg(*[_mv_expr(a, mv) for a in aggs])
+            if norm:
+                plan = mv.df.groupBy(*dims).agg(*[_mv_expr(a, mv) for a in norm])
+            else:
+                plan = mv.df.select(*dims).distinct()
+            for a in hll_aggs:
+                ex = mv.df.select(
+                    *dims, F.explode(F.col(mv.hlls[a.col])).alias("reg", "rho")
+                )
+                regs = ex.groupBy(*dims, "reg").agg(F.max("rho").alias("rho"))
+                plan = _hll_join(plan, dims, a, regs)
             return plan, f"mv:{name}"
-    plan = base.groupBy(*dims).agg(*[_base_expr(a, measures) for a in aggs])
+    if norm:
+        plan = base.groupBy(*dims).agg(*[_base_expr(a, measures) for a in norm])
+    else:
+        plan = base.select(*dims).distinct()
+    for a in hll_aggs:
+        plan = _hll_join(plan, dims, a, hll_register_rows(base, dims, a.col))
     return plan, "base"

@@ -8030,3 +8030,122 @@ def x106_replace_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X107 — distinct-count MV rewrite (x85's matcher extended to
+# approx_count_distinct via stored HLL register maps; provably lossless)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x107_distinct_mv_rewrite",
+    oracle="""
+    -- the dashboard question "orders, revenue and distinct customers
+    -- per priority" answered FROM the (priority, status) summary:
+    -- count/sum re-aggregate from stored partials, distinct customers
+    -- from the stored md5-HLL register map (x100 encoding) — register
+    -- max-merge is lossless, so the rewritten estimate is BIT-IDENTICAL
+    -- to sketching the base rows (this oracle computes it from the raw
+    -- rows; the engine computes it from the summary — equality IS the
+    -- soundness proof). The exact distinct rides along from the
+    -- fallback path the planner is forced onto for count_distinct.
+    WITH h AS (SELECT o_orderpriority,
+                      md5(CAST(o_custkey AS VARCHAR) || ':hll') AS h
+               FROM orders),
+    r AS (SELECT o_orderpriority,
+            16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+            4*length(regexp_extract(substr(h,3,16), '^0*'))
+              + CASE substr(substr(h,3,16),
+                            length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    m AS (SELECT o_orderpriority, reg, MAX(rho) AS rho
+          FROM r GROUP BY o_orderpriority, reg),
+    g AS (SELECT o_orderpriority,
+                 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m GROUP BY o_orderpriority),
+    e AS (SELECT o_orderpriority, v_zero,
+                 ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                  * 256) * 256 * power(2, 70) / total AS raw
+          FROM g),
+    x AS (SELECT o_orderpriority,
+                 CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e),
+    agg AS (SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS du_exact
+            FROM orders GROUP BY o_orderpriority)
+    SELECT agg.o_orderpriority, agg.n_orders, agg.total_price,
+           ROUND(x.est, 4) AS du_est_r, agg.du_exact,
+           'mv:ps' AS prov_approx, 'base' AS prov_exact
+    FROM agg JOIN x USING (o_orderpriority)
+    ORDER BY agg.o_orderpriority
+    """,
+    doc="X107 distinct-count MV rewrite (operators/mv_rewrite.py, "
+    "approx_count_distinct rule + build_summary(hll_cols=)): x85's "
+    "automatic aggregate substitution extended to the one aggregate "
+    "warehouses most want from an MV and can least have — distinct "
+    "counts. The summary stores an md5-HLL register MAP per group "
+    "(<= 256 entries, kilobytes); a coarser query explodes + "
+    "max-merges it, and because register merge is lossless the "
+    "rewritten estimate is BIT-IDENTICAL to sketching the base rows — "
+    "the oracle computes from raw rows, the engine from the summary, "
+    "and the hash equality IS the soundness proof (opaque sketch blobs "
+    "could never be checked this way). Exact count_distinct still "
+    "always falls back (provenance 'base', asserted in-result); at "
+    "100 TB the approx path scans grain x 256 rows instead of "
+    "re-shuffling every distinct value per dashboard refresh.",
+)
+def x107_distinct_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.mv_rewrite import (
+        AggSpec,
+        SummaryView,
+        build_summary,
+        rewrite_aggregate,
+    )
+
+    o = cache_once(load_table(spark, sf_dir, "orders"))
+    measures = {"o_totalprice": (18, 2)}
+    sdf, kw = build_summary(
+        o, ["o_orderpriority", "o_orderstatus"], measures, hll_cols=["o_custkey"]
+    )
+    views = {"ps": SummaryView(df=sdf, **kw)}
+    approx_aggs = [
+        AggSpec("count", None, "n_orders"),
+        AggSpec("sum", "o_totalprice", "total_price_dec"),
+        AggSpec("approx_count_distinct", "o_custkey", "du_est"),
+    ]
+    p1, prov1 = rewrite_aggregate(o, ["o_orderpriority"], approx_aggs, views, measures)
+    assert prov1 == "mv:ps", prov1  # the rewrite must fire, not fall back
+    p2, prov2 = rewrite_aggregate(
+        o,
+        ["o_orderpriority"],
+        [AggSpec("count_distinct", "o_custkey", "du_exact")],
+        views,
+        measures,
+    )
+    assert prov2 == "base", prov2  # exact distinct is never derivable
+    return (
+        p1.join(p2, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("total_price_dec").cast("double").alias("total_price"),
+            F.round("du_est", 4).alias("du_est_r"),
+            "du_exact",
+            F.lit(prov1).alias("prov_approx"),
+            F.lit(prov2).alias("prov_exact"),
+        )
+        .orderBy("o_orderpriority")
+    )

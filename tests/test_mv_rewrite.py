@@ -113,3 +113,74 @@ def test_rewritten_plan_scans_mv_files_not_base(spark, base, mv):
     # the base relation is an in-memory LocalRelation here; the rewritten
     # plan must reference only the MV scan — no exchange back to base rows
     assert "LocalTableScan" not in physical and "Scan ExistingRDD" not in physical
+
+
+def test_approx_distinct_rewrite_bit_identical_to_base(spark):
+    """The register map stored at the summary grain re-max-merges to the
+    SAME registers as sketching the base rows — so the rewritten
+    estimate equals the base-path estimate exactly, not approximately;
+    provenance flips mv/base as the view does or does not derive it."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.mv_rewrite import (
+        AggSpec,
+        SummaryView,
+        build_summary,
+        rewrite_aggregate,
+    )
+
+    base = spark.range(0, 4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 5).cast("string").alias("h"),
+        (F.col("id") % 700).alias("u"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    sdf, kw = build_summary(base, ["g", "h"], {"v": (18, 6)}, hll_cols=["u"])
+    views = {"gh": SummaryView(df=sdf, **kw)}
+    aggs = [
+        AggSpec("count", None, "n"),
+        AggSpec("approx_count_distinct", "u", "du_est"),
+    ]
+    mv_plan, prov = rewrite_aggregate(base, ["g"], aggs, views, {"v": (18, 6)})
+    assert prov == "mv:gh"
+    base_plan, prov2 = rewrite_aggregate(base, ["g"], aggs, {}, {"v": (18, 6)})
+    assert prov2 == "base"
+    a = {r.g: (r.n, r.du_est) for r in mv_plan.collect()}
+    b = {r.g: (r.n, r.du_est) for r in base_plan.collect()}
+    assert a == b  # bit-identical, not approximately equal
+    # sanity: the estimate is in the right ballpark of the true distinct
+    exact = {
+        r.g: r.d
+        for r in base.groupBy("g").agg(F.count_distinct("u").alias("d")).collect()
+    }
+    for g, (_, est) in a.items():
+        assert abs(est - exact[g]) / exact[g] < 0.25
+
+
+def test_exact_distinct_still_falls_back_and_empty_grain_refused(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.mv_rewrite import (
+        AggSpec,
+        SummaryView,
+        build_summary,
+        rewrite_aggregate,
+    )
+
+    base = spark.range(0, 100).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 7).alias("u"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sdf, kw = build_summary(base, ["g"], {"v": (18, 6)}, hll_cols=["u"])
+    views = {"g": SummaryView(df=sdf, **kw)}
+    plan, prov = rewrite_aggregate(
+        base, ["g"], [AggSpec("count_distinct", "u", "d")], views, {"v": (18, 6)}
+    )
+    assert prov == "base"  # exact distinct is never derivable
+    assert {r.g: r.d for r in plan.collect()} == {"0": 7, "1": 7}
+    with pytest.raises(ValueError, match="non-empty grain"):
+        rewrite_aggregate(
+            base, [], [AggSpec("approx_count_distinct", "u", "d")], views, {}
+        )
