@@ -271,16 +271,32 @@ def token_file_index(spark: SparkSession, path: str, text_col: str) -> "DataFram
 
 
 def token_pruned_search(
-    spark: SparkSession, index: "DataFrame", token: str, text_col: str
+    spark: SparkSession,
+    index: "DataFrame",
+    token: str,
+    text_col: str,
+    max_files: int = 100_000,
 ) -> tuple["DataFrame", int]:
     """Search documents containing ``token`` by planning ONLY the files
     its posting list names: returns (matching rows, files planned).
     The posting-list collect is bounded by the file count (metadata,
-    like a manifest read); the residual tokenized re-check inside the
-    planned files keeps the answer exact — the index prunes, it never
-    decides. An absent token plans zero files and scans nothing."""
+    like a manifest read) — and hard-capped by ``max_files``: a
+    stopword's posting list names most of a 100 TB table, so beyond the
+    cap the driver-side list buys nothing and the search refuses rather
+    than OOM the driver (run the full-scan filter instead; the index
+    exists for needles, not stopwords). The residual tokenized re-check
+    inside the planned files keeps the answer exact — the index prunes,
+    it never decides. An absent token plans zero files and scans
+    nothing."""
     from pyspark.sql import functions as F
 
+    n_postings = index.filter(F.col("token") == token).count()
+    if n_postings > max_files:
+        raise ValueError(
+            f"token {token!r} appears in {n_postings} files (> max_files="
+            f"{max_files}): a posting list that wide prunes nothing — "
+            "filter the full table instead"
+        )
     files = [
         r["file"] for r in index.filter(F.col("token") == token).select("file").collect()
     ]

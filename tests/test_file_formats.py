@@ -365,3 +365,20 @@ def test_token_file_index_prunes_and_stays_exact(spark, tmp_path):
     # absent token: zero files planned, zero rows, no scan at all
     none, n0 = token_pruned_search(spark, idx, "zzabsent", "text")
     assert n0 == 0 and none.count() == 0
+
+
+def test_token_pruned_search_refuses_stopword_width_postings(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        token_file_index,
+        token_pruned_search,
+    )
+
+    df = spark.createDataFrame([(i, "common x") for i in range(4)], "doc_id long, text string")
+    path = str(tmp_path / "wide")
+    df.withColumn("g", F.col("doc_id")).repartition(4, "g").write.partitionBy("g").parquet(path)
+    idx = token_file_index(spark, path, "text")
+    with pytest.raises(ValueError, match="prunes nothing"):
+        token_pruned_search(spark, idx, "common", "text", max_files=2)
