@@ -1286,3 +1286,26 @@ def test_replace_partitions_txn_idempotence(spark, root):
     S.replace_partitions(batch, root, txn="restate-day0")
     with pytest.raises(ValueError, match="already committed"):
         S.replace_partitions(batch, root, txn="restate-day0")
+
+
+def test_wap_carries_pending_mor_deletes_through_stage_and_publish(spark, root):
+    """Staging over a table with pending equality deletes: the audit
+    surface applies them (like any read), the staged rows are sequenced
+    NEWER than the pending delete (a staged re-insert of a deleted key
+    must survive publish), and the published manifest carries the
+    delete state for the untouched files."""
+    S.append(_df(spark, 0, 4).coalesce(1), root)  # v1
+    S.mor_delete(spark.createDataFrame([Row(i=2)], "i int"), root, keys=["i"])  # v2
+    # stage a batch that re-inserts the deleted key
+    S.stage_append(spark.createDataFrame([Row(i=2, s="BACK")], "i int, s string"), root, "re2")
+    assert _rows(S.read_staged(spark, root, "re2")) == [
+        (0, "r0"), (1, "r1"), (2, "BACK"), (3, "r3"),
+    ]
+    v = S.publish_staged(spark, root, "re2")
+    m = S._read_manifest(spark, root, v)
+    assert m["deletes"], "pending delete state must carry through publish"
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (0, "r0"), (1, "r1"), (2, "BACK"), (3, "r3"),
+    ]
+    # the old version still shows the post-delete, pre-publish view
+    assert _rows(S.read_snapshot(spark, root, 2)) == [(0, "r0"), (1, "r1"), (3, "r3")]
