@@ -1028,7 +1028,11 @@ def read_incremental(
         if v not in present:
             raise ValueError(f"version {v} was vacuumed; append-only chain unprovable")
         op = _read_manifest(spark, root, v)["op"]
-        if op != "append":
+        # wap-publish is append-family: its file set is by construction
+        # parent's files + the staged batch's files, strictly additive,
+        # so "newer files == newer rows" holds for it exactly as for
+        # plain appends (a WAP-gated pipeline stays change-feed-able)
+        if op not in ("append", "wap-publish"):
             raise ValueError(f"version {v} is '{op}', not append: incremental read unsound")
     m_to = _read_manifest(spark, root, v_to)
     base = set(_read_manifest(spark, root, since_version)["files"]) if since_version else set()

@@ -134,7 +134,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         )
         for v in range(lo + 1, hi + 1):  # versions consumed by THIS batch
             m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
-            if m["op"] != "append":
+            if m["op"] not in ("append", "wap-publish"):  # both strictly additive
                 raise ValueError(
                     f"snapshot_tail: version {v} is '{m['op']}', not append — "
                     "tailing a mutating table is unsound; use snapshot CDC"

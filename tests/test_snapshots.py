@@ -1309,3 +1309,19 @@ def test_wap_carries_pending_mor_deletes_through_stage_and_publish(spark, root):
     ]
     # the old version still shows the post-delete, pre-publish view
     assert _rows(S.read_snapshot(spark, root, 2)) == [(0, "r0"), (1, "r1"), (3, "r3")]
+
+
+def test_incremental_read_crosses_wap_publishes(spark, root):
+    """wap-publish is append-family (files strictly added), so a change
+    feed over a WAP-gated table stays readable — the delta across a
+    publish is exactly the published batch; true mutations still refuse."""
+    S.append(_df(spark, 0, 3), root)  # v1
+    S.stage_append(_df(spark, 3, 5), root, "b")
+    S.publish_staged(spark, root, "b")  # v2, op wap-publish
+    S.append(_df(spark, 5, 6), root)  # v3
+    got = _rows(S.read_incremental(spark, root, since_version=1))
+    assert got == [(3, "r3"), (4, "r4"), (5, "r5")]
+    assert _rows(S.read_incremental(spark, root, since_version=2)) == [(5, "r5")]
+    S.overwrite(_df(spark, 9, 10), root)  # v4: a real mutation
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, since_version=1)
