@@ -87,6 +87,38 @@ def create_text_atomic(spark, path: str, text: str) -> None:
         raise
 
 
+def rename_nooverwrite(spark, src: str, dst: str) -> None:
+    """Atomically rename ``src`` to ``dst``, failing if ``dst`` exists —
+    the same no-overwrite ``FileContext.rename`` the manifest commit
+    uses, exposed for ARBITRATION: of N processes racing to claim a
+    file (e.g. WAP publish vs abort claiming the staged manifest),
+    exactly one rename succeeds; losers get :class:`FileExistsError`
+    (dst taken) or :class:`FileNotFoundError` (src already claimed
+    away). Both src and dst must share a filesystem (same table root
+    in practice)."""
+    fs, jsrc, jvm = _fs(spark, src)
+    qsrc = fs.makeQualified(jsrc)
+    qdst = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst))
+    gw = spark.sparkContext._gateway
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_cls, 1)
+    opts[0] = rename_cls.NONE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        qsrc.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    try:
+        fc.rename(qsrc, qdst, opts)
+    except Py4JJavaError as ex:
+        jex = ex.java_exception
+        name = jex.getClass().getName() if jex is not None else ""
+        msg = str(jex.getMessage() or "") if jex is not None else ""
+        if "NotFound" in name or "does not exist" in msg.lower():
+            raise FileNotFoundError(src) from ex
+        if "AlreadyExists" in name or "already exists" in msg.lower():
+            raise FileExistsError(dst) from ex
+        raise
+
+
 def read_text(spark, path: str) -> str:
     fs, jpath, jvm = _fs(spark, path)
     stream = fs.open(jpath)

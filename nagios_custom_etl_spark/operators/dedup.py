@@ -1004,15 +1004,21 @@ def dup_span_coverage(
 
     Plan: tokenize -> enumerate positional n-gram shingles (one
     ``transform(sequence(...))`` static expression, codegen'd, no UDF)
-    -> corpus-wide occurrence count via a window partitioned by the
-    shingle (ONE shuffle, hash-distributed on the shingle; at 100 TB
-    shuffle ``xxhash64(shingle)`` instead of the string to cut shuffle
-    bytes ~10x — collisions only over-mark, and only at ~2^-64) ->
-    per-doc coverage by merging the duplicated [pos, pos+n-1] intervals
-    with the gaps-and-islands pattern (two windows per doc, O(dup
-    shingles) rows — NOT the O(tokens) position-explode a naive union
-    would cost). Docs shorter than ``n`` tokens have no shingles and
-    report zero coverage.
+    -> corpus-wide occurrence count via ``groupBy(shingle).count()``
+    joined back to the shingle rows — NOT ``count() OVER (PARTITION BY
+    shingle)``: a window hash-distributes on a key with unbounded skew
+    (a boilerplate 8-gram repeated 10^8 times at 100 TB lands every
+    occurrence in ONE shuffle partition, and AQE splits skewed JOIN
+    partitions, not window partitions), whereas the groupBy's map-side
+    partial aggregation crushes hot keys before the shuffle and the
+    join-back side DOES get AQE skew splitting (or a broadcast when the
+    dup-shingle set is small). At 100 TB shuffle ``xxhash64(shingle)``
+    instead of the string to cut shuffle bytes ~10x — collisions only
+    over-mark, and only at ~2^-64. -> per-doc coverage by merging the
+    duplicated [pos, pos+n-1] intervals with the gaps-and-islands
+    pattern (two windows per doc, O(dup shingles) rows — NOT the
+    O(tokens) position-explode a naive union would cost). Docs shorter
+    than ``n`` tokens have no shingles and report zero coverage.
     """
     from pyspark.sql import Window
 
@@ -1028,10 +1034,14 @@ def dup_span_coverage(
             )
         ).alias("_pos", "_sh"),
     )
-    dup = (
-        sh.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
+    dup_sh = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
-        .select(id_col, "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end"))
+        .select("_sh")
+    )
+    dup = sh.join(dup_sh, "_sh", "left_semi").select(
+        id_col, "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
     )
     ord_w = Window.partitionBy(id_col).orderBy("_pos")
     prev_w = ord_w.rowsBetween(Window.unboundedPreceding, -1)

@@ -182,8 +182,10 @@ def hll_register_rows(
     rollup, a cross-shard union, or an incremental micro-batch merge
     are all ``groupBy(granu, reg).max(rho)`` — max is idempotent,
     commutative and associative, so re-delivery and re-ordering are
-    free (the property st24 leans on). Register index = first ``p``
-    bits of the hash, rho = 1 + leading zeros of the next 64 bits,
+    free (the property st24 leans on). Register index = top ``p`` bits
+    of the first ``ceil(p/4)`` hex chars (a floor-divide when p is not
+    a multiple of 4 — the leftover low bits are discarded), rho = 1 +
+    leading zeros of the 64 bits after that hex-char boundary,
     computed with string built-ins only (codegen'd; each hex char is 4
     bits, so a zero-run count plus a 4-way CASE on the first non-zero
     char needs no 128-bit arithmetic anywhere). One shuffle at
@@ -192,7 +194,11 @@ def hll_register_rows(
     the shuffle moves kilobytes per group, the HLL promise."""
     reg, rho = hll_reg_rho(key_col, p=p, salt=salt)
     return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        # NULL keys are skipped, matching COUNT(DISTINCT) in both engines
+        # (md5(NULL||salt) is NULL and would otherwise emit a (NULL, NULL)
+        # register row that inflates v_zero and breaks map_from_entries).
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -205,14 +211,21 @@ def hll_reg_rho(key_col: str, p: int = 8, salt: str = ":hll"):
     max-merging sink (st24). Kept separate so the stream stays a
     stateless projection and ALL merging happens in the sink's
     idempotent groupBy-max."""
-    if not 4 <= p <= 12 or p % 2:
-        raise ValueError("p must be even and in [4, 12] (whole hex chars)")
-    hc = p // 4  # hex chars consumed by the register index
+    if not 4 <= p <= 14 or int(p) != p:
+        raise ValueError("p must be an integer in [4, 14]")
+    hc = (p + 3) // 4  # hex chars consumed by the register index
+    shift = 4 * hc - p  # leftover low bits when p is not a hex boundary
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
-    idx = sum(
+    raw = sum(
         (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) * (16 ** (hc - 1 - i))
         for i in range(hc)
     )
+    # Top p bits of the consumed chars: a floor-divide, so p=4/8/12 stay
+    # bit-identical to the historical whole-hex-char path (x100/x105/x107/
+    # st24 sketches unchanged) while any p in [4,14] indexes all 2**p
+    # registers (the pre-r9 guard let p=6/10 through but only used
+    # 2**(4*(p//4)) registers — silently skewed estimates; ADVICE r8).
+    idx = raw if shift == 0 else F.floor(raw / F.lit(1 << shift))
     tail = F.substring(h, hc + 1, 16)
     zrun = F.length(F.regexp_extract(tail, "^0*", 0))
     fc = tail.substr(zrun + 1, F.lit(1))

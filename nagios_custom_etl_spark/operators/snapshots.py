@@ -230,6 +230,17 @@ def _check_partition_spec(
     return new_spec
 
 
+# Manifest ops a blind append COMMUTES with: the published content is by
+# definition (whatever the table holds) + (batch rows), so an intervening
+# commit of these kinds just re-parents the append (Delta: blind appends
+# don't read, so AddFile-only and data-change commits never conflict with
+# them). Anything else — overwrite, compaction's layout replace,
+# replace-partitions, rollback — REDEFINES the reference set in a way an
+# "add to the table as it was" intent is ambiguous over, so the retry
+# aborts and surfaces the conflict (Delta aborts these classes too).
+_APPEND_COMMUTES_WITH = frozenset({"append", "merge", "mor-delete", "wap-publish"})
+
+
 def append(
     df: DataFrame,
     root: str,
@@ -237,6 +248,7 @@ def append(
     evolve: bool = False,
     txn: str | None = None,
     partition_by: str | None = None,
+    max_retries: int = 3,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
     Parent files keep their recorded stats; new files add theirs. The
@@ -250,28 +262,56 @@ def append(
     ``txn``/``setTransaction`` action): a writer that may retry the
     same logical batch checks :func:`txn_version` first and skips the
     commit if its token already landed — exactly-once for streaming
-    foreachBatch sinks whose batch id is replayed on recovery."""
+    foreachBatch sinks whose batch id is replayed on recovery.
+
+    Optimistic concurrency (Delta's commit loop): the data files are
+    written ONCE — they are conflict-free by construction (fresh uuid
+    dir) — and only the manifest commit retries. On losing the race,
+    the intervening commits are classified: append-family ops
+    (:data:`_APPEND_COMMUTES_WITH`) commute with a blind append, so the
+    writer re-reads the new latest, re-validates schema + partition
+    spec and re-parents — both racing appends land, in either order.
+    A non-commuting intervening op (overwrite/replace/rollback) aborts
+    with :class:`ConcurrentCommitError` carrying the conflicting op."""
     spark = df.sparkSession
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
     spec = _check_partition_spec(m, partition_by)
-    base, base_stats = m.get("files", []), m.get("stats", {})
     schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
-    return _commit(
-        spark,
-        root,
-        base + files,
-        "append",
-        parent,
-        {**base_stats, **stats},
-        schema,
-        txn=txn,
-        partition_spec=spec,
-        extra=_mor_extra(m, files, parent + 1),
-    )
+    last_err: Exception | None = None
+    for attempt in range(max(1, max_retries)):
+        if attempt:  # lost a race: re-read, classify, re-parent
+            new_parent = latest_version(spark, root)
+            for v in range(parent + 1, new_parent + 1):
+                op = _read_manifest(spark, root, v).get("op", "")
+                if op not in _APPEND_COMMUTES_WITH:
+                    raise ConcurrentCommitError(
+                        f"append lost to a non-commuting {op!r} commit "
+                        f"(version {v}); re-run against the new table state"
+                    ) from last_err
+            parent = new_parent
+            m = _read_manifest(spark, root, parent) if parent else {}
+            spec = _check_partition_spec(m, partition_by)
+            schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
+        try:
+            return _commit(
+                spark,
+                root,
+                m.get("files", []) + files,
+                "append",
+                parent,
+                {**m.get("stats", {}), **stats},
+                schema,
+                txn=txn,
+                partition_spec=spec,
+                extra=_mor_extra(m, files, parent + 1),
+            )
+        except ConcurrentCommitError as ex:
+            last_err = ex
+    raise last_err  # type: ignore[misc]
 
 
 def txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
@@ -848,13 +888,26 @@ def gc_orphans(
         reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
     # Staged-but-unpublished WAP batches are referenced by their staged
     # manifest, not by any version — they are pending work, not orphans
-    # (abort_staged is their reclaim path, at any age).
+    # (abort_staged is their reclaim path, at any age). Claimed batches
+    # (an in-flight or crashed publish/abort) are equally pending:
+    # re-running the claiming operation is THEIR reclaim path.
     for sid in _staged_ids(spark, root):
         reachable.update(_read_staged(spark, root, sid)["files"])
+    for f in fsio.list_names(spark, _snap_dir(root)):
+        if f.startswith("claim-") and f.endswith(".json"):
+            reachable.update(
+                json.loads(fsio.read_text(spark, f"{_snap_dir(root)}/{f}"))["files"]
+            )
     deleted = []
     for d in fsio.list_names(spark, root):
         if not d.startswith("data-"):
             continue
+        # Captured BEFORE the file sweep (deleting a child bumps the
+        # dir's mtime): a young dir may belong to an in-flight writer
+        # that created it but has not flushed parquet yet, or hold only
+        # _SUCCESS/_temporary job artifacts — same race the file-level
+        # retention check closes, same age guard (r8 ADVICE).
+        dir_young = fsio.mtime_ms(spark, f"{root}/{d}") > cutoff_ms
         live = False
         for f in fsio.list_files_recursive(spark, f"{root}/{d}"):
             if not f.endswith(".parquet"):
@@ -866,7 +919,7 @@ def gc_orphans(
                 live = True  # young: may belong to an in-flight commit
             elif fsio.delete(spark, f"{root}/{rel}", recursive=False):
                 deleted.append(rel)
-        if not live:
+        if not live and not dir_young:
             fsio.delete(spark, f"{root}/{d}", recursive=True)
     for f in fsio.list_names(spark, _snap_dir(root)):
         rel = f"_snapshots/{f}"
@@ -1068,6 +1121,41 @@ def _read_staged(spark: SparkSession, root: str, stage_id: str) -> dict:
     return json.loads(fsio.read_text(spark, p))
 
 
+def _claim_path(root: str, stage_id: str, kind: str) -> str:
+    return f"{_snap_dir(root)}/claim-{kind}-{stage_id}.json"
+
+
+def _claim_staged(spark: SparkSession, root: str, stage_id: str, kind: str) -> dict:
+    """Atomically move the staged manifest to a ``claim-<kind>-`` name,
+    making it the ARBITRATION point between publish and abort: the
+    no-overwrite rename means exactly one of the two racing paths owns
+    the batch from here on (r8 ADVICE — previously a concurrent abort
+    could delete the manifest and data files between publish's read and
+    its commit, publishing dangling file refs). A claim file also makes
+    each path crash-RESUMABLE: a retry finds its own claim and picks up
+    where it left off, while the opposite path sees who won and fails
+    with a clear error. Claimed batches stay protected from
+    :func:`gc_orphans` (the GC reads claim manifests too)."""
+    claim = _claim_path(root, stage_id, kind)
+    other = _claim_path(root, stage_id, "abort" if kind == "publish" else "publish")
+    if fsio.exists(spark, claim):  # crash-resume of our own claim
+        return json.loads(fsio.read_text(spark, claim))
+    try:
+        fsio.rename_nooverwrite(spark, _staged_path(root, stage_id), claim)
+    except FileExistsError:  # a same-kind twin claimed first
+        return json.loads(fsio.read_text(spark, claim))
+    except FileNotFoundError:
+        if fsio.exists(spark, claim):  # lost the ms-level race to a twin
+            return json.loads(fsio.read_text(spark, claim))
+        if fsio.exists(spark, other):
+            raise ValueError(
+                f"staged batch {stage_id!r} already claimed by "
+                f"{'abort' if kind == 'publish' else 'publish'}"
+            ) from None
+        raise ValueError(f"no staged batch {stage_id!r} at {root}") from None
+    return json.loads(fsio.read_text(spark, claim))
+
+
 def stage_append(
     df: DataFrame,
     root: str,
@@ -1153,48 +1241,75 @@ def publish_staged(spark: SparkSession, root: str, stage_id: str) -> int:
 
     Publishing is idempotent per stage_id: the committed manifest
     records ``{"stage_id": ...}``, and a retry (crash between commit
-    and staged-manifest cleanup) finds it and returns the already-
-    committed version instead of double-appending. Losing a commit race
-    raises ConcurrentCommitError; retry — the conflict checks rerun."""
-    s = _read_staged(spark, root, stage_id)
+    and claim cleanup) finds it and returns the already-committed
+    version instead of double-appending. Publish and a concurrent
+    :func:`abort_staged` are arbitrated by an atomic claim rename of
+    the staged manifest — exactly one wins; the loser gets a ValueError
+    naming the winner. A lost commit race retries in-process against
+    the new latest (same optimistic loop and commute classification as
+    :func:`append` — a publish IS an append); a non-commuting
+    intervening op aborts with the conflicting op named, leaving the
+    claim in place so publish can be re-run after inspection."""
     for v in reversed(_manifest_versions(spark, root)):
         if _read_manifest(spark, root, v).get("stage_id") == stage_id:
             fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
+            fsio.delete(spark, _claim_path(root, stage_id, "publish"), recursive=False)
             return v
+    s = _claim_staged(spark, root, stage_id, "publish")
+    last_err: Exception | None = None
     parent = latest_version(spark, root)
-    m = _read_manifest(spark, root, parent) if parent else {}
-    if m.get("partition_spec") != s.get("partition_spec"):
-        raise SchemaMismatchError(
-            f"partition spec changed since stage: table has "
-            f"{m.get('partition_spec')}, staged batch has {s.get('partition_spec')}"
-        )
-    schema = _merged_schema(m.get("schema"), s["schema"], evolve=True)
-    version = _commit(
-        spark,
-        root,
-        m.get("files", []) + s["files"],
-        "wap-publish",
-        parent,
-        {**m.get("stats", {}), **s.get("stats", {})},
-        schema,
-        partition_spec=s.get("partition_spec"),
-        extra={
-            **(_mor_extra(m, s["files"], parent + 1) or {}),
-            "stage_id": stage_id,
-            "staged_parent": s["parent"],
-        },
-    )
-    fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
-    return version
+    for attempt in range(3):
+        if attempt:
+            new_parent = latest_version(spark, root)
+            for v in range(parent + 1, new_parent + 1):
+                op = _read_manifest(spark, root, v).get("op", "")
+                if op not in _APPEND_COMMUTES_WITH:
+                    raise ConcurrentCommitError(
+                        f"publish lost to a non-commuting {op!r} commit "
+                        f"(version {v}); claim kept — re-run publish_staged "
+                        f"after inspecting the new table state"
+                    ) from last_err
+            parent = new_parent
+        m = _read_manifest(spark, root, parent) if parent else {}
+        if m.get("partition_spec") != s.get("partition_spec"):
+            raise SchemaMismatchError(
+                f"partition spec changed since stage: table has "
+                f"{m.get('partition_spec')}, staged batch has {s.get('partition_spec')}"
+            )
+        schema = _merged_schema(m.get("schema"), s["schema"], evolve=True)
+        try:
+            version = _commit(
+                spark,
+                root,
+                m.get("files", []) + s["files"],
+                "wap-publish",
+                parent,
+                {**m.get("stats", {}), **s.get("stats", {})},
+                schema,
+                partition_spec=s.get("partition_spec"),
+                extra={
+                    **(_mor_extra(m, s["files"], parent + 1) or {}),
+                    "stage_id": stage_id,
+                    "staged_parent": s["parent"],
+                },
+            )
+        except ConcurrentCommitError as ex:
+            last_err = ex
+            continue
+        fsio.delete(spark, _claim_path(root, stage_id, "publish"), recursive=False)
+        return version
+    raise last_err  # type: ignore[misc]
 
 
 def abort_staged(spark: SparkSession, root: str, stage_id: str) -> list[str]:
-    """Drop staged batch ``stage_id``: delete its manifest FIRST (the
-    stage atomically stops being publishable), then its data files —
-    which no version references, so the table's history is untouched.
-    Returns the deleted data-file paths."""
-    s = _read_staged(spark, root, stage_id)
-    fsio.delete(spark, _staged_path(root, stage_id), recursive=False)
+    """Drop staged batch ``stage_id``: atomically CLAIM its manifest
+    first (the stage stops being publishable, and a racing
+    :func:`publish_staged` is arbitrated away — exactly one path wins),
+    then delete its data files — which no version references, so the
+    table's history is untouched. Crash-resumable: a retry finds the
+    abort claim and finishes the file deletes. Returns the deleted
+    data-file paths."""
+    s = _claim_staged(spark, root, stage_id, "abort")
     deleted = []
     dirs = set()
     for rel in s["files"]:
@@ -1207,6 +1322,7 @@ def abort_staged(spark: SparkSession, root: str, stage_id: str) -> list[str]:
             for f in fsio.list_files_recursive(spark, f"{root}/{d}")
         ):
             fsio.delete(spark, f"{root}/{d}", recursive=True)
+    fsio.delete(spark, _claim_path(root, stage_id, "abort"), recursive=False)
     return sorted(deleted)
 
 
@@ -1338,16 +1454,23 @@ def replace_partitions(
             "NULL partition values cannot be replaced (Hive default-"
             "partition escaping is not round-trippable here)"
         )
-    values = {str(v) for v in raw_values}
-    if not values:
+    if not raw_values:
         raise ValueError("empty batch: nothing to replace")
+    files, stats = _write_data_files(df, root, stats_cols, pcol)
+    # The replaced-value set is read back from the NEW files' own path
+    # segments, not str(value): Spark Hive-escapes partition values on
+    # disk (':' -> '%3A' etc.), so a str() comparison never matches an
+    # escaped segment and would silently CARRY the old partition files
+    # alongside the new ones — duplication instead of a replace (r8
+    # ADVICE). Both old and new segments came from the same writer
+    # encoding, so segment equality is exact by construction.
+    new_segs = {f.split("/", 2)[1] for f in files}
 
     def replaced(f: str) -> bool:
         seg = f.split("/", 2)[1]  # data-<uuid>/<col>=<val>/part-...
-        return seg.split("=", 1)[0] == pcol and seg.split("=", 1)[1] in values
+        return seg in new_segs
 
     kept = [f for f in m.get("files", []) if not replaced(f)]
-    files, stats = _write_data_files(df, root, stats_cols, pcol)
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(kept)}
     return _commit(
         spark,

@@ -385,3 +385,22 @@ def test_dup_span_coverage_merges_overlapping_islands(spark):
     )
     got = {r.doc_id: r.dup_covered for r in dup_span_coverage(docs, "doc_id", "text").collect()}
     assert got == {0: 10, 1: 10}
+
+
+def test_dup_span_coverage_hot_shingle(spark):
+    """Planted hot shingle — one boilerplate 8-gram in >=50% of docs
+    (the skew shape the r8 verdict flagged): the corpus count now goes
+    through groupBy+semi-join (map-side partials crush the hot key;
+    the join gets AQE skew splitting) instead of a window partitioned
+    by the shingle, and the answer must be exact regardless."""
+    from nagios_custom_etl_spark.operators.dedup import dup_span_coverage
+
+    boiler = "subscribe to our newsletter for more great content"  # 8 tokens
+    rows = [(i, f"u{i}a u{i}b " + boiler + f" u{i}c") for i in range(600)]
+    rows += [(1000 + i, f"v{i}a v{i}b v{i}c v{i}d v{i}e v{i}f v{i}g v{i}h v{i}i") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_span_coverage(docs, "doc_id", "text", n=8).collect()
+    hot = [r for r in out if r.doc_id < 1000]
+    cold = [r for r in out if r.doc_id >= 1000]
+    assert len(hot) == 600 and all(r.dup_covered == 8 for r in hot)
+    assert len(cold) == 200 and all(r.dup_covered == 0 for r in cold)

@@ -137,9 +137,50 @@ def test_hll_register_rows_validates_p(spark):
     from nagios_custom_etl_spark.operators.sketches import hll_register_rows
 
     df = spark.range(3).select(F.lit(1).alias("g"), F.col("id").alias("k"))
-    for bad in (3, 7, 14):
+    for bad in (3, 15, 8.5):
         with pytest.raises(ValueError):
             hll_register_rows(df, ["g"], "k", p=bad)
+
+
+def test_hll_non_hex_boundary_p_uses_all_registers(spark):
+    """p=6/10 used to pass validation but index only 2**(4*(p//4))
+    registers while the estimator assumed m=2**p (r8 ADVICE). Now the
+    floor-divide path must spread keys across the FULL register space
+    and keep the estimate inside the HLL error bound at that m."""
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    df = spark.range(0, 20_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    for p in (6, 10):
+        regs = hll_register_rows(df, ["g"], "k", p=p)
+        lo, hi, n = regs.agg(
+            F.min("reg"), F.max("reg"), F.count(F.lit(1))
+        ).first()
+        assert 0 <= lo and hi >= (1 << p) * 3 // 4, (p, lo, hi)
+        # 20k distinct keys saturate well past the old truncated space
+        assert n > (1 << (4 * (p // 4))), (p, n)
+        est = hll_estimate(regs, ["g"], p=p).first().est_distinct
+        sigma = 1.04 / (1 << p) ** 0.5
+        assert abs(est - 20_000) / 20_000 < 4 * sigma, (p, est)
+
+
+def test_hll_register_rows_skips_null_keys(spark):
+    """NULL keys are ignored (COUNT DISTINCT semantics in both engines);
+    previously md5(NULL||salt)=NULL emitted a (NULL reg, NULL rho) row
+    that inflated v_zero and crashed map_from_entries (r8 ADVICE)."""
+    from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "b"), (1, None)], "g int, k string"
+    )
+    rows = hll_register_rows(df, ["g"], "k").collect()
+    assert rows and all(r.reg is not None and r.rho is not None for r in rows)
+    no_null = hll_register_rows(
+        df.where(F.col("k").isNotNull()), ["g"], "k"
+    ).collect()
+    assert {(r.reg, r.rho) for r in rows} == {(r.reg, r.rho) for r in no_null}
 
 
 def test_hist_quantiles_error_bounded_by_bin_width(spark):

@@ -76,6 +76,65 @@ def test_append_through_api_after_external_commit_retries_cleanly(spark, root):
     assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(0, 6)]
 
 
+def test_append_race_both_writers_land(spark, root, monkeypatch):
+    """Two appends race for the same version: the loser classifies the
+    winner's commit as append-family, re-parents, and lands as the next
+    version — both batches in the final table (Delta's blind-append
+    commute rule)."""
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.append(_df(spark, 2, 4), root)  # v2: the racing winner
+    real = S.latest_version
+    calls = {"n": 0}
+
+    def stale_once(sp, r):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(sp, r)  # first read: stale parent
+
+    monkeypatch.setattr(S, "latest_version", stale_once)
+    v = S.append(_df(spark, 4, 6), root)  # tries v2, loses, re-parents
+    assert v == 3
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(6)]
+
+
+def test_append_race_aborts_on_non_commuting_overwrite(spark, root, monkeypatch):
+    """An intervening OVERWRITE redefines the table; the losing append
+    must refuse to auto-retry (its 'add to the table as it was' intent
+    is ambiguous) and surface the conflicting op."""
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.overwrite(_df(spark, 10, 12), root)  # v2: non-commuting winner
+    real = S.latest_version
+    calls = {"n": 0}
+
+    def stale_once(sp, r):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(sp, r)
+
+    monkeypatch.setattr(S, "latest_version", stale_once)
+    with pytest.raises(S.ConcurrentCommitError, match="non-commuting 'overwrite'"):
+        S.append(_df(spark, 4, 6), root)
+    # table state is the winner's, untouched
+    assert _rows(S.read_snapshot(spark, root)) == [(10, "r10"), (11, "r11")]
+
+
+def test_wap_publish_race_retries_over_commuting_append(spark, root, monkeypatch):
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.stage_append(_df(spark, 10, 12), root, "late")
+    S.append(_df(spark, 2, 4), root)  # v2 lands while publish is in flight
+    real = S.latest_version
+    calls = {"n": 0}
+
+    def stale_once(sp, r):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(sp, r)
+
+    monkeypatch.setattr(S, "latest_version", stale_once)
+    v = S.publish_staged(spark, root, "late")  # tries v2, loses, re-parents
+    assert v == 3
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in (0, 1, 2, 3, 10, 11)
+    ]
+
+
 def test_rollback_is_a_new_commit_with_old_content(spark, root):
     S.overwrite(_df(spark, 0, 3), root)  # v1
     S.overwrite(_df(spark, 100, 102), root)  # v2
@@ -277,6 +336,25 @@ def test_gc_orphans_deletes_only_unreferenced(spark, root):
     # the orphaned data directory itself is gone
     orphan_dir = orphan_files[0].split("/")[0]
     assert not fsio.exists(spark, f"{root}/{orphan_dir}")
+
+
+def test_gc_orphans_spares_young_empty_dir(spark, root):
+    """A data-* dir with no parquet yet (in-flight writer just created
+    it, or only job-setup artifacts inside) must survive GC until it
+    ages past retention — deleting it re-opens the concurrent-writer
+    window the file-level mtime check closed (r8 ADVICE)."""
+    import os
+
+    S.overwrite(_df(spark, 0, 3), root)
+    young = f"{root}/data-inflight00000000000000000000000000"
+    os.makedirs(young)
+    with open(f"{young}/_SUCCESS", "w") as fh:
+        fh.write("")
+    assert S.gc_orphans(spark, root) == []  # default retention
+    assert fsio.exists(spark, young)
+    deleted = S.gc_orphans(spark, root, min_age_sec=0.0)  # aged out
+    assert not fsio.exists(spark, young)
+    assert deleted == []  # no parquet inside: dir dropped, nothing listed
 
 
 def test_gc_orphans_spares_files_shared_by_old_versions(spark, root):
@@ -1109,6 +1187,44 @@ def test_wap_gc_orphans_spares_staged_files(spark, root):
     assert S.gc_orphans(spark, root, min_age_sec=0.0) == []
 
 
+def test_wap_publish_abort_mutually_arbitrated(spark, root):
+    """Exactly one of publish/abort wins a race (r8 ADVICE): the staged
+    manifest is atomically claim-renamed, so the loser gets a clear
+    error instead of publish committing refs abort just deleted."""
+    S.overwrite(_df(spark, 0, 2), root)
+    S.stage_append(_df(spark, 2, 4), root, "race")
+    # abort claims first (the rename is the arbitration point)
+    S._claim_staged(spark, root, "race", "abort")
+    with pytest.raises(ValueError, match="claimed by abort"):
+        S.publish_staged(spark, root, "race")
+    S.abort_staged(spark, root, "race")  # resumes from its claim
+    assert S.latest_version(spark, root) == 1
+    # reverse order: publish claims first, abort must lose
+    S.stage_append(_df(spark, 2, 4), root, "race2")
+    S._claim_staged(spark, root, "race2", "publish")
+    with pytest.raises(ValueError, match="claimed by publish"):
+        S.abort_staged(spark, root, "race2")
+    v = S.publish_staged(spark, root, "race2")  # resumes from its claim
+    assert v == 2
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(4)]
+    # claims consumed on completion
+    assert not fsio.exists(spark, S._claim_path(root, "race2", "publish"))
+    assert not fsio.exists(spark, S._claim_path(root, "race", "abort"))
+
+
+def test_wap_abort_crash_resume_finishes_file_deletes(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.stage_append(_df(spark, 2, 4), root, "half")
+    staged_files = S._claim_staged(spark, root, "half", "abort")["files"]
+    # claimed but files not yet deleted = crash point; GC must spare them
+    assert S.gc_orphans(spark, root, min_age_sec=0.0) == []
+    for rel in staged_files:
+        assert fsio.exists(spark, f"{root}/{rel}")
+    assert S.abort_staged(spark, root, "half") == sorted(staged_files)
+    for rel in staged_files:
+        assert not fsio.exists(spark, f"{root}/{rel}")
+
+
 def test_wap_schema_contract_enforced_at_stage_time(spark, root):
     S.overwrite(_df(spark, 0, 2), root)
     drifted = spark.createDataFrame([Row(i=9, s="r9", extra=1.0)], "i int, s string, extra double")
@@ -1256,6 +1372,29 @@ def test_replace_partitions_swaps_only_named_partitions(spark, root):
     assert got == [(1, "r1", 1), (3, "r3", 1), (5, "r5", 1), (7, "r7", 1), (100, "NEW", 0)]
     # time travel to the pre-replace version still sees the old rows
     assert len(S.read_snapshot(spark, root, 1).collect()) == 8
+
+
+def test_replace_partitions_hive_escaped_values(spark, root):
+    """Partition values Spark Hive-escapes on disk (':' -> '%3A') must
+    still REPLACE, not duplicate: the replaced-segment set is derived
+    from the new files' own path segments, so writer encoding matches
+    by construction (r8 ADVICE — str(value) never matched the escaped
+    segment and the old files were silently carried)."""
+    df = spark.createDataFrame(
+        [Row(i=1, s="old", k="00:00:00"), Row(i=2, s="keep", k="01:00:00")],
+        "i int, s string, k string",
+    )
+    S.overwrite(df, root, partition_by="k")
+    before = S._read_manifest(spark, root, 1)["files"]
+    assert any("%3A" in f for f in before)  # escaping actually happened
+    batch = spark.createDataFrame(
+        [Row(i=9, s="new", k="00:00:00")], "i int, s string, k string"
+    )
+    v = S.replace_partitions(batch, root)
+    got = sorted((r.i, r.s, r.k) for r in S.read_snapshot(spark, root).collect())
+    assert got == [(2, "keep", "01:00:00"), (9, "new", "00:00:00")]
+    m = S._read_manifest(spark, root, v)
+    assert not any(f in m["files"] for f in before if "k=00%3A00%3A00" in f)
 
 
 def test_replace_partitions_refusals(spark, root):
