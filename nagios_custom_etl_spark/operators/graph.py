@@ -145,18 +145,40 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    dangling: bool = False,
+    tol: float | None = None,
+    checkpoint_every: int = 10,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list ``(src, dst)``
     — the canonical iterative graph computation, expressed as K rounds
     of the same declarative join+aggregate plan.
 
-    rank_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank_k(u) / outdeg(u)
+    rank_{k+1}(v) = (1-d)/N + d * (Σ_{(u,v)∈E} rank_k(u) / outdeg(u)
+                                   [+ D_k / N  with ``dangling=True``])
 
-    (dangling nodes — no out-edges — simply contribute nothing: the
-    "ignore dangling mass" variant, chosen because it is exactly
-    SQL-expressible and therefore oracle-checkable; the redistribute
-    variant adds one scalar aggregate per round).
+    With ``dangling=False`` nodes without out-edges simply contribute
+    nothing (exactly SQL-expressible, the x95 oracle); with
+    ``dangling=True`` their mass D_k = Σ rank_k(u) over dangling u is
+    redistributed uniformly — the standard stochastic-matrix fix, kept
+    oracle-checkable because D_k is itself one more sum in the unrolled
+    recurrence (x95b). The per-round cost of the dangling term is one
+    O(nodes) semi-join aggregate producing a 1-ROW DataFrame that is
+    broadcast-cross-joined into the update — declarative, no per-round
+    driver collect.
+
+    ``tol`` enables convergence early-stopping: after each round the
+    max |Δrank| is evaluated (one action per round — this is the price
+    of data-dependent iteration counts; the fixed-K path stays fully
+    lazy) and the loop exits when it drops below ``tol``. ``stats``
+    (optional dict) receives ``{"rounds": k, "delta": last}`` for
+    callers that need to observe convergence. Lineage is bounded by a
+    ``localCheckpoint`` of the rank vector every ``checkpoint_every``
+    rounds (and every round under ``tol``, where the vector is
+    materialized by the delta action anyway).
 
     Scale design: each round is ONE equi-join of the edge list with the
     current rank vector on ``src`` followed by ONE aggregate on ``dst``
@@ -165,11 +187,10 @@ def pagerank(
     the plan; Spark executes K chained stages). The edge list and the
     out-degree join are computed once and cached; at 100 TB the edge
     relation would be bucketed on ``src`` so every round's join is
-    co-located and only the rank vector (O(nodes)) moves. K is a fixed
-    small constant, so lineage depth is bounded; for large K insert a
-    localCheckpoint every ~10 rounds. The reference's nearest behavior
-    is the group->member fan-out walk (extract.py:56-78), which this
-    generalizes to a fixpoint over the whole membership graph.
+    co-located and only the rank vector (O(nodes)) moves. The
+    reference's nearest behavior is the group->member fan-out walk
+    (extract.py:56-78), which this generalizes to a fixpoint over the
+    whole membership graph.
     """
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     nodes = (
@@ -191,14 +212,51 @@ def pagerank(
     nodes = nodes.cache()
     n_nodes = nodes.count()  # scalar: the (1-d)/N baseline
     base = (1.0 - damping) / n_nodes
+    dangle = None
+    if dangling:
+        dangle = nodes.join(
+            e.select("src").distinct(), nodes.node == F.col("src"), "left_anti"
+        ).cache()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
-    for _ in range(iterations):
+    rounds, delta = 0, None
+    for k in range(iterations):
         contribs = e.join(ranks, e.src == ranks.node).select(
             F.col("dst").alias("node"), (F.col("pr") / F.col("_deg")).alias("_c")
         )
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias("pr"),
+        inflow = F.coalesce(F.col("_s"), F.lit(0.0))
+        nxt = nodes.join(summed, "node", "left")
+        if dangling:
+            dmass = ranks.join(dangle, "node", "left_semi").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
+            )
+            nxt = nxt.crossJoin(F.broadcast(dmass))
+            inflow = inflow + F.col("_dm") / F.lit(float(n_nodes))
+        prev, ranks = ranks, nxt.select(
+            "node", (F.lit(base) + F.lit(damping) * inflow).alias("pr")
         )
+        rounds = k + 1
+        if dangling and tol is None:
+            # the dangling branch makes each round consume the rank
+            # vector TWICE (contribs + mass sum); left lazy, the plan
+            # tree doubles per round — exponential analysis/execution
+            # blowup (measured 23s vs 1s at K=5). Materializing the
+            # O(nodes) vector per round is the standard iterative-graph
+            # shape (GraphX does the same); localCheckpoint also keeps
+            # lineage depth constant.
+            ranks = ranks.localCheckpoint()
+        if tol is not None:
+            ranks = ranks.localCheckpoint()
+            delta = (
+                ranks.alias("a")
+                .join(prev.alias("b"), "node")
+                .agg(F.max(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+        elif (k + 1) % max(1, checkpoint_every) == 0:
+            ranks = ranks.localCheckpoint()
+    if stats is not None:
+        stats.update({"rounds": rounds, "delta": delta})
     return ranks

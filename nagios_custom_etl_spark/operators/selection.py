@@ -34,6 +34,8 @@ the returned skyline POINT set to the source rows.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,3 +79,115 @@ def pareto_skyline(df: DataFrame, a: str, b: str, buckets: int = 64) -> DataFram
     — the frontier point set joined back (broadcast: a 2-D skyline of
     n points has expected O(log n) size on independent dimensions)."""
     return df.join(F.broadcast(pareto_skyline_points(df, a, b, buckets)), [a, b])
+
+
+def pareto_skyline_points_nd(
+    df: DataFrame, cols: list[str], buckets: int = 8
+) -> DataFrame:
+    """Skyline point set maximizing ALL of ``cols`` (any dimension d >= 2)
+    via grid-cell dominance pruning — the d>2 generalization the 2-D
+    suffix-max scan above cannot express (its one-axis ordering argument
+    only works when "all other axes" is a single value).
+
+    Dominance: point q dominates p iff q >= p on every objective and
+    q > p on at least one; equal points never dominate each other.
+
+    Plan (every stage bounded or grid-pruned — no raw all-pairs):
+
+    1. **Distinct points** (one shuffle at point-set cardinality).
+    2. **Grid**: each objective equal-width-bucketized into ``buckets``
+       cells (bounds from ONE 2d-value aggregate). A cell's coordinate
+       vector lower-bounds every point in it.
+    3. **Cell-level pruning**: nonempty cell C drops WHOLESALE when some
+       nonempty cell D has D_i >= C_i + 1 on every axis — then every
+       point of D exceeds every point of C on every axis (bucket
+       intervals are [lo, hi)), so all of C is dominated. The cell
+       relation is <= buckets^d rows — metadata-sized — so the
+       pairwise cell check is a broadcast nested-loop over it, never
+       over data.
+    4. **Verification**: candidates (points in surviving cells) check
+       only against points in cells that COULD dominate theirs
+       (D_i >= C_i on every axis). By transitivity of dominance, any
+       dominated point is dominated by a point in a SURVIVING cell, so
+       the dominator side is also grid-pruned. The (cell, dominator-
+       cell) pair relation is broadcast and both row-level joins are
+       hash equi-joins on cell ids; the residual quadratic work is
+       confined to compatible cell pairs (the SFS literature's grid
+       filter).
+
+    At 100 TB step 3 eliminates the bulk of cells outright — only the
+    upper-staircase shell of the grid survives — so the verification
+    join touches O(shell) points, not the corpus. ``buckets`` trades
+    pruning power (larger = finer shell) against cell-pair relation
+    size (buckets^(2d) worst case, still metadata for d<=4,
+    buckets<=16)."""
+    if len(cols) < 2:
+        raise ValueError("need at least 2 objectives")
+    pts = df.select(*cols).dropDuplicates(cols)
+    bounds = pts.agg(
+        *[f(c).alias(f"{p}_{c}") for c in cols for p, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    if bounds[f"lo_{cols[0]}"] is None:
+        return pts.limit(0)
+    bcols = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None or hi == lo:
+            bcols.append(F.lit(0).alias(f"_b_{c}"))
+        else:
+            raw = (
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(buckets)
+                )
+                - 1
+            )
+            bcols.append(
+                F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1)).alias(f"_b_{c}")
+            )
+    bnames = [f"_b_{c}" for c in cols]
+    pts = pts.select(*cols, *bcols)
+    cells = pts.groupBy(*bnames).agg(F.count(F.lit(1)).alias("_n")).select(*bnames)
+    # 3. wholesale cell drop: exists D with D_i >= C_i + 1 on every axis
+    dom_cells = [F.col(f"d.{b}") >= F.col(f"c.{b}") + 1 for b in bnames]
+    strict_dominator = cells.alias("d")
+    survivors = (
+        cells.alias("c")
+        .join(
+            F.broadcast(strict_dominator),
+            on=reduce(lambda x, y: x & y, dom_cells),
+            how="left_anti",
+        )
+        .select(*bnames)
+    )
+    # 4. row-level verify, routed through compatible (cell, dom-cell) pairs
+    comp = [F.col(f"d.{b}") >= F.col(f"c.{b}") for b in bnames]
+    pairs = (
+        survivors.alias("c")
+        .join(F.broadcast(survivors.alias("d")), on=reduce(lambda x, y: x & y, comp))
+        .select(
+            *[F.col(f"c.{b}").alias(f"c{b}") for b in bnames],
+            *[F.col(f"d.{b}").alias(f"d{b}") for b in bnames],
+        )
+    )
+    cand = pts.join(survivors, bnames, "left_semi")
+    doms = cand.select(
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        *[F.col(b).alias(f"d{b}") for b in bnames],
+    )
+    ge_all = reduce(
+        lambda x, y: x & y, [F.col(f"_o_{c}") >= F.col(c) for c in cols]
+    )
+    gt_any = reduce(
+        lambda x, y: x | y, [F.col(f"_o_{c}") > F.col(c) for c in cols]
+    )
+    dominated = (
+        cand.join(
+            F.broadcast(pairs),
+            on=[F.col(b) == F.col(f"c{b}") for b in bnames],
+        )
+        .join(doms, [f"d{b}" for b in bnames])
+        .where(ge_all & gt_any)
+        .select(*cols)
+        .dropDuplicates(cols)
+    )
+    return cand.join(dominated, cols, "left_anti").select(*cols)

@@ -1025,6 +1025,10 @@ def compact(
         stats or None,
         m.get("schema"),
         partition_spec=spec,
+        # Delta's dataChange=false: this commit re-arranges EXISTING rows
+        # (layout and/or delete materialization), adds none — the marker
+        # incremental readers key their skip-compactions path on.
+        extra={"data_change": False},
     )
 
 
@@ -1035,6 +1039,7 @@ def read_incremental(
     to_version: int | None = None,
     since_ts: float | None = None,
     to_ts: float | None = None,
+    skip_compactions: bool = False,
 ) -> DataFrame:
     """Read ONLY the rows added after ``since_version`` (exclusive) up
     to ``to_version`` (inclusive, default latest) — the Iceberg
@@ -1053,6 +1058,20 @@ def read_incremental(
     a mutating table through x41's snapshot CDC instead). A vacuumed
     (missing) manifest inside the range is likewise refused: the
     append-only proof cannot be reconstructed.
+
+    ``skip_compactions=True`` is Delta's ``skipChangeCommits`` for the
+    auto-compacted medallion loop: ``replace`` versions that carry the
+    compactor's ``data_change: false`` marker are stepped OVER instead
+    of refused. Sound because the walk then accumulates per-version
+    file diffs — an append's new files are captured at ITS version
+    (those files stay on disk even after a later compaction
+    re-references their rows elsewhere), and the compaction version
+    itself contributes nothing (it adds no rows by contract of the
+    marker). The consumer-lag contract this implies: vacuum retention
+    must exceed consumer lag, or the skipped-over originals may be
+    reclaimed before they are read — exactly Delta's documented
+    constraint. A ``replace`` WITHOUT the marker still refuses (an
+    arbitrary overwrite is not provably row-preserving).
 
     Bounds may be given as versions or as epoch timestamps
     (``since_ts`` / ``to_ts``, resolved through :func:`version_as_of` —
@@ -1077,19 +1096,31 @@ def read_incremental(
     if v_to < since_version:
         raise ValueError(f"to_version {v_to} precedes since_version {since_version}")
     present = set(_manifest_versions(spark, root))
+    prev = (
+        set(_read_manifest(spark, root, since_version)["files"])
+        if since_version
+        else set()
+    )
+    new: list[str] = []
     for v in range(since_version + 1, v_to + 1):
         if v not in present:
             raise ValueError(f"version {v} was vacuumed; append-only chain unprovable")
-        op = _read_manifest(spark, root, v)["op"]
+        m = _read_manifest(spark, root, v)
+        op = m["op"]
         # wap-publish is append-family: its file set is by construction
         # parent's files + the staged batch's files, strictly additive,
         # so "newer files == newer rows" holds for it exactly as for
         # plain appends (a WAP-gated pipeline stays change-feed-able)
-        if op not in ("append", "wap-publish"):
-            raise ValueError(f"version {v} is '{op}', not append: incremental read unsound")
+        if op in ("append", "wap-publish"):
+            new.extend(f for f in m["files"] if f not in prev)
+        elif skip_compactions and op == "replace" and m.get("data_change") is False:
+            pass  # row-preserving rewrite: contributes no delta
+        else:
+            raise ValueError(
+                f"version {v} is '{op}', not append: incremental read unsound"
+            )
+        prev = set(m["files"])
     m_to = _read_manifest(spark, root, v_to)
-    base = set(_read_manifest(spark, root, since_version)["files"]) if since_version else set()
-    new = [f for f in m_to["files"] if f not in base]
     if not new:
         return read_snapshot(spark, root, v_to).limit(0)
     return _read_files(spark, root, new, m_to.get("schema"), m_to.get("partition_spec"))

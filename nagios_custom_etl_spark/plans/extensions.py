@@ -8149,3 +8149,250 @@ def x107_distinct_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X95b — PageRank with dangling-mass redistribution (the stochastic-matrix
+# fix; oracle = the recurrence with the dangling term unrolled in CTEs)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_dangling_oracle(iterations: int = 5) -> str:
+    step = """
+d{km1} AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM r{km1}
+           WHERE node NOT IN (SELECT src FROM e)),
+r{k} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM p)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(SUM(r.pr / od.deg), 0)
+              + (SELECT dm FROM d{km1}) / (SELECT n FROM p)) AS pr
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN od ON od.src = e.src
+  LEFT JOIN r{km1} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+    return (
+        """
+    -- PageRank WITH dangling-mass redistribution, unrolled:
+    -- r_k(v) = 0.15/N + 0.85*(sum r_{k-1}(u)/deg(u) + D_{k-1}/N),
+    -- D_{k-1} = total rank parked on nodes with no out-edges. The
+    -- src side is folded mod 64 vs dst mod 512, so ~7/8 of the nodes
+    -- dangle — the term carries real mass, not epsilon.
+    WITH e AS (SELECT DISTINCT o_custkey % 64 AS src,
+                               o_orderkey % 512 AS dst FROM orders),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    p AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM p) AS pr FROM nodes),"""
+        + ",".join(step.format(k=k, km1=k - 1) for k in range(1, iterations + 1))
+        + f"""
+    SELECT node, ROUND(pr, 6) AS pr_r FROM r{iterations} ORDER BY node
+    """
+    )
+
+
+@register(
+    "x95b_pagerank_dangling",
+    oracle=_pagerank_dangling_oracle(),
+    doc="X95b PageRank with dangling-mass redistribution "
+    "(operators/graph.py::pagerank dangling=True): the stochastic-"
+    "matrix fix x95's docstring deferred — each round, the rank parked "
+    "on no-out-edge nodes is summed (ONE O(nodes) semi-join aggregate "
+    "into a 1-row DataFrame, broadcast-cross-joined into the update; "
+    "no per-round driver collect) and folded back uniformly, so total "
+    "mass stays 1 (pinned in tests/test_graph.py). The graph folds src "
+    "mod 64 vs dst mod 512, so ~7/8 of nodes dangle and the term "
+    "carries real mass. Still exactly oracle-checkable: D_k is one "
+    "more SUM in the unrolled recurrence. Same scale shape as x95 "
+    "(edges cached pre-partitioned+pre-sorted on src; only the rank "
+    "vector and one scalar move per round); convergence early-stop "
+    "(tol=) and lineage checkpointing exist for long runs, exercised "
+    "in tests (a data-dependent round count cannot be a fixed oracle).",
+)
+def x95b_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 64).alias("src"),
+        (F.col("o_orderkey") % 512).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85, dangling=True)
+    return pr.select("node", F.round("pr", 6).alias("pr_r")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# X96b — d>2 Pareto skyline via grid-cell dominance pruning (the d-objective
+# generalization of x96's bucketed SFS; oracle = quadratic NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x96b_skyline_3d",
+    oracle="""
+    -- 3-objective skyline (maximize length, lexical diversity, and a
+    -- deterministic priority axis): survive iff no other doc is >= on
+    -- all three and > on at least one. Quadratic dominance definition
+    -- — algorithm-independent ground truth.
+    WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS b,
+                      CAST(doc_id % 97 AS BIGINT) AS c
+               FROM documents)
+    SELECT t.doc_id, t.a AS n_chars_obj, t.b AS n_distinct_obj, t.c AS prio_obj
+    FROM m t
+    WHERE NOT EXISTS (SELECT 1 FROM m o
+                      WHERE o.a >= t.a AND o.b >= t.b AND o.c >= t.c
+                        AND (o.a > t.a OR o.b > t.b OR o.c > t.c))
+    ORDER BY t.doc_id
+    """,
+    doc="X96b d>2 Pareto skyline (operators/selection.py::"
+    "pareto_skyline_points_nd): grid-cell dominance pruning — x96's "
+    "one-axis suffix-max argument does not generalize past 2-D, so "
+    "each objective is equal-width-bucketized (bounds from one "
+    "2d-value aggregate) and a nonempty cell strictly above another "
+    "on EVERY axis kills it wholesale (bucket intervals are [lo,hi), "
+    "so all-axes bucket+1 implies pointwise strict dominance); "
+    "row-level verification then runs only inside compatible "
+    "(cell, dominator-cell) pairs — hash equi-joins routed through a "
+    "broadcast pair relation of at most buckets^2d rows, with the "
+    "dominator side restricted to SURVIVING cells (sound by "
+    "transitivity of dominance). No all-pairs pass anywhere; the "
+    "residual quadratic work is confined to the grid's upper "
+    "staircase shell. Third objective is doc_id mod 97 — independent "
+    "of the text axes, so the frontier is genuinely 3-D. Equal "
+    "triples never dominate each other (both engines keep them).",
+)
+def x96b_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_obj"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_distinct_obj"),
+        (F.col("doc_id") % 97).cast("long").alias("prio_obj"),
+    )
+    sky = pareto_skyline_points_nd(d, ["n_chars_obj", "n_distinct_obj", "prio_obj"])
+    return (
+        d.join(F.broadcast(sky), ["n_chars_obj", "n_distinct_obj", "prio_obj"])
+        .select("doc_id", "n_chars_obj", "n_distinct_obj", "prio_obj")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X108 — register-level HLL at non-default precision p=10 (the r8-ADVICE
+# fix made non-hex-boundary precisions index the FULL register space; this
+# pins the portability claim off the p=8 default, register by register)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x108_hll_p10_registers",
+    oracle="""
+    -- md5-register HLL at p=10 (m=1024): register index = top 10 bits
+    -- of the first 3 hex chars (integer-divide by 4 drops the 2
+    -- leftover bits — the writer's floor-divide replicated), rho from
+    -- the 16 hex chars after that boundary. Same estimator as x100
+    -- with m=1024; custkey cardinality per priority (~1400) sits in
+    -- the linear-counting regime at this m, so that branch runs, and
+    -- the status level (3 values) pins it deeper.
+    WITH src AS (
+      SELECT 'cust' AS level, o_orderpriority, CAST(o_custkey AS VARCHAR) AS key
+      FROM orders
+      UNION ALL
+      SELECT 'status', o_orderpriority, o_orderstatus FROM orders
+    ),
+    h AS (SELECT level, o_orderpriority, md5(key || ':hll') AS h FROM src),
+    r AS (SELECT level, o_orderpriority,
+            (256*(strpos('0123456789abcdef', substr(h,1,1))-1)
+             + 16*(strpos('0123456789abcdef', substr(h,2,1))-1)
+             + (strpos('0123456789abcdef', substr(h,3,1))-1)) // 4 AS reg,
+            4*length(regexp_extract(substr(h,4,16), '^0*'))
+              + CASE substr(substr(h,4,16),
+                            length(regexp_extract(substr(h,4,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    m AS (SELECT level, o_orderpriority, reg, MAX(rho) AS rho
+          FROM r GROUP BY level, o_orderpriority, reg),
+    g AS (SELECT level, o_orderpriority,
+                 1024 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (1024 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m GROUP BY level, o_orderpriority),
+    e AS (SELECT level, o_orderpriority, v_zero,
+                 ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+                  * 1024) * 1024 * power(2, 70) / total AS raw
+          FROM g),
+    x AS (SELECT level, o_orderpriority, v_zero,
+                 CASE WHEN raw <= 2.5 * 1024 AND v_zero > 0
+                      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e),
+    exact AS (
+      SELECT 'cust' AS level, o_orderpriority,
+             COUNT(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'status', o_orderpriority,
+             COUNT(DISTINCT o_orderstatus) FROM orders GROUP BY 2
+    )
+    SELECT x.level, x.o_orderpriority,
+           CAST(x.v_zero AS BIGINT) AS v_zero,
+           ROUND(x.est, 4) AS est_r,
+           CAST(exact.n_exact AS BIGINT) AS n_exact
+    FROM x JOIN exact USING (level, o_orderpriority)
+    ORDER BY level, o_orderpriority
+    """,
+    doc="X108 register-level HLL at p=10 (operators/sketches.py::"
+    "hll_reg_rho): pins the r9 precision generalization — p is any "
+    "integer in [4,14], with non-hex-boundary precisions taking the "
+    "top p bits of ceil(p/4) hex chars via floor-divide (the r8 "
+    "ADVICE bug let p=10 silently index only 256 of the 1024 "
+    "registers while the estimator assumed m=1024). The DuckDB oracle "
+    "replicates the divide bit-for-bit ((3-char value) // 4), so "
+    "EVERY register hash-checks at the off-default precision, and "
+    "the estimate — both branches — matches to the rounded digit. "
+    "Shuffle bound rises to |groups| * 2^p rows (the documented "
+    "precision/size trade).",
+)
+def x108_hll_p10_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    o = cache_once(load_table(spark, sf_dir, "orders"))
+
+    def sketch(level: str, key: str) -> DataFrame:
+        return hll_register_rows(o, ["o_orderpriority"], key, p=10).withColumn(
+            "level", F.lit(level)
+        )
+
+    regs = sketch("cust", "o_custkey").unionByName(sketch("status", "o_orderstatus"))
+    est = hll_estimate(regs, ["level", "o_orderpriority"], p=10)
+    exact = (
+        o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_exact"))
+        .withColumn("level", F.lit("cust"))
+        .unionByName(
+            o.groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_orderstatus").cast("long").alias("n_exact"))
+            .withColumn("level", F.lit("status"))
+        )
+    )
+    return (
+        est.join(exact, ["level", "o_orderpriority"])
+        .select(
+            "level",
+            "o_orderpriority",
+            "v_zero",
+            F.round("est_distinct", 4).alias("est_r"),
+            "n_exact",
+        )
+        .orderBy("level", "o_orderpriority")
+    )

@@ -1658,3 +1658,103 @@ def st25_streaming_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "st26_auto_compacted_medallion",
+    oracle="""
+    -- the medallion loop (st23) with MAINTENANCE RUNNING INSIDE IT:
+    -- bronze micro-batches auto-compact whenever the live file count
+    -- trips the threshold (layout-only replace, data_change:false),
+    -- the tailing consumer opts into skip_compactions and must still
+    -- deliver every appended row exactly once into the silver merge,
+    -- and the silver sink auto-vacuums its overwrite history. Silver
+    -- therefore equals the plain batch aggregate; the two maintenance
+    -- facts are surfaced as hash-pinned booleans (compaction provably
+    -- ran; live bronze files stayed within threshold+1).
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(TRUE AS BOOLEAN) AS compaction_ran,
+           CAST(TRUE AS BOOLEAN) AS files_bounded,
+           CAST(TRUE AS BOOLEAN) AS silver_vacuumed
+    FROM documents WHERE doc_id < 600
+    GROUP BY source ORDER BY source
+    """,
+    doc="ST-ext auto-compacted medallion loop (streaming/ops.py::"
+    "snapshot_append_sink auto_compact_files= + snapshot_agg_merge_sink "
+    "auto_vacuum_keep= + sources/snapshot_tail skip_compactions): the "
+    "r8-verdict maintenance gap closed — st22/st23 accumulated one "
+    "version + small files per batch with nothing scheduling compact(). "
+    "Bronze now compacts itself whenever a commit leaves more live "
+    "files than the threshold (trigger = live-file COUNT, not a version "
+    "modulus, so a crash between append and compact self-heals next "
+    "batch); compaction publishes as a data_change:false replace — "
+    "Delta's dataChange flag — which the tailing source steps over "
+    "under skip_compactions (sound because it diffs version-by-version: "
+    "pre-compaction appends were captured from their original files, "
+    "the rewrite adds no rows, post-compaction appends diff against "
+    "the compacted set; = Delta skipChangeCommits). Silver bounds its "
+    "overwrite HISTORY with an in-loop vacuum (grain-sized table: live "
+    "files never grow, disk decays by history). Consumer contract "
+    "documented: vacuum retention must exceed consumer lag. At 100 TB "
+    "this is the difference between a tailed table decaying into "
+    "millions of kilobyte files and a self-maintaining store.",
+)
+def st26_auto_compacted_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+    from nagios_custom_etl_spark.streaming.ops import (
+        snapshot_agg_merge_sink,
+        snapshot_append_sink,
+    )
+
+    spark.dataSource.register(SnapshotTailSource)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st26_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    silver, ckpt = os.path.join(base, "silver"), os.path.join(base, "ckpt")
+    ingest = snapshot_append_sink(bronze, auto_compact_files=4, compact_target_files=2)
+    merge = snapshot_agg_merge_sink(silver, auto_vacuum_keep=2)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", bronze)
+            .option("schema_ddl", "doc_id bigint, source string, n_chars bigint")
+            .option("skip_compactions", "true")
+            .load()
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # 6 one-file micro-batches; live files > 4 triggers in-loop compaction
+    for b in range(6):
+        batch = d.filter(
+            (F.col("doc_id") >= b * 100) & (F.col("doc_id") < (b + 1) * 100)
+        ).coalesce(1)
+        ingest(batch, b)
+        if b in (1, 3, 5):  # three tail drains -> three silver merges
+            drain()
+    ops = [
+        S._read_manifest(spark, bronze, v)["op"]
+        for v in S._manifest_versions(spark, bronze)
+    ]
+    live = S._read_manifest(spark, bronze, S.latest_version(spark, bronze))["files"]
+    compaction_ran = "replace" in ops
+    files_bounded = len(live) <= 5  # threshold 4 + the append that tripped it
+    silver_vacuumed = len(S._manifest_versions(spark, silver)) <= 2
+    return (
+        S.read_snapshot(spark, silver)
+        .withColumn("compaction_ran", F.lit(bool(compaction_ran)))
+        .withColumn("files_bounded", F.lit(bool(files_bounded)))
+        .withColumn("silver_vacuumed", F.lit(bool(silver_vacuumed)))
+        .orderBy("source")
+    )

@@ -104,6 +104,18 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             int(options["end_version"]) if "end_version" in options else None
         )
         self.start_version = int(options.get("start_version", "0"))
+        # Delta's skipChangeCommits for auto-compacted bronze: step over
+        # 'replace' versions carrying the compactor's data_change:false
+        # marker. Sound because partitions() already diffs VERSION BY
+        # VERSION — a compaction contributes no new rows by contract,
+        # and later appends diff against ITS file set, so nothing is
+        # double-counted. Consumer-lag contract: vacuum retention must
+        # exceed stream lag or the pre-compaction originals may be
+        # reclaimed before this reader gets to them (Delta documents the
+        # same constraint).
+        self.skip_compactions = (
+            options.get("skip_compactions", "false").lower() == "true"
+        )
         # [(name, simple_type)] parsed from the declared DDL, with the
         # trailing provenance column stripped (the reader synthesizes it)
         self.columns = [
@@ -134,13 +146,20 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         )
         for v in range(lo + 1, hi + 1):  # versions consumed by THIS batch
             m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
-            if m["op"] not in ("append", "wap-publish"):  # both strictly additive
+            if m["op"] in ("append", "wap-publish"):  # both strictly additive
+                new = sorted(f for f in m["files"] if f not in prev)
+                parts.extend(NewFilePartition(f"{base}/{f}", v) for f in new)
+            elif (
+                self.skip_compactions
+                and m["op"] == "replace"
+                and m.get("data_change") is False
+            ):
+                pass  # row-preserving rewrite: no delta (see __init__ note)
+            else:
                 raise ValueError(
                     f"snapshot_tail: version {v} is '{m['op']}', not append — "
                     "tailing a mutating table is unsound; use snapshot CDC"
                 )
-            new = sorted(f for f in m["files"] if f not in prev)
-            parts.extend(NewFilePartition(f"{base}/{f}", v) for f in new)
             prev = set(m["files"])
         return parts
 
@@ -176,8 +195,11 @@ class SnapshotTailSource(DataSource):
     """``spark.readStream.format("snapshot_tail")`` — options:
     ``root`` (table root), ``schema_ddl`` (the table columns to surface,
     e.g. ``"doc_id bigint, source string"``), optional ``start_version``
-    / ``end_version`` bounds. Output schema = declared columns +
-    ``commit_version bigint`` provenance."""
+    / ``end_version`` bounds, optional ``skip_compactions`` ("true" to
+    step over data_change:false replace versions — required when the
+    table is auto-compacted; see the reader's note for the vacuum-lag
+    contract). Output schema = declared columns + ``commit_version
+    bigint`` provenance."""
 
     @classmethod
     def name(cls) -> str:

@@ -379,7 +379,11 @@ def keyed_upsert_sink(out_dir: str, n_buckets: int = 8):
     return write
 
 
-def snapshot_append_sink(root: str):
+def snapshot_append_sink(
+    root: str,
+    auto_compact_files: int | None = None,
+    compact_target_files: int = 4,
+):
     """foreachBatch sink committing each micro-batch as a SNAPSHOT
     version of a manifest table (operators/snapshots.py) — the write
     side of st21's manifest-tailing source, and the streaming analog of
@@ -395,10 +399,25 @@ def snapshot_append_sink(root: str):
     the atomic manifest create IS the commit point, and an incomplete
     retry leaves only unreferenced files for gc_orphans.
 
+    ``auto_compact_files`` schedules maintenance INSIDE the loop
+    (Delta's auto-optimize): whenever a commit leaves the table
+    referencing more than that many live files, the sink runs
+    :func:`~...snapshots.compact` down to ``compact_target_files`` —
+    a layout-only ``replace`` version marked ``data_change: false``.
+    Consumer contract: incremental/tailing readers of an auto-compacted
+    table must opt into ``skip_compactions`` (they step over the
+    marker; appends before and after still diff exactly), and vacuum
+    retention must exceed consumer lag. The trigger is the LIVE file
+    count, not a version modulus, so a crash between append and
+    compact self-heals on the next batch. Compaction is best-effort
+    maintenance: losing its commit race just defers it.
+
     At 100 TB: per-batch cost is the batch's data files + one O(files)
     manifest write; the store's history is every micro-batch, so
     downstream consumers tail it incrementally (st21/x84) instead of
-    re-listing a growing directory.
+    re-listing a growing directory — and auto-compaction is what keeps
+    the LIVE file count (what full scans and merges plan over) bounded
+    while that history accumulates.
     """
     from nagios_custom_etl_spark.operators import snapshots as S
 
@@ -409,7 +428,14 @@ def snapshot_append_sink(root: str):
             return  # replayed batch: already committed, exactly-once
         if batch_df.isEmpty():
             return  # trailing no-data trigger: nothing to publish
-        S.append(batch_df, root, txn=token)
+        v = S.append(batch_df, root, txn=token)
+        if auto_compact_files is not None:
+            m = S._read_manifest(spark, root, v)
+            if len(m["files"]) > auto_compact_files:
+                try:
+                    S.compact(spark, root, target_file_count=compact_target_files)
+                except S.ConcurrentCommitError:
+                    pass  # another maintainer won; compaction is best-effort
 
     return write
 
@@ -419,6 +445,7 @@ def snapshot_agg_merge_sink(
     dims: list[str] | None = None,
     measures: dict[str, tuple[str, str | None, str]] | None = None,
     txn_prefix: str = "silver-batch",
+    auto_vacuum_keep: int | None = None,
 ):
     """foreachBatch sink maintaining an ADDITIVE aggregate snapshot
     table (the medallion silver tier) from micro-batches of raw rows:
@@ -460,6 +487,17 @@ def snapshot_agg_merge_sink(
     At 100 TB: the silver table is grain-sized (per-source rows), so
     the per-batch merge is O(grain + batch), never O(history); the
     bronze history stays tail-readable for backfill/audit.
+
+    This sink overwrites a grain-sized table per batch, so its LIVE
+    file count never grows — its decay mode is the version HISTORY
+    (one full grain copy per batch on disk). ``auto_vacuum_keep``
+    schedules :func:`~...snapshots.vacuum` inside the loop whenever
+    retained versions exceed the window: disk stays bounded at
+    ``keep * grain`` while the txn-token retention caveat applies
+    (keep the window longer than any possible stream-recovery gap,
+    or a replayed batch outlives its token — the documented
+    setTransaction/vacuum interaction). Time travel beyond the window
+    is gone, as with any vacuum.
     """
     from nagios_custom_etl_spark.operators import snapshots as S
 
@@ -514,5 +552,8 @@ def snapshot_agg_merge_sink(
         else:
             merged = delta
         S.overwrite(merged, silver_root, txn=token)
+        if auto_vacuum_keep is not None:
+            if len(S._manifest_versions(spark, silver_root)) > auto_vacuum_keep:
+                S.vacuum(spark, silver_root, keep_last=auto_vacuum_keep)
 
     return write

@@ -111,3 +111,51 @@ def test_pagerank_dangling_mass_ignored(spark):
     base = 0.15 / 2
     assert r[1] == pytest.approx(base)  # no in-edges, every round
     assert r[2] == pytest.approx(base + 0.85 * base)  # receives 1's full rank
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    # 1->2, 2->3, 3 dangles; 4 isolated? (no edges -> not a node). Use a
+    # chain with a dangling sink: without redistribution total mass
+    # decays; with it, sum(pr) == 1 every round (stochastic fixpoint).
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    lossy = pagerank(e, iterations=8).agg(F.sum("pr")).first()[0]
+    full = pagerank(e, iterations=8, dangling=True).agg(F.sum("pr")).first()[0]
+    assert lossy < 0.999
+    assert full == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_tol_early_stop_matches_long_run(spark):
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    # symmetric 3-cycle converges in one round: rank is exactly 1/3 from
+    # the start, so tol stops it well before the requested 50 rounds
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    stats = {}
+    r = {
+        x.node: x.pr
+        for x in pagerank(cyc, iterations=50, tol=1e-12, stats=stats).collect()
+    }
+    assert stats["rounds"] < 50 and stats["delta"] < 1e-12
+    for v in r.values():
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+    # early-stopped result equals the full fixed-K run
+    r_full = {x.node: x.pr for x in pagerank(cyc, iterations=50).collect()}
+    for k in r:
+        assert r[k] == pytest.approx(r_full[k], abs=1e-9)
+
+
+def test_pagerank_dangling_chain_values(spark):
+    from nagios_custom_etl_spark.operators.graph import pagerank
+
+    # hand-checked 2-node chain 1->2 (2 dangles), one round from uniform:
+    # D0 = r0(2) = 1/2
+    # r1(1) = 0.075 + 0.85*(0 + 0.25) = 0.2875
+    # r1(2) = 0.075 + 0.85*(0.5 + 0.25) = 0.7125
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = {x.node: x.pr for x in pagerank(e, iterations=1, dangling=True).collect()}
+    assert r[1] == pytest.approx(0.075 + 0.85 * 0.25, abs=1e-12)
+    assert r[2] == pytest.approx(0.075 + 0.85 * 0.75, abs=1e-12)

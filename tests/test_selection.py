@@ -46,3 +46,78 @@ def test_skyline_single_value_axis(spark):
     df = spark.createDataFrame([(1, 1), (1, 9), (1, 9)], "a int, b int")
     got = sorted((r.a, r.b) for r in pareto_skyline(df, "a", "b").collect())
     assert got == [(1, 9), (1, 9)]
+
+
+def _brute_nd(points):
+    out = []
+    for p in points:
+        if not any(
+            all(o[i] >= p[i] for i in range(len(p)))
+            and any(o[i] > p[i] for i in range(len(p)))
+            for o in points
+        ):
+            out.append(p)
+    return sorted(set(out))
+
+
+def test_skyline_nd_matches_brute_force_3d(spark):
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    rnd = random.Random(29)
+    pts = [
+        (rnd.randrange(60), rnd.randrange(60), rnd.randrange(60)) for _ in range(600)
+    ]
+    df = spark.createDataFrame(pts, "a int, b int, c int")
+    got = sorted(
+        {(r.a, r.b, r.c) for r in pareto_skyline_points_nd(df, ["a", "b", "c"]).collect()}
+    )
+    assert got == _brute_nd(pts)
+
+
+def test_skyline_nd_agrees_with_2d_scan(spark):
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    rnd = random.Random(31)
+    pts = [(rnd.randrange(100), rnd.randrange(100)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "a int, b int")
+    nd = sorted({(r.a, r.b) for r in pareto_skyline_points_nd(df, ["a", "b"]).collect()})
+    sc = sorted({(r.a, r.b) for r in pareto_skyline_points(df, "a", "b").collect()})
+    assert nd == sc
+
+
+def test_skyline_nd_4d_and_degenerate_axis(spark):
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    rnd = random.Random(37)
+    # one axis constant: dominance reduces to the remaining 3
+    pts = [
+        (rnd.randrange(20), 7, rnd.randrange(20), rnd.randrange(20))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "a int, b int, c int, d int")
+    got = sorted(
+        {
+            (r.a, r.b, r.c, r.d)
+            for r in pareto_skyline_points_nd(df, ["a", "b", "c", "d"]).collect()
+        }
+    )
+    assert got == _brute_nd(pts)
+
+
+def test_skyline_nd_correlated_anticorrelated(spark):
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    # anti-correlated axes -> big frontier (stress the verify join);
+    # correlated -> tiny frontier (stress wholesale cell pruning)
+    anti = [(i, 1000 - i, (i * 7) % 97) for i in range(0, 1000, 3)]
+    df = spark.createDataFrame(anti, "a int, b int, c int")
+    got = sorted(
+        {(r.a, r.b, r.c) for r in pareto_skyline_points_nd(df, ["a", "b", "c"]).collect()}
+    )
+    assert got == _brute_nd(anti)
+    corr = [(i, i + 5, i % 11) for i in range(400)]
+    df2 = spark.createDataFrame(corr, "a int, b int, c int")
+    got2 = sorted(
+        {(r.a, r.b, r.c) for r in pareto_skyline_points_nd(df2, ["a", "b", "c"]).collect()}
+    )
+    assert got2 == _brute_nd(corr)

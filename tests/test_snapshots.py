@@ -790,6 +790,128 @@ def test_incremental_read_refuses_range_across_compaction(spark, root):
         S.read_incremental(spark, root, since_version=v1)
 
 
+def test_incremental_read_skip_compactions_steps_over_marker(spark, root):
+    """Delta's skipChangeCommits: with skip_compactions=True a range
+    crossing a data_change:false replace delivers exactly the appended
+    rows — appends BEFORE the compaction from their original files
+    (still on disk), appends after from their own — and a replace
+    WITHOUT the marker still refuses."""
+    v1 = S.append(_df(spark, 0, 3).coalesce(1), root)
+    S.append(_df(spark, 3, 6).coalesce(1), root)  # v2: pre-compaction delta
+    S.append(_df(spark, 6, 9).coalesce(1), root)  # v3: pre-compaction delta
+    assert S.compact(spark, root) is not None  # v4: data_change false
+    S.append(_df(spark, 9, 12).coalesce(1), root)  # v5: post-compaction delta
+    got = _rows(
+        S.read_incremental(spark, root, since_version=v1, skip_compactions=True)
+    )
+    assert got == [(i, f"r{i}") for i in range(3, 12)]
+    # an unmarked replace is NOT provably row-preserving: still refused
+    m = S._read_manifest(spark, root, 4)
+    del m["data_change"]
+    fsio.write_text(spark, S._manifest_path(root, 4), __import__("json").dumps(m))
+    with pytest.raises(ValueError, match="replace"):
+        S.read_incremental(spark, root, since_version=v1, skip_compactions=True)
+
+
+def test_snapshot_append_sink_auto_compacts_bounded_files(spark, root):
+    """The auto-compacting streaming append sink (Delta auto-optimize):
+    after N one-file batches the LIVE file count stays bounded by the
+    threshold while every row remains readable and the compaction
+    versions carry the data_change:false marker."""
+    from nagios_custom_etl_spark.streaming.ops import snapshot_append_sink
+
+    sink = snapshot_append_sink(root, auto_compact_files=4, compact_target_files=2)
+    for b in range(12):
+        sink(_df(spark, b * 5, b * 5 + 5).coalesce(1), b)
+    live = S._read_manifest(spark, root, S.latest_version(spark, root))["files"]
+    assert len(live) <= 5  # threshold 4 + the append that tripped it
+    ops = [
+        S._read_manifest(spark, root, v)["op"]
+        for v in S._manifest_versions(spark, root)
+    ]
+    assert "replace" in ops  # compaction actually ran
+    for v in S._manifest_versions(spark, root):
+        m = S._read_manifest(spark, root, v)
+        if m["op"] == "replace":
+            assert m["data_change"] is False
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(60)]
+    # replayed batch: still a no-op through the txn token
+    before = S.latest_version(spark, root)
+    sink(_df(spark, 0, 5), 0)
+    assert S.latest_version(spark, root) == before
+
+
+def test_snapshot_tail_skip_compactions_delivers_exact_rows(spark, root):
+    """Tailing an auto-compacted bronze: skip_compactions=true steps
+    over the marked replace versions and still delivers every appended
+    row exactly once; without the option the stream fails loudly."""
+    import os
+    import tempfile
+
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+
+    spark.dataSource.register(SnapshotTailSource)
+    S.append(_df(spark, 0, 3).coalesce(1), root)
+    S.append(_df(spark, 3, 6).coalesce(1), root)
+    S.append(_df(spark, 6, 9).coalesce(1), root)
+    assert S.compact(spark, root) is not None
+    S.append(_df(spark, 9, 12).coalesce(1), root)
+
+    def drain(skip: str, name: str):
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", root)
+            .option("schema_ddl", "i int, s string")
+            .option("skip_compactions", skip)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.mkdtemp(), "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    drain("true", "tail_skip_ok")
+    got = sorted(
+        (r.i, r.s) for r in spark.sql("SELECT i, s FROM tail_skip_ok").collect()
+    )
+    assert got == [(i, f"r{i}") for i in range(12)]
+    with pytest.raises(Exception, match="not append"):
+        q = drain("false", "tail_skip_no")
+        q.awaitTermination()
+
+
+def test_agg_merge_sink_auto_vacuum_bounds_history(spark, root):
+    """auto_vacuum_keep bounds the silver table's retained versions (and
+    therefore disk) while the merged content stays exact."""
+    from nagios_custom_etl_spark.streaming.ops import snapshot_agg_merge_sink
+
+    sink = snapshot_agg_merge_sink(
+        root,
+        dims=["k"],
+        measures={"n": ("count", None, "long"), "tot": ("sum", "i", "long")},
+        auto_vacuum_keep=2,
+    )
+    for b in range(6):
+        df = spark.createDataFrame(
+            [Row(k="ab"[i % 2], i=b * 10 + i) for i in range(4)], "k string, i int"
+        )
+        sink(df, b)
+    assert len(S._manifest_versions(spark, root)) <= 2
+    got = {(r.k, r.n, r.tot) for r in S.read_snapshot(spark, root).collect()}
+    rows = [(b * 10 + i, "ab"[i % 2]) for b in range(6) for i in range(4)]
+    exp = {
+        (k, sum(1 for i, kk in rows if kk == k), sum(i for i, kk in rows if kk == k))
+        for k in "ab"
+    }
+    assert got == exp
+
+
 # --- partition-valued tables (x92) -------------------------------------------
 
 
