@@ -46,6 +46,18 @@ med 0.706 (runs 0.924, 0.719, 0.732, 0.653, 0.726, 0.692, 0.593,
 delta was run-to-run noise, not the r7 catalog/checkpoint changes.
 Verdict: exonerated; no bisection warranted.
 
+Clean re-measure (r9, VERDICT r8 watch items): x66_phash_image_neardup
+(0.345/0.345 -> 0.472, outside both rounds' spreads) and
+x13_neardup_clusters (2.13 vs the 1.62-2.44 five-round band) — re-run
+on the settled box (floor 0.42): x13 7x min 1.667 / med 1.842 — inside
+its band, box noise. x66 17x min 0.396 (runs trending 0.74->0.40);
+above the 0.345 record, so BISECTED: the r7-end code (b723d38) re-run
+against the CURRENT sf0.1 fixture in a worktree reads min 0.431 over
+10 runs — indistinguishable from r9 code (0.396-0.435). The delta is
+fixture drift (the driver regenerates the image bytes each round; dHash
+banding cost is data-dependent), not the r8 catalog/registry growth.
+Verdict: both exonerated; no code change warranted.
+
 st6 decomposition (r7): after the gaps-and-islands vectorization of
 error_streaks (per-row iterrows loop removed in r7; O(batch) numpy),
 st6 settles at ~1.7-1.85 s and is INVARIANT to the state partition
