@@ -260,3 +260,52 @@ def pagerank(
     if stats is not None:
         stats.update({"rounds": rounds, "delta": delta})
     return ranks
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list ``(u, v)`` — K rounds of: every node adopts the
+    label carried by the PLURALITY of its neighbors, ties broken by the
+    SMALLEST label. The deterministic tie-break is what makes an
+    otherwise notoriously order-sensitive heuristic exactly
+    oracle-checkable (the x111 oracle unrolls the same rounds with
+    ROW_NUMBER OVER (ORDER BY cnt DESC, label) — the identical total
+    order), the same trick the lattice k-means (x101) and PageRank
+    (x95) fixpoints use. Labels start as node ids.
+
+    Scale shape per round: ONE equi-join of the (cached, pre-partitioned
+    on the neighbor key) directed edge relation with the O(nodes) label
+    vector + ONE count aggregate + ONE row_number window, all keyed on
+    the node — three shuffles of label-vector size, never of the edge
+    list (the edges stay put, exactly the x95 layout argument; at
+    100 TB bucket the edges on ``v``). Complements the connected-
+    components family (x13/x46: reachability) with density-based
+    communities — CC merges everything touching, LPA splits dense
+    regions joined by thin bridges. Lineage is K joins deep — bounded
+    because K is a fixed small constant (LPA converges in a handful of
+    rounds; insert a localCheckpoint every ~10 for larger K)."""
+    from pyspark.sql import Window
+
+    fwd = edges.select("u", "v")
+    und = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .repartition("v")
+        .sortWithinPartitions("v")
+        .cache()
+    )
+    nodes = und.select(F.col("u").alias("node")).dropDuplicates(["node"]).cache()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        cand = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

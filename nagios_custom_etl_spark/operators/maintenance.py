@@ -306,3 +306,120 @@ def token_pruned_search(
         F.array_contains(F.split(F.col(text_col), " "), token)
     )
     return hit, len(files)
+
+
+_BF_HEX = "0123456789abcdef"
+
+
+def bloom_bit_expr(col, j: int, bits: int):
+    """Bit position of hash ``j`` for a key value — a pure Column
+    expression over md5, PORTABLE the same way the HLL registers are
+    (operators/sketches.py): the first 8 hex chars fold to a 32-bit
+    integer with string built-ins only, so Spark, DuckDB and Python's
+    hashlib all compute the identical position and the whole filter is
+    bit-checkable cross-engine (opaque engine blooms — x87's runtime
+    bloom_filter_agg — can only be behavior-checked)."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":bf{j}")))
+    v = sum(
+        # long math: digit * 16^7 overflows INT under ANSI mode
+        (F.instr(F.lit(_BF_HEX), F.substring(h, i + 1, 1)) - 1).cast("long")
+        * (16 ** (7 - i))
+        for i in range(8)
+    )
+    return (v % bits).cast("long")
+
+
+def bloom_probe_bits(value, bits: int, k: int) -> set[tuple[int, int]]:
+    """The probe value's DISTINCT (word, shift) positions, computed
+    driver-side with hashlib — the same md5 bytes the engines hash, so
+    planning agrees bit-for-bit with the stored index."""
+    import hashlib
+
+    out = set()
+    for j in range(k):
+        b = int(hashlib.md5(f"{value}:bf{j}".encode()).hexdigest()[:8], 16) % bits
+        out.add((b // 32, b % 32))
+    return out
+
+
+def bloom_file_index(
+    spark: SparkSession, path: str, key_col: str, bits: int = 4096, k: int = 3
+) -> "DataFrame":
+    """Per-file Bloom SIDECAR over a high-cardinality key, as a relation
+    ``(file, w, word)`` — 32-bit words of an m-bit filter, built in one
+    pass with ``bit_or`` (map-side combinable; the shuffle is bounded at
+    |files| x m/32 rows regardless of row count). The point-lookup
+    analog of the min/max stats manifest (:func:`file_stats_manifest`,
+    useless for uniformly-spread keys) and the token postings
+    (:func:`token_file_index`, which indexes MEMBERSHIP exactly but
+    costs |vocab| x |files|): a bloom sidecar is CONSTANT bytes per file
+    at a tunable false-positive rate, and false positives only cost
+    extra planned files — the residual filter keeps answers exact.
+    Relational representation means the index itself rides snapshots /
+    incremental maintenance like any table, and — because every hash is
+    the portable md5 fold above — replicates bit-identically in an
+    external engine, false positives included (the x110 oracle
+    hash-checks the ENTIRE filter)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    bits_arr = F.array(
+        *[bloom_bit_expr(F.col(key_col), j, bits) for j in range(k)]
+    )
+    return (
+        df.select(F.input_file_name().alias("file"), F.explode(bits_arr).alias("b"))
+        .select(
+            "file",
+            F.floor(F.col("b") / 32).cast("long").alias("w"),
+            # F.shiftleft only takes a literal shift; the SQL form takes
+            # a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").alias("_bit"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_pruned_lookup(
+    spark: SparkSession,
+    index: "DataFrame",
+    value,
+    key_col: str,
+    bits: int = 4096,
+    k: int = 3,
+    max_files: int = 100_000,
+) -> tuple["DataFrame", int]:
+    """Point lookup planned through the bloom sidecar: a file is read
+    only if EVERY probe bit is set in its filter. Returns (matching
+    rows, files planned). The planning collect is bounded at
+    |files| x k rows (metadata scale) and hard-capped by ``max_files``
+    like the token search — a saturated filter (bits ~ keys) plans
+    everything and prunes nothing; size ``bits`` to the per-file key
+    cardinality. The residual equality filter keeps the answer exact:
+    the bloom prunes, it never decides."""
+    from pyspark.sql import functions as F
+
+    need = bloom_probe_bits(value, bits, k)
+    rows = index.filter(
+        F.col("w").isin([w for w, _ in need])
+    ).collect()  # bounded: <= |files| * k rows of metadata
+    words: dict[str, dict[int, int]] = {}
+    for r in rows:
+        words.setdefault(r["file"], {})[r["w"]] = r["word"]
+    planned = sorted(
+        f
+        for f, ws in words.items()
+        if all(w in ws and (ws[w] >> s) & 1 for w, s in need)
+    )
+    if len(planned) > max_files:
+        raise ValueError(
+            f"bloom filter plans {len(planned)} files (> max_files="
+            f"{max_files}): saturated filter prunes nothing — raise `bits` "
+            "or filter the full table instead"
+        )
+    if not planned:
+        return spark.range(0).selectExpr("CAST(NULL AS string) AS _none"), 0
+    hit = spark.read.parquet(*planned).filter(F.col(key_col) == F.lit(value))
+    return hit, len(planned)

@@ -249,6 +249,7 @@ def append(
     txn: str | None = None,
     partition_by: str | None = None,
     max_retries: int = 3,
+    hidden_partition: bool = False,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
     Parent files keep their recorded stats; new files add theirs. The
@@ -272,14 +273,21 @@ def append(
     writer re-reads the new latest, re-validates schema + partition
     spec and re-parents — both racing appends land, in either order.
     A non-commuting intervening op (overwrite/replace/rollback) aborts
-    with :class:`ConcurrentCommitError` carrying the conflicting op."""
+    with :class:`ConcurrentCommitError` carrying the conflicting op.
+
+    ``hidden_partition=True`` (used by operators/transforms.py —
+    Iceberg hidden partitioning) records the table schema WITHOUT the
+    partition column: the column is a derived transform value that
+    lives only in the ``col=val`` path segments, and readers drop it by
+    schema projection — user queries never see or mention it."""
     spark = df.sparkSession
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
+    schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
     spec = _check_partition_spec(m, partition_by)
-    schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
+    schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
     last_err: Exception | None = None
     for attempt in range(max(1, max_retries)):
@@ -295,7 +303,7 @@ def append(
             parent = new_parent
             m = _read_manifest(spark, root, parent) if parent else {}
             spec = _check_partition_spec(m, partition_by)
-            schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
+            schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
         try:
             return _commit(
                 spark,
@@ -336,6 +344,7 @@ def overwrite(
     stats_cols: list[str] | None = None,
     txn: str | None = None,
     partition_by: str | None = None,
+    hidden_partition: bool = False,
 ) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
@@ -349,6 +358,7 @@ def overwrite(
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
+    schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
     return _commit(
         spark,
         root,
@@ -356,7 +366,7 @@ def overwrite(
         "overwrite",
         parent,
         stats,
-        _schema_list(df),
+        _schema_list(schema_df),
         txn=txn,
         partition_spec=[partition_by] if partition_by else None,
     )

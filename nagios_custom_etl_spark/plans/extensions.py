@@ -8396,3 +8396,430 @@ def x108_hll_p10_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# X109 — incremental maintenance of a materialized JOIN view (the join twin
+# of x71's aggregate IVM: delta joins + row-id anti-joins, base x base never
+# re-joined; oracle = full recompute over the final sides)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x109_ivm_join",
+    oracle="""
+    -- ground truth = the inner join RECOMPUTED over the final side
+    -- states. Final A = base (o%3<>0) minus deletes (base with o%7=0)
+    -- plus inserts (o%3=0)  ==  o%3=0 OR o%7<>0; final B likewise
+    -- c%4=0 OR c%6<>0. The engine must reach this row set purely from
+    -- the stored view + deltas (delta joins + anti-joins), never
+    -- re-joining the old bases — equality to this recompute is the
+    -- correctness of the delta rule itself.
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price_d,
+           c_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal_d
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 = 1
+      AND (o_orderkey % 3 = 0 OR o_orderkey % 7 <> 0)
+      AND (c_custkey % 4 = 0 OR c_custkey % 6 <> 0)
+    ORDER BY o_orderkey
+    """,
+    doc="X109 incremental JOIN-view maintenance (operators/merge.py::"
+    "ivm_join_build/ivm_join_apply): x71 maintains AGGREGATE views; "
+    "this maintains a materialized equi-JOIN under inserts and deletes "
+    "to BOTH sides with the classic delta rule — dA joins B_new, dB "
+    "joins (A_new anti dA) so new-new pairs count once, deletions are "
+    "row-id ANTI-joins against the view's carried provenance columns "
+    "(which row of each side produced a view row), and the old "
+    "base-x-base join is NEVER re-evaluated. Per batch: O(|delta| "
+    "joined with the opposite side) + a map-side view filter (AQE "
+    "broadcasts the tiny id sets at runtime). At 100 TB: bucket sides "
+    "and view on the join key (x72) for co-located delta joins; "
+    "persist the view via merge_commit(prune_on=) so deletes rewrite "
+    "only touched files (x88). The oracle recomputes the join over the "
+    "final side states — the delta rule must land on exactly that row "
+    "set.",
+)
+def x109_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.merge import (
+        ivm_join_apply,
+        ivm_join_build,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal_d")
+    )
+    a_base = o.filter(F.col("o_orderkey") % 3 != 0)
+    a_ins = o.filter(F.col("o_orderkey") % 3 == 0)
+    a_del = a_base.filter(F.col("o_orderkey") % 7 == 0)
+    b_base = c.filter(F.col("c_custkey") % 4 != 0)
+    b_ins = c.filter(F.col("c_custkey") % 4 == 0)
+    b_del = b_base.filter(F.col("c_custkey") % 6 == 0)
+    a_new = a_base.unionByName(a_ins).join(
+        a_del.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    b_new = b_base.unionByName(b_ins).join(
+        b_del.select("c_custkey"), "c_custkey", "left_anti"
+    )
+    view = ivm_join_build(
+        a_base.withColumnRenamed("o_custkey", "c_custkey"), b_base, ["c_custkey"]
+    )
+    maintained = ivm_join_apply(
+        view,
+        a_new.withColumnRenamed("o_custkey", "c_custkey"),
+        b_new,
+        a_ins.withColumnRenamed("o_custkey", "c_custkey"),
+        a_del,
+        b_ins,
+        b_del,
+        on=["c_custkey"],
+        a_id="o_orderkey",
+        b_id="c_custkey",
+    )
+    return maintained.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "price_d",
+        "c_name",
+        "acctbal_d",
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# X110 — portable per-file Bloom sidecar (point-lookup file skipping whose
+# ENTIRE filter hash-checks cross-engine, false positives included)
+# ---------------------------------------------------------------------------
+
+
+def _bf_sql(expr: str, salt: str, bits: int) -> str:
+    """The md5 8-hex-char fold of operators/maintenance.py::
+    bloom_bit_expr, spelled in DuckDB SQL."""
+    h = f"md5({expr} || '{salt}')"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h},{i + 1},1))-1)*{16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({digits}) % {bits})"
+
+
+_X110_BITS, _X110_K, _X110_PROBE = 4096, 3, 71
+
+
+def _x110_oracle() -> str:
+    hashes = " UNION ALL ".join(
+        f"SELECT f, {_bf_sql('CAST(o_custkey AS VARCHAR)', f':bf{j}', _X110_BITS)} AS b FROM rows"
+        for j in range(_X110_K)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT {_bf_sql(repr(str(_X110_PROBE)), f':bf{j}', _X110_BITS)} AS b"
+        for j in range(_X110_K)
+    )
+    return f"""
+    -- the per-file bloom REPLICATED end-to-end: same md5 8-hex-char
+    -- fold, same 32-bit words via bit_or, same layout rule (file =
+    -- o_orderkey % 8 — the engine writes Hive partitions on that
+    -- value), so every word matches bit-for-bit INCLUDING any false
+    -- positives, and the planned-file count is derived independently
+    -- from the replicated filter. n_hits comes from a plain filter
+    -- (the residual check keeps the lookup exact).
+    WITH rows AS (
+      SELECT o_orderkey % 8 AS f, o_custkey FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    hb AS ({hashes}),
+    bits AS (
+      SELECT f, b // 32 AS w,
+             CAST(bit_or(CAST(1 AS BIGINT) << (b % 32)) AS BIGINT) AS word
+      FROM hb GROUP BY f, b // 32
+    ),
+    need AS (SELECT DISTINCT b // 32 AS w, b % 32 AS s FROM ({probes})),
+    planned AS (
+      SELECT x.f FROM bits x JOIN need n ON x.w = n.w
+        AND ((x.word >> n.s) & 1) = 1
+      GROUP BY x.f HAVING COUNT(*) = (SELECT COUNT(*) FROM need)
+    )
+    SELECT CAST(f AS BIGINT) AS f, CAST(w AS BIGINT) AS w, word,
+           CAST((SELECT COUNT(*) FROM planned) AS BIGINT) AS planned_files,
+           CAST((SELECT COUNT(*) FROM rows WHERE o_custkey = {_X110_PROBE})
+                AS BIGINT) AS n_hits,
+           CAST(8 AS BIGINT) AS files_total
+    FROM bits ORDER BY f, w
+    """
+
+
+@register(
+    "x110_bloom_file_index",
+    oracle=_x110_oracle(),
+    doc="X110 portable per-file Bloom sidecar (operators/maintenance.py::"
+    "bloom_file_index/bloom_pruned_lookup): point-lookup file skipping "
+    "for high-cardinality keys — where min/max stats (x76) are useless "
+    "(uniform keys span every file) and token postings (x104) cost "
+    "|vocab| x |files|, a bloom is CONSTANT bytes per file at a chosen "
+    "FP rate, and false positives only cost extra planned files (the "
+    "residual equality filter keeps answers exact). Built in ONE pass "
+    "as (file, word, 32-bit word) rows via bit_or — map-side "
+    "combinable, shuffle bounded at |files| x bits/32 — and every hash "
+    "is the md5 8-hex-char fold, so hashlib plans, Spark builds, and "
+    "DuckDB replicates the SAME bits: the oracle rebuilds the ENTIRE "
+    "filter and derives the planned-file count from it independently — "
+    "the x100-style 'sketch hash-checks whole' bar applied to file "
+    "skipping (x87's engine-internal runtime bloom can only be "
+    "behavior-checked). Index rows are a DataFrame: snapshot it and it "
+    "rides incremental maintenance like any table.",
+)
+def x110_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        bloom_file_index,
+        bloom_pruned_lookup,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1)
+    sliced = o.select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 8).alias("f")
+    )
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x110_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    # Hive layout on f: class f never splits across tasks, so exactly one
+    # file per f dir — the deterministic layout the oracle's mod rule
+    # mirrors (the x104 planted-layout convention)
+    sliced.repartition(8, "f").write.partitionBy("f").parquet(path)
+    index = bloom_file_index(spark, path, "o_custkey", bits=_X110_BITS, k=_X110_K)
+    hit, planned = bloom_pruned_lookup(
+        spark, index, _X110_PROBE, "o_custkey", bits=_X110_BITS, k=_X110_K
+    )
+    n_hits = hit.count()
+    return (
+        index.select(
+            F.regexp_extract("file", r"f=(\d+)", 1).cast("long").alias("f"),
+            "w",
+            "word",
+        )
+        .withColumn("planned_files", F.lit(planned).cast("long"))
+        .withColumn("n_hits", F.lit(n_hits).cast("long"))
+        .withColumn("files_total", F.lit(8).cast("long"))
+        .orderBy("f", "w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X111 — synchronous label propagation (community detection as an exactly-
+# checkable fixpoint; oracle = the rounds unrolled with the same total order)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    step = """
+c{k} AS (
+  SELECT e.u AS node, l.label, COUNT(*) AS cnt
+  FROM e JOIN l{km1} l ON l.node = e.v
+  GROUP BY e.u, l.label
+),
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{k}) WHERE rn = 1
+)"""
+    rounds = ",".join(step.format(k=k, km1=k - 1) for k in range(1, iterations + 1))
+    return (
+        """
+    -- synchronous LPA unrolled: each round every node adopts its
+    -- neighbors' plurality label, ties to the SMALLEST label — the
+    -- deterministic total order (cnt DESC, label ASC) that makes the
+    -- heuristic hash-checkable. Undirected bipartite graph: customer
+    -- side = custkey mod 128, order side = 128 + orderkey mod 128.
+    WITH fwd AS (SELECT DISTINCT o_custkey % 128 AS u,
+                                 128 + (o_orderkey % 128) AS v FROM orders),
+    e AS (SELECT u, v FROM fwd UNION SELECT v, u FROM fwd),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),"""
+        + rounds
+        + f"""
+    SELECT node, label FROM l{iterations} ORDER BY node
+    """
+    )
+
+
+@register(
+    "x111_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="X111 synchronous label propagation (operators/graph.py::"
+    "label_propagation): community detection as K rounds of 'adopt the "
+    "neighbors' plurality label, ties to the smallest' — the "
+    "deterministic tie-break turns a notoriously order-sensitive "
+    "heuristic into an exactly-checkable fixpoint (the x101/x95 trick), "
+    "and the oracle unrolls the identical (cnt DESC, label ASC) total "
+    "order. Complements the reachability family: connected components "
+    "(x13/x46) merge everything touching; LPA splits dense regions "
+    "joined by thin bridges. Per round: one equi-join of the cached "
+    "pre-partitioned edge relation with the O(nodes) label vector + one "
+    "count + one row_number, all keyed on the node — label-vector-sized "
+    "shuffles only, edges never move (the x95 layout argument; at "
+    "100 TB bucket edges on the neighbor key).",
+)
+def x111_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 128).alias("u"),
+        (F.lit(128) + F.col("o_orderkey") % 128).alias("v"),
+    )
+    return label_propagation(edges, iterations=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# X112/X113 — hidden partitioning via partition transforms (Iceberg's
+# days(ts) / bucket(n, key), over the snapshot layer; predicates on the
+# SOURCE column prune through the transform, readers never see the
+# derived column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x112_days_transform_pruning",
+    oracle="""
+    -- days(ts) hidden partitioning: the writer derives the UTC day,
+    -- the reader's ts-range predicate prunes THROUGH the transform to
+    -- exactly the days it can touch (one file per day by layout), and
+    -- the planned/total counts are derived here independently as
+    -- day-distincts. Content = plain filter (residual keeps it exact);
+    -- 'hidden' pins that the derived column never reaches the reader.
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo FROM events),
+    w AS (SELECT lo, lo + 4 AS hi FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events, w
+                 WHERE CAST(ts AS DATE) BETWEEN w.lo AND w.hi) AS BIGINT)
+             AS planned_files,
+           CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events)
+                AS BIGINT) AS files_total,
+           CAST(TRUE AS BOOLEAN) AS hidden
+    FROM events, w WHERE CAST(ts AS DATE) BETWEEN w.lo AND w.hi
+    """,
+    doc="X112 hidden partitioning, days(ts) transform (operators/"
+    "transforms.py::write_transformed/read_pruned_source_range): "
+    "Iceberg's flagship fix for Hive partitioning — the user never "
+    "owns a layout column (x92/x106 make them); the writer derives the "
+    "UTC day, the recorded schema EXCLUDES it (snapshots.append "
+    "hidden_partition=True; readers drop it by schema projection — the "
+    "'hidden' flag is checked in-result), a write-once sidecar pins "
+    "the transform so a second writer cannot fork the granularity, and "
+    "a timestamp-range predicate prunes at manifest-planning time to "
+    "the days it can touch (ISO date strings compare in date order, so "
+    "the existing path-value pruning carries it untyped). The oracle "
+    "derives the planned/total file counts independently as day "
+    "distincts and hash-pins the pruned content against the plain "
+    "filter. At 100 TB: a daily-restate or range query schedules "
+    "exactly the touched day partitions with zero file opens.",
+)
+def x112_days_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import transforms as T
+    from nagios_custom_etl_spark.operators.snapshots import read_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x112_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    T.write_transformed(ev, root, T.days("ts"), mode="overwrite")
+    lo = ev.agg(F.min(F.to_date("ts"))).first()[0]  # bounded: one scalar
+    import datetime
+
+    hi = lo + datetime.timedelta(days=4)
+    df, planned, total = T.read_pruned_source_range(spark, root, str(lo), str(hi))
+    hidden = "_ts_days" not in read_snapshot(spark, root).columns
+    res = df.filter(
+        F.to_date("ts").between(F.lit(str(lo)), F.lit(str(hi)))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+    )
+    return res.select(
+        "n_rows",
+        "sum_v",
+        F.lit(planned).cast("long").alias("planned_files"),
+        F.lit(total).cast("long").alias("files_total"),
+        F.lit(bool(hidden)).alias("hidden"),
+    )
+
+
+def _x113_oracle() -> str:
+    b_expr = _bf_sql("CAST(o_custkey AS VARCHAR)", ":bkt", 8)
+    p_expr = _bf_sql("'71'", ":bkt", 8)
+    return f"""
+    -- bucket(8, o_custkey) hidden partitioning, REPLICATED: the bucket
+    -- is the md5 8-hex-char fold mod 8 (the portable hash family), so
+    -- the oracle computes every key's bucket — and the probe key's —
+    -- itself, and derives planned (1 iff the probe's bucket is
+    -- nonempty) and total (distinct nonempty buckets) independently.
+    -- n_hits/sum come from the plain filter: residual keeps it exact.
+    WITH kb AS (SELECT o_custkey, o_totalprice, {b_expr} AS b FROM orders),
+    probe AS (SELECT {p_expr} AS pb)
+    SELECT CAST((SELECT COUNT(*) FROM kb WHERE o_custkey = 71) AS BIGINT)
+             AS n_hits,
+           CAST((SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                 FROM kb WHERE o_custkey = 71) AS DOUBLE) AS sum_price,
+           CAST((SELECT COUNT(DISTINCT b) FROM kb, probe WHERE b = pb)
+                AS BIGINT) AS planned_files,
+           CAST((SELECT COUNT(DISTINCT b) FROM kb) AS BIGINT) AS files_total,
+           CAST(TRUE AS BOOLEAN) AS hidden
+    """
+
+
+@register(
+    "x113_bucket_transform_pruning",
+    oracle=_x113_oracle(),
+    doc="X113 hidden partitioning, bucket(8, key) transform (operators/"
+    "transforms.py): point lookups plan exactly ONE bucket partition — "
+    "computed driver-side from the same md5 fold hashlib/Spark/DuckDB "
+    "all agree on, so the oracle re-derives the probe's bucket and the "
+    "planned/total counts from raw keys and the whole layout is "
+    "hash-checked (Iceberg's murmur bucket can only be trusted, not "
+    "replicated). Bucketing by HASH spreads hot key ranges that "
+    "days()/value partitions concentrate, and the declared bucket "
+    "count doubles as storage-partitioned join width (x72, declared at "
+    "the table). A key RANGE probe is refused — it hashes everywhere, "
+    "pruning would be a lie (tests pin the refusal). Residual equality "
+    "filter keeps the lookup exact.",
+)
+def x113_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import transforms as T
+    from nagios_custom_etl_spark.operators.snapshots import read_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x113_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    T.write_transformed(o, root, T.bucket("o_custkey", 8), mode="overwrite")
+    df, planned, total = T.read_pruned_source_range(spark, root, 71, 71)
+    hidden = "_o_custkey_bucket" not in read_snapshot(spark, root).columns
+    res = df.filter(F.col("o_custkey") == 71).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return res.select(
+        "n_hits",
+        "sum_price",
+        F.lit(planned).cast("long").alias("planned_files"),
+        F.lit(total).cast("long").alias("files_total"),
+        F.lit(bool(hidden)).alias("hidden"),
+    )

@@ -382,3 +382,73 @@ def test_token_pruned_search_refuses_stopword_width_postings(spark, tmp_path):
     idx = token_file_index(spark, path, "text")
     with pytest.raises(ValueError, match="prunes nothing"):
         token_pruned_search(spark, idx, "common", "text", max_files=2)
+
+
+def test_bloom_file_index_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key's file must be planned (blooms have no false
+    negatives); a needle key placed in one file must plan far fewer
+    than all files; the residual filter keeps the lookup exact."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        bloom_file_index,
+        bloom_pruned_lookup,
+    )
+
+    path = str(tmp_path / "bloomtab")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 16).alias("f")
+    )
+    df.repartition(16, "f").write.partitionBy("f").parquet(path)
+    index = bloom_file_index(spark, path, "k", bits=8192, k=3)
+    # needle 37 lives only in file f=5 (37 % 16)
+    hit, planned = bloom_pruned_lookup(spark, index, 37, "k", bits=8192, k=3)
+    assert [r.k for r in hit.collect()] == [37]
+    assert 1 <= planned < 16  # no false negative, real pruning
+    # absent key: planning may hit false positives but never wrong rows
+    hit2, planned2 = bloom_pruned_lookup(spark, index, 999_999, "k", bits=8192, k=3)
+    assert hit2.count() == 0 and planned2 < 16
+
+
+def test_bloom_pruned_lookup_refuses_saturated_filter(spark, tmp_path):
+    """A bloom sized far below the key cardinality saturates and plans
+    everything — the lookup must refuse via max_files rather than scan
+    the table pretending it pruned."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        bloom_file_index,
+        bloom_pruned_lookup,
+    )
+
+    path = str(tmp_path / "satur")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("f")
+    )
+    df.repartition(8, "f").write.partitionBy("f").parquet(path)
+    index = bloom_file_index(spark, path, "k", bits=32, k=3)  # hopeless m
+    with pytest.raises(ValueError, match="saturated"):
+        bloom_pruned_lookup(spark, index, 7, "k", bits=32, k=3, max_files=4)
+
+
+def test_bloom_probe_bits_match_engine_hash(spark):
+    """hashlib planning and the Spark md5 fold must agree — the
+    portability the whole sidecar rests on."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import (
+        bloom_bit_expr,
+        bloom_probe_bits,
+    )
+
+    vals = [0, 7, 12345, 999_999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = {
+        r.k: {(int(b) // 32, int(b) % 32) for b in (r.b0, r.b1, r.b2)}
+        for r in df.select(
+            "k", *[bloom_bit_expr(F.col("k"), j, 4096).alias(f"b{j}") for j in range(3)]
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == bloom_probe_bits(v, 4096, 3)

@@ -159,3 +159,31 @@ def test_pagerank_dangling_chain_values(spark):
     r = {x.node: x.pr for x in pagerank(e, iterations=1, dangling=True).collect()}
     assert r[1] == pytest.approx(0.075 + 0.85 * 0.25, abs=1e-12)
     assert r[2] == pytest.approx(0.075 + 0.85 * 0.75, abs=1e-12)
+
+
+def test_label_propagation_matches_python_replication(spark):
+    """The deterministic (plurality, min-label) sync update replicated
+    in plain Python over a random graph must agree round-for-round —
+    the same checkability property the oracle uses."""
+    import random
+    from collections import Counter
+
+    from nagios_custom_etl_spark.operators.graph import label_propagation
+
+    rnd = random.Random(43)
+    fwd = {(rnd.randrange(30), 30 + rnd.randrange(30)) for _ in range(120)}
+    und = {}
+    for u, v in fwd:
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    labels = {n: n for n in und}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in und.items():
+            c = Counter(labels[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = min(l for l, k in c.items() if k == best[1])
+        labels = nxt
+    df = spark.createDataFrame(sorted(fwd), "u long, v long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    assert got == labels

@@ -261,3 +261,43 @@ def test_mv_delta_brand_new_group_inserted(spark):
     got = mv_apply_delta(mv, inserts, inserts.limit(0), ["k"], "n", {"sv": ("v", 18, 6)})
     row = next(r for r in got.collect() if r.k == "z")
     assert row.n == 2 and float(row.sv) == 3.0
+
+
+def test_ivm_join_apply_equals_recompute(spark):
+    """Join-view IVM under random inserts+deletes on both sides must
+    equal ivm_join_build over the final sides (the delta rule's
+    correctness), including keys whose B row is replaced (update =
+    delete + insert of the same id)."""
+    import random
+
+    from nagios_custom_etl_spark.operators.merge import (
+        ivm_join_apply,
+        ivm_join_build,
+    )
+
+    rnd = random.Random(41)
+    a0 = [(i, rnd.randrange(20), f"a{i}") for i in range(200)]  # (aid, k, pay)
+    b0 = [(k, f"b{k}") for k in range(20)]  # (k, pay) — row id IS the key
+    a_ins = [(1000 + i, rnd.randrange(20), f"ai{i}") for i in range(40)]
+    a_del = [r for r in a0 if r[0] % 9 == 0]
+    b_ins = [(k, f"B{k}") for k in range(20, 25)] + [(7, "b7v2")]  # 7: replaced
+    b_del = [(7, "b7")]
+    A = spark.createDataFrame(a0, "aid long, k long, apay string")
+    B = spark.createDataFrame(b0, "k long, bpay string")
+    AI = spark.createDataFrame(a_ins, "aid long, k long, apay string")
+    AD = spark.createDataFrame(a_del, "aid long, k long, apay string")
+    BI = spark.createDataFrame(b_ins, "k long, bpay string")
+    BD = spark.createDataFrame(b_del, "k long, bpay string")
+    a_new = A.unionByName(AI).join(AD.select("aid"), "aid", "left_anti")
+    b_new = B.unionByName(BI.filter("k >= 20")).join(
+        BD.select("k"), "k", "left_anti"
+    ).unionByName(BI.filter("k < 20"))
+    view = ivm_join_build(A, B, ["k"])
+    got = ivm_join_apply(
+        view, a_new, b_new, AI, AD, BI, BD, on=["k"], a_id="aid", b_id="k"
+    )
+    exp = ivm_join_build(a_new, b_new, ["k"])
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(got.select("k", "aid", "apay", "bpay")) == rows(
+        exp.select("k", "aid", "apay", "bpay")
+    )
