@@ -1758,3 +1758,158 @@ def st26_auto_compacted_medallion(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("silver_vacuumed", F.lit(bool(silver_vacuumed)))
         .orderBy("source")
     )
+
+
+@register(
+    "st27_streaming_join_view",
+    oracle="""
+    -- streaming JOIN-view maintenance with BOTH sides mutating: the
+    -- maintained view must equal the join recomputed over the final
+    -- bronze states, however the appends interleaved with the drains.
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price_d,
+           c_name,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 10 = 1
+    ORDER BY o_orderkey
+    """,
+    doc="ST-ext streaming JOIN-view maintenance (x109's delta rule "
+    "driven from foreachBatch, two INSERT-ONLY mutating inputs): a "
+    "stream tails bronze A; each micro-batch appends to the view "
+    "J exactly dA |><| B_asof(b_hi)  UNION  A_asof(a_hi \\ dA) |><| dB "
+    "— so after every batch J = A_asof(a_hi) |><| B_asof(b_hi) by "
+    "induction, and the old-x-old join is NEVER re-evaluated. a_hi is "
+    "the batch's own max commit_version (reading 'latest A' instead "
+    "would leak rows the stream has not delivered and double-count "
+    "them next batch); b_hi is pinned per batch id in an atomic cursor "
+    "sidecar, so a crash-replay recomputes the IDENTICAL delta — "
+    "exactly-once comes from the txn token (commit side) plus the "
+    "pinned cursor (read side). B's delta arrives through "
+    "read_incremental between pinned cursors. The Delta-Live-Tables "
+    "join-materialization shape: at 100 TB per-batch cost is "
+    "O(|dA| |><| B + A |><| |dB|), never O(J).",
+)
+def st27_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_tail import SnapshotTailSource
+
+    spark.dataSource.register(SnapshotTailSource)
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st27_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    aroot, broot = os.path.join(base, "a"), os.path.join(base, "b")
+    jroot, ckpt = os.path.join(base, "j"), os.path.join(base, "ckpt")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        token = f"jview-batch-{batch_id}"
+        if S.txn_version(sp, jroot, token) is not None:
+            return  # replayed batch: view already carries this delta
+        a_prev, b_prev = 0, 0
+        for k in range(batch_id - 1, -1, -1):
+            p = f"{jroot}/_cursors/batch-{k}.json"
+            if fsio.exists(sp, p):
+                cur = json.loads(fsio.read_text(sp, p))
+                a_prev, b_prev = cur["a_hi"], cur["b_hi"]
+                break
+        a_hi = (
+            batch_df.agg(F.max("commit_version")).first()[0]
+            if not batch_df.isEmpty()
+            else a_prev
+        ) or a_prev
+        # pin b_hi for this batch id ONCE (create-if-absent): a replay
+        # reads the pinned value and recomputes the identical delta
+        cpath = f"{jroot}/_cursors/batch-{batch_id}.json"
+        fsio.mkdirs(sp, f"{jroot}/_cursors")
+        try:
+            fsio.create_text_atomic(
+                sp,
+                cpath,
+                json.dumps({"a_hi": a_hi, "b_hi": S.latest_version(sp, broot)}),
+            )
+        except FileExistsError:
+            pass
+        cur = json.loads(fsio.read_text(sp, cpath))
+        a_hi, b_hi = cur["a_hi"], cur["b_hi"]
+        a_ins = batch_df.drop("commit_version")
+        b_new = (
+            S.read_snapshot(sp, broot, b_hi)
+            if b_hi
+            else c.limit(0)
+        )
+        b_ins = (
+            S.read_incremental(sp, broot, since_version=b_prev, to_version=b_hi)
+            if b_hi > b_prev
+            else c.limit(0)
+        )
+        a_now = S.read_snapshot(sp, aroot, a_hi) if a_hi else o.limit(0)
+        add = (
+            a_ins.withColumnRenamed("o_custkey", "c_custkey")
+            .join(b_new, "c_custkey")
+            .unionByName(
+                a_now.withColumnRenamed("o_custkey", "c_custkey")
+                .join(a_ins.select("o_orderkey"), "o_orderkey", "left_anti")
+                .join(b_ins, "c_custkey")
+            )
+        )
+        # no isEmpty probe: it would execute the whole delta plan once
+        # for the check and again for the write. An all-empty batch
+        # commits a zero-row version — harmless, and it records the txn
+        # token, which is exactly what a replay wants to find.
+        S.append(add, jroot, txn=token)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_tail")
+            .option("root", aroot)
+            .option(
+                "schema_ddl",
+                "o_orderkey bigint, o_custkey bigint, price_d double",
+            )
+            .load()
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # interleave appends on BOTH sides with drains (the second batch
+    # covers TWO A commits and one B commit — multi-version batches and
+    # a moved B side in the same delta)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 0), aroot)
+    S.append(c.filter(F.col("c_custkey") % 2 == 0), broot)
+    drain()
+    S.append(c.filter(F.col("c_custkey") % 2 == 1), broot)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 1), aroot)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 2), aroot)
+    drain()
+    before = S.latest_version(spark, jroot)
+    # crash-recovery replay of batch 0: pinned cursor + txn token
+    write(
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "commit_version", F.lit(1).cast("long")
+        ),
+        0,
+    )
+    replay_noop = S.latest_version(spark, jroot) == before
+    return (
+        S.read_snapshot(spark, jroot)
+        .select(
+            "o_orderkey",
+            F.col("c_custkey").alias("o_custkey"),
+            "price_d",
+            "c_name",
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("o_orderkey")
+    )
