@@ -839,13 +839,16 @@ def merge_commit(
 
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Delete data files unreachable from every retained manifest (the
-    newest ``keep_last`` EXISTING versions) and drop the expired
-    manifests. Returns the deleted files. Time travel older than the
-    retention window is gone after this — exactly Delta VACUUM's
-    contract. Idempotent: re-running after earlier vacuums skips
-    already-dropped manifests instead of crashing on them."""
+    newest ``keep_last`` EXISTING versions, plus every TAGGED version —
+    a tag is a retention promise, Iceberg's tag semantics: expiring
+    snapshots never drops a tagged one) and drop the expired manifests.
+    Returns the deleted files. Time travel older than the retention
+    window is gone after this — exactly Delta VACUUM's contract.
+    Idempotent: re-running after earlier vacuums skips already-dropped
+    manifests instead of crashing on them."""
     versions = _manifest_versions(spark, root)
     keep_versions = set(versions[-keep_last:]) if keep_last > 0 else set()
+    keep_versions.update(v for _n, v in list_tags(spark, root) if v in set(versions))
     reachable: set[str] = set()
     for v in keep_versions:
         reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
@@ -860,6 +863,60 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
     return sorted(set(deleted))
+
+
+def _tag_path(root: str, name: str) -> str:
+    return f"{_snap_dir(root)}/tag-{name}.json"
+
+
+def create_tag(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> int:
+    """Name a version (Iceberg TAG): an immutable label — audit points,
+    'the snapshot we trained run X on' — that both time travel and
+    retention understand: :func:`read_snapshot_tag` resolves it, and
+    :func:`vacuum` NEVER expires a tagged version however small its
+    keep window. Created atomically (create-if-absent), so a name maps
+    to exactly one version forever; re-tagging needs an explicit
+    :func:`delete_tag` first (Iceberg's replace-tag is delete+create).
+    Returns the tagged version."""
+    if not name or any(ch in name for ch in "/\\ "):
+        raise ValueError(f"invalid tag name {name!r}")
+    v = latest_version(spark, root) if version is None else version
+    if v not in set(_manifest_versions(spark, root)):
+        raise ValueError(f"version {v} does not exist at {root}")
+    try:
+        fsio.create_text_atomic(
+            spark, _tag_path(root, name), json.dumps({"name": name, "version": v})
+        )
+    except FileExistsError as ex:
+        raise ValueError(f"tag {name!r} already exists") from ex
+    return v
+
+
+def delete_tag(spark: SparkSession, root: str, name: str) -> bool:
+    """Drop a tag (the version becomes expirable by the next vacuum
+    like any other). Returns False if the tag was absent."""
+    return fsio.delete(spark, _tag_path(root, name), recursive=False)
+
+
+def list_tags(spark: SparkSession, root: str) -> list[tuple[str, int]]:
+    """(name, version) for every tag, sorted by name."""
+    out = []
+    for f in fsio.list_names(spark, _snap_dir(root)):
+        if f.startswith("tag-") and f.endswith(".json"):
+            d = json.loads(fsio.read_text(spark, f"{_snap_dir(root)}/{f}"))
+            out.append((d["name"], int(d["version"])))
+    return sorted(out)
+
+
+def read_snapshot_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Time travel by tag name — ``read_snapshot`` at the tagged
+    version (which vacuum is contractually keeping alive)."""
+    p = _tag_path(root, name)
+    if not fsio.exists(spark, p):
+        raise ValueError(f"no tag {name!r} at {root}")
+    return read_snapshot(spark, root, json.loads(fsio.read_text(spark, p))["version"])
 
 
 def gc_orphans(

@@ -8823,3 +8823,217 @@ def x113_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(total).cast("long").alias("files_total"),
         F.lit(bool(hidden)).alias("hidden"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X114 — version tags (Iceberg TAG): named time travel that RETENTION
+# respects — vacuum never expires a tagged version
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x114_version_tags",
+    oracle="""
+    -- three overwrites; v1 tagged 'baseline'; vacuum keep_last=1. The
+    -- tag must keep v1 READABLE (rows below = v1's content, its data
+    -- files spared) while untagged v2 expires (manifest dropped, its
+    -- files reclaimed — pinned as booleans) and latest stays v3.
+    SELECT o_orderkey, o_custkey,
+           CAST(1 AS BIGINT) AS tag_version,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 2) AS BIGINT)
+             AS n_latest,
+           CAST(TRUE AS BOOLEAN) AS v2_expired,
+           CAST(TRUE AS BOOLEAN) AS v2_files_reclaimed
+    FROM orders
+    WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="X114 version tags (operators/snapshots.py::create_tag/"
+    "read_snapshot_tag/list_tags + vacuum's tag-aware keep set): "
+    "Iceberg TAGs — an immutable name for a version ('the snapshot "
+    "run X trained on') that is both a time-travel address and a "
+    "RETENTION promise: vacuum's keep set is (newest keep_last) UNION "
+    "(tagged versions), so expiring history never strands an audit "
+    "point, while untagged versions expire normally (manifest dropped, "
+    "unshared files reclaimed — both pinned as result booleans). Tags "
+    "are create-if-absent atomic like every other metadata commit: a "
+    "name maps to one version forever, re-pointing is an explicit "
+    "delete+create. The lifecycle tested here: tag v1, overwrite "
+    "twice, vacuum keep_last=1 — v1 readable through the tag with its "
+    "files intact, v2 gone, latest untouched.",
+)
+def x114_version_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x114_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.overwrite(o.filter(F.col("o_orderkey") % 3 == 0), root)  # v1
+    tag_v = S.create_tag(spark, root, "baseline")
+    S.overwrite(o.filter(F.col("o_orderkey") % 3 == 1), root)  # v2
+    S.overwrite(o.filter(F.col("o_orderkey") % 3 == 2), root)  # v3
+    v2_files = set(S._read_manifest(spark, root, 2)["files"])
+    deleted = set(S.vacuum(spark, root, keep_last=1))
+    v2_expired = 2 not in S._manifest_versions(spark, root)
+    n_latest = S.read_snapshot(spark, root).count()
+    return (
+        S.read_snapshot_tag(spark, root, "baseline")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(tag_v).cast("long").alias("tag_version"),
+            F.lit(n_latest).cast("long").alias("n_latest"),
+            F.lit(bool(v2_expired)).alias("v2_expired"),
+            F.lit(bool(v2_files <= deleted)).alias("v2_files_reclaimed"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X115 — HLL set algebra on register-level sketches: union by max-merge,
+# intersection by inclusion-exclusion — every register and both estimates
+# replicated cross-engine
+# ---------------------------------------------------------------------------
+
+
+_X115_REG_SQL = """
+      SELECT s, reg, MAX(rho) AS rho FROM (
+        SELECT s,
+               16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+                 + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+               4*length(regexp_extract(substr(h,3,16), '^0*'))
+                 + CASE substr(substr(h,3,16),
+                               length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+        FROM (SELECT s, md5(CAST(k AS VARCHAR) || ':hll') AS h FROM src)
+      ) GROUP BY s, reg
+"""
+
+_X115_EST_SQL = """
+      SELECT s,
+             CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                  THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                  ELSE raw END AS est
+      FROM (
+        SELECT s, v_zero,
+               ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                * 256) * 256 * power(2, 70) / total AS raw
+        FROM (
+          SELECT s, 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m GROUP BY s))
+"""
+
+
+@register(
+    "x115_hll_set_algebra",
+    oracle=f"""
+    -- set algebra ON SKETCHES: |A|, |B| and |A UNION B| estimated from
+    -- md5 register rows (union = max-merge of the two register sets —
+    -- HLL's lossless-union property), |A INTERSECT B| by inclusion-
+    -- exclusion. Every register and every estimate replicates; the
+    -- exact counts ride along as accuracy witnesses. A = custkeys of
+    -- even orders, B = custkeys of mod-3 orders (true overlap = mod-6).
+    WITH src AS (
+      SELECT 'a' AS s, o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'b', o_custkey FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'u', o_custkey FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'u', o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    m AS ({_X115_REG_SQL}),
+    e AS ({_X115_EST_SQL}),
+    w AS (SELECT
+            (SELECT est FROM e WHERE s = 'a') AS ea,
+            (SELECT est FROM e WHERE s = 'b') AS eb,
+            (SELECT est FROM e WHERE s = 'u') AS eu),
+    exact AS (SELECT
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 2 = 0)
+        AS xa,
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 3 = 0)
+        AS xb,
+      (SELECT COUNT(DISTINCT c1.o_custkey) FROM orders c1
+        WHERE c1.o_orderkey % 2 = 0
+          AND c1.o_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_orderkey % 3 = 0)) AS xi)
+    SELECT ROUND(w.ea, 4) AS est_a, ROUND(w.eb, 4) AS est_b,
+           ROUND(w.eu, 4) AS est_union,
+           ROUND(w.ea + w.eb - w.eu, 4) AS est_intersect,
+           CAST(exact.xa AS BIGINT) AS n_a,
+           CAST(exact.xb AS BIGINT) AS n_b,
+           CAST(exact.xi AS BIGINT) AS n_intersect
+    FROM w, exact
+    """,
+    doc="X115 HLL set algebra (operators/sketches.py::hll_register_rows/"
+    "hll_estimate composed): the payoff of keeping sketches as register "
+    "RELATIONS — set UNION is a groupBy-max of the two register sets "
+    "(HLL's union is lossless, the only exact operation sketch theory "
+    "gives away free) and INTERSECTION follows by inclusion-exclusion, "
+    "one arithmetic line over three estimates. A distinct-overlap "
+    "question ('how many customers ordered in BOTH channels?') costs "
+    "three O(groups x 256)-row scans instead of a distinct-join of the "
+    "raw sets. The oracle replicates every register of A, B and the "
+    "max-merged union, both estimator branches, and the inclusion-"
+    "exclusion line — the estimates match to 4 dp and the exact counts "
+    "ride along as witnesses (the intersection estimate inherits the "
+    "documented HLL caveat: absolute error scales with |union|, so "
+    "small true overlaps are noisy — witnessed, not hidden).",
+)
+def x115_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    o = cache_once(load_table(spark, sf_dir, "orders"))
+    a_rows = o.filter(F.col("o_orderkey") % 2 == 0)
+    b_rows = o.filter(F.col("o_orderkey") % 3 == 0)
+    ra = hll_register_rows(a_rows.withColumn("s", F.lit("a")), ["s"], "o_custkey")
+    rb = hll_register_rows(b_rows.withColumn("s", F.lit("b")), ["s"], "o_custkey")
+    # union sketch = max-merge of A's and B's registers (lossless)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy(F.lit("u").alias("s"), "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = {
+        r["s"]: r["est_distinct"]
+        for r in hll_estimate(ra.unionByName(rb).unionByName(ru), ["s"]).collect()
+    }  # bounded: 3 rows
+    xa = a_rows.select("o_custkey").distinct().count()
+    xb = b_rows.select("o_custkey").distinct().count()
+    xi = (
+        a_rows.select("o_custkey")
+        .distinct()
+        .join(b_rows.select("o_custkey").distinct(), "o_custkey", "left_semi")
+        .count()
+    )
+    raw = spark.createDataFrame(
+        [(est["a"], est["b"], est["u"], xa, xb, xi)],
+        "ea double, eb double, eu double, n_a long, n_b long, n_intersect long",
+    )
+    # F.round (half-up, matches DuckDB ROUND) — python round() is
+    # banker's and diverges on .5 boundaries
+    return raw.select(
+        F.round("ea", 4).alias("est_a"),
+        F.round("eb", 4).alias("est_b"),
+        F.round("eu", 4).alias("est_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias("est_intersect"),
+        "n_a",
+        "n_b",
+        "n_intersect",
+    )

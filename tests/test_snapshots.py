@@ -1586,3 +1586,40 @@ def test_incremental_read_crosses_wap_publishes(spark, root):
     S.overwrite(_df(spark, 9, 10), root)  # v4: a real mutation
     with pytest.raises(ValueError, match="not append"):
         S.read_incremental(spark, root, since_version=1)
+
+
+# --- version tags (x114) ------------------------------------------------------
+
+
+def test_tags_time_travel_and_vacuum_retention(spark, root):
+    S.overwrite(_df(spark, 0, 3), root)  # v1
+    assert S.create_tag(spark, root, "baseline") == 1
+    S.overwrite(_df(spark, 10, 12), root)  # v2
+    S.overwrite(_df(spark, 20, 22), root)  # v3
+    deleted = S.vacuum(spark, root, keep_last=1)
+    # tagged v1 survives the keep_last=1 window; untagged v2 expires
+    assert _rows(S.read_snapshot_tag(spark, root, "baseline")) == [
+        (i, f"r{i}") for i in range(3)
+    ]
+    assert S._manifest_versions(spark, root) == [1, 3]
+    assert deleted  # v2's files were reclaimed
+    assert _rows(S.read_snapshot(spark, root)) == [(20, "r20"), (21, "r21")]
+    # tag dropped -> next vacuum expires v1 too
+    assert S.delete_tag(spark, root, "baseline")
+    S.vacuum(spark, root, keep_last=1)
+    assert S._manifest_versions(spark, root) == [3]
+
+
+def test_tag_immutability_and_refusals(spark, root):
+    S.overwrite(_df(spark, 0, 2), root)
+    S.create_tag(spark, root, "t1")
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_tag(spark, root, "t1")
+    with pytest.raises(ValueError, match="does not exist"):
+        S.create_tag(spark, root, "t2", version=9)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        S.create_tag(spark, root, "a/b")
+    with pytest.raises(ValueError, match="no tag"):
+        S.read_snapshot_tag(spark, root, "nope")
+    assert S.list_tags(spark, root) == [("t1", 1)]
+    assert not S.delete_tag(spark, root, "absent")
