@@ -57,6 +57,22 @@ def _schema_list(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
+# Lossless type-widening lattice (Delta typeWidening): an evolving
+# append may WIDEN a column — the recorded schema takes the wider type
+# and the schema-reconciling read (_read_files casts every file's
+# column to the declared type) upcasts old files for free, so no data
+# rewrite is ever needed. Only exactly-representable widenings qualify:
+# int->long never changes a value, float stays OUT of the double rung
+# (a float widened to double exposes representation garbage beyond the
+# float's 24-bit mantissa — Delta excludes it from automatic widening
+# for the same reason).
+_WIDENS_TO: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+}
+
+
 def _merged_schema(
     parent: list[list[str]] | None, new: list[list[str]], evolve: bool
 ) -> list[list[str]]:
@@ -64,23 +80,38 @@ def _merged_schema(
     table with schema ``parent``: identical -> unchanged; added/omitted
     columns -> allowed only with ``evolve`` (added columns go to the end,
     omitted ones stay — old files simply lack the new columns and new
-    files lack the omitted ones; reads reconcile both with NULLs); a
-    TYPE change is refused unconditionally."""
+    files lack the omitted ones; reads reconcile both with NULLs); with
+    ``evolve`` a column may also WIDEN along the integer lattice
+    (:data:`_WIDENS_TO` — the recorded type becomes the wider one, old
+    files upcast at read); any other type change is refused, and a
+    NARROWER batch does not narrow the table (its values read back at
+    the table's wider type)."""
     if parent is None:
         return [list(x) for x in new]
     pt = {n: t for n, t in parent}
     nt = {n: t for n, t in new}
-    retyped = sorted(n for n in pt.keys() & nt.keys() if pt[n] != nt[n])
+    widened: dict[str, str] = {}
+    retyped = []
+    for n in sorted(pt.keys() & nt.keys()):
+        if pt[n] == nt[n]:
+            continue
+        if nt[n] in _WIDENS_TO.get(pt[n], ()):
+            widened[n] = nt[n]  # batch is wider: widen the table
+        elif pt[n] in _WIDENS_TO.get(nt[n], ()):
+            pass  # batch is narrower: table type stays, reads upcast
+        else:
+            retyped.append(n)
     if retyped:
         raise SchemaMismatchError(f"type change on {retyped} is not allowed")
     added = [[n, t] for n, t in new if n not in pt]
     omitted = [n for n, _ in parent if n not in nt]
-    if (added or omitted) and not evolve:
+    if (added or omitted or widened) and not evolve:
         raise SchemaMismatchError(
-            f"schema drift (added {[n for n, _ in added]}, omitted {omitted}); "
-            "pass evolve=True to evolve the table schema"
+            f"schema drift (added {[n for n, _ in added]}, omitted {omitted}, "
+            f"widened {sorted(widened)}); pass evolve=True to evolve the "
+            "table schema"
         )
-    return [list(x) for x in parent] + added
+    return [[n, widened.get(n, t)] for n, t in parent] + added
 
 
 def _snap_dir(root: str) -> str:
@@ -430,38 +461,52 @@ def _read_files(
     declared type) — so every reader sees the table schema regardless
     of which files survived pruning.
 
-    Partitioned tables group the planned files per data directory and
-    read each group under its own ``basePath`` (that is how Spark
-    reconstitutes ``col=val`` path values as columns); the union is over
-    O(retained commits) groups, bounded by compaction."""
+    Files are grouped per data DIRECTORY (= per write) and each group
+    is cast to the declared schema BEFORE the union: one write's files
+    share a physical schema, so within a group mergeSchema is safe,
+    while ACROSS groups the physical types may legitimately differ
+    after a type-widening evolution (int files under a now-bigint
+    column) — Spark's footer merge refuses int-vs-long, the per-group
+    cast reconciles it. Partitioned groups also carry their own
+    ``basePath`` (how Spark reconstitutes ``col=val`` path values as
+    columns). The union is over O(retained commits) groups, bounded by
+    compaction."""
     from pyspark.sql import functions as F
 
-    if partition_spec:
-        groups: dict[str, list[str]] = {}
-        for f in files:
-            groups.setdefault(f.split("/", 1)[0], []).append(f)
-        parts = [
-            spark.read.option("mergeSchema", "true")
-            .option("basePath", f"{root}/{sub}")
-            .parquet(*[f"{root}/{f}" for f in fl])
-            for sub, fl in sorted(groups.items())
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p, allowMissingColumns=True)
-    elif schema is None:
-        return spark.read.parquet(*[f"{root}/{f}" for f in files])
-    else:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{root}/{f}" for f in files]
-        )
     if schema is None:
-        return df
-    cols = [
-        F.col(n).cast(t).alias(n) if n in df.columns else F.lit(None).cast(t).alias(n)
-        for n, t in schema
-    ]
-    return df.select(*cols)
+        return spark.read.parquet(*[f"{root}/{f}" for f in files])
+
+    def dkey(f: str) -> str:
+        segs = f.split("/")
+        for i, s in enumerate(segs):
+            if s.startswith("data-"):
+                return "/".join(segs[: i + 1])  # branch refs keep ../../ prefix
+        return segs[0]
+
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(dkey(f), []).append(f)
+
+    def cast_to_schema(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(n).cast(t).alias(n)
+                if n in df.columns
+                else F.lit(None).cast(t).alias(n)
+                for n, t in schema
+            ]
+        )
+
+    parts = []
+    for sub, fl in sorted(groups.items()):
+        rd = spark.read.option("mergeSchema", "true")
+        if partition_spec:
+            rd = rd.option("basePath", f"{root}/{sub}")
+        parts.append(cast_to_schema(rd.parquet(*[f"{root}/{f}" for f in fl])))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def _all_data_refs(m: dict) -> set[str]:

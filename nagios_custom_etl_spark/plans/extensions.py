@@ -9037,3 +9037,86 @@ def x115_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "n_intersect",
     )
+
+
+# ---------------------------------------------------------------------------
+# X116 — type widening on schema evolution (Delta typeWidening: widen the
+# declared type, upcast old files at read — no data rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x116_type_widening",
+    oracle="""
+    -- an int-keyed table widened to bigint by an evolving append whose
+    -- key exceeds int range: the final content must equal both batches
+    -- under the WIDER type with the old int files upcast at read (no
+    -- rewrite — pinned by old_files_carried), and the recorded type is
+    -- surfaced as a hash-checked literal.
+    WITH both_batches AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_totalprice AS DOUBLE) AS price_d
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT CAST(o_orderkey AS BIGINT) + 4294967296,
+             CAST(o_totalprice AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(price_d AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           'bigint' AS key_type,
+           CAST(TRUE AS BOOLEAN) AS old_files_carried
+    FROM both_batches
+    """,
+    doc="X116 type widening on schema evolution (operators/snapshots.py::"
+    "_merged_schema + the per-write-group casting read): Delta's "
+    "typeWidening — an evolving append may widen a column along the "
+    "lossless integer lattice (tinyint->smallint->int->bigint); the "
+    "recorded schema takes the wider type, the manifest CARRIES the old "
+    "int files untouched (pinned in-result), and the read reconciles "
+    "them by casting per write-group before the union (Spark's footer "
+    "merge refuses int-vs-long, so the group-wise cast is what makes "
+    "the mixed table readable at all). float->double is deliberately "
+    "NOT auto-widened (a float upcast exposes garbage past its 24-bit "
+    "mantissa — Delta excludes it too); arbitrary retypes still refuse. "
+    "Narrower batches keep writing against the widened table and read "
+    "back upcast. At 100 TB this is an O(1) metadata operation where a "
+    "column rewrite would be a full-table pass.",
+)
+def x116_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x116_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ints = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("int").alias("k"), "price_d"
+    )
+    longs = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey").cast("bigint") + F.lit(4294967296)).alias("k"),
+        "price_d",
+    )
+    v1 = S.append(ints, root)
+    v1_files = set(S._read_manifest(spark, root, v1)["files"])
+    v2 = S.append(longs, root, evolve=True)
+    m2 = S._read_manifest(spark, root, v2)
+    carried = v1_files <= set(m2["files"])  # widened WITHOUT rewriting
+    key_type = dict(m2["schema"])["k"]
+    return S.read_snapshot(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.col("price_d").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_k",
+        "sum_price",
+        F.lit(key_type).alias("key_type"),
+        F.lit(bool(carried)).alias("old_files_carried"),
+    )

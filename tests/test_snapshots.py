@@ -1623,3 +1623,32 @@ def test_tag_immutability_and_refusals(spark, root):
         S.read_snapshot_tag(spark, root, "nope")
     assert S.list_tags(spark, root) == [("t1", 1)]
     assert not S.delete_tag(spark, root, "absent")
+
+
+# --- type widening on evolve (x116) -------------------------------------------
+
+
+def test_append_widens_integer_types_on_evolve(spark, root):
+    ints = spark.createDataFrame([Row(i=1, s="a")], "i int, s string")
+    longs = spark.createDataFrame([Row(i=2**40, s="b")], "i bigint, s string")
+    S.append(ints, root)
+    with pytest.raises(S.SchemaMismatchError, match="widened"):
+        S.append(longs, root)  # widening is schema evolution: needs evolve
+    S.append(longs, root, evolve=True)
+    out = S.read_snapshot(spark, root)
+    assert dict(S._read_manifest(spark, root, 2)["schema"])["i"] == "bigint"
+    assert out.schema["i"].dataType.simpleString() == "bigint"
+    assert sorted((r.i, r.s) for r in out.collect()) == [(1, "a"), (2**40, "b")]
+    # narrower batches keep writing without widening anything further
+    S.append(spark.createDataFrame([Row(i=3, s="c")], "i int, s string"), root)
+    assert dict(S._read_manifest(spark, root, 3)["schema"])["i"] == "bigint"
+    assert S.read_snapshot(spark, root).count() == 3
+
+
+def test_append_refuses_non_widening_type_changes(spark, root):
+    S.append(spark.createDataFrame([Row(i=1, s="a")], "i int, s string"), root)
+    for bad, ddl in ((1.5, "i double, s string"), ("x", "i string, s string")):
+        with pytest.raises(S.SchemaMismatchError, match="type change"):
+            S.append(
+                spark.createDataFrame([Row(i=bad, s="b")], ddl), root, evolve=True
+            )
