@@ -133,6 +133,12 @@ HEADLINE = [
     # (sketch-path representative: shuffle bounded at groups*registers)
     "x97_dup_span_coverage",
     "x100_hll_registers_exact",
+    # r9 additions: incremental JOIN-view maintenance (delta joins +
+    # anti-join view filter — the IVM family) and the portable bloom
+    # file index (build-one-pass bit_or + planned lookup — the
+    # file-skipping family; includes a real parquet write per run)
+    "x109_ivm_join",
+    "x110_bloom_file_index",
 ]
 
 
