@@ -189,21 +189,29 @@ def _commit(
     return version
 
 
-def _file_stats(spark: SparkSession, path: str, sub: str, stats_cols: list[str]) -> dict:
-    """Per-file min/max for ``stats_cols`` in ONE distributed aggregate
-    over the just-written directory (grouped on input_file_name — a
-    map-side-combinable pass over only the stat columns). Returned keyed
-    by manifest-relative path (which may include ``col=val`` partition
-    segments — basenames alone collide across partition dirs). Numeric
-    columns only: the values live in JSON manifests and must compare
-    exactly after a round trip."""
+def _file_stats(
+    spark: SparkSession, root: str, sub: str, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` PLUS the per-file row count
+    (reserved key ``__rows`` — always recorded, the basis of
+    metadata-only aggregates, :func:`metadata_count`) in ONE distributed
+    aggregate over the just-written files (grouped on input_file_name —
+    a map-side-combinable pass over only the stat columns). The LEAF
+    files are read directly, never the directory: a directory read runs
+    partition-value type inference on ``col=val`` segments, and Spark 4
+    infers escaped time-like values ('00%3A00%3A00') as the unsupported
+    TIME type — stats must not depend on what the partition values look
+    like. Returned keyed by manifest-relative path (which may include
+    ``col=val`` partition segments — basenames alone collide across
+    partition dirs). Numeric columns only: the values live in JSON
+    manifests and must compare exactly after a round trip."""
     from pyspark.sql import functions as F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     rows = (
-        spark.read.parquet(path)
+        spark.read.parquet(*[f"{root}/{f}" for f in files])
         .groupBy(F.input_file_name().alias("_f"))
         .agg(*aggs)
         .collect()  # bounded: one row per written file (manifest metadata)
@@ -213,7 +221,10 @@ def _file_stats(spark: SparkSession, path: str, sub: str, stats_cols: list[str])
         return full[full.index(f"/{sub}/") + 1 :]
 
     return {
-        rel(r["_f"]): {c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols}
+        rel(r["_f"]): {
+            "__rows": int(r["__rows"]),
+            **{c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols},
+        }
         for r in rows
     }
 
@@ -241,7 +252,15 @@ def _write_data_files(
         for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
-    stats = _file_stats(spark, f"{root}/{sub}", sub, stats_cols) if stats_cols else {}
+    # stats are always collected (at minimum the per-file __rows count
+    # behind metadata-only aggregates) — one pass over just-written,
+    # page-cached bytes; the standard stats-collection cost every table
+    # format pays at write time
+    stats = _file_stats(spark, root, sub, files, stats_cols or [])
+    for f in files:
+        # a 0-row part file produces no group in the stats aggregate;
+        # record it explicitly so metadata_count can trust coverage
+        stats.setdefault(f, {"__rows": 0})
     return files, stats
 
 
@@ -750,6 +769,64 @@ def read_snapshot_pruned(
     )
 
 
+def metadata_count(
+    spark: SparkSession, root: str, version: int | None = None
+) -> int:
+    """``COUNT(*)`` answered from the MANIFEST alone — zero data-file
+    opens, zero Spark jobs (Delta/Iceberg's metadata-only count): every
+    writer records a per-file ``__rows`` stat, and a snapshot's count is
+    their sum. Refused when the manifest carries pending MoR deletes
+    (dead rows are still physically present in the files — a metadata
+    count would overstate; compact first or scan) or when any planned
+    file predates row-count recording (no silent wrong answers)."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: metadata count would include dead rows — "
+            "compact() first or count through read_snapshot"
+        )
+    stats = m.get("stats", {})
+    missing = [f for f in m["files"] if "__rows" not in stats.get(f, {})]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} files predate row-count stats (e.g. "
+            f"{missing[0]!r}); re-commit (compact) to record them"
+        )
+    return sum(int(stats[f]["__rows"]) for f in m["files"])
+
+
+def metadata_minmax(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> tuple:
+    """(min, max) of ``col`` from recorded per-file stats — the
+    manifest-only twin of ``SELECT MIN(c), MAX(c)`` for append/COW
+    tables. Same refusals as :func:`metadata_count` (MoR pending, or a
+    file without stats for the column), plus None-bound files refuse
+    (an all-NULL file records [None, None] and contributes no bound —
+    min/max over rows ignores NULLs, so those files are skippable, but
+    a file with no recorded entry at all is not)."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: a deleted extremum would linger in "
+            "file stats — compact() first or aggregate through "
+            "read_snapshot"
+        )
+    stats = m.get("stats", {})
+    los, his = [], []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None:
+            raise ValueError(f"file {f!r} has no recorded stats for {col!r}")
+        if s[0] is not None:
+            los.append(s[0])
+        if s[1] is not None:
+            his.append(s[1])
+    return (min(los) if los else None, max(his) if his else None)
+
+
 def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     """Publish an old version's file list as a NEW version (history is
     append-only; a rollback is itself a commit, never an erasure)."""
@@ -1100,7 +1177,10 @@ def compact(
         return None
     df = _live_view(spark, root, m, m["files"])
     stats_cols = (
-        sorted({c for s in m.get("stats", {}).values() for c in s} | set(cluster_by or []))
+        sorted(
+            {c for s in m.get("stats", {}).values() for c in s if not c.startswith("__")}
+            | set(cluster_by or [])
+        )
         or None
     )
     spec = m.get("partition_spec")

@@ -9120,3 +9120,79 @@ def x116_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(key_type).alias("key_type"),
         F.lit(bool(carried)).alias("old_files_carried"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X117 — metadata-only aggregates (Delta/Iceberg's optimized COUNT(*):
+# answered from manifest stats, zero data-file opens; MoR-pending refusal
+# and the compact()-then-answer path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x117_metadata_only_aggregates",
+    oracle="""
+    -- COUNT/MIN/MAX answered from MANIFEST stats alone (per-file
+    -- __rows + min/max recorded at write): equality with this plain
+    -- recompute is the correctness claim. With pending MoR deletes a
+    -- metadata count would overstate (dead rows still sit in files) —
+    -- the refusal is pinned; after compact() materializes the deletes
+    -- the metadata answer must equal the post-delete recompute.
+    WITH s AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 1)
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_meta,
+           CAST((SELECT MIN(o_custkey) FROM s) AS BIGINT) AS min_cust,
+           CAST((SELECT MAX(o_custkey) FROM s) AS BIGINT) AS max_cust,
+           CAST(TRUE AS BOOLEAN) AS mor_refused,
+           CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 7 <> 0) AS BIGINT)
+             AS n_after_delete
+    """,
+    doc="X117 metadata-only aggregates (operators/snapshots.py::"
+    "metadata_count/metadata_minmax): COUNT(*) and MIN/MAX answered "
+    "from the manifest — zero data-file opens, zero Spark jobs (the "
+    "Delta/Iceberg optimized-count path): every writer records a "
+    "per-file __rows stat alongside the min/max manifest stats, so the "
+    "snapshot count is a JSON sum. Soundness guards pinned in-result: "
+    "pending MoR deletes REFUSE (dead rows still sit in the files; a "
+    "metadata count would overstate) and files predating row-count "
+    "stats refuse rather than silently undercount; after compact() "
+    "materializes the deletes the metadata answer equals the "
+    "post-delete recompute. At 100 TB this is the difference between a "
+    "dashboard count being one manifest read and being a million-file "
+    "scan.",
+)
+def x117_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x117_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for k in range(3):
+        S.append(o.filter(F.col("o_orderkey") % 3 == k), root, stats_cols=["o_custkey"])
+    n_meta = S.metadata_count(spark, root)
+    lo, hi = S.metadata_minmax(spark, root, "o_custkey")
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    S.mor_delete(dels, root, keys=["o_orderkey"])
+    try:
+        S.metadata_count(spark, root)
+        refused = False
+    except ValueError:
+        refused = True
+    S.compact(spark, root)  # materializes the deletes; stats recorded anew
+    n_after = S.metadata_count(spark, root)
+    return spark.createDataFrame(
+        [Row(n_meta=n_meta, min_cust=lo, max_cust=hi, mor_refused=bool(refused), n_after_delete=n_after)]
+    ).select(
+        F.col("n_meta").cast("long"),
+        F.col("min_cust").cast("long"),
+        F.col("max_cust").cast("long"),
+        "mor_refused",
+        F.col("n_after_delete").cast("long"),
+    )

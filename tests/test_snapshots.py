@@ -1652,3 +1652,34 @@ def test_append_refuses_non_widening_type_changes(spark, root):
             S.append(
                 spark.createDataFrame([Row(i=bad, s="b")], ddl), root, evolve=True
             )
+
+
+# --- metadata-only aggregates (x117) ------------------------------------------
+
+
+def test_metadata_count_and_minmax(spark, root):
+    S.append(_df(spark, 0, 5).coalesce(1), root, stats_cols=["i"])
+    S.append(_df(spark, 5, 12).coalesce(2), root, stats_cols=["i"])
+    assert S.metadata_count(spark, root) == 12
+    assert S.metadata_minmax(spark, root, "i") == (0, 11)
+    # version pinning: the older snapshot's metadata answers are its own
+    assert S.metadata_count(spark, root, version=1) == 5
+    assert S.metadata_minmax(spark, root, "i", version=1) == (0, 4)
+
+
+def test_metadata_count_refuses_mor_and_recovers_after_compact(spark, root):
+    S.append(_df(spark, 0, 8).coalesce(1), root, stats_cols=["i"])
+    S.mor_delete(spark.createDataFrame([Row(i=2), Row(i=5)], "i int"), root, keys=["i"])
+    with pytest.raises(ValueError, match="pending MoR"):
+        S.metadata_count(spark, root)
+    with pytest.raises(ValueError, match="pending MoR"):
+        S.metadata_minmax(spark, root, "i")
+    S.compact(spark, root)
+    assert S.metadata_count(spark, root) == 6
+
+
+def test_metadata_minmax_refuses_unrecorded_column(spark, root):
+    S.append(_df(spark, 0, 3), root)  # no stats_cols: only __rows recorded
+    assert S.metadata_count(spark, root) == 3  # __rows is always there
+    with pytest.raises(ValueError, match="no recorded stats"):
+        S.metadata_minmax(spark, root, "i")
