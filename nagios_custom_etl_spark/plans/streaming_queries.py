@@ -1913,3 +1913,100 @@ def st27_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "st28_cdc_apply_changes",
+    oracle="""
+    -- APPLY CHANGES INTO: per key, the row with the globally highest
+    -- sequence wins; keys whose LATEST change is a delete disappear
+    -- (tombstoned, not resurrectable by late lower-seq upserts). The
+    -- stream delivered the changes split by event_id mod 3 — heavily
+    -- out of order — so equality with this latest-per-key recompute is
+    -- exactly the order-insensitivity claim.
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    r AS (SELECT k, seq, op, value,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM c)
+    SELECT k, CAST(seq AS BIGINT) AS last_seq, op AS last_op, value,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM r WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+    doc="ST-ext streaming CDC apply (streaming/ops.py::cdc_apply_sink/"
+    "cdc_current): Delta Live Tables' APPLY CHANGES INTO — a keyed "
+    "change stream with upserts AND deletes lands in a snapshot table "
+    "as SCD Type 1 with tombstones. Correctness is ALGEBRAIC, not "
+    "order-based: per batch the target becomes the per-key max-seq row "
+    "over (current rows UNION batch latest) — keep-max is idempotent/"
+    "commutative/associative, so the mod-3-interleaved delivery here "
+    "(every batch contains sequences both older and newer than the "
+    "others') converges to the same table as in-order delivery, and a "
+    "replayed batch is a no-op (txn token, probed in-result). Deletes "
+    "stay as TOMBSTONES carrying their seq, so a late lower-seq upsert "
+    "cannot resurrect a deleted key — the reader view (cdc_current) "
+    "filters them; tombstone GC is a caller-scheduled retention policy "
+    "like watermark state eviction. Per-batch cost O(keys + batch), "
+    "never history.",
+)
+def st28_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st28_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    # mod-3 split: every file mixes old and new sequences -> the three
+    # micro-batches arrive heavily out of order relative to seq
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    before = S.latest_version(spark, root)
+    # crash-recovery replay of a batch that actually COMMITTED (a mod-3
+    # hash split can leave a stream batch empty — skipped batches record
+    # no token, and replaying one would legitimately apply fresh work)
+    committed = next(
+        b for b in range(3) if S.txn_version(spark, root, f"cdc-batch-{b}") is not None
+    )
+    sink(ev, committed)
+    replay_noop = S.latest_version(spark, root) == before
+    return (
+        cdc_current(spark, root)
+        .select(
+            "k",
+            F.col("seq").cast("long").alias("last_seq"),
+            F.col("op").alias("last_op"),
+            "value",
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("k")
+    )

@@ -557,3 +557,71 @@ def snapshot_agg_merge_sink(
                 S.vacuum(spark, silver_root, keep_last=auto_vacuum_keep)
 
     return write
+
+
+def cdc_apply_sink(
+    root: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str,
+    txn_prefix: str = "cdc-batch",
+):
+    """foreachBatch sink applying a CDC stream of keyed UPSERTS and
+    DELETES into a snapshot table — Delta Live Tables' APPLY CHANGES
+    INTO (SCD Type 1 with tombstones). Each change row carries a
+    monotone sequencing column (``seq_col``) and an op (``op_col``:
+    'D' = delete, anything else = upsert); per batch, the target is
+    replaced by the per-key MAX-``seq`` row over (current target rows
+    UNION the batch's per-key latest) — one aggregate at key
+    cardinality, never a history scan.
+
+    Out-of-order delivery is ABSORBED BY THE ALGEBRA, not by ordering
+    assumptions: keep-max-seq is idempotent/commutative/associative
+    (the agg-merge sink's max trick applied to whole rows), so batches
+    may arrive in any interleaving and replays are no-ops (txn token).
+    DELETES ARE KEPT AS TOMBSTONES — the 'D' row with its seq stays in
+    the table so a LATE upsert with a lower seq cannot resurrect a
+    deleted key; :func:`cdc_current` filters them out for readers.
+    Tombstone GC (dropping tombstones older than the max possible
+    lateness) is a retention policy the caller schedules, same contract
+    as watermark-based state eviction.
+
+    At 100 TB the per-batch cost is O(target keys + batch); for a
+    key-partitioned target compose with replace_partitions to rewrite
+    only touched partitions (the keyed_upsert_sink pattern)."""
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        token = f"{txn_prefix}-{batch_id}"
+        if S.txn_version(spark, root, token) is not None:
+            return  # replayed batch: already applied, exactly-once
+        if batch_df.isEmpty():
+            return  # trailing no-data trigger: nothing to apply
+        delta = latest_per_key(batch_df)
+        if S.latest_version(spark, root) > 0:
+            cur = S.read_snapshot(spark, root).select(*delta.columns)
+            merged = latest_per_key(cur.unionByName(delta))
+        else:
+            merged = delta
+        S.overwrite(merged, root, txn=token)
+
+    return write
+
+
+def cdc_current(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame:
+    """The live view of a :func:`cdc_apply_sink` table: latest-seq rows
+    minus tombstones."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")

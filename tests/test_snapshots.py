@@ -1683,3 +1683,60 @@ def test_metadata_minmax_refuses_unrecorded_column(spark, root):
     assert S.metadata_count(spark, root) == 3  # __rows is always there
     with pytest.raises(ValueError, match="no recorded stats"):
         S.metadata_minmax(spark, root, "i")
+
+
+# --- CDC apply (st28) ---------------------------------------------------------
+
+
+def test_cdc_apply_tombstone_blocks_late_resurrection(spark, root):
+    """The reason deletes persist as tombstones: a LATE upsert with a
+    lower sequence than the delete must NOT resurrect the key, however
+    late it arrives; a genuinely newer upsert must."""
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+
+    def batch(rows, bid):
+        sink(spark.createDataFrame(rows, "k int, seq long, op string, v string"), bid)
+
+    batch([(1, 10, "U", "a"), (2, 11, "U", "b")], 0)
+    batch([(1, 20, "D", None)], 1)  # delete k=1 at seq 20
+    batch([(1, 15, "U", "late")], 2)  # LATE: older than the delete
+    got = {(r.k, r.seq, r.v) for r in cdc_current(spark, root, "op").collect()}
+    assert got == {(2, 11, "b")}  # k=1 stays deleted
+    batch([(1, 30, "U", "new")], 3)  # genuinely newer: resurrects
+    got = {(r.k, r.seq, r.v) for r in cdc_current(spark, root, "op").collect()}
+    assert got == {(2, 11, "b"), (1, 30, "new")}
+    # replayed batch is a no-op; empty batch commits nothing
+    before = S.latest_version(spark, root)
+    batch([(1, 10, "U", "a")], 0)
+    sink(spark.createDataFrame([], "k int, seq long, op string, v string"), 9)
+    assert S.latest_version(spark, root) == before
+
+
+def test_cdc_apply_order_insensitive(spark, root):
+    """Any interleaving of the same change set converges to the same
+    table — keep-max-seq is commutative/associative/idempotent."""
+    import random
+
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    rnd = random.Random(47)
+    changes = [
+        (k, seq, "D" if rnd.random() < 0.2 else "U", f"v{seq}")
+        for seq, k in enumerate(rnd.choices(range(10), k=60))
+    ]
+    expected = {}
+    for k, seq, op, v in changes:  # in-order ground truth
+        expected[k] = (seq, op, v)
+    expected_live = {
+        (k, s, v) for k, (s, op, v) in expected.items() if op != "D"
+    }
+    shuffled = changes[:]
+    rnd.shuffle(shuffled)
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    for bid in range(6):  # 6 arbitrary batches of 10
+        rows = shuffled[bid * 10 : (bid + 1) * 10]
+        sink(spark.createDataFrame(rows, "k int, seq long, op string, v string"), bid)
+    got = {(r.k, r.seq, r.v) for r in cdc_current(spark, root, "op").collect()}
+    assert got == expected_live
