@@ -252,11 +252,19 @@ def _write_data_files(
         for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
+    # The partition column never reaches leaf-file schemas (it lives only
+    # in the col=val path segments), so a stats read on it would raise;
+    # pruning on it rides path values in read_snapshot_pruned anyway
+    # (r9 ADVICE).
+    if partition_by and stats_cols:
+        stats_cols = [c for c in stats_cols if c != partition_by]
     # stats are always collected (at minimum the per-file __rows count
     # behind metadata-only aggregates) — one pass over just-written,
     # page-cached bytes; the standard stats-collection cost every table
-    # format pays at write time
-    stats = _file_stats(spark, root, sub, files, stats_cols or [])
+    # format pays at write time. A zero-row dynamic-partition write emits
+    # NO part files — guard the read (zero paths raises) and commit the
+    # harmless empty version (r9 ADVICE; st27's sink relies on it).
+    stats = _file_stats(spark, root, sub, files, stats_cols or []) if files else {}
     for f in files:
         # a 0-row part file produces no group in the stats aggregate;
         # record it explicitly so metadata_count can trust coverage
@@ -1013,6 +1021,16 @@ def create_tag(
         )
     except FileExistsError as ex:
         raise ValueError(f"tag {name!r} already exists") from ex
+    # TOCTOU guard (r9 ADVICE): a concurrent vacuum that listed tags
+    # BEFORE this create can expire the target version before the tag
+    # file lands, leaving a tag pointing at a missing manifest. Re-check
+    # after the atomic create; if the manifest vanished, the retention
+    # promise cannot be honored — undo the tag and surface the race.
+    if not fsio.exists(spark, _manifest_path(root, v)):
+        fsio.delete(spark, _tag_path(root, name), recursive=False)
+        raise ConcurrentCommitError(
+            f"version {v} was vacuumed while tag {name!r} was being created"
+        )
     return v
 
 
@@ -1152,7 +1170,11 @@ def compact(
     carries NO pending deletes — reads go back to plain scans and the
     delete-key files age out through vacuum. This runs even when the
     file count is already small (pending deletes alone justify the
-    rewrite).
+    rewrite). A delete-materializing compaction DROPS rows, so it is
+    stamped ``data_change: true`` + ``deletes_materialized`` (Delta:
+    dataChange=false is legal only for OPTIMIZE) — incremental readers
+    refuse to skip it; only pure layout rewrites carry the
+    skip-compactions marker.
 
     ``cluster_by`` is OPTIMIZE ZORDER BY: before writing, rows are
     range-partitioned and sorted on a Morton interleave of the named
@@ -1208,6 +1230,16 @@ def compact(
     else:
         shaped = df.coalesce(target_file_count)
     files, stats = _write_data_files(shaped, root, stats_cols, spec[0] if spec else None)
+    # Delta's dataChange=false is legal ONLY for row-preserving rewrites
+    # (OPTIMIZE): when this compaction also MATERIALIZES pending MoR
+    # deletes, rows are dropped, so the marker is withheld — incremental
+    # readers then refuse to cross it (correct: a file-diff consumer
+    # cannot see row-level deletions) and must resume via snapshot CDC.
+    # Pure layout rewrites keep the marker and stay skippable (r9 ADVICE).
+    extra: dict = {"data_change": False} if not m.get("deletes") else {
+        "data_change": True,
+        "deletes_materialized": True,
+    }
     return _commit(
         spark,
         root,
@@ -1217,10 +1249,7 @@ def compact(
         stats or None,
         m.get("schema"),
         partition_spec=spec,
-        # Delta's dataChange=false: this commit re-arranges EXISTING rows
-        # (layout and/or delete materialization), adds none — the marker
-        # incremental readers key their skip-compactions path on.
-        extra={"data_change": False},
+        extra=extra,
     )
 
 

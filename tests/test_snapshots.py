@@ -1740,3 +1740,83 @@ def test_cdc_apply_order_insensitive(spark, root):
         sink(spark.createDataFrame(rows, "k int, seq long, op string, v string"), bid)
     got = {(r.k, r.seq, r.v) for r in cdc_current(spark, root, "op").collect()}
     assert got == expected_live
+
+
+# ---------------------------------------------------------------------------
+# r9 ADVICE regressions: zero-row partitioned writes, partition column in
+# stats_cols, delete-materializing compaction's data_change marker, and the
+# create_tag/vacuum TOCTOU window.
+# ---------------------------------------------------------------------------
+
+
+def test_zero_row_partitioned_write_commits_empty_version(spark, root):
+    """A zero-row batch on a PARTITIONED table commits a harmless empty
+    version (the dynamic-partition writer emits no part files, so the
+    stats pass must be skipped, not crash) — the contract st27's sink
+    relies on."""
+    df = spark.createDataFrame([Row(i=1, p="a")], "i int, p string")
+    S.overwrite(df, root, partition_by="p")
+    v = S.append(df.limit(0), root, partition_by="p")
+    assert v == 2
+    assert S.read_snapshot(spark, root).count() == 1
+    assert S.metadata_count(spark, root) == 1  # coverage intact
+
+
+def test_stats_cols_with_partition_column_recorded_pathside(spark, root):
+    """stats_cols naming the partition column must not crash the leaf-file
+    stats read (the column lives only in path segments): it is dropped
+    from recorded stats, and pruning on it rides path values instead."""
+    df = spark.createDataFrame([Row(i=1, p="a"), Row(i=5, p="b")], "i int, p string")
+    v = S.append(df, root, partition_by="p", stats_cols=["p", "i"])
+    m = S._read_manifest(spark, root, v)
+    assert m["files"]
+    for s in m["stats"].values():
+        assert "p" not in s
+        assert "i" in s
+    pruned, planned, total = S.read_snapshot_pruned(spark, root, "p", "a", "a")
+    assert planned < total
+    assert [r.i for r in pruned.collect()] == [1]
+
+
+def test_compact_materializing_deletes_drops_skip_marker(spark, root):
+    """A compaction that materializes pending MoR deletes DROPS rows, so
+    it must NOT carry data_change:false (Delta: legal only for OPTIMIZE)
+    — incremental readers refuse to skip it instead of silently missing
+    the deletions."""
+    S.overwrite(_df(spark, 0, 6), root)  # v1
+    S.append(_df(spark, 6, 8), root)  # v2
+    S.mor_delete(spark.createDataFrame([Row(i=1)]), root, keys=["i"])  # v3
+    v = S.compact(spark, root)
+    m = S._read_manifest(spark, root, v)
+    assert m["data_change"] is True
+    assert m["deletes_materialized"] is True
+    assert not m.get("deletes")  # the rewrite did materialize them
+    assert S.read_snapshot(spark, root).count() == 7
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, since_version=v - 1, skip_compactions=True)
+    # a pure layout rewrite on the now-clean table keeps the marker
+    S.append(_df(spark, 8, 9), root)
+    S.append(_df(spark, 9, 10), root)
+    v2 = S.compact(spark, root)
+    assert S._read_manifest(spark, root, v2)["data_change"] is False
+
+
+def test_create_tag_vacuum_race_detected(spark, root, monkeypatch):
+    """A vacuum expiring the target version between create_tag's check
+    and its atomic create must be detected: the tag is undone and the
+    race surfaced, never a tag pointing at a missing manifest."""
+    S.overwrite(_df(spark, 0, 2), root)  # v1
+    S.append(_df(spark, 2, 3), root)  # v2
+    real = fsio.create_text_atomic
+
+    def racing(spark_, path, text):
+        if "/tag-" in path:  # simulate the concurrent vacuum landing first
+            fsio.delete(spark_, S._manifest_path(root, 1), recursive=False)
+        return real(spark_, path, text)
+
+    monkeypatch.setattr(S.fsio, "create_text_atomic", racing)
+    with pytest.raises(S.ConcurrentCommitError, match="vacuumed"):
+        S.create_tag(spark, root, "audit", version=1)
+    monkeypatch.setattr(S.fsio, "create_text_atomic", real)
+    assert not fsio.exists(spark, S._tag_path(root, "audit"))
+    assert S.create_tag(spark, root, "audit", version=2) == 2
