@@ -860,6 +860,7 @@ def merge_commit(
     max_retries: int = 3,
     prune_on: str | None = None,
     stats_cols: list[str] | None = None,
+    txn: str | None = None,
 ) -> int:
     """MERGE a change batch into the table's LATEST snapshot and publish
     the result as a new version — the snapshot-isolated form of the
@@ -889,6 +890,9 @@ def merge_commit(
     just-written files are orphaned — unreachable from any manifest, so
     harmless to readers; a Delta-style orphan-file GC reclaims them).
     First commit on an empty table inserts the batch as version 1.
+    ``txn`` is the same idempotence token as :func:`append`'s —
+    streaming foreachBatch merges (the CDC apply sink) record their
+    batch id so a replayed batch is provably skippable.
     Reference behavior: extract.py:115-132 — the flat-file in-place
     rewrite this replaces with transactional, file-pruned semantics.
     """
@@ -897,6 +901,8 @@ def merge_commit(
     from nagios_custom_etl_spark.operators.merge import merge_upsert
 
     spark = source.sparkSession
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     if prune_on is not None and prune_on not in keys:
         raise ValueError(f"prune_on {prune_on!r} must be one of keys {keys}")
     if stats_cols is None and prune_on is not None:
@@ -959,6 +965,7 @@ def merge_commit(
                 parent,
                 {**carried_stats, **stats} if (carried_stats or stats) else None,
                 m.get("schema") or _schema_list(merged),
+                txn=txn,
                 partition_spec=spec,
                 extra=extra,
             )

@@ -1950,9 +1950,11 @@ def st27_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replayed batch is a no-op (txn token, probed in-result). Deletes "
     "stay as TOMBSTONES carrying their seq, so a late lower-seq upsert "
     "cannot resurrect a deleted key — the reader view (cdc_current) "
-    "filters them; tombstone GC is a caller-scheduled retention policy "
-    "like watermark state eviction. Per-batch cost O(keys + batch), "
-    "never history.",
+    "filters them; cdc_expire_tombstones is the retention GC (st28b). "
+    "Per-batch cost O(batch + key-range-intersecting files): the apply "
+    "routes through merge_commit's file-pruned COW path, so untouched "
+    "file references carry manifest-to-manifest and a small trigger "
+    "never rewrites the table (the r9 scale flag, closed).",
 )
 def st28_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -2009,4 +2011,332 @@ def st28_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("k")
+    )
+
+
+@register(
+    "st28b_cdc_tombstone_gc",
+    oracle="""
+    -- Tombstone retention GC over the CDC-applied table: the raw table
+    -- (tombstones included) equals latest-per-key over all changes
+    -- MINUS tombstones older than the cutoff (planted keys 1000/1001 —
+    -- guaranteed expirable at every sf); young tombstones and every
+    -- live row survive byte-identically. gc_ran pins that the first GC
+    -- published a commit, gc_noop that the second found nothing.
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+      UNION ALL
+      SELECT k, seq, op, value FROM (VALUES
+        (1000, 5, 'D', CAST(NULL AS DOUBLE)),
+        (1001, 6, 'D', CAST(NULL AS DOUBLE)),
+        (1002, 7, 'U', CAST(42.0 AS DOUBLE))) AS t(k, seq, op, value)
+    ),
+    r AS (SELECT k, seq, op, value,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM c)
+    SELECT CAST(k AS BIGINT) AS k, CAST(seq AS BIGINT) AS seq, op, value,
+           CAST(TRUE AS BOOLEAN) AS gc_ran, CAST(TRUE AS BOOLEAN) AS gc_noop
+    FROM r WHERE rn = 1 AND NOT (op = 'D' AND seq < 500)
+    ORDER BY k, seq
+    """,
+    doc="ST-ext CDC tombstone retention GC (streaming/ops.py::"
+    "cdc_expire_tombstones): drops tombstones below a seq cutoff from a "
+    "cdc_apply_sink table — safe only because retention shorter than the "
+    "DECLARED max lateness is refused (the CDC twin of watermark state "
+    "eviction; a late upsert older than retention is undefined-by-"
+    "contract, pinned in tests). File-pruned via per-file seq stats: "
+    "only files old enough to hold an expirable tombstone rewrite, the "
+    "fresh tail carries manifest-to-manifest; publishes data_change:"
+    "false + tombstones_expired (st26's maintenance-commit convention). "
+    "Idempotent: a second run probes the pruned files, finds nothing, "
+    "publishes nothing (gc_noop).",
+)
+def st28b_cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import (
+        cdc_apply_sink,
+        cdc_expire_tombstones,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st28b_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "tab")
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    planted = spark.createDataFrame(
+        [(1000, 5, "D", None), (1001, 6, "D", None), (1002, 7, "U", 42.0)],
+        "k bigint, seq bigint, op string, value double",
+    )
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    for b in range(3):  # mod-3 split: heavily out-of-order delivery
+        sink(ev.filter(F.col("seq") % 3 == b), b)
+    sink(planted, 3)
+    gc_ran = cdc_expire_tombstones(spark, root, older_than_seq=500, max_lateness=100)
+    v_after = S.latest_version(spark, root)
+    gc_noop = (
+        cdc_expire_tombstones(spark, root, older_than_seq=500, max_lateness=100)
+        is None
+        and S.latest_version(spark, root) == v_after
+    )
+    return (
+        S.read_snapshot(spark, root)
+        .select("k", F.col("seq").cast("long").alias("seq"), "op", "value")
+        .withColumn("gc_ran", F.lit(gc_ran is not None))
+        .withColumn("gc_noop", F.lit(bool(gc_noop)))
+        .orderBy("k", "seq")
+    )
+
+
+@register(
+    "st29_cdc_maintained_join",
+    oracle="""
+    -- CDC-fed maintained join: the view must equal the inner join
+    -- recomputed over the FINAL CDC-resolved side states (latest-seq
+    -- per key, tombstoned keys gone), however the two change feeds
+    -- interleaved: A carries upserts, foreign-key REPLACEMENTS
+    -- (o_custkey -> o_custkey+1) and deletes; B carries renames and
+    -- deletes. Equality with this recompute is the Materialize/DLT
+    -- maintained-join contract.
+    WITH a_changes AS (
+      SELECT o_orderkey AS k, o_orderkey * 10 + 1 AS seq, 'U' AS op,
+             o_custkey AS c_custkey, CAST(o_totalprice AS DOUBLE) AS price_d
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 10 + 2, 'U', o_custkey + 1,
+             CAST(o_totalprice AS DOUBLE) + 1000.0
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderkey * 10 + 2, 'D', o_custkey,
+             CAST(o_totalprice AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 1
+    ),
+    a_final AS (
+      SELECT k AS o_orderkey, c_custkey, price_d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM a_changes) WHERE rn = 1 AND op <> 'D'
+    ),
+    b_changes AS (
+      SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_name FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, 'U', c_name || '#2' FROM customer
+      WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'D', c_name FROM customer WHERE c_custkey % 7 = 1
+    ),
+    b_final AS (
+      SELECT k AS c_custkey, c_name FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM b_changes) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT a.o_orderkey, CAST(a.c_custkey AS BIGINT) AS c_custkey,
+           a.price_d, b.c_name, CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM a_final a JOIN b_final b USING (c_custkey)
+    ORDER BY o_orderkey
+    """,
+    doc="ST-ext CDC-fed maintained join (st27's delta rule x st28's "
+    "keyed CDC feeds x x109's delete rule): a join view maintained from "
+    "TWO cdc_apply_sink tables, each fed keyed upserts AND deletes out "
+    "of order — an update is delete+insert of the same row id, so per "
+    "batch the view drops every pair carrying a touched id (ONE "
+    "merge-on-read equality-delete on the composite (o_orderkey, "
+    "c_custkey) — O(touched pairs) written, NO view file rewritten) and "
+    "appends dA |><| B_cur UNION (A_cur \\ dA) |><| dB — the base-x-base "
+    "join is never re-evaluated. B's changes ride an append-only bronze "
+    "with st27's per-batch pinned cursor; replay recomputes the "
+    "identical delta (pair-deletes self-heal: a replayed delete finds "
+    "its pairs already dead), exactly-once from the view append's txn "
+    "token. Foreign-key replacement (A row re-pointing at a different B "
+    "key) and delete interleavings are in the feeds by construction. "
+    "Per-batch cost O(|dA| |><| B + A |><| |dB| + touched pairs), "
+    "never O(J).",
+)
+def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st29_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "a_src")
+    aroot, broot = os.path.join(base, "a"), os.path.join(base, "b")
+    bbronze = os.path.join(base, "b_changes")
+    jroot, ckpt = os.path.join(base, "j"), os.path.join(base, "ckpt")
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1)
+    a_base = o.select(
+        F.col("o_orderkey"),
+        (F.col("o_orderkey") * 10 + 1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast("double").alias("price_d"),
+    )
+    a_repl = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey"),
+            (F.col("o_orderkey") * 10 + 2).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_custkey") + 1).alias("c_custkey"),
+            (F.col("o_totalprice").cast("double") + 1000.0).alias("price_d"),
+        )
+    )
+    a_del = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .select(
+            F.col("o_orderkey"),
+            (F.col("o_orderkey") * 10 + 2).alias("seq"),
+            F.lit("D").alias("op"),
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").cast("double").alias("price_d"),
+        )
+    )
+    a_changes = a_base.unionByName(a_repl).unionByName(a_del)
+    c = load_table(spark, sf_dir, "customer")
+    b_base = c.select(
+        "c_custkey", F.lit(1).cast("long").alias("seq"), F.lit("U").alias("op"), "c_name"
+    )
+    b_upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+            F.concat(F.col("c_name"), F.lit("#2")).alias("c_name"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 1).select(
+                "c_custkey",
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+                "c_name",
+            )
+        )
+    )
+    a_sink = cdc_apply_sink(
+        aroot, keys=["o_orderkey"], seq_col="seq", op_col="op", txn_prefix="a-cdc"
+    )
+    b_sink = cdc_apply_sink(
+        broot, keys=["c_custkey"], seq_col="seq", op_col="op", txn_prefix="b-cdc"
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        token = f"jview-batch-{batch_id}"
+        if S.txn_version(sp, jroot, token) is not None:
+            return  # replayed batch: the view already carries this delta
+        # pin B's bronze cursor for this batch id ONCE (st27's pattern):
+        # a crash-replay reads the pinned range and recomputes the
+        # identical dB
+        b_prev = 0
+        for k in range(batch_id - 1, -1, -1):
+            p = f"{jroot}/_cursors/batch-{k}.json"
+            if fsio.exists(sp, p):
+                b_prev = json.loads(fsio.read_text(sp, p))["b_hi"]
+                break
+        cpath = f"{jroot}/_cursors/batch-{batch_id}.json"
+        fsio.mkdirs(sp, f"{jroot}/_cursors")
+        try:
+            fsio.create_text_atomic(
+                sp, cpath, json.dumps({"b_hi": S.latest_version(sp, bbronze)})
+            )
+        except FileExistsError:
+            pass
+        b_hi = json.loads(fsio.read_text(sp, cpath))["b_hi"]
+        d_b = (
+            S.read_incremental(sp, bbronze, since_version=b_prev, to_version=b_hi)
+            if b_hi > b_prev
+            else b_base.limit(0)
+        )
+        if batch_df.isEmpty() and d_b.isEmpty():
+            return  # nothing on either side: replay recomputes nothing
+        # 1. apply each side's changes to its CDC state table (keep-max-
+        #    seq merge, idempotent under replay via its own txn token)
+        b_sink(d_b, batch_id)
+        a_sink(batch_df, batch_id)
+        a_cur = (
+            cdc_current(sp, aroot).select("o_orderkey", "c_custkey", "price_d")
+            if S.latest_version(sp, aroot)
+            else batch_df.select("o_orderkey", "c_custkey", "price_d").limit(0)
+        )
+        b_cur = (
+            cdc_current(sp, broot).select("c_custkey", "c_name")
+            if S.latest_version(sp, broot)
+            else c.select("c_custkey", "c_name").limit(0)
+        )
+        touched_a = batch_df.select("o_orderkey").distinct()
+        touched_b = d_b.select("c_custkey").distinct()
+        # 2. an update is delete+insert of the same id: drop every view
+        #    pair carrying a touched id — ONE composite equality-delete,
+        #    no view file rewritten (pairs listed via a map-side
+        #    semi-join against the live view; a replayed delete finds
+        #    them already dead and writes an empty set)
+        if S.latest_version(sp, jroot):
+            live = S.read_snapshot(sp, jroot)
+            pairs = (
+                live.join(touched_a, "o_orderkey", "left_semi")
+                .unionByName(live.join(touched_b, "c_custkey", "left_semi"))
+                .select("o_orderkey", "c_custkey")
+                .dropDuplicates()
+            )
+            if not pairs.isEmpty():
+                S.mor_delete(pairs, jroot, keys=["o_orderkey", "c_custkey"])
+        # 3. delta-rule inserts: changed-A x current-B, plus
+        #    unchanged-A x changed-B (anti on a's id kills double count)
+        add_a = a_cur.join(touched_a, "o_orderkey", "left_semi").join(
+            b_cur, "c_custkey"
+        )
+        add_b = a_cur.join(touched_a, "o_orderkey", "left_anti").join(
+            b_cur.join(touched_b, "c_custkey", "left_semi"), "c_custkey"
+        )
+        inserts = add_a.unionByName(add_b).select(
+            "o_orderkey", "c_custkey", "price_d", "c_name"
+        )
+        # an all-empty delta commits a zero-row version carrying the txn
+        # token — exactly what a replay wants to find (st27's comment)
+        S.append(inserts, jroot, txn=token)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(a_changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase split by a seq-mixing hash -> heavy out-of-order delivery
+    # (some keys' replacement/delete arrives BEFORE their base row)
+    phase = (F.col("o_orderkey") * 7 + F.col("seq")) % 2
+    S.append(b_base, bbronze)
+    a_changes.filter(phase == 0).coalesce(2).write.mode("append").parquet(src)
+    drain()
+    S.append(b_upd, bbronze)
+    a_changes.filter(phase == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    before = S.latest_version(spark, jroot)
+    first_batch = a_changes.filter(phase == 0)  # superset replay of batch 0
+    write(first_batch, 0)
+    replay_noop = S.latest_version(spark, jroot) == before
+    return (
+        S.read_snapshot(spark, jroot)
+        .select("o_orderkey", "c_custkey", "price_d", "c_name")
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("o_orderkey")
     )

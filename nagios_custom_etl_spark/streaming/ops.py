@@ -565,35 +565,49 @@ def cdc_apply_sink(
     seq_col: str,
     op_col: str,
     txn_prefix: str = "cdc-batch",
+    prune_on: str | None = None,
 ):
     """foreachBatch sink applying a CDC stream of keyed UPSERTS and
     DELETES into a snapshot table — Delta Live Tables' APPLY CHANGES
     INTO (SCD Type 1 with tombstones). Each change row carries a
     monotone sequencing column (``seq_col``) and an op (``op_col``:
-    'D' = delete, anything else = upsert); per batch, the target is
-    replaced by the per-key MAX-``seq`` row over (current target rows
-    UNION the batch's per-key latest) — one aggregate at key
-    cardinality, never a history scan.
+    'D' = delete, anything else = upsert); per batch, the batch's
+    per-key latest rows MERGE into the target with the keep-max-seq
+    rule as the matched condition (``WHEN MATCHED AND s.seq > t.seq
+    THEN UPDATE``, row-wise) — Delta's APPLY CHANGES matched-condition
+    shape, expressed through the file-pruned COW
+    :func:`~..operators.snapshots.merge_commit`.
 
     Out-of-order delivery is ABSORBED BY THE ALGEBRA, not by ordering
     assumptions: keep-max-seq is idempotent/commutative/associative
     (the agg-merge sink's max trick applied to whole rows), so batches
-    may arrive in any interleaving and replays are no-ops (txn token).
-    DELETES ARE KEPT AS TOMBSTONES — the 'D' row with its seq stays in
-    the table so a LATE upsert with a lower seq cannot resurrect a
-    deleted key; :func:`cdc_current` filters them out for readers.
-    Tombstone GC (dropping tombstones older than the max possible
-    lateness) is a retention policy the caller schedules, same contract
-    as watermark-based state eviction.
+    may arrive in any interleaving and replays are no-ops (txn token,
+    recorded by the merge commit itself). DELETES ARE KEPT AS
+    TOMBSTONES — the 'D' row with its seq stays in the table so a LATE
+    upsert with a lower seq cannot resurrect a deleted key;
+    :func:`cdc_current` filters them out for readers, and
+    :func:`cdc_expire_tombstones` is the retention GC.
 
-    At 100 TB the per-batch cost is O(target keys + batch); for a
-    key-partitioned target compose with replace_partitions to rewrite
-    only touched partitions (the keyed_upsert_sink pattern)."""
+    At 100 TB the per-batch cost is O(batch + files whose recorded
+    [min, max] of ``prune_on`` (default ``keys[0]``) intersect the
+    batch's key range): merge_commit plans only those files, rewrites
+    them, and CARRIES every other file reference (and its stats) into
+    the child manifest untouched — a 1-key trigger against a
+    million-file target rewrites the files holding that key, never the
+    table (Delta APPLY CHANGES rewrites only matched files; the r9
+    whole-table read→union→overwrite is gone). Per-file stats are
+    recorded on the prune key (keeps later merges pruning) AND on
+    ``seq_col`` (lets tombstone GC prune to files old enough to hold
+    expirable tombstones)."""
     from pyspark.sql import Window
 
     from nagios_custom_etl_spark.operators import snapshots as S
 
+    prune_key = prune_on or keys[0]
+
     def latest_per_key(df: DataFrame) -> DataFrame:
+        # batch-sized window: partitions by the CDC key over one
+        # micro-batch, never over the target
         w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -609,12 +623,24 @@ def cdc_apply_sink(
         if batch_df.isEmpty():
             return  # trailing no-data trigger: nothing to apply
         delta = latest_per_key(batch_df)
-        if S.latest_version(spark, root) > 0:
-            cur = S.read_snapshot(spark, root).select(*delta.columns)
-            merged = latest_per_key(cur.unionByName(delta))
-        else:
-            merged = delta
-        S.overwrite(merged, root, txn=token)
+        newer = F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}")
+        # whole-row keep-max-seq: matched -> source row iff strictly
+        # newer (ties keep target, which makes replays no-ops even
+        # without the txn token); unmatched source rows — including
+        # tombstones for never-seen keys — insert
+        upd = {
+            c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            for c in delta.columns
+        }
+        S.merge_commit(
+            root,
+            delta,
+            keys=keys,
+            when_matched_update=upd,
+            prune_on=prune_key,
+            stats_cols=[prune_key, seq_col],
+            txn=token,
+        )
 
     return write
 
@@ -625,3 +651,111 @@ def cdc_current(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame
     from nagios_custom_etl_spark.operators import snapshots as S
 
     return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")
+
+
+def cdc_expire_tombstones(
+    spark: SparkSession,
+    root: str,
+    older_than_seq: int,
+    max_lateness: int,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int | None:
+    """Retention GC for a :func:`cdc_apply_sink` table: drop tombstones
+    (op='D' rows) whose seq is below ``older_than_seq`` — the operator
+    the r9 docstring only promised. A tombstone exists to block LATE
+    lower-seq upserts from resurrecting a deleted key, so it is only
+    safe to drop once no change that old can still arrive: the caller
+    DECLARES that bound as ``max_lateness`` (seq units — the CDC twin
+    of a watermark delay), and a cutoff younger than
+    ``max_seq - max_lateness`` is REFUSED, never silently clamped.
+    A late upsert older than the declared lateness is
+    undefined-by-contract after expiry (it may resurrect), exactly as a
+    beyond-watermark event's handling is undefined for streaming state.
+
+    File-pruned like the apply itself: only files whose recorded min
+    ``seq`` is below the cutoff can hold an expirable tombstone — the
+    rest carry into the child manifest untouched, so steady-state GC on
+    a mostly-fresh 100 TB table rewrites the old tail, not the table.
+    Idempotent and replay-safe: when the pruned probe finds nothing
+    expirable, NO commit is published (re-running is free) — and
+    re-running after a successful expiry finds nothing by construction.
+
+    Publishes a ``data_change: false`` maintenance ``replace`` (st26's
+    convention) plus a ``tombstones_expired`` marker, so any
+    skip-compactions change-feed consumer steps over it (a cdc_apply
+    table's own history is merge-family — consumed through cdc_current
+    or snapshot CDC, not file diffs — but the marker keeps compositions
+    honest). Sound for keyed downstream replicas by the same retention
+    contract: one that never learns a tombstone vanished just keeps it,
+    and the refusal above guarantees no surviving change is old enough
+    for that kept tombstone to wrongly block. Refused while
+    MoR deletes are pending (their scope over a partial rewrite is
+    ambiguous — compact first). Returns the new version, or None when
+    nothing expired."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    v = S.latest_version(spark, root)
+    if v == 0:
+        return None
+    m = S._read_manifest(spark, root, v)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: their scope over a partial tombstone "
+            "rewrite is ambiguous — compact() first"
+        )
+    # manifest-only current high-water mark (refuses files without
+    # recorded seq stats — no silent wrong retention math)
+    hi = S.metadata_minmax(spark, root, seq_col)[1]
+    if hi is None:
+        return None  # empty table: nothing to expire
+    if older_than_seq > hi - max_lateness:
+        raise ValueError(
+            f"retention too short: cutoff {older_than_seq} > max seq {hi} "
+            f"- declared max lateness {max_lateness}; a tombstone younger "
+            "than the lateness bound may still need to block a late upsert"
+        )
+    stats = m.get("stats", {})
+
+    def may_hold(f: str) -> bool:
+        s = stats.get(f, {}).get(seq_col)
+        if not s or s[0] is None:
+            return True  # no stats: conservatively rewrite
+        return s[0] < older_than_seq
+
+    touched = [f for f in m["files"] if may_hold(f)]
+    untouched = [f for f in m["files"] if not may_hold(f)]
+    if not touched:
+        return None
+    view = S._read_files(
+        spark, root, touched, m.get("schema"), m.get("partition_spec")
+    )
+    # NULL-safe: a NULL seq or op row is never expirable (coalesce keeps
+    # it — a bare ~expired would NULL-drop it from the survivors)
+    expired = F.coalesce(
+        (F.col(op_col) == "D") & (F.col(seq_col) < F.lit(older_than_seq)),
+        F.lit(False),
+    )
+    if view.filter(expired).isEmpty():
+        return None  # nothing expirable in the pruned files: no churn
+    survivors = view.filter(~expired)
+    stats_cols = (
+        sorted({c for s in stats.values() for c in s if not c.startswith("__")})
+        or None
+    )
+    spec = m.get("partition_spec")
+    files, new_stats = S._write_data_files(
+        survivors, root, stats_cols, spec[0] if spec else None
+    )
+    carried = {f: s for f, s in stats.items() if f in set(untouched)}
+    return S._commit(
+        spark,
+        root,
+        untouched + files,
+        "replace",
+        v,
+        {**carried, **new_stats},
+        m.get("schema"),
+        partition_spec=spec,
+        extra={"data_change": False, "tombstones_expired": True},
+    )

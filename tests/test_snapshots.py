@@ -1820,3 +1820,89 @@ def test_create_tag_vacuum_race_detected(spark, root, monkeypatch):
     monkeypatch.setattr(S.fsio, "create_text_atomic", real)
     assert not fsio.exists(spark, S._tag_path(root, "audit"))
     assert S.create_tag(spark, root, "audit", version=2) == 2
+
+
+def test_cdc_apply_rewrites_only_touched_files(spark, root):
+    """The r9 scale flag: a 1-key CDC batch against a many-file target
+    must rewrite ONLY the files whose key range can hold that key —
+    every other file reference (and its stats) carries into the child
+    manifest byte-identical (merge_commit's file-pruned COW path)."""
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    # three disjoint key-range batches -> three commits, disjoint files
+    for bid, lo in enumerate((0, 100, 200)):
+        rows = [(lo + i, 10 + i, "U", f"v{lo + i}") for i in range(10)]
+        sink(spark.createDataFrame(rows, sch).coalesce(1), bid)
+    m_before = S._read_manifest(spark, root, S.latest_version(spark, root))
+    files_before = set(m_before["files"])
+
+    def krange(f):
+        s = m_before["stats"][f]["k"]
+        return (s[0], s[1])
+
+    touched_before = {f for f in files_before if krange(f)[0] <= 105 <= krange(f)[1]}
+    untouched_before = files_before - touched_before
+    assert touched_before and len(untouched_before) >= 2
+    # single-key update in the middle range
+    sink(spark.createDataFrame([(105, 99, "U", "new")], sch), 3)
+    m_after = S._read_manifest(spark, root, S.latest_version(spark, root))
+    files_after = set(m_after["files"])
+    # untouched files carried verbatim, stats and all
+    assert untouched_before <= files_after
+    for f in untouched_before:
+        assert m_after["stats"][f] == m_before["stats"][f]
+    # touched files replaced, not carried
+    assert not (touched_before & files_after)
+    got = {(r.k, r.v) for r in cdc_current(spark, root).collect() if r.k in (104, 105, 106)}
+    assert got == {(104, "v104"), (105, "new"), (106, "v106")}
+
+
+def test_cdc_expire_tombstones(spark, root):
+    """Tombstone retention GC: expired tombstones gone, live keys and
+    young tombstones untouched, retention shorter than the declared max
+    lateness refused, second run a no-op, fresh files never rewritten."""
+    from nagios_custom_etl_spark.streaming.ops import (
+        cdc_apply_sink,
+        cdc_current,
+        cdc_expire_tombstones,
+    )
+
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    sink(
+        spark.createDataFrame(
+            [(k, 10 + k, "U", f"a{k}") for k in range(5)], sch
+        ).coalesce(1),
+        0,
+    )
+    sink(spark.createDataFrame([(1, 20, "D", None), (3, 21, "D", None)], sch), 1)
+    # newer, disjoint-key activity raises the high-water mark in its own files
+    sink(spark.createDataFrame([(7, 500, "U", "hot"), (8, 501, "D", None)], sch), 2)
+    m0 = S._read_manifest(spark, root, S.latest_version(spark, root))
+    fresh = {
+        f for f, s in m0["stats"].items() if s.get("seq") and s["seq"][0] >= 100
+    }
+    assert fresh  # the k=7/8 file(s): min seq 500
+
+    with pytest.raises(ValueError, match="retention too short"):
+        cdc_expire_tombstones(spark, root, older_than_seq=500, max_lateness=100)
+
+    v = cdc_expire_tombstones(spark, root, older_than_seq=100, max_lateness=100)
+    assert v is not None
+    rows = {(r.k, r.seq, r.op) for r in S.read_snapshot(spark, root).collect()}
+    assert (1, 20, "D") not in rows and (3, 21, "D") not in rows  # expired
+    assert (8, 501, "D") in rows  # young tombstone kept
+    live = {(r.k, r.v) for r in cdc_current(spark, root).collect()}
+    assert live == {(0, "a0"), (2, "a2"), (4, "a4"), (7, "hot")}
+    m1 = S._read_manifest(spark, root, v)
+    assert m1["data_change"] is False and m1["tombstones_expired"] is True
+    assert fresh <= set(m1["files"])  # fresh files carried, not rewritten
+    # idempotent: nothing left to expire -> no commit published
+    assert cdc_expire_tombstones(spark, root, older_than_seq=100, max_lateness=100) is None
+    assert S.latest_version(spark, root) == v
+    # a late upsert OLDER than retention is undefined-by-contract after
+    # expiry: with the tombstone gone it resurrects (documented, pinned)
+    sink(spark.createDataFrame([(1, 15, "U", "late")], sch), 3)
+    assert (1, "late") in {(r.k, r.v) for r in cdc_current(spark, root).collect()}
