@@ -262,7 +262,9 @@ def pagerank(
     return ranks
 
 
-def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, checkpoint_every: int = 10
+) -> DataFrame:
     """Synchronous label propagation (community detection) over an
     undirected edge list ``(u, v)`` — K rounds of: every node adopts the
     label carried by the PLURALITY of its neighbors, ties broken by the
@@ -281,9 +283,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     100 TB bucket the edges on ``v``). Complements the connected-
     components family (x13/x46: reachability) with density-based
     communities — CC merges everything touching, LPA splits dense
-    regions joined by thin bridges. Lineage is K joins deep — bounded
-    because K is a fixed small constant (LPA converges in a handful of
-    rounds; insert a localCheckpoint every ~10 for larger K)."""
+    regions joined by thin bridges. Lineage is K joins deep, so the
+    label vector is localCheckpointed every ``checkpoint_every`` rounds
+    (the x95 guard, implemented rather than footnoted: a K=50 run must
+    not carry a 50-join plan into round 51)."""
     from pyspark.sql import Window
 
     fwd = edges.select("u", "v")
@@ -297,7 +300,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     nodes = und.select(F.col("u").alias("node")).dropDuplicates(["node"]).cache()
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(iterations):
+    for k in range(iterations):
         cand = (
             und.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"), "label")
@@ -308,4 +311,6 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select("node", "label")
         )
+        if (k + 1) % max(1, checkpoint_every) == 0 and k + 1 < iterations:
+            labels = labels.localCheckpoint()
     return labels

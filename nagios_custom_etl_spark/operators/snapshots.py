@@ -204,15 +204,33 @@ def _file_stats(
     like. Returned keyed by manifest-relative path (which may include
     ``col=val`` partition segments — basenames alone collide across
     partition dirs). Numeric columns only: the values live in JSON
-    manifests and must compare exactly after a round trip."""
+    manifests and must compare exactly after a round trip.
+
+    INTEGER stats columns additionally record per-file ``__sum_<c>``
+    (exact, decimal(38,0)-carried — Python ints round-trip JSON at
+    arbitrary precision) and ``__nulls_<c>`` — the basis of
+    metadata-only SUM/AVG (:func:`metadata_sum`). Integer-only by the
+    HUGEINT-rule discipline: a float sum depends on reduction order and
+    would not equal a recompute bit-for-bit, so it is never recorded."""
     from pyspark.sql import functions as F
 
+    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    dtypes = dict(df.dtypes)
+    int_cols = [
+        c
+        for c in stats_cols
+        if dtypes.get(c) in ("tinyint", "smallint", "int", "bigint")
+    ]
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    for c in int_cols:
+        aggs += [
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_sum_{c}"),
+            F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"),
+        ]
     rows = (
-        spark.read.parquet(*[f"{root}/{f}" for f in files])
-        .groupBy(F.input_file_name().alias("_f"))
+        df.groupBy(F.input_file_name().alias("_f"))
         .agg(*aggs)
         .collect()  # bounded: one row per written file (manifest metadata)
     )
@@ -224,6 +242,13 @@ def _file_stats(
         rel(r["_f"]): {
             "__rows": int(r["__rows"]),
             **{c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols},
+            **{
+                f"__sum_{c}": (
+                    int(r[f"_sum_{c}"]) if r[f"_sum_{c}"] is not None else None
+                )
+                for c in int_cols
+            },
+            **{f"__nulls_{c}": int(r[f"_nulls_{c}"]) for c in int_cols},
         }
         for r in rows
     }
@@ -273,15 +298,24 @@ def _write_data_files(
 
 
 def _check_partition_spec(
-    parent_manifest: dict, partition_by: str | None
+    parent_manifest: dict,
+    partition_by: str | None,
+    allow_change: bool = False,
 ) -> list[str] | None:
     """A table's declared partition column is part of its contract: an
     append must match the parent's spec exactly (None on an unpartitioned
     table), else file layouts diverge and partition pruning turns
-    unsound. Overwrites redefine the table and may change the spec."""
+    unsound. Overwrites redefine the table and may change the spec.
+    ``allow_change=True`` is partition-spec EVOLUTION (Iceberg): the
+    append re-declares the manifest spec while old files keep their old
+    layout — legal only when a layer above owns mixed-spec planning
+    (operators/transforms.py prunes each file through the spec that
+    wrote it; plain read_snapshot_pruned would be conservative, not
+    wrong, since files without the new column's segment fall back to
+    stats/keep)."""
     parent_spec = parent_manifest.get("partition_spec")
     new_spec = [partition_by] if partition_by else None
-    if parent_manifest and parent_spec != new_spec:
+    if parent_manifest and parent_spec != new_spec and not allow_change:
         raise SchemaMismatchError(
             f"partition spec mismatch: table has {parent_spec}, append has {new_spec}"
         )
@@ -308,6 +342,7 @@ def append(
     partition_by: str | None = None,
     max_retries: int = 3,
     hidden_partition: bool = False,
+    allow_spec_change: bool = False,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
     Parent files keep their recorded stats; new files add theirs. The
@@ -344,7 +379,7 @@ def append(
     schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
-    spec = _check_partition_spec(m, partition_by)
+    spec = _check_partition_spec(m, partition_by, allow_spec_change)
     schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
     last_err: Exception | None = None
@@ -360,7 +395,7 @@ def append(
                     ) from last_err
             parent = new_parent
             m = _read_manifest(spark, root, parent) if parent else {}
-            spec = _check_partition_spec(m, partition_by)
+            spec = _check_partition_spec(m, partition_by, allow_spec_change)
             schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
         try:
             return _commit(
@@ -825,7 +860,10 @@ def metadata_minmax(
     stats = m.get("stats", {})
     los, his = [], []
     for f in m["files"]:
-        s = stats.get(f, {}).get(col)
+        entry = stats.get(f, {})
+        if entry.get("__rows") == 0:
+            continue  # zero-row part file: contributes no bounds
+        s = entry.get(col)
         if s is None:
             raise ValueError(f"file {f!r} has no recorded stats for {col!r}")
         if s[0] is not None:
@@ -833,6 +871,68 @@ def metadata_minmax(
         if s[1] is not None:
             his.append(s[1])
     return (min(los) if los else None, max(his) if his else None)
+
+
+def _metadata_sum_parts(
+    spark: SparkSession, root: str, col: str, version: int | None
+) -> tuple[int, int]:
+    """(exact sum, non-null count) of an INTEGER column from per-file
+    ``__sum_<col>`` / ``__nulls_<col>`` manifest stats. Shared guard
+    path of :func:`metadata_sum` / :func:`metadata_avg`: refuses
+    pending MoR deletes (dead rows still counted in file stats) and any
+    file without recorded sum stats (pre-recording files, or a
+    non-integer column — float sums are never recorded, see
+    :func:`_file_stats`)."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: deleted rows still sit in file stats — "
+            "compact() first or aggregate through read_snapshot"
+        )
+    stats = m.get("stats", {})
+    total, nonnull = 0, 0
+    for f in m["files"]:
+        s = stats.get(f, {})
+        if s.get("__rows") == 0:
+            continue  # zero-row part file: no rows, no sum, by definition
+        if f"__sum_{col}" not in s or f"__nulls_{col}" not in s or "__rows" not in s:
+            raise ValueError(
+                f"file {f!r} has no recorded sum stats for {col!r} (integer "
+                "stats_cols record them at write; re-commit via compact)"
+            )
+        if s[f"__sum_{col}"] is not None:
+            total += int(s[f"__sum_{col}"])
+        nonnull += int(s["__rows"]) - int(s[f"__nulls_{col}"])
+    return total, nonnull
+
+
+def metadata_sum(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> int | None:
+    """``SUM(col)`` answered from the MANIFEST alone for an integer
+    column — the SUM twin of :func:`metadata_count` (x117's family):
+    per-file exact sums recorded at write time are themselves summed as
+    Python ints (arbitrary precision — no overflow, no float drift), so
+    the answer equals a full recompute bit-for-bit. Same refusals:
+    pending MoR deletes, or any planned file without recorded sum
+    stats. Returns None when every row is NULL (SQL SUM semantics)."""
+    total, nonnull = _metadata_sum_parts(spark, root, col, version)
+    return total if nonnull else None
+
+
+def metadata_avg(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> float | None:
+    """Exact ``AVG(col)`` from the manifest: the integer sum is exact,
+    the non-null count is exact, and the single float division at the
+    end is the same IEEE operation a SQL engine performs on its own
+    exact accumulator (DuckDB: ``CAST(SUM(c) AS DOUBLE) / COUNT(c)``) —
+    so the metadata answer is bit-identical to the recompute, not
+    approximately equal. NULL rows are excluded from the denominator
+    (SQL AVG); all-NULL returns None."""
+    total, nonnull = _metadata_sum_parts(spark, root, col, version)
+    return float(total) / nonnull if nonnull else None
 
 
 def rollback(spark: SparkSession, root: str, to_version: int) -> int:

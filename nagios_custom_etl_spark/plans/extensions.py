@@ -9196,3 +9196,187 @@ def x117_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame
         "mor_refused",
         F.col("n_after_delete").cast("long"),
     )
+
+
+@register(
+    "x118_metadata_sum_avg",
+    oracle="""
+    -- SUM/AVG answered from MANIFEST stats alone (per-file exact
+    -- integer __sum/__nulls recorded at write): equality with this
+    -- plain recompute is the correctness claim — the int sum is summed
+    -- at arbitrary precision and AVG's single float division is the
+    -- same IEEE op DuckDB performs on its exact accumulator, so the
+    -- match is bit-identical, not approximate. Refusals pinned
+    -- in-result: pending MoR deletes, and a column without recorded
+    -- sum stats (floats never record sums — order-dependent).
+    WITH s AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 1)
+    SELECT CAST((SELECT SUM(o_custkey) FROM s) AS BIGINT) AS sum_meta,
+           CAST((SELECT SUM(o_custkey) FROM s) AS DOUBLE)
+             / (SELECT COUNT(o_custkey) FROM s) AS avg_meta,
+           CAST(TRUE AS BOOLEAN) AS mor_refused,
+           CAST(TRUE AS BOOLEAN) AS unrecorded_refused,
+           CAST((SELECT SUM(o_custkey) FROM s WHERE o_orderkey % 7 <> 0) AS BIGINT)
+             AS sum_after_delete
+    """,
+    doc="X118 metadata-only SUM/AVG (operators/snapshots.py::"
+    "metadata_sum/metadata_avg): the SUM/AVG twins of x117 — every "
+    "write records per-file exact __sum/__nulls for INTEGER stats "
+    "columns (decimal(38,0)-carried, JSON round-trips Python ints at "
+    "arbitrary precision), so a snapshot SUM is a manifest-JSON sum "
+    "with zero file opens and AVG is that sum over the exact non-null "
+    "count — bit-identical to a recompute (float columns never record "
+    "sums: a float sum is reduction-order-dependent and could not "
+    "honor the equality). Refusals mirror x117: pending MoR deletes "
+    "overstate, unrecorded columns refuse rather than silently "
+    "mis-answer; compact() re-records and the post-delete metadata sum "
+    "equals the post-delete recompute.",
+)
+def x118_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x118_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for k in range(3):
+        S.append(o.filter(F.col("o_orderkey") % 3 == k), root, stats_cols=["o_custkey"])
+    sum_meta = S.metadata_sum(spark, root, "o_custkey")
+    avg_meta = S.metadata_avg(spark, root, "o_custkey")
+    try:
+        S.metadata_sum(spark, root, "o_orderkey")  # never in stats_cols
+        unrecorded_refused = False
+    except ValueError:
+        unrecorded_refused = True
+    S.mor_delete(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        root,
+        keys=["o_orderkey"],
+    )
+    try:
+        S.metadata_sum(spark, root, "o_custkey")
+        mor_refused = False
+    except ValueError:
+        mor_refused = True
+    S.compact(spark, root)  # materializes deletes; sum stats re-recorded
+    sum_after = S.metadata_sum(spark, root, "o_custkey")
+    return spark.createDataFrame(
+        [
+            Row(
+                sum_meta=sum_meta,
+                avg_meta=avg_meta,
+                mor_refused=bool(mor_refused),
+                unrecorded_refused=bool(unrecorded_refused),
+                sum_after_delete=sum_after,
+            )
+        ]
+    ).select(
+        F.col("sum_meta").cast("long"),
+        F.col("avg_meta").cast("double"),
+        "mor_refused",
+        "unrecorded_refused",
+        F.col("sum_after_delete").cast("long"),
+    )
+
+
+@register(
+    "x119_partition_spec_evolution",
+    oracle="""
+    -- partition-spec EVOLUTION (days -> hours): phase-1 files keep the
+    -- day layout, phase-2 files land at hour granularity, and ONE
+    -- pruned read plans each era under the spec that wrote it — the
+    -- oracle re-derives planned/total independently as day-distincts
+    -- over phase 1 PLUS hour-distincts over phase 2 (one file per
+    -- partition value by writer layout). Content = plain ts-range
+    -- filter (residual keeps it exact); 'hidden' pins that neither
+    -- derived column reaches readers; old_files_carried pins that
+    -- evolution rewrote nothing.
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    p1 AS (SELECT e.* FROM events e, b WHERE CAST(ts AS DATE) < d0 + 2),
+    p2 AS (SELECT e.* FROM events e, b WHERE CAST(ts AS DATE) = d0 + 2),
+    w AS (SELECT CAST(d0 + 1 AS TIMESTAMP) AS lo,
+                 CAST(d0 + 2 AS TIMESTAMP) + INTERVAL 12 HOUR AS hi FROM b),
+    u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    SELECT
+      CAST((SELECT COUNT(*) FROM u, w WHERE u.ts BETWEEN w.lo AND w.hi)
+           AS BIGINT) AS n_rows,
+      CAST((SELECT SUM(CAST(value AS DECIMAL(18,6))) FROM u, w
+            WHERE u.ts BETWEEN w.lo AND w.hi) AS DOUBLE) AS sum_v,
+      CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM p1, w
+            WHERE CAST(ts AS DATE) BETWEEN CAST(w.lo AS DATE)
+                                       AND CAST(w.hi AS DATE)) AS BIGINT)
+      + CAST((SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d-%H')) FROM p2, w
+              WHERE strftime(ts, '%Y-%m-%d-%H')
+                    BETWEEN strftime(w.lo, '%Y-%m-%d-%H')
+                        AND strftime(w.hi, '%Y-%m-%d-%H')) AS BIGINT)
+        AS planned_files,
+      CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM p1) AS BIGINT)
+      + CAST((SELECT COUNT(DISTINCT strftime(ts, '%Y-%m-%d-%H')) FROM p2)
+             AS BIGINT) AS files_total,
+      CAST(TRUE AS BOOLEAN) AS hidden,
+      CAST(TRUE AS BOOLEAN) AS old_files_carried
+    """,
+    doc="X119 partition-spec evolution (operators/transforms.py::"
+    "evolve_transform/read_pruned_source_range): Iceberg's headline "
+    "follow-up to hidden partitioning (x112/x113) — CHANGE the declared "
+    "transform (days(ts) -> hours(ts), bucket n -> 2n) as a metadata-"
+    "only append to the write-once spec chain: no data file is read or "
+    "rewritten (pinned in-result), old files are planned under the spec "
+    "that wrote them forever (each era's derived column is spec-id-"
+    "suffixed, so a file's path segment names its spec), and one pruned "
+    "read mixes granularities — day files prune at day resolution, "
+    "hour files at hour resolution, with the oracle re-deriving both "
+    "eras' planned/total counts independently. Writes with a "
+    "superseded spec refuse (tests); at 100 TB this is how a table "
+    "whose traffic outgrew daily partitions moves to hourly without a "
+    "100 TB rewrite or a reader migration.",
+)
+def x119_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators import transforms as T
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x119_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]  # bounded: one scalar
+    d1, d2 = d0 + datetime.timedelta(days=1), d0 + datetime.timedelta(days=2)
+    p1 = ev.filter(F.to_date("ts") < F.lit(str(d2)))
+    p2 = ev.filter(F.to_date("ts") == F.lit(str(d2)))
+    T.write_transformed(p1, root, T.days("ts"), mode="overwrite")
+    old_files = set(S._read_manifest(spark, root, S.latest_version(spark, root))["files"])
+    T.evolve_transform(spark, root, T.hours("ts"))
+    T.write_transformed(p2, root, T.hours("ts"), mode="append")
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    old_carried = old_files <= set(m["files"])
+    lo_s, hi_s = f"{d1} 00:00:00", f"{d2} 12:00:00"
+    df, planned, total = T.read_pruned_source_range(spark, root, lo_s, hi_s)
+    hidden = not any(
+        c.startswith("_ts_") for c in S.read_snapshot(spark, root).columns
+    )
+    res = df.filter(
+        F.col("ts").between(
+            F.lit(lo_s).cast("timestamp"), F.lit(hi_s).cast("timestamp")
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+    )
+    return res.select(
+        "n_rows",
+        "sum_v",
+        F.lit(planned).cast("long").alias("planned_files"),
+        F.lit(total).cast("long").alias("files_total"),
+        F.lit(bool(hidden)).alias("hidden"),
+        F.lit(bool(old_carried)).alias("old_files_carried"),
+    )

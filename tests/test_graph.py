@@ -187,3 +187,26 @@ def test_label_propagation_matches_python_replication(spark):
     df = spark.createDataFrame(sorted(fwd), "u long, v long")
     got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
     assert got == labels
+
+
+def test_label_propagation_checkpoint_invariant(spark):
+    """A long LPA run localCheckpoints its label vector every
+    checkpoint_every rounds; checkpointing must not change the result
+    (same rounds, same deterministic tie-break)."""
+    import random
+
+    from nagios_custom_etl_spark.operators.graph import label_propagation
+
+    rnd = random.Random(3)
+    edges = {(rnd.randint(0, 60), rnd.randint(0, 60)) for _ in range(150)}
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "u long, v long")
+    fast = {
+        (r.node, r.label)
+        for r in label_propagation(df, iterations=12, checkpoint_every=4).collect()
+    }
+    plain = {
+        (r.node, r.label)
+        for r in label_propagation(df, iterations=12, checkpoint_every=99).collect()
+    }
+    assert fast == plain and fast

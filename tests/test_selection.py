@@ -121,3 +121,52 @@ def test_skyline_nd_correlated_anticorrelated(spark):
         {(r.a, r.b, r.c) for r in pareto_skyline_points_nd(df2, ["a", "b", "c"]).collect()}
     )
     assert got2 == _brute_nd(corr)
+
+
+def test_nd_bucket_cap_bounds_pair_relation():
+    """The worst-case cell-pair relation (fully anti-correlated data)
+    is b^(2d); the per-d cap keeps it metadata-sized BY CONSTRUCTION,
+    so the broadcast claim holds against adversarial distributions."""
+    from nagios_custom_etl_spark.operators.selection import _nd_buckets
+
+    for d in (2, 3, 4, 6, 8):
+        b = _nd_buckets(d, 1000)
+        assert b ** (2 * d) <= 1 << 20
+        assert (b + 1) ** (2 * d) > 1 << 20 or b == 1000
+        assert b >= 2
+    # defaults survive un-clamped where they already fit
+    assert _nd_buckets(2, 8) == 8
+    assert _nd_buckets(3, 8) == 8
+    assert _nd_buckets(4, 8) == 5  # clamped: 8^8 pairs would be 16M
+
+
+def test_skyline_4d_anticorrelated_stress(spark):
+    """d=4 fully anti-correlated points (the worst case for grid
+    pruning: the whole diagonal shell survives): result still equals
+    brute-force dominance, and the clamped grid keeps the plan's
+    broadcast side bounded."""
+    import itertools
+    import random
+
+    from nagios_custom_etl_spark.operators.selection import pareto_skyline_points_nd
+
+    rnd = random.Random(7)
+    rows = []
+    for _ in range(400):
+        a, b, c = rnd.randint(0, 50), rnd.randint(0, 50), rnd.randint(0, 50)
+        d = 160 - a - b - c + rnd.randint(-2, 2)  # near-simplex: anti-correlated
+        rows.append((a, b, c, d))
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    got = {
+        tuple(r) for r in pareto_skyline_points_nd(df, ["a", "b", "c", "d"]).collect()
+    }
+    pts = set(rows)
+
+    def dominated(p):
+        return any(
+            all(q[i] >= p[i] for i in range(4)) and any(q[i] > p[i] for i in range(4))
+            for q in pts
+        )
+
+    want = {p for p in pts if not dominated(p)}
+    assert got == want

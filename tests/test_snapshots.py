@@ -1906,3 +1906,39 @@ def test_cdc_expire_tombstones(spark, root):
     # expiry: with the tombstone gone it resurrects (documented, pinned)
     sink(spark.createDataFrame([(1, 15, "U", "late")], sch), 3)
     assert (1, "late") in {(r.k, r.v) for r in cdc_current(spark, root).collect()}
+
+
+def test_metadata_sum_avg_exact_nulls_and_refusals(spark, root):
+    """metadata_sum/metadata_avg: exact across files and appends, SQL
+    NULL semantics (NULLs out of both sum and AVG denominator; all-NULL
+    -> None), refusal for columns without recorded sums."""
+    big = 1 << 61
+    df1 = spark.createDataFrame(
+        [(1, 10), (2, None), (3, big)], "i int, x bigint"
+    )
+    df2 = spark.createDataFrame([(4, 5), (5, None)], "i int, x bigint")
+    S.append(df1, root, stats_cols=["x"])
+    S.append(df2, root, stats_cols=["x"])
+    assert S.metadata_sum(spark, root, "x") == 10 + big + 5
+    assert S.metadata_avg(spark, root, "x") == float(10 + big + 5) / 3
+    with pytest.raises(ValueError, match="no recorded sum stats"):
+        S.metadata_sum(spark, root, "i")  # never in stats_cols
+    # version pinning: the first version's sum is still answerable
+    assert S.metadata_sum(spark, root, "x", version=1) == 10 + big
+
+
+def test_metadata_sum_all_null_is_none(spark, root):
+    df = spark.createDataFrame([(1, None), (2, None)], "i int, x bigint")
+    S.append(df, root, stats_cols=["x"])
+    assert S.metadata_sum(spark, root, "x") is None
+    assert S.metadata_avg(spark, root, "x") is None
+
+
+def test_metadata_sum_float_column_refuses(spark, root):
+    """Float sums are reduction-order-dependent: never recorded, so the
+    metadata path refuses instead of returning a drifting answer."""
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "i int, x double")
+    S.append(df, root, stats_cols=["x"])  # min/max recorded, sum NOT
+    assert S.metadata_minmax(spark, root, "x") == (1.5, 2.5)
+    with pytest.raises(ValueError, match="no recorded sum stats"):
+        S.metadata_sum(spark, root, "x")
