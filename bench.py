@@ -58,6 +58,15 @@ fixture drift (the driver regenerates the image bytes each round; dHash
 banding cost is data-dependent), not the r8 catalog/registry growth.
 Verdict: both exonerated; no code change warranted.
 
+x97 band re-pin (r10, VERDICT r9 task 7): after the r9 skew fix
+(window -> groupBy+semi-join), x97_dup_span_coverage re-run 7x after
+warmup on the settled box: runs 1.772, 1.424, 1.478, 1.347, 1.377,
+1.249, 1.137 — min 1.137 / med 1.377. The new steady band is
+~1.05-1.15 min (r9's 1.05 reproduces); the +28% vs the pre-fix 0.83
+is the permanent price of the skew-safe plan (one extra join at
+fixture scale buying unbounded-skew safety at 100x), not noise.
+Future rounds should compare x97 against THIS band.
+
 st6 decomposition (r7): after the gaps-and-islands vectorization of
 error_streaks (per-row iterrows loop removed in r7; O(batch) numpy),
 st6 settles at ~1.7-1.85 s and is INVARIANT to the state partition
@@ -139,6 +148,11 @@ HEADLINE = [
     # file-skipping family; includes a real parquet write per run)
     "x109_ivm_join",
     "x110_bloom_file_index",
+    # r10 addition: metadata-only aggregates — the snapshot/table-format
+    # family's headline number (three manifest commits + a MoR delete +
+    # a delete-materializing compact + manifest-planned COUNT/MIN/MAX
+    # per run, so commit-path and stats-at-write regressions surface)
+    "x117_metadata_only_aggregates",
 ]
 
 

@@ -629,6 +629,46 @@ _ANN_META_FILE = "_ann_index_meta.json"
 _ANN_DATA_DIR = "data"
 
 
+def _ann_data_path(path: str, meta: dict) -> str:
+    """The CURRENT data directory: 'data' for a freshly written index,
+    'data-r<seq>' after a retrain published a replacement. The sidecar
+    points at exactly one; superseded directories stay on disk so a
+    reader holding the old meta keeps serving its version (readers of a
+    retrained index never see a half-replaced table)."""
+    return f"{path}/{meta.get('data_dir', _ANN_DATA_DIR)}"
+
+
+def _assigned_d2(vec_col: str, centroids: list) -> "F.Column":
+    """Squared L2 distance of each row's vector to ITS OWN assigned
+    centroid (cell_id indexes the broadcast centroid literal array) —
+    the per-row residual whose mean is the drift statistic."""
+    cent = F.element_at(
+        F.array(*[F.lit(c).cast("array<double>") for c in centroids]),
+        F.col("cell_id") + 1,
+    )
+    return F.aggregate(
+        F.zip_with(as_double_array(vec_col), cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _drift_stats(data: DataFrame, vec_col: str | None, centroids: list) -> dict:
+    """Per-cell counts (+ corpus mean assigned-centroid residual when
+    vectors are stored) in ONE bounded aggregate — n_cells output rows,
+    manifest-sized metadata like _file_stats."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if vec_col is not None:
+        aggs.append(F.avg(_assigned_d2(vec_col, centroids)).alias("_d2"))
+    rows = data.groupBy("cell_id").agg(*aggs).collect()  # bounded: n_cells
+    counts = {str(int(r["cell_id"])): int(r["_n"]) for r in rows}
+    total = sum(counts.values())
+    mean_d2 = None
+    if vec_col is not None and total:
+        mean_d2 = float(sum(r["_d2"] * r["_n"] for r in rows) / total)
+    return {"cell_counts": counts, "mean_d2": mean_d2}
+
+
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem API — works
     for any scheme the cluster can reach (hdfs://, s3a://, file:/), not
@@ -795,6 +835,10 @@ def ann_write_index(
         "n_cells": n_cells,
         "centroids": centroids,
         "codebooks": codebooks,
+        # build-time distribution fingerprint (per-cell counts + mean
+        # assigned-centroid residual): what ann_drift_report compares
+        # the live index against to decide the quantizers have decayed
+        "drift_baseline": _drift_stats(data, vec_col, centroids),
     }
     # the sidecar is written LAST: a crash mid-write leaves no meta file,
     # so ann_load_index refuses the partial index (commit marker)
@@ -880,7 +924,7 @@ def ann_append_to_index(
         data.repartition(len(centroids), "cell_id")
         .write.mode("append")
         .partitionBy("cell_id")
-        .parquet(f"{path}/{_ANN_DATA_DIR}")
+        .parquet(_ann_data_path(path, meta))
     )
     _ann_bump_mutation_seq(spark, path)
 
@@ -920,6 +964,10 @@ def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
     cells' files are never read or written. ``ids`` is a DataFrame so a
     100 TB-scale deletion list joins distributed — never a driver-side
     IN-list of data size."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    data_path = _ann_data_path(path, meta)
     idx = ann_load_index(spark, path)
     id_col = idx.id_col
     key = F.col(id_col) if id_col in ids.columns else F.col(ids.columns[0]).alias(id_col)
@@ -954,10 +1002,10 @@ def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell_id")
-            .parquet(f"{path}/{_ANN_DATA_DIR}")
+            .parquet(data_path)
         )
     for cell in emptied:
-        _fs_delete(spark, f"{path}/{_ANN_DATA_DIR}/cell_id={cell}")
+        _fs_delete(spark, f"{data_path}/cell_id={cell}")
     _ann_bump_mutation_seq(spark, path)
 
 
@@ -970,6 +1018,9 @@ def ann_compact_index(spark, path: str, max_files_per_cell: int = 4) -> list[int
     come from a distributed input_file_name() pass, so no driver-side
     directory walking of a remote store. Returns the rewritten cell ids.
     Answers must be layout-invariant (oracle-checked by x56)."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
     idx = ann_load_index(spark, path)
     counts = (
         idx.table.select("cell_id", F.input_file_name().alias("_f"))
@@ -987,9 +1038,140 @@ def ann_compact_index(spark, path: str, max_files_per_cell: int = 4) -> list[int
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell_id")
-        .parquet(f"{path}/{_ANN_DATA_DIR}")
+        .parquet(_ann_data_path(path, meta))
     )
     return sorted(hot)
+
+
+def ann_drift_report(
+    spark,
+    path: str,
+    residual_threshold: float = 1.5,
+    skew_threshold: float = 3.0,
+) -> dict:
+    """Has the appended distribution outgrown the FROZEN quantizers?
+    Compares the live index against the build-time fingerprint the
+    sidecar records (per-cell counts + mean assigned-centroid residual)
+    — one bounded n_cells aggregate, no search, no refit:
+
+    * ``residual_ratio`` = mean residual now / at build. Appends drawn
+      from the build distribution keep it ~1; a drifted cluster lands
+      far from every centroid and inflates it.
+    * ``skew_ratio`` = cell-count skew now / at build (skew = max cell
+      count x n_cells / total). Drift concentrates: the drifted mass
+      all routes to whichever centroid is least wrong.
+
+    ``drifted`` is True when either ratio crosses its threshold — the
+    signal to schedule :func:`ann_retrain_index` (recall decays with
+    residual: vectors far from their centroid are exactly the ones
+    probing misroutes). Counts-only (codes-only index): residual is
+    None and only skew can trip."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    base = meta.get("drift_baseline")
+    if not base:
+        raise ValueError(
+            f"index at {path} predates drift baselines; retrain (or rewrite) "
+            "to record one"
+        )
+    idx = ann_load_index(spark, path)
+    now = _drift_stats(idx.table, idx.vec_col, idx.centroids)
+    n_cells = int(meta["n_cells"])
+
+    def skew(counts: dict) -> float:
+        total = sum(counts.values())
+        return (max(counts.values()) * n_cells / total) if total else 1.0
+
+    skew_b, skew_n = skew(base["cell_counts"]), skew(now["cell_counts"])
+    residual_ratio = None
+    if base.get("mean_d2") and now.get("mean_d2") is not None:
+        residual_ratio = now["mean_d2"] / base["mean_d2"]
+    skew_ratio = skew_n / skew_b if skew_b else 1.0
+    return {
+        "n_build": sum(base["cell_counts"].values()),
+        "n_now": sum(now["cell_counts"].values()),
+        "mean_d2_build": base.get("mean_d2"),
+        "mean_d2_now": now.get("mean_d2"),
+        "residual_ratio": residual_ratio,
+        "skew_build": skew_b,
+        "skew_now": skew_n,
+        "skew_ratio": skew_ratio,
+        "drifted": bool(
+            (residual_ratio is not None and residual_ratio > residual_threshold)
+            or skew_ratio > skew_threshold
+        ),
+    }
+
+
+def ann_retrain_index(
+    spark, path: str, seed: int = 101, n_cells: int | None = None
+) -> int:
+    """Re-fit the quantizers and republish — the maintenance job x54's
+    frozen-quantizer contract defers to (FAISS's train-again model):
+    re-run the coarse k-means over the CURRENT rows (the appended
+    distribution now shapes the cells), re-train codebooks at the same
+    (m, ks) when the index carries PQ, re-encode every row, and write
+    the result to a FRESH ``data-r<seq>`` directory. The sidecar
+    rewrite is the publish point: it flips centroids/codebooks/data_dir
+    and bumps ``mutation_seq`` in one file replace, so a poller (st18's
+    reload loop) picks the retrained index up exactly like any other
+    mutation, while a reader still holding the previous meta keeps
+    serving the superseded directory — old versions stay readable (the
+    superseded dir is garbage a later cleanup reclaims; same caveat as
+    snapshot vacuum). A new drift baseline is recorded, so
+    :func:`ann_drift_report` measures the NEXT drift from here.
+
+    Needs stored float vectors (codes cannot re-route or re-encode
+    themselves) — codes-only indexes refuse; keep a vector-bearing
+    archive to retrain from, exactly FAISS's constraint. Returns the
+    new mutation_seq."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(f"unsupported ANN index format {meta.get('format')!r} at {path}")
+    vec_col, id_col = meta.get("vec_col"), meta["id_col"]
+    if vec_col is None:
+        raise ValueError(
+            "codes-only index: PQ codes cannot re-route or re-encode "
+            "themselves — retrain needs the stored float vectors"
+        )
+    idx = ann_load_index(spark, path)
+    # pin the rows before re-fitting: the rewrite targets a FRESH
+    # directory, so reads of the old files stay valid during the build
+    vecs = idx.table.select(F.col(id_col), F.col(vec_col))
+    # re-sizing is part of re-training: n_cells ~ sqrt(N) drifts with N
+    # (FAISS retrains into a larger nlist as the corpus grows)
+    n_cells = int(meta["n_cells"]) if n_cells is None else int(n_cells)
+    assigned, centroids = ivf_build(vecs, vec_col, id_col, n_cells, seed)
+    data = assigned.select(F.col(id_col), as_double_array(vec_col).alias(vec_col), "cell_id")
+    codebooks = None
+    if meta.get("codebooks") is not None:
+        m, ks = len(meta["codebooks"]), len(meta["codebooks"][0])
+        codebooks = pq_train(vecs, vec_col, id_col, m=m, ks=ks, seed=seed)
+        codes = pq_encode(vecs, vec_col, id_col, codebooks)
+        data = data.join(codes.select(F.col(id_col), "pq_codes"), id_col)
+    new_seq = int(meta.get("mutation_seq", 0)) + 1
+    new_dir = f"data-r{new_seq}"
+    (
+        data.repartition(n_cells, "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{new_dir}")
+    )
+    meta.update(
+        {
+            "n_cells": n_cells,
+            "centroids": centroids,
+            "codebooks": codebooks,
+            "data_dir": new_dir,
+            "mutation_seq": new_seq,
+            "drift_baseline": _drift_stats(data, vec_col, centroids),
+        }
+    )
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+    return new_seq
 
 
 def ann_load_index(spark, path: str) -> AnnIndex:
@@ -1005,7 +1187,7 @@ def ann_load_index(spark, path: str) -> AnnIndex:
             f"unsupported ANN index format {meta.get('format')!r} at {path} "
             f"(this build reads format {ANN_INDEX_FORMAT})"
         )
-    table = spark.read.parquet(f"{path}/{_ANN_DATA_DIR}")
+    table = spark.read.parquet(_ann_data_path(path, meta))
     return AnnIndex(
         table=table,
         centroids=meta["centroids"],

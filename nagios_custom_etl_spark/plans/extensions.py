@@ -9380,3 +9380,66 @@ def x119_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(bool(hidden)).alias("hidden"),
         F.lit(bool(old_carried)).alias("old_files_carried"),
     )
+
+
+@register(
+    "x120_ann_index_retrain",
+    oracle="""
+    -- retraining closes x54's frozen-quantizer contract: build+persist
+    -- on HALF the planted corpus, append the other half (frozen
+    -- quantizers), then ann_retrain_index RE-FITS the coarse centroids
+    -- and the PQ codebooks over the CURRENT rows, re-encodes, and
+    -- publishes a replacement data directory. The planted construction
+    -- stays codeword-exact under ANY codebooks trained on data
+    -- containing all 8 patterns, so probe-all ADC search through the
+    -- RETRAINED index must find exactly the planted matches — the same
+    -- top-12 prediction as x49c/x54.
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X120 ANN index re-training after drift (operators/similarity."
+    "py::ann_retrain_index + ann_drift_report): the maintenance job "
+    "x54 defers to — drift detection compares live per-cell counts and "
+    "mean assigned-centroid residual against the build-time fingerprint "
+    "the sidecar now records (one bounded n_cells aggregate, no "
+    "search); retrain re-fits centroids AND codebooks over current "
+    "rows, re-encodes, and publishes into a FRESH data-r<seq> dir with "
+    "one sidecar flip (mutation_seq bumps, so st18's poller reloads; "
+    "readers holding the old meta keep serving the superseded dir). "
+    "Codes-only indexes refuse (codes cannot re-route themselves). "
+    "Recall degradation under a deliberately drifted append and its "
+    "recovery by retrain are test-pinned; this oracle hash-checks the "
+    "retrained quantizer/encode/search chain end to end.",
+)
+def x120_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_load_index,
+        ann_retrain_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    initial = planted.filter(F.col("vec_id") % 16 < 8)
+    arrivals = planted.filter(F.col("vec_id") % 16 >= 8)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(initial, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(initial, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x120_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    ann_append_to_index(spark, path, arrivals)
+    ann_retrain_index(spark, path, seed=13)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )

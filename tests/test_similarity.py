@@ -585,3 +585,126 @@ def test_x63_planted_contamination_flags(spark):
         assert rows[i].nbr_id == i - 2000000  # argmax is the source vector
     organic = [i for i in rows if i < 2000000]
     assert organic and all(not rows[i].contaminated for i in organic)
+
+
+def test_ann_drift_detect_and_retrain_recovers_recall(spark, tmp_path):
+    """The x54 freeze's maintenance job: an append drawn from a DRIFTED
+    distribution (a new cluster far from every build-time centroid)
+    trips ann_drift_report and degrades recall@10 for drifted queries
+    at small n_probe; ann_retrain_index re-fits the quantizers into a
+    fresh data dir (old dir untouched — superseded readers keep
+    serving), after which recall recovers and drift clears."""
+    import random
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_drift_report,
+        ann_index_mutation_seq,
+        ann_load_index,
+        ann_retrain_index,
+        ann_write_index,
+        cosine_topk,
+        ivf_build,
+    )
+
+    rnd = random.Random(5)
+    dim = 8
+
+    def cluster(center, n, base_id):
+        return [
+            (base_id + i, [c + rnd.uniform(-0.05, 0.05) for c in center])
+            for i in range(n)
+        ]
+
+    # build-time distribution: two tight clusters on KNOWN hand-picked
+    # centroids (no k-means in the build — the index layout is fully
+    # deterministic; ann_write_index accepts any (assigned, centroids))
+    from nagios_custom_etl_spark.operators.similarity import ann_assign_cells
+
+    c0 = [3.0] + [0.3] * (dim - 1)
+    c1 = [0.3, 3.0] + [0.3] * (dim - 2)
+    centroids = [c0, c1]
+    build_rows = cluster(c0, 60, 0) + cluster(c1, 60, 1000)
+    df = spark.createDataFrame(build_rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn(
+        "cell_id", ann_assign_cells(df, "embedding", centroids)
+    )
+    path = str(tmp_path / "drift_idx")
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+
+    rep0 = ann_drift_report(spark, path)
+    assert not rep0["drifted"]
+
+    # drifted arrivals: ONE tight far-away cluster on axes the build
+    # never used, EQUIDISTANT from both build centroids — the frozen
+    # quantizers split it across the two cells on noise alone, so a
+    # 1-probe query at its center sees only about half its true
+    # neighbors (120 coin flips: the split cannot be one-sided)
+    drift_center = [0.3] * dim
+    drift_center[2] = drift_center[3] = 8.0
+    drifted = cluster(drift_center, 120, 9000)
+    from nagios_custom_etl_spark.operators.similarity import ann_append_to_index
+
+    ann_append_to_index(
+        spark,
+        path,
+        spark.createDataFrame(drifted, "vec_id long, embedding array<double>"),
+    )
+    rep1 = ann_drift_report(spark, path)
+    assert rep1["drifted"]
+    assert rep1["residual_ratio"] > 1.5
+
+    def recall_at10(idx, qvec):
+        truth = {
+            r.vec_id
+            for r in cosine_topk(
+                idx.table, "embedding", "vec_id", qvec, k=10
+            ).collect()
+        }
+        got = {r.vec_id for r in idx.exact_search(qvec, k=10, n_probe=1).collect()}
+        return len(got & truth) / 10.0
+
+    query = list(drift_center)
+    idx = ann_load_index(spark, path)
+    before = recall_at10(idx, query)
+    assert before < 0.9  # the drift genuinely degraded 1-probe recall
+
+    # retrain: 2-means over two well-separated superclusters (build
+    # region vs the single tight drift blob) separates them from any
+    # init — the drifted mass gets its own cell, 1-probe recall recovers
+    seq = ann_retrain_index(spark, path, n_cells=2)
+    assert seq == ann_index_mutation_seq(spark, path) == 2
+    idx2 = ann_load_index(spark, path)
+    after = recall_at10(idx2, query)
+    assert after >= 0.9
+    assert after > before  # the retrain is what recovered it
+    rep2 = ann_drift_report(spark, path)
+    assert not rep2["drifted"]
+    # old data dir untouched on disk (superseded readers keep serving)
+    assert fsio.exists(spark, f"{path}/data")
+    assert fsio.exists(spark, f"{path}/data-r2")
+    assert idx2.table.count() == idx.table.count()
+
+
+def test_ann_retrain_codes_only_refuses(spark, tmp_path):
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_retrain_index,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [(i, [float((i + j) % 4) for j in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = ivf_build(df, "embedding", "vec_id", n_cells=2, seed=3)
+    cb = pq_train(df, "embedding", "vec_id", m=2, ks=4, seed=3)
+    codes = pq_encode(df, "embedding", "vec_id", cb)
+    path = str(tmp_path / "codesonly")
+    ann_write_index(
+        path, assigned, centroids, "vec_id", vec_col=None, codes=codes, codebooks=cb
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codes-only"):
+        ann_retrain_index(spark, path)
