@@ -1174,6 +1174,26 @@ def ann_retrain_index(
     return new_seq
 
 
+def ann_gc_index(spark, path: str) -> list[str]:
+    """Reclaim data directories SUPERSEDED by a retrain (the sidecar
+    points elsewhere): every reader that loads from the current meta
+    never touches them, so this is safe once no long-lived reader still
+    holds a pre-retrain AnnIndex — a caller-scheduled maintenance job
+    with exactly snapshot vacuum's contract (retention must exceed
+    reader lifetime). Never deletes the current data dir. Returns the
+    deleted directory names."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    current = meta.get("data_dir", _ANN_DATA_DIR)
+    deleted = []
+    for n in fsio.list_names(spark, path):
+        if n != current and (n == _ANN_DATA_DIR or n.startswith("data-r")):
+            _fs_delete(spark, f"{path}/{n}")
+            deleted.append(n)
+    return sorted(deleted)
+
+
 def ann_load_index(spark, path: str) -> AnnIndex:
     """Load a persisted index with ZERO refits and zero encode passes:
     one JSON sidecar read + one parquet analysis. The returned index

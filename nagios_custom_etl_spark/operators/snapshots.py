@@ -1094,8 +1094,12 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
         if v in keep_versions:
             continue
         for f in _all_data_refs(_read_manifest(spark, root, v)):
-            if f.startswith(".."):
-                continue  # parent-owned (branch ref): never this table's to delete
+            if f.startswith("..") or f.startswith("_branches/"):
+                # not this table's bytes: parent-owned (a branch's view of
+                # the source) or branch-owned (a fast-forwarded branch's
+                # local files — the branch's own log still references
+                # them, so only the branch lifecycle may reclaim them)
+                continue
             if f not in reachable and fsio.delete(spark, f"{root}/{f}", recursive=False):
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
@@ -1754,6 +1758,72 @@ def create_branch(
         extra=extra,
     )
     return broot
+
+
+def fastforward_branch(spark: SparkSession, root: str, name: str) -> int:
+    """Publish branch ``name``'s latest state as the source table's next
+    version — Iceberg's ``fastForwardBranch`` / the merge-back half of
+    the shallow-clone workflow (x103 creates branches; this closes the
+    loop). ZERO-COPY: the commit re-roots the branch manifest's file
+    references — shared files (``../../data-*``) come back to their
+    source-relative names, branch-LOCAL files (writes after the branch
+    point, or a detaching compact) are referenced in place under
+    ``_branches/<name>/`` — one manifest write, no data bytes moved,
+    however much the branch diverged.
+
+    Fast-forward ONLY: refused (:class:`ConcurrentCommitError`) when
+    the source advanced past the branch point — the branch's history is
+    then not a linear extension of main's and publishing it would
+    silently drop main's commits; rebase (re-branch + replay) or an
+    explicit merge is the caller's decision, never this function's.
+    Also refused when the branch carries pending MoR deletes (compact
+    the branch first — main must not inherit a delete set whose seqs
+    were minted in another log) or when the branch's origin manifest
+    was vacuumed (the branch point is then unprovable).
+
+    Ownership after the merge: the source's :func:`vacuum` never
+    deletes ``_branches/`` refs (the branch log still references those
+    bytes; only the branch lifecycle reclaims them) — symmetric to a
+    branch's vacuum never touching ``../`` parent refs. Keep the branch
+    directory alive as long as any retained source version references
+    it, or detach first via branch-side :func:`compact`."""
+    broot = f"{root}/_branches/{name}"
+    bvs = _manifest_versions(spark, broot)
+    if not bvs:
+        raise ValueError(f"no branch {name!r} at {root}")
+    bm = _read_manifest(spark, broot, bvs[-1])
+    if bm.get("deletes"):
+        raise ValueError(
+            "branch has pending MoR deletes: compact() the branch first "
+            "(their seqs were minted in the branch log, not the source's)"
+        )
+    origin = _read_manifest(spark, broot, bvs[0])
+    base = origin.get("branched_from_version")
+    if base is None:
+        raise ValueError(
+            f"branch {name!r} origin manifest was vacuumed: the branch "
+            "point is unprovable, fast-forward refused"
+        )
+    parent = latest_version(spark, root)
+    if parent != base:
+        raise ConcurrentCommitError(
+            f"source advanced past the branch point (latest {parent}, "
+            f"branched from {base}): not a fast-forward — rebase or merge"
+        )
+
+    def reroot(f: str) -> str:
+        return f[len("../../"):] if f.startswith("../../") else f"_branches/{name}/{f}"
+
+    return _commit(
+        spark,
+        root,
+        [reroot(f) for f in bm["files"]],
+        "fast-forward",
+        parent,
+        {reroot(f): s for f, s in bm.get("stats", {}).items()} or None,
+        bm.get("schema"),
+        extra={"fast_forwarded_from_branch": name},
+    )
 
 
 def list_branches(spark: SparkSession, root: str) -> list[str]:

@@ -9443,3 +9443,164 @@ def x120_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_dist_r") == 0.0)
         .orderBy("vec_id")
     )
+
+
+@register(
+    "x121_quality_expectations",
+    oracle="""
+    -- DLT expectation triad over the raw feed: warn counts, drop
+    -- quarantines (rows preserved, not deleted), fail poisons the
+    -- batch. Metrics = per-rule violation counts over ALL input rows;
+    -- kept/quarantined partition on the drop rule (NULL predicate
+    -- results count as violations — IS [NOT] TRUE spells that here).
+    -- fail_tripped pins that a planted NULL-user row aborts the gate.
+    WITH e AS (SELECT * FROM events),
+    m AS (
+      SELECT 'not_error' AS rule, 'drop' AS action,
+             CAST(COUNT(*) FILTER (WHERE (event_type <> 'error') IS NOT TRUE)
+                  AS BIGINT) AS n_violations FROM e
+      UNION ALL
+      SELECT 'value_present', 'warn',
+             CAST(COUNT(*) FILTER (WHERE (value IS NOT NULL) IS NOT TRUE)
+                  AS BIGINT) FROM e
+      UNION ALL
+      SELECT 'has_user', 'fail',
+             CAST(COUNT(*) FILTER (WHERE (user_id IS NOT NULL) IS NOT TRUE)
+                  AS BIGINT) FROM e
+    )
+    SELECT rule, action, n_violations,
+           CAST((SELECT COUNT(*) FROM e WHERE (event_type <> 'error') IS TRUE)
+                AS BIGINT) AS n_kept,
+           CAST((SELECT COUNT(*) FROM e WHERE (event_type <> 'error') IS NOT TRUE)
+                AS BIGINT) AS n_quarantined,
+           CAST(TRUE AS BOOLEAN) AS fail_tripped
+    FROM m ORDER BY rule
+    """,
+    doc="X121 declarative quality expectations (operators/quality.py::"
+    "expectations_apply): DLT's expect/expect_or_drop/expect_or_fail as "
+    "one operator — ONE codegen'd tagging pass marks each row with its "
+    "failed-rule array, routing is a map-side filter on the tag, "
+    "violation metrics aggregate at rule cardinality (the DLT event-log "
+    "record), and drop-rule rows land in a QUARANTINE output with their "
+    "full diagnosis instead of being deleted (curation re-inspects; "
+    "deletion destroys evidence). fail rules poison the batch eagerly "
+    "(ExpectationFailed) before anything publishes — the row-level "
+    "sibling of st25's aggregate WAP audit. NULL predicate results "
+    "count as violations (SQL CHECK would wave them through; a quality "
+    "gate must not). Generalizes the reference's silent inline filters "
+    "(extract.py:53-61) into counted, routable, abortable rules.",
+)
+def x121_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.quality import (
+        ExpectationFailed,
+        expectations_apply,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    rules = [
+        ("not_error", F.col("event_type") != "error", "drop"),
+        ("value_present", F.col("value").isNotNull(), "warn"),
+        ("has_user", F.col("user_id").isNotNull(), "fail"),
+    ]
+    kept, quarantined, metrics = expectations_apply(ev, rules)
+    n_kept, n_quar = kept.count(), quarantined.count()
+    planted = spark.createDataFrame(
+        [(999_999_999, None, "click", 1.0)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    try:
+        expectations_apply(ev.unionByName(planted), rules)
+        fail_tripped = False
+    except ExpectationFailed as ex:
+        fail_tripped = ex.counts.get("has_user") == 1
+    return metrics.select(
+        "rule",
+        "action",
+        "n_violations",
+        F.lit(n_kept).cast("long").alias("n_kept"),
+        F.lit(n_quar).cast("long").alias("n_quarantined"),
+        F.lit(bool(fail_tripped)).alias("fail_tripped"),
+    ).orderBy("rule")
+
+
+@register(
+    "x122_branch_fastforward",
+    oracle="""
+    -- branch fast-forward (merge-back): after two appends on the dev
+    -- branch, fastforward_branch publishes the branch state as main's
+    -- next version ZERO-COPY — main's rows equal the branch's (= all
+    -- planted rows), the pre-merge version stays time-travel-readable
+    -- (n_at_branch_point recomputes it), the commit references the
+    -- branch's files in place (zero_copy), and a fast-forward after
+    -- main moved is REFUSED (nonff_refused) — publishing it would drop
+    -- main's commits.
+    WITH s AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price_d
+               FROM orders WHERE o_orderkey % 10 = 1)
+    SELECT o_orderkey, price_d,
+           CAST((SELECT COUNT(*) FROM s WHERE o_orderkey % 3 < 2) AS BIGINT)
+             AS n_at_branch_point,
+           CAST(TRUE AS BOOLEAN) AS zero_copy,
+           CAST(TRUE AS BOOLEAN) AS nonff_refused
+    FROM s ORDER BY o_orderkey
+    """,
+    doc="X122 branch fast-forward (operators/snapshots.py::"
+    "fastforward_branch): the merge-back half of x103's zero-copy "
+    "branches — Iceberg fastForwardBranch / the shallow-clone promote. "
+    "One manifest write re-roots the branch's file references (shared "
+    "../../ refs return to source-relative names; branch-local writes "
+    "are referenced in place under _branches/<name>/), no data bytes "
+    "move however much the branch diverged. Linear-history safety: "
+    "refused when main advanced past the branch point (dropping main's "
+    "commits is a rebase/merge decision, never implicit), when the "
+    "branch has pending MoR deletes (their seqs were minted in the "
+    "branch log), or when the branch origin was vacuumed. Source "
+    "vacuum never reclaims _branches/ refs (the branch log still "
+    "references those bytes) — symmetric to the branch's ../ guard.",
+)
+def x122_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_x122_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    root, root2 = os.path.join(base, "main"), os.path.join(base, "probe")
+    S.append(o.filter(F.col("o_orderkey") % 3 == 0), root)
+    v_bp = S.append(o.filter(F.col("o_orderkey") % 3 == 1), root)
+    broot = S.create_branch(spark, root, "dev")
+    third = o.filter(F.col("o_orderkey") % 3 == 2)
+    S.append(third.filter(F.col("o_orderkey") % 2 == 0), broot)
+    S.append(third.filter(F.col("o_orderkey") % 2 == 1), broot)
+    bm = S._read_manifest(spark, broot, S.latest_version(spark, broot))
+    v_ff = S.fastforward_branch(spark, root, "dev")
+    m_ff = S._read_manifest(spark, root, v_ff)
+
+    def reroot(f: str) -> str:
+        return f[len("../../"):] if f.startswith("../../") else f"_branches/dev/{f}"
+
+    zero_copy = set(m_ff["files"]) == {reroot(f) for f in bm["files"]}
+    n_at_bp = S.read_snapshot(spark, root, v_bp).count()  # time travel intact
+    # refusal probe on a scratch table: main moves after the branch point
+    S.append(o.limit(3), root2)
+    S.create_branch(spark, root2, "dev")
+    S.append(o.limit(1), root2)  # main advances
+    try:
+        S.fastforward_branch(spark, root2, "dev")
+        refused = False
+    except S.ConcurrentCommitError:
+        refused = True
+    return (
+        S.read_snapshot(spark, root)
+        .select("o_orderkey", "price_d")
+        .withColumn("n_at_branch_point", F.lit(int(n_at_bp)).cast("long"))
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .withColumn("nonff_refused", F.lit(bool(refused)))
+        .orderBy("o_orderkey")
+    )

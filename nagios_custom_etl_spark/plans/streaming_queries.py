@@ -2340,3 +2340,113 @@ def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "st30_cdc_scd2_history",
+    oracle="""
+    -- APPLY CHANGES STORED AS SCD TYPE 2: the maintained history must
+    -- equal the one-shot recompute — every upsert opens a version at
+    -- its seq, the key's NEXT event (upsert or delete) closes it
+    -- (half-open), a key whose last event is a delete has no current
+    -- row. The stream delivered the changes split by seq mod 3
+    -- (heavily out of order), so equality with this LEAD()-window
+    -- recompute is exactly the rebuild-from-event-set claim. as_of
+    -- probes the point-in-time read (one version per key alive at
+    -- seq 500).
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    v AS (
+      SELECT k, seq AS valid_from, op, value,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+      FROM c
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           value,
+           (valid_to IS NULL) AS is_current,
+           CAST((SELECT COUNT(*) FROM v
+                 WHERE op = 'U' AND valid_from <= 500
+                   AND (valid_to IS NULL OR valid_to > 500)) AS BIGINT)
+             AS n_as_of_500,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM v WHERE op = 'U'
+    ORDER BY k, valid_from
+    """,
+    doc="ST-ext streaming SCD Type 2 from CDC (streaming/ops.py::"
+    "scd2_cdc_sink/scd2_history/scd2_as_of): DLT's APPLY CHANGES STORED "
+    "AS SCD TYPE 2 — the history-keeping sibling of st28's SCD1. "
+    "Out-of-order delivery is absorbed by REBUILDING touched keys' "
+    "histories from their full event set each batch (union stored "
+    "events + batch, dedup (key,seq), one lead() window re-derives "
+    "every interval) — a late event slots in and re-closes its "
+    "neighbors, which no in-order incremental rule can do; cost is "
+    "O(touched histories), never O(table), published as ONE atomic "
+    "key-pruned merge_commit on (key, valid_from) (crash at any point "
+    "replays cleanly: nothing is read-then-destroyed across commits). "
+    "Delete events are stored (they close intervals and guard late "
+    "events) and filtered by the history/as-of readers.",
+)
+def st30_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import (
+        scd2_as_of,
+        scd2_cdc_sink,
+        scd2_history,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st30_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    sink = scd2_cdc_sink(root, key="k", seq_col="seq", op_col="op")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    before = S.latest_version(spark, root)
+    committed = next(
+        b for b in range(3) if S.txn_version(spark, root, f"scd2-batch-{b}") is not None
+    )
+    sink(ev, committed)  # crash-recovery replay of a committed batch
+    replay_noop = S.latest_version(spark, root) == before
+    n_as_of = scd2_as_of(spark, root, 500).count()
+    return (
+        scd2_history(spark, root)
+        .select(
+            "k",
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long").alias("valid_to"),
+            "value",
+            "is_current",
+        )
+        .withColumn("n_as_of_500", F.lit(int(n_as_of)).cast("long"))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("k", "valid_from")
+    )

@@ -653,6 +653,107 @@ def cdc_current(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame
     return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")
 
 
+def scd2_cdc_sink(
+    root: str,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    txn_prefix: str = "scd2-batch",
+):
+    """foreachBatch sink maintaining an SCD TYPE 2 history table from a
+    keyed CDC stream — DLT's APPLY CHANGES ... STORED AS SCD TYPE 2,
+    the history-keeping sibling of :func:`cdc_apply_sink` (SCD1). Every
+    upsert OPENS a version valid from its seq; the next event on the
+    key (upsert or delete) CLOSES it (``valid_to`` = that event's seq,
+    half-open interval); a key whose LAST event is a delete has no
+    current version. Event rows — including 'D' events — are stored
+    verbatim with the derived ``valid_from``/``valid_to``/``is_current``
+    columns; readers take ``op != 'D'`` for history
+    (:func:`scd2_history`) and version-at-seq lookups
+    (:func:`scd2_as_of`).
+
+    OUT-OF-ORDER delivery is absorbed by REBUILDING touched keys'
+    histories from their full event set each batch: per batch, the
+    stored events of the batch's keys union the batch's rows, dedup on
+    (key, seq), and one lead()-window re-derives every interval — a
+    late event slots into place and re-closes its neighbors, which no
+    in-order incremental rule can do. Cost is O(touched histories),
+    never O(table): version-count per key is attribute-change
+    cardinality (bounded), and the publish is ONE atomic
+    merge_commit on (key, valid_from) with file pruning on the key —
+    matched version rows update in place (their valid_to/is_current
+    may have changed), new versions insert, untouched keys' files
+    carry. Nothing is read-then-destroyed across commits, so a crash
+    at ANY point replays cleanly (txn token; the rebuild re-reads the
+    unchanged snapshot)."""
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        token = f"{txn_prefix}-{batch_id}"
+        if S.txn_version(spark, root, token) is not None:
+            return  # replayed batch: history already carries it
+        if batch_df.isEmpty():
+            return
+        d = batch_df.withColumnRenamed(seq_col, "valid_from").dropDuplicates(
+            [key, "valid_from"]
+        )
+        attrs = [c for c in d.columns if c not in (key, "valid_from", op_col)]
+        cols = [key, "valid_from", op_col, *attrs]
+        events = d.select(*cols)
+        if S.latest_version(spark, root) > 0:
+            touched = d.select(key).distinct()
+            existing = (
+                S.read_snapshot(spark, root)
+                .join(touched, key, "left_semi")
+                .select(*cols)
+            )
+            events = existing.unionByName(events).dropDuplicates([key, "valid_from"])
+        w = Window.partitionBy(key).orderBy("valid_from")
+        rebuilt = events.select(
+            *cols,
+            F.lead("valid_from").over(w).alias("valid_to"),
+        ).withColumn(
+            "is_current", F.col("valid_to").isNull() & (F.col(op_col) != "D")
+        )
+        S.merge_commit(
+            root,
+            rebuilt,
+            keys=[key, "valid_from"],
+            # rebuilt rows are authoritative: matched versions take the
+            # re-derived interval columns wholesale
+            when_matched_update={c: F.col(f"s.{c}") for c in rebuilt.columns},
+            prune_on=key,
+            stats_cols=[key],
+            txn=token,
+        )
+
+    return write
+
+
+def scd2_history(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame:
+    """All VERSIONS (delete events excluded — they only close
+    intervals): each row valid over [valid_from, valid_to), NULL
+    valid_to = open."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")
+
+
+def scd2_as_of(
+    spark: SparkSession, root: str, seq: int, op_col: str = "op"
+) -> DataFrame:
+    """The dimension as of sequence point ``seq``: the unique version
+    per key with ``valid_from <= seq < valid_to`` (temporal_join's
+    half-open convention — exactly one row per key alive at any seq)."""
+    return scd2_history(spark, root, op_col).filter(
+        (F.col("valid_from") <= F.lit(seq))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq)))
+    )
+
+
 def cdc_expire_tombstones(
     spark: SparkSession,
     root: str,

@@ -708,3 +708,26 @@ def test_ann_retrain_codes_only_refuses(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="codes-only"):
         ann_retrain_index(spark, path)
+
+
+def test_ann_gc_index_reclaims_superseded_dirs_only(spark, tmp_path):
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_gc_index,
+        ann_load_index,
+        ann_retrain_index,
+        ann_write_index,
+        ivf_build,
+    )
+
+    rows = [(i, [float(i % 3), float(i % 5), 0.1, 0.2]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = ivf_build(df, "embedding", "vec_id", n_cells=3, seed=2)
+    path = str(tmp_path / "gcidx")
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+    ann_retrain_index(spark, path)  # -> data-r1 current
+    assert ann_gc_index(spark, path) == ["data"]
+    assert not fsio.exists(spark, f"{path}/data")
+    idx = ann_load_index(spark, path)
+    assert idx.table.count() == 90  # current dir untouched, index servable
+    assert ann_gc_index(spark, path) == []  # idempotent

@@ -1942,3 +1942,92 @@ def test_metadata_sum_float_column_refuses(spark, root):
     assert S.metadata_minmax(spark, root, "x") == (1.5, 2.5)
     with pytest.raises(ValueError, match="no recorded sum stats"):
         S.metadata_sum(spark, root, "x")
+
+
+def test_scd2_cdc_late_event_reslots_and_as_of(spark, root):
+    """SCD2-from-CDC: a LATE event slots INTO the existing history and
+    re-closes its neighbors (the rebuild-from-event-set property no
+    in-order incremental rule has); a delete closes the last version
+    without opening one; as_of returns the unique version alive at a
+    seq; replaying any batch is a no-op."""
+    from nagios_custom_etl_spark.streaming.ops import (
+        scd2_as_of,
+        scd2_cdc_sink,
+        scd2_history,
+    )
+
+    sch = "k int, seq long, op string, v string"
+    sink = scd2_cdc_sink(root, key="k", seq_col="seq", op_col="op")
+
+    def hist():
+        return {
+            (r.k, r.valid_from, r.valid_to, r.v, r.is_current)
+            for r in scd2_history(spark, root).collect()
+        }
+
+    sink(spark.createDataFrame([(1, 10, "U", "a"), (1, 30, "U", "c")], sch), 0)
+    assert hist() == {(1, 10, 30, "a", False), (1, 30, None, "c", True)}
+    # LATE event (seq 20) arrives after 30: slots between, re-closing 10
+    sink(spark.createDataFrame([(1, 20, "U", "b"), (2, 5, "U", "x")], sch), 1)
+    assert hist() == {
+        (1, 10, 20, "a", False),
+        (1, 20, 30, "b", False),
+        (1, 30, None, "c", True),
+        (2, 5, None, "x", True),
+    }
+    # delete closes the open version; no current row for k=1 remains
+    sink(spark.createDataFrame([(1, 40, "D", None)], sch), 2)
+    assert hist() == {
+        (1, 10, 20, "a", False),
+        (1, 20, 30, "b", False),
+        (1, 30, 40, "c", False),
+        (2, 5, None, "x", True),
+    }
+    # point-in-time reads (half-open intervals)
+    assert {(r.k, r.v) for r in scd2_as_of(spark, root, 25).collect()} == {
+        (1, "b"),
+        (2, "x"),
+    }
+    assert {(r.k, r.v) for r in scd2_as_of(spark, root, 45).collect()} == {(2, "x")}
+    # replay of an already-committed batch is a no-op
+    before = S.latest_version(spark, root)
+    sink(spark.createDataFrame([(1, 20, "U", "b"), (2, 5, "U", "x")], sch), 1)
+    assert S.latest_version(spark, root) == before
+    # a LATE upsert AFTER the delete opens a closed (non-current) slot
+    sink(spark.createDataFrame([(1, 35, "U", "d")], sch), 3)
+    assert (1, 35, 40, "d", False) in hist()
+
+
+def test_fastforward_branch_zero_copy_and_ownership(spark, root):
+    """Fast-forward publishes the branch state on main with re-rooted
+    refs only (no data bytes written); main's vacuum never reclaims the
+    branch-owned files it now references; refusals: main moved, MoR
+    pending, vacuumed origin."""
+    S.append(_df(spark, 0, 4), root)  # v1
+    S.append(_df(spark, 4, 8), root)  # v2 (branch point)
+    broot = S.create_branch(spark, root, "dev")
+    S.append(_df(spark, 8, 12), broot)
+    v = S.fastforward_branch(spark, root, "dev")
+    assert _rows(S.read_snapshot(spark, root, v)) == [(i, f"r{i}") for i in range(12)]
+    m = S._read_manifest(spark, root, v)
+    assert all(
+        f.startswith("data-") or f.startswith("_branches/dev/") for f in m["files"]
+    )
+    assert any(f.startswith("_branches/dev/") for f in m["files"])
+    # push the ff version out of the retention window: vacuum must drop
+    # old manifests but NEVER delete the branch-owned bytes
+    S.append(_df(spark, 12, 13), root)
+    S.append(_df(spark, 13, 14), root)
+    deleted = S.vacuum(spark, root, keep_last=2)
+    assert not any(f.startswith("_branches/") for f in deleted)
+    assert _rows(S.read_snapshot(spark, broot)) == [(i, f"r{i}") for i in range(12)]
+    # refusal: main advanced past a new branch's point
+    S.create_branch(spark, root, "dev2")
+    S.append(_df(spark, 14, 15), root)
+    with pytest.raises(S.ConcurrentCommitError, match="not a fast-forward"):
+        S.fastforward_branch(spark, root, "dev2")
+    # refusal: pending MoR deletes on the branch
+    broot3 = S.create_branch(spark, root, "dev3")
+    S.mor_delete(spark.createDataFrame([Row(i=0)]), broot3, keys=["i"])
+    with pytest.raises(ValueError, match="MoR deletes"):
+        S.fastforward_branch(spark, root, "dev3")
