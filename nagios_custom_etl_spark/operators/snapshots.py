@@ -812,6 +812,43 @@ def read_snapshot_pruned(
     )
 
 
+def read_snapshot_pruned_multi(
+    spark: SparkSession,
+    root: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Data-skipping read under a CONJUNCTION of range predicates —
+    ``preds`` is [(col, lo, hi), ...] and a file is planned only when
+    its recorded [min, max] intersects EVERY range (one non-overlap
+    kills it: AND semantics). This is where Z-order clustering (x94)
+    pays off: after a Morton rewrite each file covers a small rectangle
+    of the clustered space, so a multi-column predicate prunes
+    multiplicatively where any single-column sort helps only its lead
+    column. Files missing stats for a predicate column are kept
+    (superset guarantee, same contract as :func:`read_snapshot_pruned`
+    — which remains the single-column/partition-path form). Returns
+    (DataFrame, files_planned, files_total); the caller applies the
+    residual predicate."""
+    if not preds:
+        raise ValueError("no predicates: use read_snapshot for a full scan")
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    stats = m.get("stats", {})
+
+    def overlaps_all(f: str) -> bool:
+        for col, lo, hi in preds:
+            s = stats.get(f, {}).get(col)
+            if s and s[0] is not None and s[1] is not None and (s[1] < lo or s[0] > hi):
+                return False  # one disjoint range kills the file (AND)
+        return True
+
+    planned = [f for f in m["files"] if overlaps_all(f)]
+    if not planned:
+        return read_snapshot(spark, root, v).limit(0), 0, len(m["files"])
+    return _live_view(spark, root, m, planned), len(planned), len(m["files"])
+
+
 def metadata_count(
     spark: SparkSession, root: str, version: int | None = None
 ) -> int:

@@ -9604,3 +9604,85 @@ def x122_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nonff_refused", F.lit(bool(refused)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "x123_multi_column_pruning",
+    oracle="""
+    -- conjunctive data skipping: files written as quadrants of the
+    -- (a, b) grid; a rectangle predicate plans only the files whose
+    -- recorded per-file [min,max] boxes intersect BOTH ranges — the
+    -- oracle replicates the pruning rule itself (group-level min/max
+    -- per quadrant, box-intersection test) so planned/total are
+    -- derived independently; content = plain filter (residual).
+    WITH s AS (
+      SELECT o_orderkey, o_orderkey % 200 AS a, o_custkey % 200 AS b
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    boxes AS (
+      SELECT a // 100 AS qa, b // 100 AS qb,
+             MIN(a) AS mna, MAX(a) AS mxa, MIN(b) AS mnb, MAX(b) AS mxb
+      FROM s GROUP BY a // 100, b // 100
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s
+                 WHERE a BETWEEN 0 AND 99 AND b BETWEEN 150 AND 199)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM s
+                 WHERE a BETWEEN 0 AND 99 AND b BETWEEN 150 AND 199)
+                AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM boxes
+                 WHERE NOT (mxa < 0 OR mna > 99)
+                   AND NOT (mxb < 150 OR mnb > 199)) AS BIGINT)
+             AS planned_files,
+           CAST((SELECT COUNT(*) FROM boxes) AS BIGINT) AS files_total
+    """,
+    doc="X123 multi-column data skipping (operators/snapshots.py::"
+    "read_snapshot_pruned_multi): a CONJUNCTION of range predicates "
+    "prunes at manifest-planning time — a file dies when its recorded "
+    "[min,max] misses ANY range, so selectivity multiplies across "
+    "columns. This is the read path that makes Z-order compaction "
+    "(x94) pay: Morton-clustered files cover small rectangles, and a "
+    "2-D predicate over them plans O(query area / file area) files "
+    "where a single-column sort prunes only its lead column. The "
+    "planted quadrant layout (one file per grid cell via per-quadrant "
+    "appends) lets the oracle re-derive planned/total by replicating "
+    "the box-intersection rule over group-level min/max — the pruning "
+    "decision itself is hash-checked, not just the surviving rows.",
+)
+def x123_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    s = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 200).alias("a"),
+        (F.col("o_custkey") % 200).alias("b"),
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x123_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    for qa in (0, 1):
+        for qb in (0, 1):
+            quad = s.filter(
+                (F.floor(F.col("a") / 100) == qa) & (F.floor(F.col("b") / 100) == qb)
+            ).coalesce(1)
+            if quad.isEmpty():
+                continue  # tiny fixture: an empty quadrant writes nothing
+            S.append(quad, root, stats_cols=["a", "b"])
+    df, planned, total = S.read_snapshot_pruned_multi(
+        spark, root, [("a", 0, 99), ("b", 150, 199)]
+    )
+    res = df.filter(
+        F.col("a").between(0, 99) & F.col("b").between(150, 199)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    return res.select(
+        "n_rows",
+        "sum_key",
+        F.lit(planned).cast("long").alias("planned_files"),
+        F.lit(total).cast("long").alias("files_total"),
+    )

@@ -2450,3 +2450,123 @@ def st30_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("k", "valid_from")
     )
+
+
+@register(
+    "st31_cdc_change_feed_mv",
+    oracle="""
+    -- APPLY CHANGES -> CHANGE DATA FEED -> incremental aggregate MV:
+    -- the MV folded batch-by-batch from the emitted change feed
+    -- (inserts/postimages +1, preimages/deletes -1, signed-delta
+    -- maintenance — the base table is never re-aggregated) must equal
+    -- the aggregate recomputed over the FINAL current view
+    -- (latest-per-key, tombstoned keys gone). Equality is the
+    -- exactness claim for the feed: it captures precisely the view
+    -- transitions, no stale deliveries, no missed resurrections.
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    r AS (SELECT k, seq, op, value,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM c),
+    live AS (SELECT k, value FROM r WHERE rn = 1 AND op <> 'D')
+    SELECT CAST(k % 7 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM live GROUP BY k % 7 ORDER BY g
+    """,
+    doc="ST-ext CDC change feed driving an incremental aggregate MV "
+    "(streaming/ops.py::cdc_apply_sink(changes_root=) + operators/"
+    "merge.py::mv_apply_delta): the full DLT chain — APPLY CHANGES "
+    "maintains the SCD1 table AND emits Delta-CDF change rows (insert/"
+    "update_preimage/update_postimage/delete, stale rows and no-op "
+    "tombstones emit NOTHING: the feed describes view transitions, not "
+    "deliveries), and a downstream consumer folds the feed into a "
+    "per-group COUNT+SUM materialized view with signed-delta "
+    "maintenance — the target table is never re-aggregated. Feed "
+    "emission is crash-ordered before the merge commit under its own "
+    "txn token (replays recompute identical content from the pinned "
+    "parent version). The mod-3 interleaving makes the feed's "
+    "correctness non-trivial: late rows lose, resurrections insert, "
+    "winning tombstones retract the OLD row.",
+)
+def st31_cdc_change_feed_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st31_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, chroot, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "chg"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    committed = next(
+        b for b in range(3) if S.txn_version(spark, root, f"cdc-batch-{b}") is not None
+    )
+    sink(ev, committed)  # crash-recovery replay: BOTH tables must hold still
+    replay_noop = (
+        S.latest_version(spark, root),
+        S.latest_version(spark, chroot),
+    ) == before
+    # downstream consumer: fold the feed into the MV, batch by batch
+    feed = S.read_snapshot(spark, chroot)
+    batch_ids = sorted(
+        r["_batch_id"] for r in feed.select("_batch_id").distinct().collect()
+    )  # bounded: one per micro-batch
+    grp = (F.col("k") % 7).alias("g")
+    mv = mv_build(
+        feed.limit(0).select(grp, "value"), ["g"], "n", {"sum_v": ("value", 18, 6)}
+    )
+    for b in batch_ids:
+        ch = feed.filter(F.col("_batch_id") == b)
+        ins = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(grp, "value")
+        dels = ch.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).select(grp, "value")
+        mv = mv_apply_delta(
+            mv, ins, dels, ["g"], "n", {"sum_v": ("value", 18, 6)}
+        ).localCheckpoint()  # K-batch fold: materialize per round
+    return (
+        mv.select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_v").cast("double").alias("sum_v"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("g")
+    )

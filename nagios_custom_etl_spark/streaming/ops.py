@@ -566,6 +566,7 @@ def cdc_apply_sink(
     op_col: str,
     txn_prefix: str = "cdc-batch",
     prune_on: str | None = None,
+    changes_root: str | None = None,
 ):
     """foreachBatch sink applying a CDC stream of keyed UPSERTS and
     DELETES into a snapshot table — Delta Live Tables' APPLY CHANGES
@@ -598,7 +599,24 @@ def cdc_apply_sink(
     whole-table read→union→overwrite is gone). Per-file stats are
     recorded on the prune key (keeps later merges pruning) AND on
     ``seq_col`` (lets tombstone GC prune to files old enough to hold
-    expirable tombstones)."""
+    expirable tombstones).
+
+    ``changes_root`` turns on the CHANGE DATA FEED (Delta CDF on an
+    APPLY CHANGES target): per batch, the NET effect on the current
+    view is appended to a change-log table with Delta's four row types
+    — ``insert`` (new or resurrected key), ``update_preimage`` /
+    ``update_postimage`` (a genuinely newer upsert over a live row),
+    ``delete`` (a winning tombstone, carrying the OLD row's values) —
+    plus ``_batch_id``. Stale batch rows (seq <= current) emit NOTHING:
+    the feed describes view transitions, not deliveries, which is what
+    makes a downstream incremental consumer (mv_apply_delta, the
+    maintained join) exact. Cost is one semi-joined read of the
+    pre-batch rows for the batch's keys (pinned to the parent version —
+    planning is eager, so it stays correct even though it executes
+    after the merge lands). Crash-safe ordering: the change-log append
+    (its own txn token) lands BEFORE the merge commit; a replay skips
+    whichever halves already landed and recomputes identical content
+    (the pre-image read re-pins the same parent)."""
     from pyspark.sql import Window
 
     from nagios_custom_etl_spark.operators import snapshots as S
@@ -615,6 +633,43 @@ def cdc_apply_sink(
             .drop("_rn")
         )
 
+    def _emit_changes(spark, delta: DataFrame, batch_id: int, chg_token: str) -> None:
+        cols = delta.columns
+        if S.latest_version(spark, root) > 0:
+            pre = S.read_snapshot(spark, root).join(
+                delta.select(*keys), keys, "left_semi"
+            )
+        else:
+            pre = delta.limit(0)
+        cond = None
+        for k in keys:
+            c = F.col(f"s.{k}") == F.col(f"t.{k}")
+            cond = c if cond is None else (cond & c)
+        j = delta.alias("s").join(pre.select(*cols).alias("t"), cond, "left_outer")
+        pre_exists = F.col(f"t.{seq_col}").isNotNull()
+        wins = ~pre_exists | (F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}"))
+        pre_tomb = F.col(f"t.{op_col}") == "D"
+        post_tomb = F.col(f"s.{op_col}") == "D"
+        won = j.filter(wins)
+        post_rows = won.filter(~post_tomb).select(
+            *[F.col(f"s.{c}").alias(c) for c in cols],
+            F.when(pre_exists & ~pre_tomb, F.lit("update_postimage"))
+            .otherwise(F.lit("insert"))
+            .alias("_change_type"),
+        )
+        pre_rows = won.filter(pre_exists & ~pre_tomb).select(
+            *[F.col(f"t.{c}").alias(c) for c in cols],
+            F.when(post_tomb, F.lit("delete"))
+            .otherwise(F.lit("update_preimage"))
+            .alias("_change_type"),
+        )
+        changes = post_rows.unionByName(pre_rows).withColumn(
+            "_batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        # an all-stale batch appends a zero-row version carrying the
+        # token — exactly what a replay wants to find
+        S.append(changes, changes_root, txn=chg_token)
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         token = f"{txn_prefix}-{batch_id}"
@@ -623,6 +678,10 @@ def cdc_apply_sink(
         if batch_df.isEmpty():
             return  # trailing no-data trigger: nothing to apply
         delta = latest_per_key(batch_df)
+        if changes_root is not None and S.txn_version(
+            spark, changes_root, f"{token}-chg"
+        ) is None:
+            _emit_changes(spark, delta, batch_id, f"{token}-chg")
         newer = F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}")
         # whole-row keep-max-seq: matched -> source row iff strictly
         # newer (ties keep target, which makes replays no-ops even

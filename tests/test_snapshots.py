@@ -2031,3 +2031,72 @@ def test_fastforward_branch_zero_copy_and_ownership(spark, root):
     S.mor_delete(spark.createDataFrame([Row(i=0)]), broot3, keys=["i"])
     with pytest.raises(ValueError, match="MoR deletes"):
         S.fastforward_branch(spark, root, "dev3")
+
+
+def test_cdc_change_data_feed_semantics(spark, root, tmp_path):
+    """The APPLY CHANGES change feed describes VIEW TRANSITIONS, not
+    deliveries: stale rows and no-op tombstones emit nothing; updates
+    emit pre+post; winning tombstones emit the old row as 'delete';
+    resurrections and unseen keys emit 'insert'; replays append
+    nothing."""
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink
+
+    chroot = str(tmp_path / "changes")
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+
+    def feed():
+        return {
+            (r.k, r.seq, r.v, r._change_type, r._batch_id)
+            for r in S.read_snapshot(spark, chroot).collect()
+        }
+
+    sink(spark.createDataFrame([(1, 10, "U", "a"), (2, 11, "U", "b")], sch), 0)
+    assert feed() == {(1, 10, "a", "insert", 0), (2, 11, "b", "insert", 0)}
+    # update emits pre+post; a tombstone for a NEVER-SEEN key changes
+    # nothing in the view -> emits nothing
+    sink(spark.createDataFrame([(1, 20, "U", "c"), (3, 5, "D", None)], sch), 1)
+    assert feed() - {(1, 10, "a", "insert", 0), (2, 11, "b", "insert", 0)} == {
+        (1, 10, "a", "update_preimage", 1),
+        (1, 20, "c", "update_postimage", 1),
+    }
+    # winning tombstone emits the OLD row as delete; a stale upsert
+    # (seq 15 < current 20) emits nothing
+    sink(spark.createDataFrame([(2, 30, "D", None), (1, 15, "U", "late")], sch), 2)
+    b2 = {c for c in feed() if c[4] == 2}
+    assert b2 == {(2, 11, "b", "delete", 2)}
+    # resurrection is an insert
+    sink(spark.createDataFrame([(2, 40, "U", "back")], sch), 3)
+    assert {c for c in feed() if c[4] == 3} == {(2, 40, "back", "insert", 3)}
+    # replay: neither table moves
+    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    sink(spark.createDataFrame([(1, 20, "U", "c"), (3, 5, "D", None)], sch), 1)
+    assert (S.latest_version(spark, root), S.latest_version(spark, chroot)) == before
+
+
+def test_read_snapshot_pruned_multi_and_semantics(spark, root):
+    """Conjunctive skipping: one disjoint range kills a file; files
+    missing stats for a predicate column are conservatively kept."""
+    a = spark.createDataFrame([(i, i, i * 10) for i in range(0, 5)], "id int, x int, y int")
+    b = spark.createDataFrame([(i, i, i * 10) for i in range(100, 105)], "id int, x int, y int")
+    c = spark.createDataFrame([(i, i, i * 10) for i in range(200, 205)], "id int, x int, y int")
+    S.append(a.coalesce(1), root, stats_cols=["x", "y"])
+    S.append(b.coalesce(1), root, stats_cols=["x", "y"])
+    S.append(c.coalesce(1), root, stats_cols=["x"])  # no y stats: kept
+    # file a dies on y (0..40 vs 1000..1040), file c dies on x
+    # (200..204 vs 0..150) even though its missing y stats would have
+    # kept it — AND semantics: one disjoint range kills
+    df, planned, total = S.read_snapshot_pruned_multi(
+        spark, root, [("x", 0, 150), ("y", 1000, 1040)]
+    )
+    assert total == 3
+    assert planned == 1
+    got = sorted(r.id for r in df.filter(F.col("y").between(1000, 1040)).collect())
+    assert got == [100, 101, 102, 103, 104]
+    # conservative path: predicate ONLY on y keeps the stats-less file
+    _df2, planned2, _ = S.read_snapshot_pruned_multi(spark, root, [("y", 0, 1)])
+    assert planned2 == 2  # file a (y 0..40 overlaps) + stats-less file c
+    with pytest.raises(ValueError, match="no predicates"):
+        S.read_snapshot_pruned_multi(spark, root, [])
