@@ -1495,6 +1495,55 @@ def read_incremental(
     return _read_files(spark, root, new, m_to.get("schema"), m_to.get("partition_spec"))
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions — Delta's ``table_changes``
+    for tables WITHOUT a change feed: every row that is in
+    ``to_version`` but not ``from_version`` comes back tagged
+    ``_change_type='insert'``, the reverse tagged ``'delete'``
+    (multiset semantics — a row present twice then once diffs as one
+    delete, EXCEPT ALL's contract, so the diff applied to the old
+    version reproduces the new one exactly).
+
+    Two plans, picked by what the history can prove:
+
+    * **append-only fast path**: when every commit in the range is
+      append-family, the delta is the file-set difference
+      (:func:`read_incremental`'s proof) — O(new files) read, zero old
+      data scanned, no deletes by construction;
+    * **content-diff fallback**: for arbitrary histories (overwrite,
+      merge, compaction) both versions are read and diffed with
+      ``exceptAll`` both ways — two scans and a shuffle, the honest
+      cost of asking for row changes a log cannot replay (the
+      change-feed sinks, st21/st31, exist so hot paths never need
+      this). Audit/backfill tooling shape, not a per-trigger one."""
+    from pyspark.sql import functions as F
+
+    v_to = latest_version(spark, root) if to_version is None else to_version
+    try:
+        ins = read_incremental(
+            spark, root, since_version=from_version, to_version=v_to
+        )
+        return ins.withColumn("_change_type", F.lit("insert"))
+    except ValueError:
+        pass  # range is not provably append-only: content diff
+    old = (
+        read_snapshot(spark, root, from_version)
+        if from_version
+        else read_snapshot(spark, root, v_to).limit(0)
+    )
+    new = read_snapshot(spark, root, v_to)
+    return new.exceptAll(old).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Write-audit-publish (WAP): stage a batch OUTSIDE the version chain, audit
 # the would-be table, then publish atomically (or abort). Iceberg's

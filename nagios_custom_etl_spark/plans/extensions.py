@@ -9686,3 +9686,67 @@ def x123_multi_column_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(planned).cast("long").alias("planned_files"),
         F.lit(total).cast("long").alias("files_total"),
     )
+
+
+@register(
+    "x124_snapshot_diff",
+    oracle="""
+    -- version-to-version row diff (table_changes without a change
+    -- feed): across the OVERWRITE (v1->v2) the content-diff fallback
+    -- must equal EXCEPT ALL both ways (multiset semantics); across the
+    -- plain append (v2->v3) the append-only fast path reads just the
+    -- new files and emits inserts only.
+    WITH s AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price_d
+               FROM orders WHERE o_orderkey % 10 = 1),
+    a AS (SELECT * FROM s WHERE o_orderkey % 3 IN (0, 1)),
+    b AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 1 THEN price_d + 100.0
+                      ELSE price_d END AS price_d
+          FROM s WHERE o_orderkey % 3 IN (1, 2)),
+    c AS (SELECT * FROM s WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, price_d, 'insert' AS _change_type, 'v1v2' AS _range
+    FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+    UNION ALL
+    SELECT o_orderkey, price_d, 'delete', 'v1v2'
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT o_orderkey, price_d, 'insert', 'v2v3' FROM c
+    ORDER BY _range, _change_type, o_orderkey
+    """,
+    doc="X124 snapshot diff (operators/snapshots.py::snapshot_diff): "
+    "Delta's table_changes for tables WITHOUT a change feed — the diff "
+    "applied to the old version reproduces the new one exactly "
+    "(EXCEPT ALL multiset semantics both ways). Plan picked by what "
+    "the history proves: append-only ranges take the file-set-"
+    "difference fast path (O(new files), zero old data, no deletes by "
+    "construction — read_incremental's proof); arbitrary histories "
+    "(overwrite/merge/compact) pay the honest two-scan content diff. "
+    "Audit/backfill tooling — the change-feed sinks (st21/st31) exist "
+    "so hot paths never need the fallback.",
+)
+def x124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    s = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x124_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    a = s.filter(F.col("o_orderkey") % 3 <= 1)
+    b = s.filter(F.col("o_orderkey") % 3 >= 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 1, F.col("price_d") + 100.0)
+        .otherwise(F.col("price_d"))
+        .alias("price_d"),
+    )
+    c = s.filter(F.col("o_orderkey") % 3 == 0)
+    S.append(a, root)  # v1
+    S.overwrite(b, root)  # v2: not append-family -> content diff
+    S.append(c, root)  # v3: append-only range -> fast path
+    d12 = S.snapshot_diff(spark, root, 1, 2).withColumn("_range", F.lit("v1v2"))
+    d23 = S.snapshot_diff(spark, root, 2, 3).withColumn("_range", F.lit("v2v3"))
+    return d12.unionByName(d23).orderBy("_range", "_change_type", "o_orderkey")

@@ -2100,3 +2100,22 @@ def test_read_snapshot_pruned_multi_and_semantics(spark, root):
     assert planned2 == 2  # file a (y 0..40 overlaps) + stats-less file c
     with pytest.raises(ValueError, match="no predicates"):
         S.read_snapshot_pruned_multi(spark, root, [])
+
+
+def test_snapshot_diff_multiset_and_fast_path(spark, root):
+    """Diff applied to the old version reproduces the new one: multiset
+    semantics (a row going 2x -> 1x diffs as ONE delete); append-only
+    ranges take the file-diff fast path (inserts only, no old files
+    planned)."""
+    from pyspark.sql import functions as F
+
+    dup2 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "i int, s string")
+    dup1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "i int, s string")
+    S.append(dup2, root)  # v1
+    S.overwrite(dup1, root)  # v2
+    d = S.snapshot_diff(spark, root, 1, 2).collect()
+    got = sorted((r.i, r.s, r._change_type) for r in d)
+    assert got == [(1, "a", "delete"), (3, "c", "insert")]
+    S.append(spark.createDataFrame([(9, "z")], "i int, s string"), root)  # v3
+    fast = S.snapshot_diff(spark, root, 2, 3).collect()
+    assert [(r.i, r.s, r._change_type) for r in fast] == [(9, "z", "insert")]
