@@ -2119,3 +2119,66 @@ def test_snapshot_diff_multiset_and_fast_path(spark, root):
     S.append(spark.createDataFrame([(9, "z")], "i int, s string"), root)  # v3
     fast = S.snapshot_diff(spark, root, 2, 3).collect()
     assert [(r.i, r.s, r._change_type) for r in fast] == [(9, "z", "insert")]
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_cdc_family_random_interleavings_converge(spark, root, tmp_path, trial):
+    """Property: for RANDOM change sets under RANDOM batch splits, the
+    SCD1 apply converges to latest-per-key and the SCD2 sink to the
+    interval recompute — the algebraic out-of-order claims checked
+    against a Python ground truth, not a hand-picked scenario."""
+    import random
+
+    from nagios_custom_etl_spark.streaming.ops import (
+        cdc_apply_sink,
+        cdc_current,
+        scd2_cdc_sink,
+        scd2_history,
+    )
+
+    rnd = random.Random(100 + trial)
+    changes = [
+        (k, seq, "D" if rnd.random() < 0.25 else "U", f"v{seq}")
+        for seq, k in enumerate(rnd.choices(range(12), k=80))
+    ]
+    sch = "k int, seq long, op string, v string"
+    n_batches = rnd.randint(2, 5)
+    split = [rnd.randrange(n_batches) for _ in changes]
+    batches = [
+        [c for c, b in zip(changes, split) if b == i] for i in range(n_batches)
+    ]
+
+    # ground truth: SCD1 = latest per key minus tombstones
+    last = {}
+    for k, seq, op, v in changes:
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, op, v)
+    want_live = {(k, s, v) for k, (s, op, v) in last.items() if op != "D"}
+    sink1 = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op")
+    for i, rows in enumerate(batches):
+        sink1(spark.createDataFrame(rows or [], sch), i)
+    got_live = {(r.k, r.seq, r.v) for r in cdc_current(spark, root).collect()}
+    assert got_live == want_live
+
+    # ground truth: SCD2 intervals from the globally ordered event set
+    want_hist = set()
+    by_key: dict[int, list] = {}
+    for k, seq, op, v in changes:
+        by_key.setdefault(k, []).append((seq, op, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        for i, (seq, op, v) in enumerate(evs):
+            if op == "D":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            cur = nxt is None  # an open U version is the current one
+            want_hist.add((k, seq, nxt, v, cur))
+    root2 = str(tmp_path / "scd2tab")
+    sink2 = scd2_cdc_sink(root2, key="k", seq_col="seq", op_col="op")
+    for i, rows in enumerate(batches):
+        sink2(spark.createDataFrame(rows or [], sch), i)
+    got_hist = {
+        (r.k, r.valid_from, r.valid_to, r.v, r.is_current)
+        for r in scd2_history(spark, root2).collect()
+    }
+    assert got_hist == want_hist
