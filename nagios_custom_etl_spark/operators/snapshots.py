@@ -381,6 +381,7 @@ def append(
     m = _read_manifest(spark, root, parent) if parent else {}
     spec = _check_partition_spec(m, partition_by, allow_spec_change)
     schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
+    _enforce_constraints(df, root)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
     last_err: Exception | None = None
     for attempt in range(max(1, max_retries)):
@@ -450,6 +451,7 @@ def overwrite(
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
+    _enforce_constraints(df, root)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
     schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
     return _commit(
@@ -724,6 +726,7 @@ def mor_upsert(
         _merged_schema(m["schema"], _schema_list(source), evolve=False)
         source = source.select(*[n for n, _ in m["schema"]])
     spec = m.get("partition_spec")
+    _enforce_constraints(source, root)
     nfiles, nstats = _write_data_files(
         source, root, stats_cols, spec[0] if spec else None
     )
@@ -1077,6 +1080,7 @@ def merge_commit(
             if m.get("schema"):  # pin insert-only batches to table column order
                 merged = merged.select(*[n for n, _ in m["schema"]])
         spec = m.get("partition_spec")
+        _enforce_constraints(merged, root)
         files, stats = _write_data_files(
             merged, root, stats_cols, spec[0] if spec else None
         )
@@ -1141,6 +1145,87 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
     return sorted(set(deleted))
+
+
+def _constraint_path(root: str, name: str) -> str:
+    return f"{_snap_dir(root)}/constraint-{name}.json"
+
+
+def list_check_constraints(spark: SparkSession, root: str) -> dict[str, str]:
+    """name -> SQL predicate for every declared CHECK constraint."""
+    out = {}
+    if not fsio.exists(spark, _snap_dir(root)):
+        return out
+    for f in fsio.list_names(spark, _snap_dir(root)):
+        if f.startswith("constraint-") and f.endswith(".json"):
+            d = json.loads(fsio.read_text(spark, f"{_snap_dir(root)}/{f}"))
+            out[d["name"]] = d["expr"]
+    return out
+
+
+def add_check_constraint(spark: SparkSession, root: str, name: str, expr: str) -> None:
+    """Declare a CHECK constraint (Delta ``ADD CONSTRAINT``): ``expr``
+    is a SQL predicate every row must satisfy, enforced by EVERY writer
+    from now on (append/overwrite/merge/replace-partitions/mor-upsert
+    refuse a batch with a violating row — eagerly, before any data file
+    lands). Adding is refused while any EXISTING row violates (Delta's
+    contract: a constraint is a table-wide invariant, not a
+    forward-only filter) — that check is one scan, paid once at
+    declaration. NULL predicate results count as violations (the x121
+    expectations rule: an unevaluable check is not a passing one).
+    Atomic create-if-absent; re-declaring needs an explicit
+    :func:`drop_check_constraint` first."""
+    if not name or any(ch in name for ch in "/\\ "):
+        raise ValueError(f"invalid constraint name {name!r}")
+    from pyspark.sql import functions as F
+
+    F.expr(expr)  # parse before touching anything
+    if latest_version(spark, root) > 0:
+        bad = (
+            read_snapshot(spark, root)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate {expr!r}"
+            )
+    fsio.mkdirs(spark, _snap_dir(root))
+    try:
+        fsio.create_text_atomic(
+            spark, _constraint_path(root, name), json.dumps({"name": name, "expr": expr})
+        )
+    except FileExistsError as ex:
+        raise ValueError(f"constraint {name!r} already exists") from ex
+
+
+def drop_check_constraint(spark: SparkSession, root: str, name: str) -> bool:
+    """Remove a CHECK constraint (False if absent). Rows already in the
+    table are untouched — the invariant simply stops being enforced."""
+    return fsio.delete(spark, _constraint_path(root, name), recursive=False)
+
+
+def _enforce_constraints(df: DataFrame, root: str) -> None:
+    """Refuse the rows a writer is about to land if any declared CHECK
+    constraint is violated — rides the x121 expectations machinery
+    (one codegen'd tagging pass, per-constraint violation counts in the
+    error). Zero cost when no constraints are declared beyond one
+    sidecar listing. Soundness of enforcing only the NEW rows: every
+    already-referenced file passed this same gate at ITS write (or the
+    add-time full scan), so the invariant holds table-wide by
+    induction."""
+    spark = df.sparkSession
+    cons = list_check_constraints(spark, root)
+    if not cons:
+        return
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.quality import expectations_apply
+
+    expectations_apply(
+        df, [(n, F.expr(e), "fail") for n, e in sorted(cons.items())]
+    )
 
 
 def _tag_path(root: str, name: str) -> str:
@@ -1971,6 +2056,7 @@ def replace_partitions(
         )
     if not raw_values:
         raise ValueError("empty batch: nothing to replace")
+    _enforce_constraints(df, root)
     files, stats = _write_data_files(df, root, stats_cols, pcol)
     # The replaced-value set is read back from the NEW files' own path
     # segments, not str(value): Spark Hive-escapes partition values on

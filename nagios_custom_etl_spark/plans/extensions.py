@@ -9750,3 +9750,70 @@ def x124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d12 = S.snapshot_diff(spark, root, 1, 2).withColumn("_range", F.lit("v1v2"))
     d23 = S.snapshot_diff(spark, root, 2, 3).withColumn("_range", F.lit("v2v3"))
     return d12.unionByName(d23).orderBy("_range", "_change_type", "o_orderkey")
+
+
+@register(
+    "x125_check_constraints",
+    oracle="""
+    -- Delta CHECK constraints: a declared predicate every writer
+    -- enforces — the violating append is REFUSED (violation_refused,
+    -- with the planted row never landing: content equals the two good
+    -- batches), and ADDING a constraint that existing rows violate is
+    -- refused too (add_refused) — an invariant, not a forward-only
+    -- filter.
+    WITH s AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price_d
+               FROM orders WHERE o_orderkey % 10 = 1)
+    SELECT o_orderkey, price_d,
+           CAST(TRUE AS BOOLEAN) AS violation_refused,
+           CAST(TRUE AS BOOLEAN) AS add_refused
+    FROM s ORDER BY o_orderkey
+    """,
+    doc="X125 CHECK constraints (operators/snapshots.py::"
+    "add_check_constraint/drop_check_constraint/_enforce_constraints): "
+    "Delta's ADD CONSTRAINT — a SQL predicate declared once (atomic "
+    "sidecar, parse-validated, refused if existing rows violate: one "
+    "scan paid at declaration) and enforced by EVERY writer (append/"
+    "overwrite/merge/replace-partitions/mor-upsert) via the x121 "
+    "expectations machinery BEFORE any data file lands — per-constraint "
+    "violation counts ride the error. Enforcing only the new rows is "
+    "sound by induction: every referenced file passed this gate at its "
+    "own write or the add-time scan. NULL predicate results count as "
+    "violations. Zero write-path cost when no constraints are declared "
+    "(one sidecar listing).",
+)
+def x125_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.quality import ExpectationFailed
+
+    s = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price_d")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x125_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    S.append(s.filter(F.col("o_orderkey") % 3 == 0), root)
+    S.add_check_constraint(spark, root, "price_pos", "price_d > 0")
+    S.append(s.filter(F.col("o_orderkey") % 3 != 0), root)  # good: passes
+    bad = spark.createDataFrame(
+        [(999_999_991, -5.0)], "o_orderkey bigint, price_d double"
+    )
+    try:
+        S.append(bad, root)
+        violation_refused = False
+    except ExpectationFailed as ex:
+        violation_refused = ex.counts.get("price_pos") == 1
+    try:
+        S.add_check_constraint(spark, root, "key_neg", "o_orderkey < 0")
+        add_refused = False
+    except ValueError:
+        add_refused = True
+    return (
+        S.read_snapshot(spark, root)
+        .select("o_orderkey", "price_d")
+        .withColumn("violation_refused", F.lit(bool(violation_refused)))
+        .withColumn("add_refused", F.lit(bool(add_refused)))
+        .orderBy("o_orderkey")
+    )

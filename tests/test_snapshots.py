@@ -2182,3 +2182,35 @@ def test_cdc_family_random_interleavings_converge(spark, root, tmp_path, trial):
         for r in scd2_history(spark, root2).collect()
     }
     assert got_hist == want_hist
+
+
+def test_check_constraints_enforced_on_every_writer(spark, root):
+    """CHECK constraints gate append, overwrite, merge, and mor_upsert;
+    NULLs violate; drop re-allows; the violating batch never lands."""
+    from nagios_custom_etl_spark.operators.quality import ExpectationFailed
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "i int, x int")
+    S.append(df, root)
+    S.add_check_constraint(spark, root, "x_pos", "x > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        S.add_check_constraint(spark, root, "x_pos", "x > 0")
+    bad = spark.createDataFrame([(3, -1)], "i int, x int")
+    nulls = spark.createDataFrame([(4, None)], "i int, x int")
+    v_before = S.latest_version(spark, root)
+    for batch in (bad, nulls):
+        with pytest.raises(ExpectationFailed):
+            S.append(batch, root)
+        with pytest.raises(ExpectationFailed):
+            S.overwrite(batch, root)
+        with pytest.raises(ExpectationFailed):
+            S.mor_upsert(batch, root, keys=["i"])
+    with pytest.raises(ExpectationFailed):
+        S.merge_commit(root, bad, keys=["i"])
+    assert S.latest_version(spark, root) == v_before  # nothing landed
+    assert S.read_snapshot(spark, root).count() == 2
+    # add-time scan refuses a constraint existing rows violate
+    with pytest.raises(ValueError, match="existing rows violate"):
+        S.add_check_constraint(spark, root, "x_big", "x > 15")
+    assert S.drop_check_constraint(spark, root, "x_pos")
+    S.append(bad, root)  # enforcement gone
+    assert S.read_snapshot(spark, root).count() == 3
