@@ -1242,7 +1242,19 @@ def create_tag(
     keep window. Created atomically (create-if-absent), so a name maps
     to exactly one version forever; re-tagging needs an explicit
     :func:`delete_tag` first (Iceberg's replace-tag is delete+create).
-    Returns the tagged version."""
+    Returns the tagged version.
+
+    Concurrency caveat (documented residual risk, r10 ADVICE): the
+    post-create re-check below NARROWS but does not CLOSE the race
+    with a concurrent vacuum — a vacuum that listed tags before the
+    tag file landed may delete the target manifest AFTER the re-check
+    passed, leaving a dangling tag it never saw. The retention promise
+    is therefore BEST-EFFORT under a vacuum racing the tag's creation
+    (tags created before the vacuum starts are always honored). Closing
+    it fully needs claim-file arbitration between create_tag and vacuum
+    (the WAP publish/abort protocol); callers who need a hard guarantee
+    today should serialize tagging with their maintenance window —
+    standard practice, since vacuum is an operator-scheduled job."""
     if not name or any(ch in name for ch in "/\\ "):
         raise ValueError(f"invalid tag name {name!r}")
     v = latest_version(spark, root) if version is None else version
@@ -1993,6 +2005,13 @@ def fastforward_branch(spark: SparkSession, root: str, name: str) -> int:
         parent,
         {reroot(f): s for f, s in bm.get("stats", {}).items()} or None,
         bm.get("schema"),
+        # a branch may legally have (re)declared a partition spec via
+        # overwrite(); without carrying it, _read_files would plan the
+        # promoted col=val files with no basePath and cast_to_schema
+        # would silently NULL-fill the partition column. _read_files'
+        # per-group basePath (dkey keeps the _branches/<name>/data-*
+        # prefix) reconstitutes the path values correctly.
+        partition_spec=bm.get("partition_spec"),
         extra={"fast_forwarded_from_branch": name},
     )
 

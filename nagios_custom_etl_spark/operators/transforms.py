@@ -241,9 +241,13 @@ def _prange(t: dict, lo, hi) -> tuple[str, str] | None:
     if t["kind"] == "days":
         return str(lo)[:10], str(hi)[:10]
     if t["kind"] == "hours":
-        # 'YYYY-MM-DD HH:..' or 'YYYY-MM-DD' -> 'YYYY-MM-DD-HH'
+        # 'YYYY-MM-DD HH:..' or 'YYYY-MM-DD' -> 'YYYY-MM-DD-HH'.
+        # ISO-8601 'T' separators are normalized FIRST: 'T' > '-' in
+        # byte order, so an un-normalized '2024-01-02T03' bound would
+        # exclude that day's genuine '2024-01-02-03' segment and break
+        # the superset guarantee (wrongly pruning matching files).
         def h(v, edge):
-            s = str(v)
+            s = str(v).replace("T", " ")
             return s[:13].replace(" ", "-") if len(s) > 10 else f"{s[:10]}-{edge}"
 
         return h(lo, "00"), h(hi, "23")

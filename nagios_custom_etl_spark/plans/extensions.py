@@ -9453,19 +9453,23 @@ def x120_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- batch. Metrics = per-rule violation counts over ALL input rows;
     -- kept/quarantined partition on the drop rule (NULL predicate
     -- results count as violations — IS [NOT] TRUE spells that here).
-    -- fail_tripped pins that a planted NULL-user row aborts the gate.
+    -- fail_tripped pins that a planted NULL-event_id row aborts the
+    -- gate. The fail rule is on event_id — non-null by fixture schema
+    -- CONSTRUCTION — so a regenerated fixture can never trip it on
+    -- real data (CLAUDE.md's regenerated-data rule); warn/drop rules
+    -- exercise genuine fixture variation.
     WITH e AS (SELECT * FROM events),
     m AS (
-      SELECT 'not_error' AS rule, 'drop' AS action,
-             CAST(COUNT(*) FILTER (WHERE (event_type <> 'error') IS NOT TRUE)
+      SELECT 'has_id' AS rule, 'fail' AS action,
+             CAST(COUNT(*) FILTER (WHERE (event_id IS NOT NULL) IS NOT TRUE)
                   AS BIGINT) AS n_violations FROM e
+      UNION ALL
+      SELECT 'not_error', 'drop',
+             CAST(COUNT(*) FILTER (WHERE (event_type <> 'error') IS NOT TRUE)
+                  AS BIGINT) FROM e
       UNION ALL
       SELECT 'value_present', 'warn',
              CAST(COUNT(*) FILTER (WHERE (value IS NOT NULL) IS NOT TRUE)
-                  AS BIGINT) FROM e
-      UNION ALL
-      SELECT 'has_user', 'fail',
-             CAST(COUNT(*) FILTER (WHERE (user_id IS NOT NULL) IS NOT TRUE)
                   AS BIGINT) FROM e
     )
     SELECT rule, action, n_violations,
@@ -9500,21 +9504,24 @@ def x121_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     rules = [
+        # the FAIL rule gates on event_id — non-null by fixture schema
+        # construction — so real regenerated data can never abort the
+        # query (r10 ADVICE); the warn/drop rules see genuine variation
+        ("has_id", F.col("event_id").isNotNull(), "fail"),
         ("not_error", F.col("event_type") != "error", "drop"),
         ("value_present", F.col("value").isNotNull(), "warn"),
-        ("has_user", F.col("user_id").isNotNull(), "fail"),
     ]
     kept, quarantined, metrics = expectations_apply(ev, rules)
     n_kept, n_quar = kept.count(), quarantined.count()
     planted = spark.createDataFrame(
-        [(999_999_999, None, "click", 1.0)],
+        [(None, 42, "click", 1.0)],
         "event_id bigint, user_id bigint, event_type string, value double",
     )
     try:
         expectations_apply(ev.unionByName(planted), rules)
         fail_tripped = False
     except ExpectationFailed as ex:
-        fail_tripped = ex.counts.get("has_user") == 1
+        fail_tripped = ex.counts.get("has_id") == 1
     return metrics.select(
         "rule",
         "action",

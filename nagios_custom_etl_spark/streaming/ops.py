@@ -841,15 +841,20 @@ def cdc_expire_tombstones(
     expirable, NO commit is published (re-running is free) — and
     re-running after a successful expiry finds nothing by construction.
 
-    Publishes a ``data_change: false`` maintenance ``replace`` (st26's
-    convention) plus a ``tombstones_expired`` marker, so any
-    skip-compactions change-feed consumer steps over it (a cdc_apply
-    table's own history is merge-family — consumed through cdc_current
-    or snapshot CDC, not file diffs — but the marker keeps compositions
-    honest). Sound for keyed downstream replicas by the same retention
-    contract: one that never learns a tombstone vanished just keeps it,
-    and the refusal above guarantees no surviving change is old enough
-    for that kept tombstone to wrongly block. Refused while
+    Publishes a ``replace`` stamped ``data_change: true`` plus a
+    ``tombstones_expired`` marker — the same contract as a
+    delete-materializing :func:`~..operators.snapshots.compact`: rows
+    are DROPPED, so a skip-compactions file-diff consumer must REFUSE
+    to step over it (Delta stamps dataChange=false only for
+    row-preserving OPTIMIZE). A cdc_apply table's own history is
+    merge-family — consumed through cdc_current or snapshot CDC, not
+    file diffs — but on a table whose history happens to be append-only
+    (a raw CDC event log), a silently-skipped expiry would leave the
+    consumer believing the tombstone rows still exist. Sound for keyed
+    downstream replicas by the retention contract: one that never
+    learns a tombstone vanished just keeps it, and the refusal above
+    guarantees no surviving change is old enough for that kept
+    tombstone to wrongly block. Refused while
     MoR deletes are pending (their scope over a partial rewrite is
     ambiguous — compact first). Returns the new version, or None when
     nothing expired."""
@@ -917,5 +922,7 @@ def cdc_expire_tombstones(
         {**carried, **new_stats},
         m.get("schema"),
         partition_spec=spec,
-        extra={"data_change": False, "tombstones_expired": True},
+        # rows are dropped: data_change=true, like a delete-
+        # materializing compact — incremental readers refuse to skip it
+        extra={"data_change": True, "tombstones_expired": True},
     )

@@ -1897,8 +1897,13 @@ def test_cdc_expire_tombstones(spark, root):
     live = {(r.k, r.v) for r in cdc_current(spark, root).collect()}
     assert live == {(0, "a0"), (2, "a2"), (4, "a4"), (7, "hot")}
     m1 = S._read_manifest(spark, root, v)
-    assert m1["data_change"] is False and m1["tombstones_expired"] is True
+    # rows were DROPPED: data_change must be true (the compact-fix
+    # contract) so a skip-compactions file-diff consumer refuses to
+    # step over the expiry instead of silently keeping phantom rows
+    assert m1["data_change"] is True and m1["tombstones_expired"] is True
     assert fresh <= set(m1["files"])  # fresh files carried, not rewritten
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, since_version=v - 1, skip_compactions=True)
     # idempotent: nothing left to expire -> no commit published
     assert cdc_expire_tombstones(spark, root, older_than_seq=100, max_lateness=100) is None
     assert S.latest_version(spark, root) == v
@@ -2031,6 +2036,27 @@ def test_fastforward_branch_zero_copy_and_ownership(spark, root):
     S.mor_delete(spark.createDataFrame([Row(i=0)]), broot3, keys=["i"])
     with pytest.raises(ValueError, match="MoR deletes"):
         S.fastforward_branch(spark, root, "dev3")
+
+
+def test_fastforward_carries_branch_partition_spec(spark, root):
+    """A branch may legally (re)declare a partition spec via overwrite();
+    fast-forward must carry it into the promoted manifest — without it,
+    _read_files plans the col=val files with no basePath and silently
+    NULL-fills the partition column on every read (r10 ADVICE)."""
+    S.append(_df(spark, 0, 4), root)  # v1 (unpartitioned source)
+    broot = S.create_branch(spark, root, "part")
+    pdf = spark.createDataFrame(
+        [Row(i=i, v=f"r{i}", p=i % 2) for i in range(6)], "i int, v string, p int"
+    )
+    S.overwrite(pdf, broot, partition_by="p")
+    assert S._read_manifest(
+        spark, broot, S.latest_version(spark, broot)
+    )["partition_spec"] == ["p"]
+    v = S.fastforward_branch(spark, root, "part")
+    m = S._read_manifest(spark, root, v)
+    assert m["partition_spec"] == ["p"]
+    got = {(r.i, r.v, r.p) for r in S.read_snapshot(spark, root, v).collect()}
+    assert got == {(i, f"r{i}", i % 2) for i in range(6)}  # p NOT null-filled
 
 
 def test_cdc_change_data_feed_semantics(spark, root, tmp_path):

@@ -144,3 +144,34 @@ def test_spec_evolution_refusals(spark, root):
         T.evolve_transform(spark, root, T.days("ts"))
     with pytest.raises(ValueError, match="unknown transform kind"):
         T.evolve_transform(spark, root, {"kind": "months", "source": "ts"})
+
+
+def test_hours_prune_accepts_iso_t_bounds(spark, root):
+    """ISO-8601 'T'-separated probe bounds must prune identically to
+    space-separated ones. 'T' > '-' in byte order, so an un-normalized
+    '2024-02-03T10' lower bound would sort ABOVE the genuine
+    '2024-02-03-10' hour segment and wrongly exclude files holding
+    matching rows — a superset-guarantee violation (r10 ADVICE)."""
+    T.write_transformed(_ev(spark, 0, 30), root, T.hours("ts"), mode="overwrite")
+    df_sp, planned_sp, total = T.read_pruned_source_range(
+        spark, root, "2024-02-03 00:00:00", "2024-02-04 23:59:59"
+    )
+    df_t, planned_t, _ = T.read_pruned_source_range(
+        spark, root, "2024-02-03T00:00:00", "2024-02-04T23:59:59"
+    )
+    assert planned_sp > 0  # the range genuinely holds files
+    assert planned_t == planned_sp
+    want = sorted(i for i in range(30) if (i % 9) + 1 in (3, 4))
+    for df in (df_sp, df_t):
+        got = sorted(
+            r.i
+            for r in df.filter(
+                F.col("ts").between("2024-02-03 00:00:00", "2024-02-04 23:59:59")
+            ).collect()
+        )
+        assert got == want
+    # date-only bounds still expand to the day's full hour range
+    _, planned_d, _ = T.read_pruned_source_range(
+        spark, root, "2024-02-03", "2024-02-04"
+    )
+    assert planned_d == planned_sp
