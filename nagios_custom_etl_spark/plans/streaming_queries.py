@@ -2281,19 +2281,38 @@ def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched_b = d_b.select("c_custkey").distinct()
         # 2. an update is delete+insert of the same id: drop every view
         #    pair carrying a touched id — ONE composite equality-delete,
-        #    no view file rewritten (pairs listed via a map-side
-        #    semi-join against the live view; a replayed delete finds
-        #    them already dead and writes an empty set)
+        #    no view file rewritten. The pair listing is FILE-PRUNED
+        #    (r10 verdict task 1): each side's touched-id [min, max]
+        #    (bounded driver agg) selects only the view files whose
+        #    recorded range for THAT id column intersects — stats on
+        #    both id columns are recorded at every insert append below —
+        #    so a 1-key trigger against a many-file view reads the files
+        #    holding that id, never the view. A replayed delete finds
+        #    the pairs already dead and writes an empty set.
         if S.latest_version(sp, jroot):
-            live = S.read_snapshot(sp, jroot)
-            pairs = (
-                live.join(touched_a, "o_orderkey", "left_semi")
-                .unionByName(live.join(touched_b, "c_custkey", "left_semi"))
-                .select("o_orderkey", "c_custkey")
-                .dropDuplicates()
-            )
-            if not pairs.isEmpty():
-                S.mor_delete(pairs, jroot, keys=["o_orderkey", "c_custkey"])
+
+            def pruned_pairs(col: str, tdf: DataFrame) -> DataFrame | None:
+                lo, hi = tdf.agg(F.min(col), F.max(col)).first()
+                if lo is None:
+                    return None  # empty/all-NULL side: no pairs to drop
+                side, _, _ = S.read_snapshot_pruned(sp, jroot, col, lo, hi)
+                return side.join(tdf, col, "left_semi")
+
+            sides = [
+                s
+                for s in (
+                    pruned_pairs("o_orderkey", touched_a),
+                    pruned_pairs("c_custkey", touched_b),
+                )
+                if s is not None
+            ]
+            if sides:
+                pairs = sides[0]
+                for s in sides[1:]:
+                    pairs = pairs.unionByName(s)
+                pairs = pairs.select("o_orderkey", "c_custkey").dropDuplicates()
+                if not pairs.isEmpty():
+                    S.mor_delete(pairs, jroot, keys=["o_orderkey", "c_custkey"])
         # 3. delta-rule inserts: changed-A x current-B, plus
         #    unchanged-A x changed-B (anti on a's id kills double count)
         add_a = a_cur.join(touched_a, "o_orderkey", "left_semi").join(
@@ -2306,8 +2325,10 @@ def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "c_custkey", "price_d", "c_name"
         )
         # an all-empty delta commits a zero-row version carrying the txn
-        # token — exactly what a replay wants to find (st27's comment)
-        S.append(inserts, jroot, txn=token)
+        # token — exactly what a replay wants to find (st27's comment);
+        # per-file stats on both id columns keep the pair listing above
+        # file-pruned on every later trigger
+        S.append(inserts, jroot, txn=token, stats_cols=["o_orderkey", "c_custkey"])
 
     def drain() -> None:
         q = (

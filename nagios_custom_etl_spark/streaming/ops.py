@@ -610,10 +610,13 @@ def cdc_apply_sink(
     plus ``_batch_id``. Stale batch rows (seq <= current) emit NOTHING:
     the feed describes view transitions, not deliveries, which is what
     makes a downstream incremental consumer (mv_apply_delta, the
-    maintained join) exact. Cost is one semi-joined read of the
-    pre-batch rows for the batch's keys (pinned to the parent version —
-    planning is eager, so it stays correct even though it executes
-    after the merge lands). Crash-safe ordering: the change-log append
+    maintained join) exact. The pre-image fetch is FILE-PRUNED like the
+    merge itself: the batch's [min, max] on the prune key selects only
+    the files whose recorded key range intersects (read via
+    read_snapshot_pruned, pinned to the parent version), so the
+    per-trigger read cost is O(files holding the batch's keys), never
+    O(table) — Delta CDF's derive-from-matched-files shape.
+    Crash-safe ordering: the change-log append
     (its own txn token) lands BEFORE the merge commit; a replay skips
     whichever halves already landed and recomputes identical content
     (the pre-image read re-pins the same parent)."""
@@ -635,10 +638,27 @@ def cdc_apply_sink(
 
     def _emit_changes(spark, delta: DataFrame, batch_id: int, chg_token: str) -> None:
         cols = delta.columns
-        if S.latest_version(spark, root) > 0:
-            pre = S.read_snapshot(spark, root).join(
-                delta.select(*keys), keys, "left_semi"
-            )
+        parent = S.latest_version(spark, root)
+        if parent > 0:
+            # file-pruned pre-image fetch (r10 verdict task 1): the
+            # batch's [min, max] on the prune key (bounded driver agg —
+            # the same one merge_commit runs) selects only the files
+            # whose recorded key range can hold a pre-image; a 1-key
+            # trigger against a million-file target READS the files
+            # holding that key, never the table (Delta CDF derives
+            # pre-images from the files the merge matched). Pinned to
+            # the parent version so the content is stable even though
+            # it executes after the merge lands. NULL-key delta rows
+            # never match (SQL MERGE semantics), so pruning on non-NULL
+            # bounds is sound; all-NULL batches have no pre-image.
+            lo, hi = delta.agg(F.min(prune_key), F.max(prune_key)).first()
+            if lo is None:
+                pre = delta.limit(0)
+            else:
+                pruned, _, _ = S.read_snapshot_pruned(
+                    spark, root, prune_key, lo, hi, version=parent
+                )
+                pre = pruned.join(delta.select(*keys), keys, "left_semi")
         else:
             pre = delta.limit(0)
         cond = None
@@ -737,9 +757,12 @@ def scd2_cdc_sink(
     (key, seq), and one lead()-window re-derives every interval — a
     late event slots into place and re-closes its neighbors, which no
     in-order incremental rule can do. Cost is O(touched histories),
-    never O(table): version-count per key is attribute-change
-    cardinality (bounded), and the publish is ONE atomic
-    merge_commit on (key, valid_from) with file pruning on the key —
+    never O(table) — on BOTH sides: the touched-history READ is
+    file-pruned (read_snapshot_pruned on the batch's key range against
+    the per-file key stats every publish records), version-count per
+    key is attribute-change cardinality (bounded), and the publish is
+    ONE atomic merge_commit on (key, valid_from) with file pruning on
+    the key —
     matched version rows update in place (their valid_to/is_current
     may have changed), new versions insert, untouched keys' files
     carry. Nothing is read-then-destroyed across commits, so a crash
@@ -762,13 +785,24 @@ def scd2_cdc_sink(
         attrs = [c for c in d.columns if c not in (key, "valid_from", op_col)]
         cols = [key, "valid_from", op_col, *attrs]
         events = d.select(*cols)
-        if S.latest_version(spark, root) > 0:
+        parent = S.latest_version(spark, root)
+        if parent > 0:
             touched = d.select(key).distinct()
-            existing = (
-                S.read_snapshot(spark, root)
-                .join(touched, key, "left_semi")
-                .select(*cols)
-            )
+            # file-pruned touched-history fetch (r10 verdict task 1):
+            # only files whose recorded key range intersects the
+            # batch's [min, max] can hold a touched key's stored events
+            # — stats on the key are recorded at every publish below,
+            # so a 1-key batch against a many-file history reads the
+            # files holding that key, never the table. NULL keys never
+            # semi-join-match, so non-NULL bounds are sound.
+            lo, hi = d.agg(F.min(key), F.max(key)).first()
+            if lo is None:
+                existing = events.limit(0)
+            else:
+                pruned, _, _ = S.read_snapshot_pruned(
+                    spark, root, key, lo, hi, version=parent
+                )
+                existing = pruned.join(touched, key, "left_semi").select(*cols)
             events = existing.unionByName(events).dropDuplicates([key, "valid_from"])
         w = Window.partitionBy(key).orderBy("valid_from")
         rebuilt = events.select(

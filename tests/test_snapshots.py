@@ -2003,6 +2003,96 @@ def test_scd2_cdc_late_event_reslots_and_as_of(spark, root):
     assert (1, 35, 40, "d", False) in hist()
 
 
+def _pruned_read_probe(monkeypatch):
+    """Record every read_snapshot_pruned call's (col, planned, total) —
+    the instrumentation convention for pinning that the CDC composites'
+    per-trigger auxiliary READS plan only key-range-intersecting files
+    (r10 verdict task 1), test_cdc_apply_rewrites_only_touched_files'
+    sibling for the read side."""
+    calls: list[tuple] = []
+    real = S.read_snapshot_pruned
+
+    def probe(spark_, root_, col, lo, hi, version=None):
+        out = real(spark_, root_, col, lo, hi, version)
+        calls.append((col, out[1], out[2]))
+        return out
+
+    monkeypatch.setattr(S, "read_snapshot_pruned", probe)
+    return calls
+
+
+def _files_pruned_read_keeps(m: dict, col: str, key) -> set[str]:
+    """The file set read_snapshot_pruned must plan for a point probe:
+    stats-covering files plus the conservative keeps (no/None stats —
+    e.g. zero-row part files, which record only __rows)."""
+
+    def keeps(f: str) -> bool:
+        s = m["stats"].get(f, {}).get(col)
+        if not s or s[0] is None or s[1] is None:
+            return True
+        return s[0] <= key <= s[1]
+
+    return {f for f in m["files"] if keeps(f)}
+
+
+def test_cdc_feed_preimage_reads_only_touched_files(spark, root, tmp_path, monkeypatch):
+    """The change-feed pre-image fetch must READ only the files whose
+    recorded key range covers the batch's keys — a 1-key trigger
+    against a many-file target semi-joins a pruned plan, never the
+    whole snapshot (the r10 weak finding, read-side twin of the merge's
+    touched-files-only rewrite)."""
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink
+
+    chroot = str(tmp_path / "changes")
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+    for bid, lo in enumerate((0, 100, 200)):  # three disjoint key-range files
+        rows = [(lo + i, 10 + i, "U", f"v{lo + i}") for i in range(10)]
+        sink(spark.createDataFrame(rows, sch).coalesce(1), bid)
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    expected = _files_pruned_read_keeps(m, "k", 105)
+    assert expected and len(m["files"]) - len(expected) >= 2
+    calls = _pruned_read_probe(monkeypatch)
+    sink(spark.createDataFrame([(105, 999, "U", "new")], sch), 3)
+    pre_calls = [c for c in calls if c[0] == "k"]
+    assert pre_calls, "pre-image fetch did not route through the pruned read"
+    (_, planned, total), = pre_calls
+    assert total == len(m["files"]) and planned == len(expected) < total
+    feed = {
+        (r.k, r._change_type)
+        for r in S.read_snapshot(spark, chroot).filter(F.col("_batch_id") == 3).collect()
+    }
+    assert feed == {(105, "update_preimage"), (105, "update_postimage")}
+
+
+def test_scd2_touched_history_reads_only_touched_files(spark, root, monkeypatch):
+    """SCD2's per-trigger touched-history fetch plans only the files
+    whose recorded key range covers the batch's keys; the rebuilt
+    history for the touched key is still exact."""
+    from nagios_custom_etl_spark.streaming.ops import scd2_cdc_sink, scd2_history
+
+    sch = "k int, seq long, op string, v string"
+    sink = scd2_cdc_sink(root, key="k", seq_col="seq", op_col="op")
+    for bid, lo in enumerate((0, 100, 200)):  # disjoint key ranges per publish
+        rows = [(lo + i, 10, "U", f"a{lo + i}") for i in range(10)]
+        sink(spark.createDataFrame(rows, sch).coalesce(1), bid)
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    expected = _files_pruned_read_keeps(m, "k", 105)
+    assert expected and len(m["files"]) - len(expected) >= 2
+    calls = _pruned_read_probe(monkeypatch)
+    sink(spark.createDataFrame([(105, 20, "U", "b105")], sch), 3)
+    assert calls, "touched-history fetch did not route through the pruned read"
+    (_, planned, total), = calls
+    assert total == len(m["files"]) and planned == len(expected) < total
+    got = {
+        (r.k, r.valid_from, r.valid_to, r.v, r.is_current)
+        for r in scd2_history(spark, root).filter(F.col("k") == 105).collect()
+    }
+    assert got == {(105, 10, 20, "a105", False), (105, 20, None, "b105", True)}
+
+
 def test_fastforward_branch_zero_copy_and_ownership(spark, root):
     """Fast-forward publishes the branch state on main with re-rooted
     refs only (no data bytes written); main's vacuum never reclaims the
