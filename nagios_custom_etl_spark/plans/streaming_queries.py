@@ -2591,3 +2591,261 @@ def st31_cdc_change_feed_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
         .orderBy("g")
     )
+
+
+@register(
+    "st32_scd2_change_feed",
+    oracle="""
+    -- SCD2 CHANGE DATA FEED: replaying the emitted transitions — per
+    -- (key, valid_from), the LAST batch's insert/update_postimage row —
+    -- must reconstruct the stored history EXACTLY, which must in turn
+    -- equal the one-shot LEAD()-window recompute over all events (the
+    -- st30 claim). The mod-3 interleaving delivers heavily out of
+    -- order, so the feed necessarily contains CORRECTING pre/post
+    -- pairs (a late event re-closes its stored neighbors);
+    -- pre_post_paired pins that pre-images and post-images arrive in
+    -- matched pairs and that at least one correction occurred.
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    v AS (
+      SELECT k, seq AS valid_from, op, value,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+      FROM c
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           value,
+           (valid_to IS NULL) AS is_current,
+           CAST(TRUE AS BOOLEAN) AS pre_post_paired,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM v WHERE op = 'U'
+    ORDER BY k, valid_from
+    """,
+    doc="ST-ext SCD2 change data feed (streaming/ops.py::scd2_cdc_sink("
+    "changes_root=)): st31's Delta-CDF convention adapted to intervals "
+    "— per batch the NET effect of the touched-key rebuild on the "
+    "stored history is appended to a change log keyed on (key, "
+    "valid_from): new version rows as 'insert' (late events slot into "
+    "the middle of a timeline), stored versions whose derived interval "
+    "changed as correcting 'update_preimage'/'update_postimage' pairs "
+    "(attributes are immutable; only valid_to/is_current move). "
+    "Replaying the feed reconstructs scd2_history exactly, so a "
+    "downstream MV or temporal join consumes a 100 TB dimension "
+    "history at delta cost. Emission is crash-ordered before the merge "
+    "under its own txn token; the replay probe holds BOTH tables "
+    "still. Transition computation is O(touched histories): it "
+    "compares the rebuild against the same file-pruned touched-history "
+    "read the rebuild used.",
+)
+def st32_scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import scd2_cdc_sink
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st32_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, chroot, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "chg"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    sink = scd2_cdc_sink(
+        root, key="k", seq_col="seq", op_col="op", changes_root=chroot
+    )
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    committed = next(
+        b for b in range(3) if S.txn_version(spark, root, f"scd2-batch-{b}") is not None
+    )
+    sink(ev, committed)  # crash-recovery replay: BOTH tables must hold still
+    replay_noop = (
+        S.latest_version(spark, root),
+        S.latest_version(spark, chroot),
+    ) == before
+    feed = S.read_snapshot(spark, chroot)
+    n_pre = feed.filter(F.col("_change_type") == "update_preimage").count()
+    n_post = feed.filter(F.col("_change_type") == "update_postimage").count()
+    paired = n_pre == n_post and n_pre > 0
+    # replay: per (key, valid_from) the LAST batch's applied row wins
+    w = Window.partitionBy("k", "valid_from").orderBy(F.desc("_batch_id"))
+    recon = (
+        feed.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        recon.filter(F.col("op") != "D")
+        .select(
+            "k",
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long").alias("valid_to"),
+            "value",
+            "is_current",
+        )
+        .withColumn("pre_post_paired", F.lit(bool(paired)))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("k", "valid_from")
+    )
+
+
+@register(
+    "st33_cdc_visibility_gate",
+    oracle="""
+    -- feed-before-merge visibility window CLOSED by the reader-side
+    -- protocol: a transition whose merge has not landed (the planted
+    -- batch-9 feed row, simulating a crash between the feed append and
+    -- the merge commit) is INVISIBLE through cdc_read_changes
+    -- (pending_hidden), becomes visible only after crash recovery
+    -- replays the batch and the merge lands (visible_after), and the
+    -- recovered state replayed from the gated feed equals the direct
+    -- recompute over all changes — planted row included.
+    WITH c AS (
+      SELECT user_id % 50 AS k, event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    r AS (SELECT k, seq, op, value,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM c),
+    live AS (SELECT k, value FROM r WHERE rn = 1 AND op <> 'D'
+             UNION ALL SELECT 999, 5.5)
+    SELECT CAST(k % 7 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(TRUE AS BOOLEAN) AS pending_hidden,
+           CAST(TRUE AS BOOLEAN) AS visible_after,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM live GROUP BY k % 7 ORDER BY g
+    """,
+    doc="ST-ext CDC visibility gate (streaming/ops.py::cdc_read_changes "
+    "+ cdc_applied_high_water): closes the documented st31 anomaly — "
+    "feed emission is crash-ordered BEFORE the merge, so a raw feed "
+    "read can show a transition the target does not yet reflect. The "
+    "reader exposes only feed rows at or below the target's applied "
+    "high-water mark (txn tokens, O(manifests) metadata); foreachBatch "
+    "sequencing makes at most the single highest feed batch pending, "
+    "and the <=-mark rule survives vacuumed old tokens. The query "
+    "PLANTS the crash: a batch-9 feed row lands under its chg token "
+    "with no merge — hidden; the sink replay (real crash-recovery "
+    "path: feed half skipped via its token, merge lands) makes it "
+    "visible; a second replay holds both tables still.",
+)
+def st33_cdc_visibility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_read_changes
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st33_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, chroot, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "chg"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # plant the crash: batch 9's feed row lands under its own chg token,
+    # the merge does NOT — exactly what a crash between the two leaves
+    feed_schema = S.read_snapshot(spark, chroot).schema
+    seq9 = 10**9
+    pending = spark.createDataFrame(
+        [(999, seq9, "U", 5.5, "insert", 9)], feed_schema
+    )
+    S.append(pending, chroot, txn="cdc-batch-9-chg")
+    gated = cdc_read_changes(spark, chroot, root, txn_prefix="cdc-batch")
+    raw_max = S.read_snapshot(spark, chroot).agg(F.max("_batch_id")).first()[0]
+    gated_max = gated.agg(F.max("_batch_id")).first()[0]
+    pending_hidden = raw_max == 9 and gated_max < 9
+    # crash recovery: the batch replays — the feed half is skipped via
+    # its token, the merge lands, the transition becomes visible
+    batch9 = spark.createDataFrame([(999, seq9, "U", 5.5)], ev.schema)
+    sink(batch9, 9)
+    gated2 = cdc_read_changes(spark, chroot, root, txn_prefix="cdc-batch")
+    visible_after = gated2.agg(F.max("_batch_id")).first()[0] == 9
+    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    sink(batch9, 9)  # second replay: both tables hold still
+    replay_noop = (
+        S.latest_version(spark, root),
+        S.latest_version(spark, chroot),
+    ) == before
+    # replay the GATED feed into the current view: per key, the last
+    # batch's transition wins; a 'delete' transition removes the key
+    w = Window.partitionBy("k").orderBy(F.desc("_batch_id"))
+    last = (
+        gated2.filter(
+            F.col("_change_type").isin("insert", "update_postimage", "delete")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    live = last.filter(F.col("_change_type") != "delete")
+    return (
+        live.groupBy((F.col("k") % 7).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            F.col("_s").cast("double").alias("sum_v"),
+        )
+        .withColumn("pending_hidden", F.lit(bool(pending_hidden)))
+        .withColumn("visible_after", F.lit(bool(visible_after)))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("g")
+    )

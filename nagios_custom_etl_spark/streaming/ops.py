@@ -732,12 +732,69 @@ def cdc_current(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame
     return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")
 
 
+def cdc_applied_high_water(
+    spark: SparkSession, target_root: str, txn_prefix: str
+) -> int | None:
+    """Highest micro-batch id whose MERGE landed in the target table —
+    read from the txn tokens (``<prefix>-<batch_id>``) the apply sinks
+    record in every merge commit. O(retained manifests) metadata reads,
+    zero data IO. None when no batch has been applied yet."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    best: int | None = None
+    pre = f"{txn_prefix}-"
+    for v in S._manifest_versions(spark, target_root):
+        t = S._read_manifest(spark, target_root, v).get("txn")
+        if t and t.startswith(pre) and t[len(pre):].isdigit():
+            b = int(t[len(pre):])
+            best = b if best is None or b > best else best
+    return best
+
+
+def cdc_read_changes(
+    spark: SparkSession,
+    changes_root: str,
+    target_root: str,
+    txn_prefix: str = "cdc-batch",
+) -> DataFrame:
+    """Visibility-SAFE read of a change feed emitted by
+    :func:`cdc_apply_sink` / :func:`scd2_cdc_sink` — closes the
+    feed-before-merge anomaly window (r10 verdict task 5): emission is
+    crash-ordered feed-first, so between the feed append and the merge
+    commit (or after a crash between them) a raw ``read_snapshot`` of
+    the feed shows a transition the TARGET does not yet reflect. This
+    reader exposes only transitions whose companion merge has landed:
+    feed rows with ``_batch_id`` at or below the target's applied
+    high-water mark (:func:`cdc_applied_high_water`).
+
+    Soundness of the <= rule: foreachBatch is SEQUENTIAL — batch b+1
+    cannot start before ``write(b)`` returned (merge b committed), and
+    within a batch the feed lands before the merge — so at most the
+    single HIGHEST feed batch can be pending, and every batch at or
+    below the high-water mark is fully applied. A high-water comparison
+    (not set membership) also stays correct after the target's old
+    manifests are vacuumed: their tokens vanish but their batches are
+    provably below the surviving maximum. The pending transition is not
+    lost, merely deferred: crash recovery replays the batch, the merge
+    lands (the feed half is skipped via its own token), and the row
+    becomes visible — replay-idempotent end to end. Keep feed retention
+    >= target retention or the mark may reference expired feed rows."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    feed = S.read_snapshot(spark, changes_root)
+    hi = cdc_applied_high_water(spark, target_root, txn_prefix)
+    if hi is None:
+        return feed.limit(0)
+    return feed.filter(F.col("_batch_id") <= F.lit(int(hi)))
+
+
 def scd2_cdc_sink(
     root: str,
     key: str,
     seq_col: str,
     op_col: str,
     txn_prefix: str = "scd2-batch",
+    changes_root: str | None = None,
 ):
     """foreachBatch sink maintaining an SCD TYPE 2 history table from a
     keyed CDC stream — DLT's APPLY CHANGES ... STORED AS SCD TYPE 2,
@@ -767,10 +824,85 @@ def scd2_cdc_sink(
     may have changed), new versions insert, untouched keys' files
     carry. Nothing is read-then-destroyed across commits, so a crash
     at ANY point replays cleanly (txn token; the rebuild re-reads the
-    unchanged snapshot)."""
+    unchanged snapshot).
+
+    ``changes_root`` turns on the SCD2 CHANGE DATA FEED (st31's
+    convention adapted to intervals — the r10 verdict's task 2): per
+    batch, the NET effect of the rebuild on the stored history is
+    appended to a change-log table keyed on (key, valid_from):
+    ``insert`` for a version row the history did not hold (a new event
+    — possibly a LATE one slotting into the middle of a key's
+    timeline), ``update_preimage``/``update_postimage`` for a stored
+    version whose derived interval changed (its neighbor arrived and
+    re-closed it — the CORRECTING transition out-of-order delivery
+    makes necessary; event attributes are immutable so only
+    valid_to/is_current can differ). Versions are never deleted, so
+    the ``delete`` row type never occurs here. Replaying the feed —
+    per (key, valid_from), the last batch's insert/postimage row —
+    reconstructs the stored history EXACTLY, which is what lets a
+    downstream MV or temporal join over a 100 TB dimension history
+    consume transitions at delta cost instead of re-reading the table
+    (st31 proved this for SCD1). Emission is crash-ordered BEFORE the
+    merge under its own txn token: a replay skips whichever halves
+    already landed and recomputes identical content from the
+    unchanged parent snapshot. The transition computation costs
+    O(touched histories): it compares the rebuild (already in hand)
+    against the same file-pruned touched-history read the rebuild
+    itself used — no extra table scan."""
     from pyspark.sql import Window
 
     from nagios_custom_etl_spark.operators import snapshots as S
+
+    def _emit_transitions(rebuilt, stored, batch_id: int, chg_token: str) -> None:
+        # NET effect of the rebuild on the stored history, keyed on
+        # (key, valid_from): new version rows insert; stored versions
+        # whose derived interval changed (a neighbor arrived) emit a
+        # correcting pre/post pair. Unchanged rebuilt rows — including
+        # redelivered duplicate events — emit NOTHING: the feed
+        # describes history transitions, not deliveries. Both sides are
+        # already in hand (the rebuild and its own file-pruned
+        # touched-history read, pinned to the parent version), so this
+        # costs O(touched histories), never a table scan.
+        out_cols = rebuilt.columns
+        if stored is None:
+            changes = rebuilt.withColumn("_change_type", F.lit("insert"))
+        else:
+            n, o = rebuilt.alias("n"), stored.select(*out_cols).alias("o")
+            cond = (F.col(f"n.{key}") == F.col(f"o.{key}")) & (
+                F.col("n.valid_from") == F.col("o.valid_from")
+            )
+            j = n.join(o, cond, "left_outer")
+            is_new = F.col("o.valid_from").isNull()
+            changed = ~is_new & (
+                ~F.col("n.valid_to").eqNullSafe(F.col("o.valid_to"))
+                | ~F.col("n.is_current").eqNullSafe(F.col("o.is_current"))
+            )
+
+            def pick(side: str):
+                return [F.col(f"{side}.{c}").alias(c) for c in out_cols]
+
+            changes = (
+                j.filter(is_new)
+                .select(*pick("n"))
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    j.filter(changed)
+                    .select(*pick("o"))
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                .unionByName(
+                    j.filter(changed)
+                    .select(*pick("n"))
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
+        # an all-duplicate batch appends a zero-row version carrying the
+        # token — exactly what a replay wants to find
+        S.append(
+            changes.withColumn("_batch_id", F.lit(int(batch_id)).cast("long")),
+            changes_root,
+            txn=chg_token,
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -786,6 +918,7 @@ def scd2_cdc_sink(
         cols = [key, "valid_from", op_col, *attrs]
         events = d.select(*cols)
         parent = S.latest_version(spark, root)
+        stored_touched = None
         if parent > 0:
             touched = d.select(key).distinct()
             # file-pruned touched-history fetch (r10 verdict task 1):
@@ -802,7 +935,8 @@ def scd2_cdc_sink(
                 pruned, _, _ = S.read_snapshot_pruned(
                     spark, root, key, lo, hi, version=parent
                 )
-                existing = pruned.join(touched, key, "left_semi").select(*cols)
+                stored_touched = pruned.join(touched, key, "left_semi")
+                existing = stored_touched.select(*cols)
             events = existing.unionByName(events).dropDuplicates([key, "valid_from"])
         w = Window.partitionBy(key).orderBy("valid_from")
         rebuilt = events.select(
@@ -811,6 +945,10 @@ def scd2_cdc_sink(
         ).withColumn(
             "is_current", F.col("valid_to").isNull() & (F.col(op_col) != "D")
         )
+        if changes_root is not None and S.txn_version(
+            spark, changes_root, f"{token}-chg"
+        ) is None:
+            _emit_transitions(rebuilt, stored_touched, batch_id, f"{token}-chg")
         S.merge_commit(
             root,
             rebuilt,

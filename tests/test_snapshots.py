@@ -2330,3 +2330,129 @@ def test_check_constraints_enforced_on_every_writer(spark, root):
     assert S.drop_check_constraint(spark, root, "x_pos")
     S.append(bad, root)  # enforcement gone
     assert S.read_snapshot(spark, root).count() == 3
+
+
+def test_scd2_change_feed_transitions_and_replay(spark, root, tmp_path):
+    """SCD2 CDF (st32): per batch, new version rows emit 'insert', stored
+    versions whose interval a late neighbor re-closed emit correcting
+    pre/post pairs, redelivered duplicates emit NOTHING; replaying the
+    feed (last batch's insert/post per (key, valid_from)) reconstructs
+    the stored history exactly; the crash window (feed landed, merge
+    not) replays to convergence."""
+    from nagios_custom_etl_spark.streaming.ops import scd2_cdc_sink
+
+    chroot = str(tmp_path / "scd2chg")
+    sch = "k int, seq long, op string, v string"
+    sink = scd2_cdc_sink(root, key="k", seq_col="seq", op_col="op", changes_root=chroot)
+
+    def batch_feed(b):
+        return {
+            (r.k, r.valid_from, r.valid_to, r._change_type)
+            for r in S.read_snapshot(spark, chroot)
+            .filter(F.col("_batch_id") == b)
+            .collect()
+        }
+
+    sink(spark.createDataFrame([(1, 10, "U", "a"), (1, 30, "U", "c")], sch), 0)
+    assert batch_feed(0) == {(1, 10, 30, "insert"), (1, 30, None, "insert")}
+    # LATE seq-20 event: inserts between, re-closing (1,10)'s interval
+    sink(spark.createDataFrame([(1, 20, "U", "b")], sch), 1)
+    assert batch_feed(1) == {
+        (1, 20, 30, "insert"),
+        (1, 10, 30, "update_preimage"),
+        (1, 10, 20, "update_postimage"),
+    }
+    # redelivered duplicate: zero transitions, but the token version lands
+    chg_before = S.latest_version(spark, chroot)
+    sink(spark.createDataFrame([(1, 20, "U", "b")], sch), 2)
+    assert batch_feed(2) == set()
+    assert S.latest_version(spark, chroot) == chg_before + 1
+    # delete closes the open version AND lands as a stored 'D' event row
+    sink(spark.createDataFrame([(1, 40, "D", None)], sch), 3)
+    assert batch_feed(3) == {
+        (1, 40, None, "insert"),
+        (1, 30, None, "update_preimage"),
+        (1, 30, 40, "update_postimage"),
+    }
+    # replay of the feed == the stored history, row for row
+    from pyspark.sql import Window
+
+    feed = S.read_snapshot(spark, chroot)
+    w = Window.partitionBy("k", "valid_from").orderBy(F.desc("_batch_id"))
+    recon = (
+        feed.filter(F.col("_change_type").isin("insert", "update_postimage"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*S.read_snapshot(spark, root).columns)
+    )
+    assert recon.exceptAll(S.read_snapshot(spark, root)).isEmpty()
+    assert S.read_snapshot(spark, root).exceptAll(recon).isEmpty()
+    # crash window: feed for batch 9 landed, merge did not — a raw feed
+    # read shows the pending transition; replay converges both tables
+    pending = spark.createDataFrame(
+        [(7, 5, "U", "x", None, True, "insert", 9)],
+        S.read_snapshot(spark, chroot).schema,
+    )
+    S.append(pending, chroot, txn="scd2-batch-9-chg")
+    sink(spark.createDataFrame([(7, 5, "U", "x")], sch), 9)  # recovery
+    assert batch_feed(9) == {(7, 5, None, "insert")}  # the planted row, once
+    assert {
+        (r.k, r.v) for r in S.read_snapshot(spark, root).filter(F.col("k") == 7).collect()
+    } == {(7, "x")}
+
+
+def test_cdc_read_changes_crash_points(spark, root, tmp_path):
+    """Visibility gate (st33 unit): enumerate a batch's crash points —
+    (a) nothing landed, (b) feed landed / merge not, (c) both — and pin
+    that cdc_read_changes NEVER shows a transition the target doesn't
+    reflect, while replay converges and stays idempotent."""
+    from nagios_custom_etl_spark.streaming.ops import (
+        cdc_apply_sink,
+        cdc_applied_high_water,
+        cdc_read_changes,
+    )
+
+    chroot = str(tmp_path / "chg")
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+    sink(spark.createDataFrame([(1, 10, "U", "a"), (2, 10, "U", "b")], sch), 0)
+
+    def target_keys():
+        return {r.k for r in S.read_snapshot(spark, root).collect()}
+
+    def visible_keys():
+        return {
+            r.k
+            for r in cdc_read_changes(spark, chroot, root)
+            .filter(F.col("_change_type").isin("insert", "update_postimage"))
+            .collect()
+        }
+
+    # crash point (a): batch 1 not started — nothing visible beyond batch 0
+    assert cdc_applied_high_water(spark, root, "cdc-batch") == 0
+    assert visible_keys() == {1, 2} and visible_keys() <= target_keys()
+    # crash point (b): feed landed, merge not — the transition is PENDING:
+    # raw feed shows k=3, the gated reader does not, target agrees
+    pending = spark.createDataFrame(
+        [(3, 10, "U", "c", "insert", 1)], S.read_snapshot(spark, chroot).schema
+    )
+    S.append(pending, chroot, txn="cdc-batch-1-chg")
+    assert 3 in {r.k for r in S.read_snapshot(spark, chroot).collect()}
+    assert 3 not in visible_keys()
+    assert visible_keys() <= target_keys()
+    # crash point (c): recovery replays batch 1 — the feed half is skipped
+    # (its token landed), the merge lands, the transition becomes visible
+    sink(spark.createDataFrame([(3, 10, "U", "c")], sch), 1)
+    assert cdc_applied_high_water(spark, root, "cdc-batch") == 1
+    assert 3 in visible_keys() and visible_keys() == target_keys()
+    # idempotent: a second replay holds both tables still
+    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    sink(spark.createDataFrame([(3, 10, "U", "c")], sch), 1)
+    assert (S.latest_version(spark, root), S.latest_version(spark, chroot)) == before
+    # fresh feed with no applied merge at all: the gate exposes nothing
+    root2, chroot2 = str(tmp_path / "t2"), str(tmp_path / "c2")
+    S.append(pending, chroot2, txn="cdc-batch-0-chg")
+    S.append(_df(spark, 0, 1), root2)  # target exists but no cdc token
+    assert cdc_read_changes(spark, chroot2, root2).isEmpty()
