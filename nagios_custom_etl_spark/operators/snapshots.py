@@ -32,6 +32,7 @@ point on HDFS/local; on object stores it maps to a conditional PUT
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -53,8 +54,50 @@ class SchemaMismatchError(RuntimeError):
 
 def _schema_list(df: DataFrame) -> list[list[str]]:
     """Manifest-recorded schema: ordered [name, simple type] pairs —
-    JSON-stable and sufficient to reconcile heterogeneous data files."""
+    JSON-stable and sufficient to reconcile heterogeneous data files.
+    Entries may grow a third element, a metadata dict, once COLUMN
+    MAPPING is in play (:func:`rename_column` / :func:`drop_column` /
+    :func:`add_column`): ``{"aliases": [...]}`` lists the column's
+    FORMER physical names (old data files store the column under one of
+    them; reads resolve name-first-then-aliases), ``{"dropped": true}``
+    marks a logically-dropped column (physically retained, hidden from
+    every reader until :func:`compact` purges or :func:`undrop_column`
+    restores), ``{"default": <json literal>}`` is the value reads
+    materialize for files written without the column (Iceberg
+    initial-default). Plain tables keep 2-element entries — their
+    manifests are byte-identical to pre-mapping ones."""
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+#: reserved name prefix for logically-dropped columns: the entry stays in
+#: the schema (it must keep guarding its alias names against reuse and
+#: keep carrying through commits) but every reader skips it
+_DROPPED_PREFIX = "__dropped_"
+
+
+def _entry_meta(e) -> dict:
+    """Column-mapping metadata of a schema entry ({} for plain 2-lists)."""
+    return e[2] if len(e) > 2 else {}
+
+
+def _schema_types(schema) -> dict:
+    """Visible logical name -> simple type (dropped entries excluded) —
+    the mapping-aware replacement for ``dict(schema)``, which breaks on
+    3-element entries."""
+    return {e[0]: e[1] for e in schema or [] if not _entry_meta(e).get("dropped")}
+
+
+def _visible_names(schema) -> list[str]:
+    """Visible logical column names in declared order."""
+    return [e[0] for e in schema or [] if not _entry_meta(e).get("dropped")]
+
+
+def _alias_names(schema) -> set[str]:
+    """Every FORMER name still bound to old data files (renamed-away and
+    dropped names): adding a column under one of these would let stale
+    physical values resurrect through the alias resolution, so writers
+    refuse them."""
+    return {a for e in schema or [] for a in _entry_meta(e).get("aliases", ())}
 
 
 # Lossless type-widening lattice (Delta typeWidening): an evolving
@@ -88,7 +131,7 @@ def _merged_schema(
     the table's wider type)."""
     if parent is None:
         return [list(x) for x in new]
-    pt = {n: t for n, t in parent}
+    pt = _schema_types(parent)  # visible entries drive drift comparison
     nt = {n: t for n, t in new}
     widened: dict[str, str] = {}
     retyped = []
@@ -104,14 +147,38 @@ def _merged_schema(
     if retyped:
         raise SchemaMismatchError(f"type change on {retyped} is not allowed")
     added = [[n, t] for n, t in new if n not in pt]
-    omitted = [n for n, _ in parent if n not in nt]
+    # column-mapping guard: a former name (renamed-away or dropped) is
+    # still the PHYSICAL name inside old data files — a new column under
+    # it would read those stale values back. Refused even with evolve.
+    bad = sorted({n for n, _ in added} & _alias_names(parent))
+    if bad:
+        raise SchemaMismatchError(
+            f"column name(s) {bad} are former names of renamed/dropped "
+            "columns still bound to old data files; pick another name, "
+            "undrop_column(), or compact() to purge the mapping first"
+        )
+    # a column with a declared default is freely omittable (reads
+    # materialize the default for files written without it); dropped
+    # internal entries never participate in drift
+    omitted = [
+        e[0]
+        for e in parent
+        if not _entry_meta(e).get("dropped")
+        and e[0] not in nt
+        and "default" not in _entry_meta(e)
+    ]
     if (added or omitted or widened) and not evolve:
         raise SchemaMismatchError(
             f"schema drift (added {[n for n, _ in added]}, omitted {omitted}, "
             f"widened {sorted(widened)}); pass evolve=True to evolve the "
             "table schema"
         )
-    return [[n, widened.get(n, t)] for n, t in parent] + added
+    out = []
+    for e in parent:
+        meta = _entry_meta(e)
+        t = widened.get(e[0], e[1])
+        out.append([e[0], t, meta] if meta else [e[0], t])
+    return out + added
 
 
 def _snap_dir(root: str) -> str:
@@ -331,6 +398,14 @@ def _check_partition_spec(
 # "add to the table as it was" intent is ambiguous over, so the retry
 # aborts and surfaces the conflict (Delta aborts these classes too).
 _APPEND_COMMUTES_WITH = frozenset({"append", "merge", "mor-delete", "wap-publish"})
+
+#: schema-only commits (column mapping DDL): identical file set, zero rows
+#: added or removed — incremental readers step over them like a
+#: data_change:false replace (the file-set equality is re-verified at the
+#: step, never assumed)
+_METADATA_ONLY_OPS = frozenset(
+    {"rename-column", "drop-column", "undrop-column", "add-column"}
+)
 
 
 def append(
@@ -552,14 +627,30 @@ def _read_files(
         groups.setdefault(dkey(f), []).append(f)
 
     def cast_to_schema(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[
-                F.col(n).cast(t).alias(n)
-                if n in df.columns
-                else F.lit(None).cast(t).alias(n)
-                for n, t in schema
-            ]
-        )
+        # column-mapping resolution per entry: current logical name
+        # first, then its alias chain (a file written before a rename
+        # stores the column under a former name — one write's files are
+        # name-uniform, so per-group resolution is exact); files lacking
+        # the column entirely materialize the declared default (Iceberg
+        # initial-default) or a typed NULL. Dropped entries are skipped:
+        # the physical bytes stay in old files, no reader sees them.
+        cols = []
+        for e in schema:
+            meta = _entry_meta(e)
+            if meta.get("dropped"):
+                continue
+            n, t = e[0], e[1]
+            src = next(
+                (c for c in (n, *meta.get("aliases", ())) if c in df.columns),
+                None,
+            )
+            if src is not None:
+                cols.append(F.col(src).cast(t).alias(n))
+            elif "default" in meta:
+                cols.append(F.lit(meta["default"]).cast(t).alias(n))
+            else:
+                cols.append(F.lit(None).cast(t).alias(n))
+        return df.select(*cols)
 
     parts = []
     for sub, fl in sorted(groups.items()):
@@ -648,7 +739,7 @@ def _check_mor_keys(m: dict, keys: list[str]) -> None:
     """A table's MoR key set is part of its contract: every pending
     delete entry must use the same keys, or the single-join read plan
     (and the delete semantics) would fork per entry."""
-    dict_schema = dict(m.get("schema") or [])
+    dict_schema = _schema_types(m.get("schema") or [])
     missing = [k for k in keys if dict_schema and k not in dict_schema]
     if missing:
         raise ValueError(f"MoR keys {missing} are not table columns")
@@ -724,7 +815,7 @@ def mor_upsert(
     _check_mor_keys(m, keys)
     if m.get("schema"):
         _merged_schema(m["schema"], _schema_list(source), evolve=False)
-        source = source.select(*[n for n, _ in m["schema"]])
+        source = source.select(*_visible_names(m["schema"]))
     spec = m.get("partition_spec")
     _enforce_constraints(source, root)
     nfiles, nstats = _write_data_files(
@@ -773,7 +864,7 @@ def read_snapshot_pruned(
     m = _read_manifest(spark, root, v)
     stats = m.get("stats", {})
     spec = m.get("partition_spec") or []
-    simple = dict(m.get("schema") or []).get(col)
+    simple = _schema_types(m.get("schema") or []).get(col)
 
     def part_value(f: str):
         """Typed partition value parsed from the file's relative path,
@@ -1078,7 +1169,7 @@ def merge_commit(
             else:  # no file can contain a match: the whole batch inserts
                 merged = source
             if m.get("schema"):  # pin insert-only batches to table column order
-                merged = merged.select(*[n for n, _ in m["schema"]])
+                merged = merged.select(*_visible_names(m["schema"]))
         spec = m.get("partition_spec")
         _enforce_constraints(merged, root)
         files, stats = _write_data_files(
@@ -1388,6 +1479,7 @@ def compact(
     min_files: int = 2,
     cluster_by: list[str] | None = None,
     zorder_bits: int = 8,
+    purge_mapping: bool = False,
 ) -> int | None:
     """Rewrite the LATEST snapshot's sliver files into
     ``target_file_count`` files and publish the result as a layout-only
@@ -1431,7 +1523,17 @@ def compact(
     predicates to a few files. Pure static bit expressions
     (operators/maintenance.py::zorder_key) — codegen'd, no UDF; the
     range partitioning is the same one exchange the rewrite needs
-    anyway to produce ``target_file_count`` files."""
+    anyway to produce ``target_file_count`` files.
+
+    ``purge_mapping=True`` is Delta's ``REORG TABLE ... PURGE``: the
+    rewrite runs even on an already-compact table, and the published
+    schema drops column-mapping state — alias chains (every file now
+    carries the current logical names) and dropped-column tombstones
+    (their bytes are gone from the new files, their names released for
+    reuse; :func:`undrop_column` is impossible afterwards, which is why
+    purging is opt-in). Declared defaults survive (they govern future
+    omitting writers). Old versions keep their own schema, so pre-purge
+    reads and time travel are untouched."""
     from pyspark.sql import functions as F
 
     parent = latest_version(spark, root)
@@ -1439,7 +1541,7 @@ def compact(
         return None
     m = _read_manifest(spark, root, parent)
     if len(m["files"]) <= max(min_files, target_file_count) and not (
-        m.get("deletes") or cluster_by
+        m.get("deletes") or cluster_by or purge_mapping
     ):
         return None
     df = _live_view(spark, root, m, m["files"])
@@ -1492,7 +1594,7 @@ def compact(
         "replace",
         parent,
         stats or None,
-        m.get("schema"),
+        _purged_schema(m.get("schema")) if purge_mapping else m.get("schema"),
         partition_spec=spec,
         extra=extra,
     )
@@ -1581,6 +1683,13 @@ def read_incremental(
             new.extend(f for f in m["files"] if f not in prev)
         elif skip_compactions and op == "replace" and m.get("data_change") is False:
             pass  # row-preserving rewrite: contributes no delta
+        elif op in _METADATA_ONLY_OPS and set(m["files"]) == prev:
+            # schema-only commit (rename/drop/undrop/add column): the
+            # file set is IDENTICAL by construction, so it contributes
+            # no rows; the delta below is planned through m_to's schema,
+            # so the consumer sees the post-evolution names — the same
+            # contract as a range spanning an evolve=True append
+            pass
         else:
             raise ValueError(
                 f"version {v} is '{op}', not append: incremental read unsound"
@@ -2103,3 +2212,282 @@ def replace_partitions(
         txn=txn,
         partition_spec=spec,
     )
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop / undrop / add-with-default as METADATA-ONLY
+# commits (Delta column mapping / Iceberg schema evolution). The schema
+# entry's alias chain is the field identity Delta carries as a field id: old
+# data files keep the column under a former physical name and every reader
+# resolves name-first-then-aliases (see _read_files); a dropped column's
+# entry stays in the schema as a hidden tombstone so its names can never be
+# reused against the old files. compact(purge_mapping=True) is the physical
+# purge point: after a full rewrite every file carries the current logical
+# names, so chains and tombstones drop from the published schema.
+# ---------------------------------------------------------------------------
+
+
+def _rekey_stats(stats: dict | None, old: str, new: str) -> dict:
+    """Per-file stats after a column rename: the manifest is the one
+    place stats live, and the renaming commit republishes it — so the
+    keys (min/max under the column name, plus the metadata-aggregate
+    ``__sum_`` / ``__nulls_`` companions) move to the new logical name
+    and every pruning/metadata reader keeps working untranslated."""
+    out = {}
+    for f, s in (stats or {}).items():
+        e = dict(s)
+        for pre in ("", "__sum_", "__nulls_"):
+            k = f"{pre}{old}"
+            if k in e:
+                e[f"{pre}{new}"] = e.pop(k)
+        out[f] = e
+    return out
+
+
+def _refuse_mapping_conflicts(spark, root: str, m: dict, col: str) -> None:
+    """Shared guards for rename/drop: the column must not be load-bearing
+    for structures that bind it by NAME outside the schema — the
+    partition spec (values live in ``col=val`` path segments), a pending
+    MoR delete entry's key list (its key files store the physical name),
+    or a declared CHECK constraint's SQL text."""
+    spec = m.get("partition_spec")
+    if spec and col in spec:
+        raise ValueError(
+            f"{col!r} is the partition column: its values live in col=val "
+            "path segments, which a metadata rename cannot re-map"
+        )
+    for e in m.get("deletes") or []:
+        if col in e["keys"]:
+            raise ValueError(
+                f"{col!r} is a pending MoR delete key; compact() to "
+                "materialize the deletes first"
+            )
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    refs = sorted(
+        n for n, ex in list_check_constraints(spark, root).items() if pat.search(ex)
+    )
+    if refs:
+        raise ValueError(
+            f"CHECK constraint(s) {refs} reference {col!r}; drop them first"
+        )
+
+
+def _mapping_parent(spark, root: str) -> tuple[int, dict, list]:
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError(f"no committed version at {root}")
+    m = _read_manifest(spark, root, parent)
+    schema = m.get("schema")
+    if not schema:
+        raise ValueError(
+            "table has no recorded schema: column mapping needs one "
+            "(every writer in this module records it)"
+        )
+    return parent, m, schema
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN`` as ONE metadata commit — Delta
+    column mapping semantics: no data file is read or rewritten, however
+    many petabytes sit under the table. Old files keep the column under
+    its former physical name; the schema entry's alias chain records
+    that name and reads resolve through it, so files written before AND
+    after the rename come back under the new logical name. Per-file
+    stats re-key with the column, so data skipping and metadata-only
+    aggregates keep answering on the new name with zero recompute.
+    The former name stays RESERVED (alias guard in ``_merged_schema``):
+    re-adding it would resurrect stale physical values from old files —
+    compact(purge_mapping=True) rewrites and releases it. Composes with
+    type widening (the entry's type and meta evolve independently)."""
+    if not new or any(ch in new for ch in "/\\ ") or new.startswith("__"):
+        raise ValueError(f"invalid column name {new!r}")
+    parent, m, schema = _mapping_parent(spark, root)
+    types = _schema_types(schema)
+    if old not in types:
+        raise ValueError(f"no column {old!r} (visible: {sorted(types)})")
+    if new in types:
+        raise ValueError(f"column {new!r} already exists")
+    if new in _alias_names(schema):
+        raise SchemaMismatchError(
+            f"{new!r} is a former name of a renamed/dropped column still "
+            "bound to old data files; compact() to purge the mapping first"
+        )
+    _refuse_mapping_conflicts(spark, root, m, old)
+    out = []
+    for e in schema:
+        meta = dict(_entry_meta(e))
+        if e[0] == old and not meta.get("dropped"):
+            meta["aliases"] = [old, *meta.get("aliases", [])]
+            out.append([new, e[1], meta])
+        else:
+            out.append(list(e))
+    return _commit(
+        spark,
+        root,
+        m["files"],
+        "rename-column",
+        parent,
+        _rekey_stats(m.get("stats"), old, new),
+        out,
+        partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
+    )
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` as ONE metadata commit (Delta column
+    mapping drop): the column disappears from every reader — current
+    reads, time travel AT OR AFTER this version, pruning, metadata
+    aggregates — while the physical bytes stay in the (immutable,
+    shared) old files, still readable through pre-drop manifests. The
+    schema keeps a hidden tombstone entry whose alias chain reserves the
+    dropped name (and any former names) against reuse; writers simply
+    omit the column from new files. :func:`undrop_column` restores it
+    losslessly; ``compact(purge_mapping=True)`` is the physical purge
+    that releases the names (Delta's REORG ... PURGE)."""
+    parent, m, schema = _mapping_parent(spark, root)
+    types = _schema_types(schema)
+    if name not in types:
+        raise ValueError(f"no column {name!r} (visible: {sorted(types)})")
+    if len(types) == 1:
+        raise ValueError("cannot drop the last visible column")
+    _refuse_mapping_conflicts(spark, root, m, name)
+    internal = f"{_DROPPED_PREFIX}{name}_{uuid.uuid4().hex[:8]}"
+    out = []
+    for e in schema:
+        meta = dict(_entry_meta(e))
+        if e[0] == name and not meta.get("dropped"):
+            meta["dropped"] = True
+            meta["aliases"] = [name, *meta.get("aliases", [])]
+            out.append([internal, e[1], meta])
+        else:
+            out.append(list(e))
+    return _commit(
+        spark,
+        root,
+        m["files"],
+        "drop-column",
+        parent,
+        _rekey_stats(m.get("stats"), name, internal),
+        out,
+        partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
+    )
+
+
+def undrop_column(spark: SparkSession, root: str, name: str) -> int:
+    """Restore a logically-dropped column (Delta ``UNDROP`` shape):
+    lossless because the drop never touched data — the tombstone entry
+    flips back to visible under its drop-time name, stats re-key back,
+    and files written DURING the dropped window simply lack the column
+    (typed-NULL backfill, exactly an evolve-append's contract).
+    Refused once a purging compact has rewritten the files (nothing
+    left to restore) or when the name has been taken since."""
+    parent, m, schema = _mapping_parent(spark, root)
+    types = _schema_types(schema)
+    if name in types:
+        raise ValueError(f"column {name!r} is back in use; undrop impossible")
+    hits = [
+        e
+        for e in schema
+        if _entry_meta(e).get("dropped")
+        and (_entry_meta(e).get("aliases") or [None])[0] == name
+    ]
+    if not hits:
+        raise ValueError(
+            f"no dropped column {name!r} (purged by compact, or never dropped)"
+        )
+    internal = hits[0][0]
+    out = []
+    for e in schema:
+        if e[0] != internal:
+            out.append(list(e))
+            continue
+        meta = dict(_entry_meta(e))
+        meta.pop("dropped", None)
+        aliases = [a for a in meta.get("aliases", []) if a != name]
+        if aliases:
+            meta["aliases"] = aliases
+        else:
+            meta.pop("aliases", None)
+        out.append([name, e[1], meta] if meta else [name, e[1]])
+    return _commit(
+        spark,
+        root,
+        m["files"],
+        "undrop-column",
+        parent,
+        _rekey_stats(m.get("stats"), internal, name),
+        out,
+        partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
+    )
+
+
+def add_column(
+    spark: SparkSession, root: str, name: str, simple_type: str, default=None
+) -> int:
+    """``ALTER TABLE ADD COLUMN`` as ONE metadata commit, optionally
+    with a DEFAULT (Iceberg initial-default): reads materialize
+    ``default`` for every file that lacks the column — all pre-existing
+    files, and any future batch that omits it (omission needs no
+    ``evolve=True`` once a default is declared); a batch that supplies
+    the column wins. The default lives in the manifest as a JSON
+    literal, so it must be a scalar; it survives compaction (the rewrite
+    materializes it physically AND keeps the declaration for future
+    omitting writers). Without a default this is schema evolution
+    without a write: the same entry an ``evolve=True`` append would
+    add, minus the batch."""
+    if not name or any(ch in name for ch in "/\\ ") or name.startswith("__"):
+        raise ValueError(f"invalid column name {name!r}")
+    if default is not None and not isinstance(default, (int, float, str, bool)):
+        raise ValueError(
+            f"default must be a JSON scalar (manifest-storable), got "
+            f"{type(default).__name__}"
+        )
+    from pyspark.sql import functions as F
+
+    F.lit(default).cast(simple_type)  # parse the type before touching anything
+    parent, m, schema = _mapping_parent(spark, root)
+    if name in _schema_types(schema):
+        raise ValueError(f"column {name!r} already exists")
+    if name in _alias_names(schema):
+        raise SchemaMismatchError(
+            f"{name!r} is a former name of a renamed/dropped column still "
+            "bound to old data files; pick another name or compact() first"
+        )
+    entry = [name, simple_type, {"default": default}] if default is not None else [
+        name,
+        simple_type,
+    ]
+    return _commit(
+        spark,
+        root,
+        m["files"],
+        "add-column",
+        parent,
+        m.get("stats"),
+        [list(e) for e in schema] + [entry],
+        partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
+    )
+
+
+def _purged_schema(schema) -> list | None:
+    """Schema after a purging full rewrite: every file now physically
+    carries the current logical names and dropped columns are gone from
+    the bytes, so alias chains and tombstone entries drop from the
+    published schema and their names are released. Declared defaults
+    are KEPT — they still apply to future writers that omit the
+    column."""
+    out = []
+    for e in schema or []:
+        meta = {
+            k: v
+            for k, v in _entry_meta(e).items()
+            if k not in ("aliases", "dropped")
+        }
+        if _entry_meta(e).get("dropped"):
+            continue
+        out.append([e[0], e[1], meta] if meta else [e[0], e[1]])
+    return out or None

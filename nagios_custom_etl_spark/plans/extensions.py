@@ -9824,3 +9824,157 @@ def x125_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("add_refused", F.lit(bool(add_refused)))
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# X126 — column mapping: rename/drop as metadata-only commits (Delta column
+# mapping / Iceberg schema evolution); X128 — ADD COLUMN with a declared
+# default (Iceberg initial-default)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x126_column_mapping",
+    oracle="""
+    -- rename + drop as METADATA-ONLY commits: era-1 files (written
+    -- under the old name 'qty', int) and era-2 files (new name
+    -- 'cust_id', bigint — widening composes with the mapping) must read
+    -- back as ONE table under the new name, with the era-1 files
+    -- carried byte-identically (zero_copy_rename) and the dropped
+    -- 'status' column hidden from the final schema (dropped_hidden).
+    -- meta_sum is SUM(cust_id) answered from MANIFEST stats alone —
+    -- the per-file integer sums recorded under 'qty' were re-keyed by
+    -- the rename commit, so the metadata path answers on the new name
+    -- with zero recompute.
+    WITH s AS (SELECT o_orderkey AS k, o_custkey FROM orders
+               WHERE o_orderkey % 10 = 1),
+    r AS (
+      SELECT k, CAST(o_custkey AS BIGINT) AS cust_id FROM s WHERE k % 3 <> 0
+      UNION ALL
+      SELECT k, CAST(o_custkey AS BIGINT) + 8589934592 FROM s WHERE k % 3 = 0
+    )
+    SELECT CAST(k AS BIGINT) AS k, cust_id,
+           CAST((SELECT SUM(cust_id) FROM r) AS BIGINT) AS meta_sum,
+           CAST(TRUE AS BOOLEAN) AS zero_copy_rename,
+           CAST(TRUE AS BOOLEAN) AS dropped_hidden
+    FROM r ORDER BY k
+    """,
+    doc="X126 column mapping (operators/snapshots.py::rename_column/"
+    "drop_column/undrop_column + the alias-resolving read): Delta column "
+    "mapping — RENAME is one metadata commit (no data file read or "
+    "rewritten; the schema entry's alias chain records the former "
+    "physical name and reads resolve name-first-then-aliases per write "
+    "group), DROP hides a physically-retained column behind a tombstone "
+    "entry whose aliases reserve the name against stale-value "
+    "resurrection (re-adding a former name is refused until "
+    "compact(purge_mapping=True) — Delta REORG PURGE — rewrites and "
+    "releases it; undrop_column restores losslessly before that). "
+    "Per-file stats re-key with the rename, so data skipping and "
+    "metadata-only aggregates answer on the new name with zero "
+    "recompute; type widening (x116) composes. At 100 TB a rename is "
+    "O(1) metadata where a physical rename would be a full-table "
+    "rewrite.",
+)
+def x126_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x126_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    s = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1)
+    era1 = s.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("int").alias("qty"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1 = S.append(era1, root, stats_cols=["qty"])
+    v1_files = set(S._read_manifest(spark, root, v1)["files"])
+    v2 = S.rename_column(spark, root, "qty", "cust_id")
+    zero_copy = set(S._read_manifest(spark, root, v2)["files"]) == v1_files
+    era2 = s.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey").cast("bigint") + F.lit(8589934592)).alias("cust_id"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    S.append(era2, root, stats_cols=["cust_id"], evolve=True)
+    S.drop_column(spark, root, "status")
+    final = S.read_snapshot(spark, root)
+    dropped_hidden = final.columns == ["k", "cust_id"]
+    meta_sum = S.metadata_sum(spark, root, "cust_id")  # manifest-only
+    return (
+        final.select(F.col("k").cast("long").alias("k"), "cust_id")
+        .withColumn("meta_sum", F.lit(int(meta_sum)).cast("long"))
+        .withColumn("zero_copy_rename", F.lit(bool(zero_copy)))
+        .withColumn("dropped_hidden", F.lit(bool(dropped_hidden)))
+        .orderBy("k")
+    )
+
+
+@register(
+    "x128_default_column_values",
+    oracle="""
+    -- ADD COLUMN with a declared DEFAULT (Iceberg initial-default) as
+    -- one metadata commit: files written BEFORE the add and batches
+    -- that OMIT the column read the default back; a supplying batch
+    -- wins; compaction materializes the default physically while
+    -- keeping the declaration for future omitting writers.
+    WITH r AS (
+      SELECT c_custkey, 'UNKNOWN' AS segment FROM customer WHERE c_custkey % 3 = 2
+      UNION ALL
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'UNKNOWN' FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, segment,
+           CAST(TRUE AS BOOLEAN) AS metadata_only_add,
+           CAST(TRUE AS BOOLEAN) AS compact_preserves
+    FROM r ORDER BY c_custkey
+    """,
+    doc="X128 default column values (operators/snapshots.py::add_column "
+    "+ the default-materializing read): ALTER TABLE ADD COLUMN DEFAULT "
+    "as one metadata commit — the default lives in the schema entry as "
+    "a JSON literal; reads materialize it for every file lacking the "
+    "column (all pre-add files, and future batches that omit it — "
+    "omission needs no evolve once declared), a supplying batch wins, "
+    "and compact() materializes the values physically while keeping "
+    "the declaration. Iceberg's initial-default: backfilling a new "
+    "column over a 100 TB table costs one manifest write, not a "
+    "rewrite.",
+)
+def x128_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x128_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    v1 = S.append(c.filter(F.col("c_custkey") % 3 == 2).select("c_custkey"), root)
+    v1_files = set(S._read_manifest(spark, root, v1)["files"])
+    v2 = S.add_column(spark, root, "segment", "string", default="UNKNOWN")
+    metadata_only = set(S._read_manifest(spark, root, v2)["files"]) == v1_files
+    S.append(
+        c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        ),
+        root,
+    )
+    # omitting batch: the declared default fills at read, no evolve needed
+    S.append(c.filter(F.col("c_custkey") % 3 == 1).select("c_custkey"), root)
+    before = S.read_snapshot(spark, root).localCheckpoint()
+    S.compact(spark, root)
+    after = S.read_snapshot(spark, root)
+    compact_preserves = (
+        after.exceptAll(before).isEmpty() and before.exceptAll(after).isEmpty()
+    )
+    return (
+        after.select(F.col("c_custkey").cast("long").alias("c_custkey"), "segment")
+        .withColumn("metadata_only_add", F.lit(bool(metadata_only)))
+        .withColumn("compact_preserves", F.lit(bool(compact_preserves)))
+        .orderBy("c_custkey")
+    )

@@ -37,6 +37,15 @@ from pyspark.sql.datasource import (
 
 _SNAP_DIR = "_snapshots"
 
+# schema-only commits (column-mapping DDL in operators/snapshots.py):
+# identical file set, zero rows — steppable like data_change:false
+_METADATA_ONLY_OPS = (
+    "rename-column",
+    "drop-column",
+    "undrop-column",
+    "add-column",
+)
+
 # Spark simpleString -> pyarrow type factory, for typed-null backfill of
 # columns an old data file predates (schema evolution, x73)
 _ARROW_TYPES = {
@@ -155,6 +164,12 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 and m.get("data_change") is False
             ):
                 pass  # row-preserving rewrite: no delta (see __init__ note)
+            elif m["op"] in _METADATA_ONLY_OPS and set(m["files"]) == prev:
+                # schema-only commit (column mapping DDL): identical file
+                # set by construction, zero rows — each data file is read
+                # under its OWN era's physical names anyway (the declared
+                # DDL backfills typed NULLs for names a file lacks)
+                pass
             else:
                 raise ValueError(
                     f"snapshot_tail: version {v} is '{m['op']}', not append — "

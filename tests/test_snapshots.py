@@ -2456,3 +2456,194 @@ def test_cdc_read_changes_crash_points(spark, root, tmp_path):
     S.append(pending, chroot2, txn="cdc-batch-0-chg")
     S.append(_df(spark, 0, 1), root2)  # target exists but no cdc token
     assert cdc_read_changes(spark, chroot2, root2).isEmpty()
+
+
+def test_rename_column_metadata_only_across_eras(spark, root):
+    """Rename is ONE metadata commit: zero data files written, old files
+    resolve through the alias chain, new writes use the new name, stats
+    re-key so pruning and metadata aggregates answer on the new name,
+    and type widening composes with the mapping."""
+    S.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, qty int"),
+        root,
+        stats_cols=["qty"],
+    )
+    m1 = S._read_manifest(spark, root, 1)
+    v = S.rename_column(spark, root, "qty", "quantity")
+    m2 = S._read_manifest(spark, root, v)
+    assert m2["files"] == m1["files"]  # zero-copy: same data files
+    assert sorted((r.k, r.quantity) for r in S.read_snapshot(spark, root).collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # era 2: new name, WIDER type (bigint) — mapping + widening compose
+    S.append(
+        spark.createDataFrame([(3, 2**40)], "k int, quantity bigint"),
+        root,
+        stats_cols=["quantity"],
+        evolve=True,
+    )
+    assert S._schema_types(S._read_manifest(spark, root, v + 1)["schema"]) == {
+        "k": "int",
+        "quantity": "bigint",
+    }
+    got = sorted((r.k, r.quantity) for r in S.read_snapshot(spark, root).collect())
+    assert got == [(1, 10), (2, 20), (3, 2**40)]
+    # stats re-keyed: pruning and metadata SUM answer on the NEW name
+    df, planned, total = S.read_snapshot_pruned(spark, root, "quantity", 15, 25)
+    assert planned < total
+    assert {
+        r.k for r in df.filter(F.col("quantity").between(15, 25)).collect()
+    } == {2}
+    assert S.metadata_sum(spark, root, "quantity") == 30 + 2**40
+    # the former name is reserved while old files still carry it
+    with pytest.raises(S.SchemaMismatchError, match="former name"):
+        S.append(
+            spark.createDataFrame([(9, 9)], "k int, qty int"),
+            root,
+            evolve=True,
+        )
+    # time travel: the pre-rename version still reads under the OLD name
+    assert sorted(
+        (r.k, r.qty) for r in S.read_snapshot(spark, root, 1).collect()
+    ) == [(1, 10), (2, 20)]
+
+
+def test_rename_column_refusals(spark, root, tmp_path):
+    """Rename refuses name-bound structures a metadata commit cannot
+    re-map: partition column, pending MoR delete keys, CHECK-constraint
+    references, taken/reserved names."""
+    proot = str(tmp_path / "part")
+    pdf = spark.createDataFrame([(1, "a", 0), (2, "b", 1)], "i int, s string, p int")
+    S.append(pdf, proot, partition_by="p")
+    with pytest.raises(ValueError, match="partition column"):
+        S.rename_column(spark, proot, "p", "bucket")
+    S.append(_df(spark, 0, 3), root)
+    S.mor_delete(spark.createDataFrame([Row(i=0)]), root, keys=["i"])
+    with pytest.raises(ValueError, match="MoR delete key"):
+        S.rename_column(spark, root, "i", "id")
+    S.compact(spark, root)
+    S.add_check_constraint(spark, root, "i_pos", "i >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        S.rename_column(spark, root, "i", "id")
+    S.drop_check_constraint(spark, root, "i_pos")
+    with pytest.raises(ValueError, match="already exists"):
+        S.rename_column(spark, root, "i", "s")
+    S.rename_column(spark, root, "i", "id")
+    with pytest.raises(S.SchemaMismatchError, match="former name"):
+        S.rename_column(spark, root, "s", "i")  # old name still reserved
+
+
+def test_drop_undrop_column_lossless(spark, root):
+    """Drop hides the column from every reader while the bytes stay in
+    the old files; a during-window append simply lacks it; undrop
+    restores the stored values (typed-NULL for the window's files)."""
+    S.append(spark.createDataFrame([(1, "x", 5)], "k int, s string, x int"), root)
+    v = S.drop_column(spark, root, "x")
+    assert S.read_snapshot(spark, root).columns == ["k", "s"]
+    # during-window write: the batch legally omits the dropped column
+    S.append(spark.createDataFrame([(2, "y")], "k int, s string"), root)
+    # the dropped name is reserved against re-adding
+    with pytest.raises(S.SchemaMismatchError, match="former name"):
+        S.append(
+            spark.createDataFrame([(3, "z", 9)], "k int, s string, x int"),
+            root,
+            evolve=True,
+        )
+    S.undrop_column(spark, root, "x")
+    got = sorted(
+        (r.k, r.s, r.x) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert got == [(1, "x", 5), (2, "y", None)]
+    # pre-drop version is untouched; the drop-era version stays hidden
+    assert S.read_snapshot(spark, root, 1).columns == ["k", "s", "x"]
+    assert S.read_snapshot(spark, root, v).columns == ["k", "s"]
+    # metadata queries refuse the hidden column during the window
+    S.drop_column(spark, root, "x")
+    with pytest.raises(ValueError, match="no recorded stats"):
+        S.metadata_minmax(spark, root, "x")
+
+
+def test_compact_purge_mapping_releases_names(spark, root):
+    """compact(purge_mapping=True) — Delta REORG PURGE: the rewrite
+    physically drops dropped-column bytes and current-name-ifies every
+    file, the published schema loses alias chains and tombstones, the
+    former names become reusable, and undrop becomes impossible."""
+    S.append(spark.createDataFrame([(1, "a", 5)], "k int, s string, x int"), root)
+    S.rename_column(spark, root, "s", "label")
+    S.drop_column(spark, root, "x")
+    v = S.compact(spark, root, purge_mapping=True)
+    assert v is not None
+    m = S._read_manifest(spark, root, v)
+    assert m["schema"] == [["k", "int"], ["label", "string"]]
+    with pytest.raises(ValueError, match="purged|never dropped"):
+        S.undrop_column(spark, root, "x")
+    # both former names are released for reuse
+    S.append(
+        spark.createDataFrame([(2, "b", "old-s", 7)], "k int, label string, s string, x int"),
+        root,
+        evolve=True,
+    )
+    got = sorted(
+        (r.k, r.label, r.s, r.x) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert got == [(1, "a", None, None), (2, "b", "old-s", 7)]
+
+
+def test_add_column_with_default(spark, root):
+    """add_column(default=): one metadata commit; files written before
+    the add — and future batches that omit the column — read the
+    default back; a batch that supplies it wins; plain compact keeps
+    BOTH the materialized values and the declaration."""
+    S.append(spark.createDataFrame([(1,), (2,)], "k int"), root)
+    S.add_column(spark, root, "score", "int", default=7)
+    assert sorted(
+        (r.k, r.score) for r in S.read_snapshot(spark, root).collect()
+    ) == [(1, 7), (2, 7)]
+    # omitting batch: NO evolve needed (the default fills at read)
+    S.append(spark.createDataFrame([(3,)], "k int"), root)
+    # supplying batch wins
+    S.append(spark.createDataFrame([(4, 99)], "k int, score int"), root)
+    expect = [(1, 7), (2, 7), (3, 7), (4, 99)]
+    assert sorted(
+        (r.k, r.score) for r in S.read_snapshot(spark, root).collect()
+    ) == expect
+    # compact materializes defaults physically AND keeps the declaration
+    S.compact(spark, root)
+    assert sorted(
+        (r.k, r.score) for r in S.read_snapshot(spark, root).collect()
+    ) == expect
+    S.append(spark.createDataFrame([(5,)], "k int"), root)
+    assert (5, 7) in {
+        (r.k, r.score) for r in S.read_snapshot(spark, root).collect()
+    }
+    # add without default: plain schema evolution, typed-NULL backfill
+    S.add_column(spark, root, "note", "string")
+    assert {r.note for r in S.read_snapshot(spark, root).collect()} == {None}
+    with pytest.raises(ValueError, match="already exists"):
+        S.add_column(spark, root, "score", "int")
+    with pytest.raises(ValueError, match="JSON scalar"):
+        S.add_column(spark, root, "bad", "array<int>", default=[1])
+
+
+def test_metadata_only_commits_steppable_incrementally(spark, root):
+    """read_incremental and the tail source step OVER schema-only
+    commits (identical file set, zero rows) — a rename between two
+    appends must not break a change-feed consumer; the delta comes back
+    in the post-evolution schema."""
+    S.append(spark.createDataFrame([(1, 10)], "k int, qty int"), root)  # v1
+    S.rename_column(spark, root, "qty", "quantity")  # v2 (metadata only)
+    S.append(
+        spark.createDataFrame([(2, 20)], "k int, quantity int"), root
+    )  # v3
+    delta = S.read_incremental(spark, root, since_version=1)
+    assert [(r.k, r.quantity) for r in delta.collect()] == [(2, 20)]
+    from nagios_custom_etl_spark.sources.snapshot_tail import (
+        SnapshotTailStreamReader,
+    )
+
+    rd = SnapshotTailStreamReader(
+        {"root": root}, "k int, quantity int, _commit_version long"
+    )
+    parts = rd.partitions({"version": 1}, {"version": 3})
+    assert parts and all(p.commit_version == 3 for p in parts)
