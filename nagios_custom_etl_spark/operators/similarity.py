@@ -630,12 +630,49 @@ _ANN_DATA_DIR = "data"
 
 
 def _ann_data_path(path: str, meta: dict) -> str:
-    """The CURRENT data directory: 'data' for a freshly written index,
-    'data-r<seq>' after a retrain published a replacement. The sidecar
-    points at exactly one; superseded directories stay on disk so a
-    reader holding the old meta keeps serving its version (readers of a
-    retrained index never see a half-replaced table)."""
+    """The PRIMARY data directory: 'data' for a freshly written index,
+    'data-r<seq>' after a full retrain published a replacement. The
+    sidecar points at exactly one; superseded directories stay on disk
+    so a reader holding the old meta keeps serving its version (readers
+    of a retrained index never see a half-replaced table)."""
     return f"{path}/{meta.get('data_dir', _ANN_DATA_DIR)}"
+
+
+def _ann_cell_owners(meta: dict) -> dict[int, str]:
+    """cell_id -> owning PATCH dir, for cells a per-cell retrain
+    (:func:`ann_retrain_cells`) has re-homed. Cells absent from the map
+    live in the primary dir. The sidecar's ``patches`` list is kept
+    non-overlapping by the retrain publish (a re-patched cell is removed
+    from its previous entry), so this is a plain union."""
+    owners: dict[int, str] = {}
+    for p in meta.get("patches", []) or []:
+        for c in p["cells"]:
+            owners[int(c)] = p["dir"]
+    return owners
+
+
+def _ann_plan_table(spark, path: str, meta: dict) -> DataFrame:
+    """Plan the index table across the primary dir and any patch dirs:
+    the primary contributes every cell NOT re-homed by a patch; each
+    patch dir contributes exactly the cells it currently owns. The
+    ``cell_id`` filters sit on the partition column, so each leg's scan
+    lists/reads only its own directories — the union is over O(patches)
+    legs, bounded by full-retrain/GC cadence."""
+    primary = spark.read.parquet(_ann_data_path(path, meta))
+    owners = _ann_cell_owners(meta)
+    if not owners:
+        return primary
+    df = primary.filter(~F.col("cell_id").isin(sorted(owners)))
+    by_dir: dict[str, list[int]] = {}
+    for c, d in owners.items():
+        by_dir.setdefault(d, []).append(c)
+    for d, cells in sorted(by_dir.items()):
+        df = df.unionByName(
+            spark.read.parquet(f"{path}/{d}").filter(
+                F.col("cell_id").isin(sorted(cells))
+            )
+        )
+    return df
 
 
 def _assigned_d2(vec_col: str, centroids: list) -> "F.Column":
@@ -654,9 +691,14 @@ def _assigned_d2(vec_col: str, centroids: list) -> "F.Column":
 
 
 def _drift_stats(data: DataFrame, vec_col: str | None, centroids: list) -> dict:
-    """Per-cell counts (+ corpus mean assigned-centroid residual when
-    vectors are stored) in ONE bounded aggregate — n_cells output rows,
-    manifest-sized metadata like _file_stats."""
+    """Per-cell counts (+ per-cell and corpus mean assigned-centroid
+    residual when vectors are stored) in ONE bounded aggregate — n_cells
+    output rows, manifest-sized metadata like _file_stats. ``cell_d2``
+    (recorded since the per-cell retrain landed) is what lets
+    :func:`ann_cell_drift` rank individual cells and
+    :func:`ann_retrain_cells` update the baseline for ONLY the cells it
+    re-fit — older sidecars without it still serve the corpus-level
+    report."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     if vec_col is not None:
         aggs.append(F.avg(_assigned_d2(vec_col, centroids)).alias("_d2"))
@@ -664,9 +706,12 @@ def _drift_stats(data: DataFrame, vec_col: str | None, centroids: list) -> dict:
     counts = {str(int(r["cell_id"])): int(r["_n"]) for r in rows}
     total = sum(counts.values())
     mean_d2 = None
-    if vec_col is not None and total:
-        mean_d2 = float(sum(r["_d2"] * r["_n"] for r in rows) / total)
-    return {"cell_counts": counts, "mean_d2": mean_d2}
+    out = {"cell_counts": counts, "mean_d2": mean_d2}
+    if vec_col is not None:
+        out["cell_d2"] = {str(int(r["cell_id"])): float(r["_d2"]) for r in rows}
+        if total:
+            out["mean_d2"] = float(sum(r["_d2"] * r["_n"] for r in rows) / total)
+    return out
 
 
 def _fs_write_text(spark, path: str, text: str) -> None:
@@ -920,6 +965,27 @@ def ann_append_to_index(
     if codebooks is not None:
         codes = pq_encode(new_vectors, src_vec, id_col, codebooks)
         data = data.join(codes.select(F.col(id_col), "pq_codes"), id_col)
+    owners = _ann_cell_owners(meta)
+    if owners:
+        # per-cell-retrained index: a cell's rows live in exactly ONE
+        # dir, so new rows for a re-homed cell must append THERE. The
+        # batch's distinct cells are a bounded collect (<= n_cells);
+        # only dirs that actually receive rows are written.
+        data = data.localCheckpoint()  # route once, write many legs
+        batch_cells = {r["cell_id"] for r in data.select("cell_id").distinct().collect()}
+        by_dir: dict[str, list[int]] = {}
+        for c in batch_cells:
+            if int(c) in owners:
+                by_dir.setdefault(owners[int(c)], []).append(int(c))
+        for d, cells in sorted(by_dir.items()):
+            (
+                data.filter(F.col("cell_id").isin(sorted(cells)))
+                .repartition(len(cells), "cell_id")
+                .write.mode("append")
+                .partitionBy("cell_id")
+                .parquet(f"{path}/{d}")
+            )
+        data = data.filter(~F.col("cell_id").isin(sorted(owners)))
     (
         data.repartition(len(centroids), "cell_id")
         .write.mode("append")
@@ -967,7 +1033,6 @@ def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
     import json
 
     meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
-    data_path = _ann_data_path(path, meta)
     idx = ann_load_index(spark, path)
     id_col = idx.id_col
     key = F.col(id_col) if id_col in ids.columns else F.col(ids.columns[0]).alias(id_col)
@@ -993,19 +1058,29 @@ def ann_delete_from_index(spark, path: str, ids: DataFrame) -> None:
     # would silently survive — find fully-emptied cells (bounded: one row
     # per touched cell) and drop their directories explicitly
     surviving = {
-        r["cell_id"] for r in keep.select("cell_id").distinct().collect()
+        int(r["cell_id"]) for r in keep.select("cell_id").distinct().collect()
     }
-    emptied = [c for c in touched if c not in surviving]
-    if surviving:
-        (
-            keep.repartition(max(len(surviving), 1), "cell_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell_id")
-            .parquet(data_path)
-        )
-    for cell in emptied:
-        _fs_delete(spark, f"{data_path}/cell_id={cell}")
+    # per-cell-retrained index: each touched cell is rewritten inside the
+    # dir that OWNS it (primary or a patch dir)
+    owners = _ann_cell_owners(meta)
+    by_dir: dict[str, list[int]] = {}
+    for c in touched:
+        d = owners.get(int(c), meta.get("data_dir", _ANN_DATA_DIR))
+        by_dir.setdefault(d, []).append(int(c))
+    for d, cells in sorted(by_dir.items()):
+        alive = [c for c in cells if c in surviving]
+        if alive:
+            (
+                keep.filter(F.col("cell_id").isin(alive))
+                .repartition(len(alive), "cell_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell_id")
+                .parquet(f"{path}/{d}")
+            )
+        for cell in cells:
+            if cell not in surviving:
+                _fs_delete(spark, f"{path}/{d}/cell_id={cell}")
     _ann_bump_mutation_seq(spark, path)
 
 
@@ -1029,17 +1104,28 @@ def ann_compact_index(spark, path: str, max_files_per_cell: int = 4) -> list[int
         .agg(F.count(F.lit(1)).alias("n_files"))
     )
     # bounded collect: one row per cell
-    hot = [r["cell_id"] for r in counts.filter(F.col("n_files") > max_files_per_cell).collect()]
+    hot = [
+        int(r["cell_id"])
+        for r in counts.filter(F.col("n_files") > max_files_per_cell).collect()
+    ]
     if not hot:
         return []
     rewrite = idx.table.filter(F.col("cell_id").isin(hot)).localCheckpoint()
-    (
-        rewrite.repartition(len(hot), "cell_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell_id")
-        .parquet(_ann_data_path(path, meta))
-    )
+    # per-cell-retrained index: each hot cell is rewritten inside the dir
+    # that OWNS it (primary or a patch dir)
+    owners = _ann_cell_owners(meta)
+    by_dir: dict[str, list[int]] = {}
+    for c in hot:
+        by_dir.setdefault(owners.get(c, meta.get("data_dir", _ANN_DATA_DIR)), []).append(c)
+    for d, cells in sorted(by_dir.items()):
+        (
+            rewrite.filter(F.col("cell_id").isin(sorted(cells)))
+            .repartition(len(cells), "cell_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/{d}")
+        )
     return sorted(hot)
 
 
@@ -1170,6 +1256,182 @@ def ann_retrain_index(
             "drift_baseline": _drift_stats(data, vec_col, centroids),
         }
     )
+    # a FULL retrain re-homes every cell into the fresh dir: any per-cell
+    # patch dirs are superseded (ann_gc_index reclaims them)
+    meta.pop("patches", None)
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+    return new_seq
+
+
+def ann_cell_drift(spark, path: str, residual_threshold: float = 1.5) -> dict:
+    """Per-CELL drift report — the targeting half of
+    :func:`ann_retrain_cells`: for every cell, the mean assigned-centroid
+    residual NOW vs the per-cell baseline the sidecar records
+    (``drift_baseline.cell_d2``, written at index build / retrain since
+    the per-cell machinery landed). One bounded n_cells aggregate.
+    Returns ``{"cells": {cid: {n_build, n_now, d2_build, d2_now,
+    ratio}}, "drifted_cells": [...]}`` — cells whose ratio crosses the
+    threshold are the retrain candidates: drift concentrates (appended
+    mass routes to whichever centroids are least wrong), so usually a
+    handful of cells carry all of it."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    base = meta.get("drift_baseline") or {}
+    if not base.get("cell_d2"):
+        raise ValueError(
+            f"index at {path} has no per-cell drift baseline; run a full "
+            "ann_retrain_index (or rewrite) to record one"
+        )
+    idx = ann_load_index(spark, path)
+    if idx.vec_col is None:
+        raise ValueError("codes-only index: per-cell residuals need stored vectors")
+    now = _drift_stats(idx.table, idx.vec_col, idx.centroids)
+    cells: dict[str, dict] = {}
+    for cid in sorted(set(base["cell_d2"]) | set(now.get("cell_d2", {})), key=int):
+        b, nw = base["cell_d2"].get(cid), now.get("cell_d2", {}).get(cid)
+        ratio = (nw / b) if (b and nw is not None) else None
+        cells[cid] = {
+            "n_build": base.get("cell_counts", {}).get(cid, 0),
+            "n_now": now["cell_counts"].get(cid, 0),
+            "d2_build": b,
+            "d2_now": nw,
+            "ratio": ratio,
+        }
+    drifted = sorted(
+        int(c)
+        for c, v in cells.items()
+        if v["ratio"] is not None and v["ratio"] > residual_threshold
+    )
+    return {"cells": cells, "drifted_cells": drifted}
+
+
+def ann_retrain_cells(
+    spark, path: str, cells: list[int] | None = None,
+    residual_threshold: float = 1.5, seed: int = 101,
+) -> int | None:
+    """PER-CELL retrain — the big-index refinement of
+    :func:`ann_retrain_index` (r10 verdict task 4): at 10^11 vectors you
+    retrain the DRIFTED cells, not the index. The named cells' rows
+    (default: :func:`ann_cell_drift`'s crossers) are re-split by a local
+    k-means into the SAME number of cells, the new sub-centroids replace
+    those cell ids' entries in the sidecar, and the re-routed rows land
+    in a fresh ``data-p<seq>`` PATCH dir that takes ownership of exactly
+    those cells — every untouched cell's files stay byte-identical in
+    their current dir, and the compute is O(drifted-cell rows), never
+    O(N). PQ codes are CARRIED, not re-encoded: codes depend only on the
+    (unchanged, global) codebooks, so only the routing changes.
+
+    The sidecar rewrite is the one-file publish point, exactly like the
+    full retrain: centroids for the retrained cells, the patch list
+    (kept non-overlapping — a re-patched cell leaves its previous
+    entry), a refreshed per-cell drift baseline for ONLY the retrained
+    cells (untouched cells keep measuring from their original fit), and
+    the mutation_seq bump st18's poller watches. Readers holding the
+    old meta keep serving the old routing; :func:`ann_gc_index` keeps
+    every dir the patch list references and reclaims superseded ones.
+    Codes-only indexes refuse (FAISS's constraint: codes cannot
+    re-route themselves). Returns the new mutation_seq, or None when no
+    cell needs retraining."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(f"unsupported ANN index format {meta.get('format')!r} at {path}")
+    if meta.get("vec_col") is None:
+        raise ValueError(
+            "codes-only index: PQ codes cannot re-route themselves — "
+            "per-cell retrain needs the stored float vectors"
+        )
+    base = meta.get("drift_baseline") or {}
+    if not base.get("cell_d2"):
+        raise ValueError(
+            f"index at {path} has no per-cell drift baseline; run a full "
+            "ann_retrain_index first to record one"
+        )
+    if cells is None:
+        cells = ann_cell_drift(spark, path, residual_threshold)["drifted_cells"]
+    cells = sorted({int(c) for c in cells})
+    if not cells:
+        return None
+    n_cells = int(meta["n_cells"])
+    bad = [c for c in cells if c < 0 or c >= n_cells]
+    if bad:
+        raise ValueError(f"cell ids {bad} outside [0, {n_cells})")
+    idx = ann_load_index(spark, path)
+    sub = idx.table.filter(F.col("cell_id").isin(cells))
+    vecs = sub.select(F.col(idx.id_col), F.col(idx.vec_col))
+    if len(cells) == 1:
+        # k=1 has a closed form (Lloyd's fixpoint is the mean): re-center
+        # the cell's centroid on its current mass, assignment unchanged
+        dim = len(meta["centroids"][0])
+        mean_row = vecs.agg(
+            *[F.avg(F.col(idx.vec_col)[i]).alias(f"_m{i}") for i in range(dim)]
+        ).first()
+        if mean_row[0] is None:
+            raise ValueError(f"cell {cells[0]} has no rows to retrain on")
+        local_cents = [[float(mean_row[i]) for i in range(dim)]]
+        assigned = vecs.withColumn("cell_id", F.lit(0))
+    else:
+        assigned, local_cents = ivf_build(
+            vecs, idx.vec_col, idx.id_col, n_cells=len(cells), seed=seed
+        )
+    # local cell i of the re-split becomes global cell cells[i]
+    remap = F.element_at(
+        F.array(*[F.lit(c) for c in cells]), F.col("cell_id") + 1
+    ).cast("int")
+    data = assigned.select(
+        F.col(idx.id_col),
+        as_double_array(idx.vec_col).alias(idx.vec_col),
+        remap.alias("cell_id"),
+    )
+    if idx.codebooks is not None:
+        data = data.join(sub.select(F.col(idx.id_col), "pq_codes"), idx.id_col)
+    new_seq = int(meta.get("mutation_seq", 0)) + 1
+    new_dir = f"data-p{new_seq}"
+    (
+        data.repartition(len(cells), "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{new_dir}")
+    )
+    centroids = [list(c) for c in meta["centroids"]]
+    for i, c in enumerate(cells):
+        centroids[c] = list(local_cents[i])
+    fresh = _drift_stats(data, idx.vec_col, centroids)
+    counts = dict(base.get("cell_counts", {}))
+    d2 = dict(base["cell_d2"])
+    for c in cells:
+        k = str(c)
+        counts.pop(k, None)
+        d2.pop(k, None)
+        if k in fresh["cell_counts"]:
+            counts[k] = fresh["cell_counts"][k]
+            d2[k] = fresh["cell_d2"][k]
+    total = sum(counts.values())
+    mean = (
+        float(sum(d2[k] * counts[k] for k in d2) / total) if total and d2 else None
+    )
+    patches = []
+    for p in meta.get("patches", []) or []:
+        left = [int(c) for c in p["cells"] if int(c) not in set(cells)]
+        if left:
+            patches.append({"dir": p["dir"], "cells": left})
+    patches.append({"dir": new_dir, "cells": cells})
+    meta.update(
+        {
+            "centroids": centroids,
+            "patches": patches,
+            "mutation_seq": new_seq,
+            "drift_baseline": {
+                "cell_counts": counts,
+                "cell_d2": d2,
+                "mean_d2": mean,
+            },
+        }
+    )
+    # the one-file publish: a reader sees the new routing, the new patch
+    # ownership, and the bumped mutation_seq together or not at all
     _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
     return new_seq
 
@@ -1185,10 +1447,13 @@ def ann_gc_index(spark, path: str) -> list[str]:
     import json
 
     meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
-    current = meta.get("data_dir", _ANN_DATA_DIR)
+    keep = {meta.get("data_dir", _ANN_DATA_DIR)}
+    keep.update(p["dir"] for p in meta.get("patches", []) or [])
     deleted = []
     for n in fsio.list_names(spark, path):
-        if n != current and (n == _ANN_DATA_DIR or n.startswith("data-r")):
+        if n in keep:
+            continue
+        if n == _ANN_DATA_DIR or n.startswith("data-r") or n.startswith("data-p"):
             _fs_delete(spark, f"{path}/{n}")
             deleted.append(n)
     return sorted(deleted)
@@ -1207,7 +1472,7 @@ def ann_load_index(spark, path: str) -> AnnIndex:
             f"unsupported ANN index format {meta.get('format')!r} at {path} "
             f"(this build reads format {ANN_INDEX_FORMAT})"
         )
-    table = spark.read.parquet(_ann_data_path(path, meta))
+    table = _ann_plan_table(spark, path, meta)
     return AnnIndex(
         table=table,
         centroids=meta["centroids"],

@@ -9978,3 +9978,79 @@ def x128_default_column_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("compact_preserves", F.lit(bool(compact_preserves)))
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "x127_ann_partial_retrain",
+    oracle="""
+    -- PER-CELL retrain (the big-index refinement of x120's full
+    -- retrain): build+persist on half the planted corpus, append the
+    -- other half, then ann_retrain_cells re-splits ONLY the two
+    -- fullest cells — their rows re-route into a patch dir that takes
+    -- ownership of those cell ids, every other cell's files stay
+    -- byte-identical, PQ codes are CARRIED (codebooks unchanged), and
+    -- the sidecar flip is the single publish. The planted construction
+    -- stays codeword-exact, so probe-all ADC search through the
+    -- PARTIALLY retrained index must find exactly the planted matches
+    -- — identical to x120/x49c's top-12 prediction, which is the
+    -- routing-invariance proof (a partial retrain moves rows between
+    -- cells, never changes what exists).
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X127 per-cell ANN retrain (operators/similarity.py::"
+    "ann_retrain_cells + ann_cell_drift + the patch-dir read plan): at "
+    "10^11 vectors you retrain the DRIFTED cells, not the index — "
+    "per-cell residual baselines (drift_baseline.cell_d2, recorded at "
+    "every build/retrain) rank cells, the named cells' rows re-split "
+    "under a local k-means into the same cell count, the re-routed "
+    "rows land in a fresh data-p<seq> PATCH dir owning exactly those "
+    "cells (untouched cells' files byte-identical — pinned in tests), "
+    "PQ codes carry unre-encoded (they depend only on the global "
+    "codebooks), and ONE sidecar flip publishes centroids + patch "
+    "ownership + refreshed per-cell baseline + mutation_seq together. "
+    "Append/delete/compact route per owning dir afterwards; "
+    "ann_gc_index keeps every dir the patch list references. "
+    "Codes-only refuses (codes cannot re-route themselves).",
+)
+def x127_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    initial = planted.filter(F.col("vec_id") % 16 < 8)
+    arrivals = planted.filter(F.col("vec_id") % 16 >= 8)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(initial, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(initial, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x127_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    ann_append_to_index(spark, path, arrivals)
+    # retrain the two fullest cells (bounded collect: n_cells rows)
+    occ = (
+        ann_load_index(spark, path)
+        .table.groupBy("cell_id")
+        .count()
+        .orderBy(F.desc("count"), "cell_id")
+        .collect()
+    )
+    cells = sorted(int(r["cell_id"]) for r in occ[:2])
+    ann_retrain_cells(spark, path, cells=cells, seed=13)
+    idx = ann_load_index(spark, path)
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )

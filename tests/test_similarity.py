@@ -731,3 +731,147 @@ def test_ann_gc_index_reclaims_superseded_dirs_only(spark, tmp_path):
     idx = ann_load_index(spark, path)
     assert idx.table.count() == 90  # current dir untouched, index servable
     assert ann_gc_index(spark, path) == []  # idempotent
+
+
+def test_ann_retrain_cells_local_recovery_untouched_bytes(spark, tmp_path):
+    """Per-cell retrain (x127): drift planted EQUIDISTANT from two of
+    three hand-picked build centroids splits across those two cells and
+    degrades 1-probe recall; ann_cell_drift names exactly those cells;
+    ann_retrain_cells re-splits ONLY them into a patch dir — the primary
+    dir's files stay byte-identical (untouched cells never rewritten),
+    recall recovers, the refreshed per-cell baseline clears the drift,
+    and later appends route into the owning patch dir."""
+    import random
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_assign_cells,
+        ann_cell_drift,
+        ann_drift_report,
+        ann_index_mutation_seq,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_write_index,
+        cosine_topk,
+    )
+
+    rnd = random.Random(7)
+    dim = 8
+
+    def cluster(center, n, base_id):
+        return [
+            (base_id + i, [c + rnd.uniform(-0.05, 0.05) for c in center])
+            for i in range(n)
+        ]
+
+    # three tight clusters on hand-picked centroids (no k-means at build:
+    # fully deterministic layout — the x120 test convention)
+    c0 = [3.0] + [0.3] * (dim - 1)
+    c1 = [0.3, 3.0] + [0.3] * (dim - 2)
+    c2 = [0.3, 0.3, 3.0] + [0.3] * (dim - 3)
+    centroids = [c0, c1, c2]
+    build = cluster(c0, 60, 0) + cluster(c1, 60, 1000) + cluster(c2, 60, 2000)
+    df = spark.createDataFrame(build, "vec_id long, embedding array<double>")
+    assigned = df.withColumn("cell_id", ann_assign_cells(df, "embedding", centroids))
+    path = str(tmp_path / "pcr_idx")
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+
+    # drift: one tight far blob equidistant from c1 and c2 (axes 1,2 at
+    # the midpoint; axes 4,5 far off) and strictly farther from c0 — the
+    # 120 rows split across cells 1 and 2 on noise alone
+    drift_center = [0.3, 1.65, 1.65, 0.3, 8.0, 8.0, 0.3, 0.3]
+    drifted = cluster(drift_center, 120, 9000)
+    ann_append_to_index(
+        spark, path,
+        spark.createDataFrame(drifted, "vec_id long, embedding array<double>"),
+    )
+    rep = ann_cell_drift(spark, path)
+    assert rep["drifted_cells"] == [1, 2]
+    assert rep["cells"]["0"]["ratio"] < 1.2  # cell 0 is NOT drifted
+
+    def recall_at10(idx, qvec):
+        truth = {
+            r.vec_id
+            for r in cosine_topk(idx.table, "embedding", "vec_id", qvec, k=10).collect()
+        }
+        got = {r.vec_id for r in idx.exact_search(qvec, k=10, n_probe=1).collect()}
+        return len(got & truth) / 10.0
+
+    idx = ann_load_index(spark, path)
+    n_before = idx.table.count()
+    before = recall_at10(idx, list(drift_center))
+    assert before < 0.9  # the split genuinely degraded 1-probe recall
+
+    primary_files = sorted(fsio.list_files_recursive(spark, f"{path}/data"))
+    # cell-LOCAL retrain: 2-means over cells 1+2's rows separates the
+    # tight far blob from the c1/c2 mass from any init (well-separated
+    # superclusters — the x120 retrain-determinism argument)
+    seq = ann_retrain_cells(spark, path, cells=[1, 2], seed=5)
+    assert seq == ann_index_mutation_seq(spark, path) == 2
+    # untouched-cell files BYTE-IDENTICAL: the primary dir was never
+    # rewritten — the patch dir holds the re-routed cells
+    assert sorted(fsio.list_files_recursive(spark, f"{path}/data")) == primary_files
+    assert fsio.exists(spark, f"{path}/data-p2")
+    idx2 = ann_load_index(spark, path)
+    assert idx2.table.count() == n_before  # re-route moves rows, never drops
+    after = recall_at10(idx2, list(drift_center))
+    assert after >= 0.9 and after > before
+    # cell 0's rows are untouched — still served from the primary dir
+    assert idx2.table.filter(F.col("cell_id") == 0).count() == 60
+    # refreshed per-cell baseline: nothing drifted anymore (global too)
+    assert ann_cell_drift(spark, path)["drifted_cells"] == []
+    assert not ann_drift_report(spark, path)["drifted"]
+    # appends now route into the OWNING dir: a new blob row must land in
+    # the patch dir, not the primary, and be served
+    extra = spark.createDataFrame(
+        [(9999, list(drift_center))], "vec_id long, embedding array<double>"
+    )
+    ann_append_to_index(spark, path, extra)
+    assert sorted(fsio.list_files_recursive(spark, f"{path}/data")) == primary_files
+    assert ann_load_index(spark, path).table.filter(F.col("vec_id") == 9999).count() == 1
+
+
+def test_ann_retrain_cells_lifecycle_guards(spark, tmp_path):
+    """Patch lifecycle: a re-patch supersedes the previous patch entry
+    and ann_gc_index reclaims the emptied dir; a FULL retrain clears
+    every patch; delete works inside a patched cell; codes-only and
+    missing-baseline refuse; no-drift returns None."""
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_assign_cells,
+        ann_delete_from_index,
+        ann_gc_index,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_retrain_index,
+        ann_write_index,
+    )
+
+    c0, c1 = [3.0] + [0.3] * 7, [0.3, 3.0] + [0.3] * 6
+    rows = [(i, [v + 0.01 * (i % 5) for v in (c0 if i % 2 else c1)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn("cell_id", ann_assign_cells(df, "embedding", [c0, c1]))
+    path = str(tmp_path / "lc_idx")
+    ann_write_index(path, assigned, [c0, c1], "vec_id", "embedding")
+    assert ann_retrain_cells(spark, path, cells=[]) is None
+    assert ann_retrain_cells(spark, path) is None  # nothing drifted
+    ann_retrain_cells(spark, path, cells=[1], seed=3)   # -> data-p1... seq 1
+    ann_retrain_cells(spark, path, cells=[1], seed=4)   # supersedes p-entry
+    import json
+
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    assert [p["cells"] for p in meta["patches"]] == [[1]]  # one live entry
+    reclaimed = ann_gc_index(spark, path)
+    assert reclaimed and all(d.startswith("data-p") for d in reclaimed)
+    idx = ann_load_index(spark, path)
+    assert idx.table.count() == 80
+    # delete inside the patched cell
+    ann_delete_from_index(spark, path, spark.createDataFrame([(2,)], "vec_id long"))
+    assert ann_load_index(spark, path).table.count() == 79
+    # full retrain clears patches; gc reclaims the patch dir
+    ann_retrain_index(spark, path, n_cells=2, seed=9)
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    assert "patches" not in meta
+    assert any(d.startswith("data-p") for d in ann_gc_index(spark, path))
+    assert ann_load_index(spark, path).table.count() == 79
