@@ -153,6 +153,11 @@ HEADLINE = [
     # a delete-materializing compact + manifest-planned COUNT/MIN/MAX
     # per run, so commit-path and stats-at-write regressions surface)
     "x117_metadata_only_aggregates",
+    # r11 addition: column mapping — the schema-evolution representative
+    # (two stats-recording appends + rename/drop metadata commits + the
+    # alias-resolving read + a manifest-only SUM per run, so mapping
+    # overhead on the read path would surface here)
+    "x126_column_mapping",
 ]
 
 
@@ -160,6 +165,93 @@ FLOOR_EXPECTED_SEC = 0.7  # measured stateless availableNow pass, quiet box
 FLOOR_HOT_RATIO = 1.3  # floor above expected*ratio => box is hot, back off
 FLOOR_MAX_RETRIES = 3
 _floor_seq = 0
+
+# Per-query settled-box ceilings (VERDICT r10 task 6): the r10 driver
+# bench recorded 29.9s because a loaded box inflated EVERY shared query
+# ~1.2x — uniform inflation the floor canary alone cannot catch (it only
+# samples the streaming path once, before the queries run). Ceilings are
+# 1.35x the settled-box minima (the r9 bench column; x117 from the r10
+# judge's settled re-run; x97 against its post-skew-fix band — see the
+# re-measure notes above). If MORE than BAND_VIOLATION_LIMIT queries
+# exceed their ceiling, that's box-wide load, not a plan regression:
+# sleep, re-measure the violators (keeping per-query minima), bounded
+# retries, and stamp whatever remains into the JSON as band_violations
+# so a reader can tell a hot record from a real regression without
+# re-running. A single genuine regression (<= limit queries) is NEVER
+# retried away — it stays visible in the timings.
+BAND_MAX = {
+    "q1_pricing_summary": 0.96,
+    "q3_shipping_priority": 0.75,
+    "q18_large_orders": 1.46,
+    "j5_multiway_revenue_by_nation": 0.84,
+    "w1_latest_per_key": 0.35,
+    "t2_pivot_wide": 0.41,
+    "x1_exact_dedup": 0.41,
+    "x2b_minhash_lsh_neardup": 1.26,
+    "x3_cosine_topk": 0.37,
+    "x49_pq_ann": 1.34,
+    "x6_tumbling_window": 0.56,
+    "x7_training_data_pipeline": 0.63,
+    "x8_asof_join": 0.49,
+    "x13_neardup_clusters": 2.15,
+    "x17_boilerplate_ratio": 1.00,
+    "x18_global_row_ids": 0.48,
+    "x4i_bigram_lm_score": 1.33,
+    "x50_skewed_join_salted": 0.58,
+    "x50b_uniform_join_salted": 0.64,
+    "x60_merge_upsert": 0.72,
+    "x66_phash_image_neardup": 0.54,
+    "st7_incremental_rollup": 2.47,
+    "st6_stateful_error_streaks": 2.12,
+    "x82_m4_downsample": 0.76,
+    "x85_mv_query_rewrite": 0.59,
+    "x97_dup_span_coverage": 1.55,
+    "x100_hll_registers_exact": 1.39,
+    "x109_ivm_join": 0.87,
+    "x110_bloom_file_index": 1.44,
+    "x117_metadata_only_aggregates": 5.70,
+    # r11: first settled measurement 2.811 (10.3% spread) — the cost is
+    # two stats-recording appends over the sf0.1 orders subset + two
+    # metadata commits + the alias-resolving read + a manifest-only SUM
+    "x126_column_mapping": 3.80,
+}
+BAND_VIOLATION_LIMIT = 5
+BAND_MAX_RETRIES = 2
+BAND_SLEEP_SEC = 30.0
+
+
+def apply_band_guard(
+    timings: dict,
+    measure_one,
+    band_max: dict | None = None,
+    limit: int = BAND_VIOLATION_LIMIT,
+    max_retries: int = BAND_MAX_RETRIES,
+    sleep=time.sleep,
+) -> tuple[list[str], int]:
+    """Uniform-inflation guard: when MORE than ``limit`` banded queries
+    exceed their settled-box ceiling, the box is loaded — sleep and
+    re-measure the violators (``measure_one(name) -> sec``; the
+    per-query MINIMUM across attempts is kept, so a retry can only
+    correct noise, never hide a slowdown that reproduces). Mutates
+    ``timings`` in place; returns (names still above ceiling,
+    retries_used). At or below ``limit`` violations nothing is retried:
+    a genuine single-query regression must stay visible."""
+    band_max = BAND_MAX if band_max is None else band_max
+
+    def violators() -> list[str]:
+        return sorted(
+            n for n, t in timings.items() if n in band_max and t > band_max[n]
+        )
+
+    retries = 0
+    v = violators()
+    while len(v) > limit and retries < max_retries:
+        sleep(BAND_SLEEP_SEC)
+        retries += 1
+        for n in v:
+            timings[n] = round(min(timings[n], measure_one(n)), 3)
+        v = violators()
+    return v, retries
 
 
 def measure_streaming_floor(spark) -> float:
@@ -211,17 +303,28 @@ def main() -> None:
         floor_retries += 1
         floor = measure_streaming_floor(spark)
 
-    timings: dict[str, float] = {}
-    spread_pct: dict[str, float] = {}
-    for name in names:
-        registry[name].fn(spark, SF_DIR).collect()  # untimed: codegen JIT
+    def measure_min(name: str) -> tuple[float, float]:
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             registry[name].fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        spread_pct[name] = round((max(samples) - min(samples)) / min(samples) * 100, 1)
+        return (
+            round(min(samples), 3),
+            round((max(samples) - min(samples)) / min(samples) * 100, 1),
+        )
+
+    timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
+    for name in names:
+        registry[name].fn(spark, SF_DIR).collect()  # untimed: codegen JIT
+        timings[name], spread_pct[name] = measure_min(name)
+
+    # uniform-inflation guard (VERDICT r10 task 6): catches the
+    # every-query-~1.2x hot-box signature the floor canary missed
+    band_violations, band_retries = apply_band_guard(
+        timings, lambda n: measure_min(n)[0]
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -234,6 +337,8 @@ def main() -> None:
                 "spread_pct": spread_pct,
                 "streaming_floor_sec": round(floor, 3),
                 "floor_retries": floor_retries,
+                "band_violations": band_violations,
+                "band_retries": band_retries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
