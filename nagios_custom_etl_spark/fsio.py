@@ -183,3 +183,10 @@ def mtime_ms(spark, path: str) -> int:
     but has not yet committed (Delta VACUUM's retention check)."""
     fs, jpath, _ = _fs(spark, path)
     return int(fs.getFileStatus(jpath).getModificationTime())
+
+
+def file_size(spark, path: str) -> int:
+    """Byte length of a file — the AddFile ``size`` every table format
+    records; compact_small's bin-packing input."""
+    fs, jpath, _ = _fs(spark, path)
+    return int(fs.getFileStatus(jpath).getLen())

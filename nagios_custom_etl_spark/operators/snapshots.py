@@ -361,6 +361,10 @@ def _write_data_files(
         # a 0-row part file produces no group in the stats aggregate;
         # record it explicitly so metadata_count can trust coverage
         stats.setdefault(f, {"__rows": 0})
+        # AddFile size (every table format records it): one bounded
+        # metadata stat per just-written file — what lets compact_small
+        # bin-pack from the manifest without listing/statting the table
+        stats[f]["__bytes"] = fsio.file_size(spark, f"{root}/{f}")
     return files, stats
 
 
@@ -404,7 +408,7 @@ _APPEND_COMMUTES_WITH = frozenset({"append", "merge", "mor-delete", "wap-publish
 #: data_change:false replace (the file-set equality is re-verified at the
 #: step, never assumed)
 _METADATA_ONLY_OPS = frozenset(
-    {"rename-column", "drop-column", "undrop-column", "add-column"}
+    {"rename-column", "drop-column", "undrop-column", "add-column", "record-ndv"}
 )
 
 
@@ -2236,9 +2240,15 @@ def _rekey_stats(stats: dict | None, old: str, new: str) -> dict:
     out = {}
     for f, s in (stats or {}).items():
         e = dict(s)
-        for pre in ("", "__sum_", "__nulls_"):
-            k = f"{pre}{old}"
-            if k in e:
+        for k in list(e):
+            pre = None
+            if k == old:
+                pre = ""
+            elif k in (f"__sum_{old}", f"__nulls_{old}"):
+                pre = k[: -len(old)]
+            elif re.fullmatch(rf"__hll\d+_{re.escape(old)}", k):
+                pre = k[: -len(old)]
+            if pre is not None:
                 e[f"{pre}{new}"] = e.pop(k)
         out[f] = e
     return out
@@ -2491,3 +2501,200 @@ def _purged_schema(schema) -> list | None:
             continue
         out.append([e[0], e[1], meta] if meta else [e[0], e[1]])
     return out or None
+
+
+def compact_small(
+    spark: SparkSession,
+    root: str,
+    small_bytes: int = 128 * 1024 * 1024,
+    min_merge: int = 2,
+) -> int | None:
+    """INCREMENTAL compaction — Delta OPTIMIZE's actual behavior: bin-pack
+    ONLY the files smaller than ``small_bytes`` into ~target-sized
+    outputs and CARRY every already-right-sized file (reference and
+    stats) into the child manifest untouched. :func:`compact` rewrites
+    the whole table — correct as a clustering/purge/materialization job,
+    but a steady-state maintenance loop on a 100 TB table must pay
+    O(sliver bytes), not O(table): a day's streaming micro-batches leave
+    thousands of kilobyte files next to yesterday's compacted gigabyte
+    files, and only the slivers need touching.
+
+    Sizes come from the manifest's per-file ``__bytes`` stat (recorded at
+    every write since it landed — the AddFile ``size`` field); files
+    predating it are stat'ed individually as a fallback (fine for a
+    migration pass, not the steady-state path). The output file count is
+    ``ceil(sliver bytes / small_bytes)`` — merged outputs land at about
+    the threshold size, so the next run finds them right-sized and does
+    nothing (convergent; returns None when fewer than ``min_merge``
+    slivers exist). Row-preserving by construction, so the commit is a
+    ``replace`` stamped ``data_change: false`` — incremental readers with
+    ``skip_compactions`` step over it. Pending MoR deletes REFUSE: a
+    partial rewrite would materialize them for some files and not
+    others; run :func:`compact` to fold them first. Partitioned tables
+    keep their layout (bin-packing within the declared partitioning)."""
+    parent = latest_version(spark, root)
+    if parent == 0:
+        return None
+    m = _read_manifest(spark, root, parent)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: a partial rewrite would materialize "
+            "them unevenly — compact() folds them first"
+        )
+    stats = m.get("stats", {})
+
+    def size(f: str) -> int:
+        s = stats.get(f, {}).get("__bytes")
+        return int(s) if s is not None else fsio.file_size(spark, f"{root}/{f}")
+
+    sizes = {f: size(f) for f in m["files"]}
+    small = [f for f in m["files"] if sizes[f] < small_bytes]
+    if len(small) < max(2, min_merge):
+        return None
+    big = [f for f in m["files"] if f not in set(small)]
+    n_out = max(1, -(-sum(sizes[f] for f in small) // small_bytes))
+    schema, spec = m.get("schema"), m.get("partition_spec")
+    view = _read_files(spark, root, small, schema, spec)
+    stats_cols = (
+        sorted(
+            {c for s in stats.values() for c in s if not c.startswith("__")}
+        )
+        or None
+    )
+    files, new_stats = _write_data_files(
+        view.coalesce(int(n_out)), root, stats_cols, spec[0] if spec else None
+    )
+    carried = {f: s for f, s in stats.items() if f in set(big)}
+    return _commit(
+        spark,
+        root,
+        big + files,
+        "replace",
+        parent,
+        {**carried, **new_stats},
+        schema,
+        partition_spec=spec,
+        extra={"data_change": False, "small_file_compaction": True},
+    )
+
+
+def record_ndv_stats(
+    spark: SparkSession, root: str, col: str, p: int = 8
+) -> list[str]:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS`` for distinct counts,
+    INCREMENTALLY: record a per-file portable HLL register map
+    (``__hll<p>_<col>`` — the md5 sketch of operators/sketches.py, ≤2**p
+    entries per file) into the manifest stats for exactly the files
+    that do not have one yet. Already-analyzed files are never re-read,
+    so the steady-state cost of keeping a 100 TB table's NDV stats
+    current is O(new files since the last analyze) — one scan of only
+    those files' ``col`` values, one metadata commit ('record-ndv',
+    file set unchanged, steppable by incremental readers). The register
+    map re-keys with :func:`rename_column` like every other per-column
+    stat. Returns the newly analyzed files ([] when everything was
+    already recorded — re-running is free). Compaction rewrites files
+    under new names without registers; the next analyze re-records
+    exactly those. Sound under pending MoR deletes (a file's registers
+    describe the FILE, immutably) — it is :func:`metadata_distinct`
+    that refuses to answer while deletes are pending."""
+    from nagios_custom_etl_spark.operators.sketches import hll_register_rows
+
+    parent = latest_version(spark, root)
+    if parent == 0:
+        return []
+    m = _read_manifest(spark, root, parent)
+    stats = m.get("stats", {})
+    key = f"__hll{p}_{col}"
+    missing = [
+        f
+        for f in m["files"]
+        if key not in stats.get(f, {}) and stats.get(f, {}).get("__rows") != 0
+    ]
+    if not missing:
+        return []
+    df = _read_files(spark, root, missing, m.get("schema"), m.get("partition_spec"))
+    from pyspark.sql import functions as F
+
+    d = df.select(F.input_file_name().alias("_f"), F.col(col))
+    # bounded collect: |missing files| x 2**p register rows, manifest
+    # metadata like _file_stats
+    regs = hll_register_rows(d, ["_f"], col, p=p).collect()
+    by_base = {f.split("/")[-1]: f for f in missing}  # uuid part names: unique
+    add: dict[str, dict] = {}
+    for r in regs:
+        rel = by_base[r["_f"].split("/")[-1]]
+        add.setdefault(rel, {})[str(int(r["reg"]))] = int(r["rho"])
+    new_stats = {f: dict(s) for f, s in stats.items()}
+    for f in missing:
+        # an all-NULL file records an EMPTY map: analyzed, zero registers
+        new_stats.setdefault(f, {})[key] = add.get(f, {})
+    _commit(
+        spark,
+        root,
+        m["files"],
+        "record-ndv",
+        parent,
+        new_stats,
+        m.get("schema"),
+        partition_spec=m.get("partition_spec"),
+        extra=_mor_extra(m, [], 0),
+    )
+    return sorted(missing)
+
+
+def metadata_distinct(
+    spark: SparkSession, root: str, col: str, p: int = 8, version: int | None = None
+) -> tuple[float, int]:
+    """``APPROX COUNT_DISTINCT(col)`` answered from the MANIFEST alone —
+    the NDV sibling of :func:`metadata_count`/:func:`metadata_sum`:
+    per-file register maps (:func:`record_ndv_stats`) max-merge in the
+    driver (HLL's merge algebra — per-file maxima then cross-file maxima
+    equals the one-pass global sketch, register for register), and the
+    estimate replays the x100 estimator's exact IEEE sequence (the
+    register sum accumulates as exact Python ints, one double division
+    on the raw branch, one ln on the linear-counting branch), so the
+    answer is BIT-IDENTICAL to sketching the base rows in Spark or
+    DuckDB — not approximately equal to the sketch, equal to it.
+    Returns (estimate, v_zero). Refusals: pending MoR deletes (dead
+    rows are baked into file registers — compact first), any
+    non-zero-row file without recorded registers at this ``p`` (run
+    :func:`record_ndv_stats`; no silent undercounts)."""
+    import math
+
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: deleted rows are baked into file "
+            "registers — compact() first or sketch through read_snapshot"
+        )
+    stats = m.get("stats", {})
+    key = f"__hll{p}_{col}"
+    merged: dict[int, int] = {}
+    for f in m["files"]:
+        s = stats.get(f, {})
+        if s.get("__rows") == 0:
+            continue
+        if key not in s:
+            raise ValueError(
+                f"file {f!r} has no recorded NDV registers for {col!r} at "
+                f"p={p}; run record_ndv_stats first"
+            )
+        for reg, rho in s[key].items():
+            r = int(reg)
+            if int(rho) > merged.get(r, 0):
+                merged[r] = int(rho)
+    m_regs = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m_regs, 0.7213 / (1 + 1.079 / m_regs)
+    )
+    v_zero = m_regs - len(merged)
+    total = float(
+        sum(2 ** (70 - rho) for rho in merged.values()) + v_zero * 2**70
+    )
+    raw = (alpha * m_regs * m_regs) * (2.0**70) / total
+    if raw <= 2.5 * m_regs and v_zero > 0:
+        est = float(m_regs) * math.log(float(m_regs) / v_zero)
+    else:
+        est = raw
+    return est, v_zero

@@ -10054,3 +10054,193 @@ def x127_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adc_dist_r") == 0.0)
         .orderBy("vec_id")
     )
+
+
+@register(
+    "x129_small_file_compaction",
+    oracle="""
+    -- incremental OPTIMIZE (bin-packing): one big append + three
+    -- sliver appends; compact_small merges ONLY the slivers — the big
+    -- file's reference is carried byte-identically (big_carried), the
+    -- file count drops (files_reduced), content is invariant (this
+    -- recompute), and the replace is stamped data_change:false so a
+    -- skip-compactions incremental reader steps over it and still
+    -- sees exactly the sliver rows as its delta (incremental_skips).
+    WITH r AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             CAST(l_quantity AS DOUBLE) AS v
+      FROM lineitem WHERE l_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey + 1000000000, CAST(o_totalprice AS DOUBLE)
+      FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT CAST(k AS BIGINT) AS k, v,
+           CAST(TRUE AS BOOLEAN) AS big_carried,
+           CAST(TRUE AS BOOLEAN) AS files_reduced,
+           CAST(TRUE AS BOOLEAN) AS incremental_skips
+    FROM r ORDER BY k
+    """,
+    doc="X129 incremental small-file compaction (operators/snapshots.py::"
+    "compact_small): Delta OPTIMIZE's actual bin-packing behavior — "
+    "merge ONLY files below the size threshold (per-file __bytes "
+    "recorded in the manifest at every write, the AddFile size field) "
+    "into ~threshold-sized outputs and CARRY right-sized files "
+    "untouched, so steady-state maintenance on a streaming-fed 100 TB "
+    "table costs O(sliver bytes), never O(table) — x91/compact() "
+    "remains the full-rewrite clustering/purge/materialization job. "
+    "Convergent (merged outputs land right-sized, the next run is a "
+    "no-op), row-preserving (data_change:false — skip-compactions "
+    "readers step over it), pending MoR deletes refuse (a partial "
+    "rewrite would materialize them unevenly).",
+)
+def x129_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x129_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 1)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+            F.col("l_quantity").cast("double").alias("v"),
+        )
+    )
+    v1 = S.append(big.coalesce(1), root)
+    big_files = set(S._read_manifest(spark, root, v1)["files"])
+    slivers = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 7
+    ).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    n_sliver = 0
+    for b in range(3):
+        part = slivers.filter(F.col("k") % 3 == b)
+        n_sliver += part.count()
+        S.append(part.coalesce(1), root)
+    m_before = S._read_manifest(spark, root, S.latest_version(spark, root))
+    # threshold = the big file's recorded size: slivers are strictly
+    # smaller at every SF (they hold ~1% of the big row count)
+    threshold = min(m_before["stats"][f]["__bytes"] for f in big_files)
+    v = S.compact_small(spark, root, small_bytes=int(threshold))
+    m_after = S._read_manifest(spark, root, v)
+    big_carried = big_files <= set(m_after["files"])
+    files_reduced = len(m_after["files"]) < len(m_before["files"])
+    inc = S.read_incremental(
+        spark, root, since_version=v1, skip_compactions=True
+    )
+    incremental_skips = inc.count() == n_sliver
+    return (
+        S.read_snapshot(spark, root)
+        .select(F.col("k").cast("long").alias("k"), "v")
+        .withColumn("big_carried", F.lit(bool(big_carried)))
+        .withColumn("files_reduced", F.lit(bool(files_reduced)))
+        .withColumn("incremental_skips", F.lit(bool(incremental_skips)))
+        .orderBy("k")
+    )
+
+
+@register(
+    "x130_metadata_distinct",
+    oracle="""
+    -- APPROX COUNT DISTINCT answered from the MANIFEST alone: per-file
+    -- md5-HLL register maps recorded by the incremental analyze
+    -- (record_ndv_stats), max-merged in the driver — per-file maxima
+    -- then cross-file maxima equals the one-pass global sketch by
+    -- max's algebra, and the estimator replays the x100 IEEE sequence,
+    -- so the metadata answer is BIT-identical to this base-row
+    -- recompute (rounded to 4 for display, like x100). The second
+    -- analyze after a fourth append scanned ONLY the new batch's files
+    -- (analyze_incremental); a third found nothing to do.
+    WITH h AS (SELECT md5(CAST(o_custkey AS VARCHAR) || ':hll') AS h
+               FROM orders WHERE o_custkey IS NOT NULL),
+    r AS (SELECT
+            16*(strpos('0123456789abcdef', substr(h,1,1))-1)
+              + (strpos('0123456789abcdef', substr(h,2,1))-1) AS reg,
+            4*length(regexp_extract(substr(h,3,16), '^0*'))
+              + CASE substr(substr(h,3,16),
+                            length(regexp_extract(substr(h,3,16), '^0*'))+1, 1)
+                  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                  WHEN '7' THEN 1 ELSE 0 END + 1 AS rho
+          FROM h),
+    m AS (SELECT reg, MAX(rho) AS rho FROM r GROUP BY reg),
+    g AS (SELECT 256 - COUNT(*) AS v_zero,
+                 CAST(SUM(CAST(power(2, 70 - rho) AS DECIMAL(38,0)))
+                      + (256 - COUNT(*)) * CAST(power(2, 70) AS DECIMAL(38,0))
+                      AS DOUBLE) AS total
+          FROM m),
+    e AS (SELECT v_zero,
+                 ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+                  * 256) * 256 * power(2, 70) / total AS raw
+          FROM g),
+    x AS (SELECT v_zero,
+                 CASE WHEN raw <= 2.5 * 256 AND v_zero > 0
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+                      ELSE raw END AS est
+          FROM e)
+    SELECT CAST(x.v_zero AS BIGINT) AS v_zero,
+           ROUND(x.est, 4) AS est_r,
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+             AS n_exact,
+           CAST(TRUE AS BOOLEAN) AS analyze_incremental,
+           CAST(TRUE AS BOOLEAN) AS analyze_idempotent
+    FROM x
+    """,
+    doc="X130 metadata-only distinct count (operators/snapshots.py::"
+    "record_ndv_stats + metadata_distinct): ANALYZE-style NDV file "
+    "stats — per-file portable md5-HLL register maps land in the "
+    "manifest via an INCREMENTAL analyze (only files without registers "
+    "are scanned; re-running is free; one metadata-only commit), and "
+    "APPROX COUNT DISTINCT is then answered from the manifest with "
+    "zero data-file opens: driver-side register max-merge (HLL's "
+    "algebra makes per-file-then-cross-file identical to the one-pass "
+    "global sketch) + the x100 estimator replayed in the same IEEE "
+    "order — the metadata answer is bit-identical to sketching the "
+    "base rows, the x107 soundness trick applied to file stats. "
+    "Refusals: pending MoR deletes, unanalyzed files. At 100 TB this "
+    "is NDV for the optimizer/dashboard at manifest cost, maintained "
+    "at O(new files) per analyze cycle.",
+)
+def x130_metadata_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x130_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    for b in range(3):
+        S.append(o.filter(F.col("o_orderkey") % 4 == b), root)
+    S.record_ndv_stats(spark, root, "o_custkey", p=8)
+    v4 = S.append(o.filter(F.col("o_orderkey") % 4 == 3), root)
+    new_files = [
+        f
+        for f in S._read_manifest(spark, root, v4)["files"]
+        if "__hll8_o_custkey" not in S._read_manifest(spark, root, v4)["stats"][f]
+    ]
+    analyzed = S.record_ndv_stats(spark, root, "o_custkey", p=8)
+    analyze_incremental = sorted(analyzed) == sorted(new_files)
+    analyze_idempotent = S.record_ndv_stats(spark, root, "o_custkey", p=8) == []
+    est, v_zero = S.metadata_distinct(spark, root, "o_custkey", p=8)
+    n_exact = o.agg(F.count_distinct("o_custkey")).first()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(v_zero),
+                round(est, 4),
+                int(n_exact),
+                bool(analyze_incremental),
+                bool(analyze_idempotent),
+            )
+        ],
+        "v_zero long, est_r double, n_exact long, "
+        "analyze_incremental boolean, analyze_idempotent boolean",
+    )

@@ -44,6 +44,7 @@ _METADATA_ONLY_OPS = (
     "drop-column",
     "undrop-column",
     "add-column",
+    "record-ndv",
 )
 
 # Spark simpleString -> pyarrow type factory, for typed-null backfill of

@@ -2647,3 +2647,83 @@ def test_metadata_only_commits_steppable_incrementally(spark, root):
     )
     parts = rd.partitions({"version": 1}, {"version": 3})
     assert parts and all(p.commit_version == 3 for p in parts)
+
+
+def test_compact_small_binpacks_only_slivers(spark, root):
+    """compact_small merges ONLY sub-threshold files: right-sized files
+    carry byte-identically (reference AND stats), content is invariant,
+    the commit is a skippable data_change:false replace, a second run
+    converges to a no-op, and pending MoR deletes refuse."""
+    S.append(_df(spark, 0, 500).coalesce(1), root, stats_cols=["i"])  # big
+    m1 = S._read_manifest(spark, root, 1)
+    big_file, = m1["files"]
+    assert m1["stats"][big_file]["__bytes"] > 0  # AddFile size recorded
+    for lo in (500, 510, 520):  # three slivers
+        S.append(_df(spark, lo, lo + 10).coalesce(1), root, stats_cols=["i"])
+    m4 = S._read_manifest(spark, root, 4)
+    thr = m4["stats"][big_file]["__bytes"]
+    v = S.compact_small(spark, root, small_bytes=int(thr))
+    m5 = S._read_manifest(spark, root, v)
+    assert m5["op"] == "replace" and m5["data_change"] is False
+    assert big_file in m5["files"]
+    assert m5["stats"][big_file] == m4["stats"][big_file]  # stats carried
+    assert len(m5["files"]) < len(m4["files"])
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in list(range(500)) + list(range(500, 530))
+    ]
+    # convergent: the merged output is right-sized, nothing left to do
+    assert S.compact_small(spark, root, small_bytes=int(thr)) is None
+    # incremental reader steps over it (row-preserving by marker)
+    inc = S.read_incremental(spark, root, since_version=1, skip_compactions=True)
+    assert inc.count() == 30
+    # pending MoR deletes refuse the partial rewrite
+    S.mor_delete(spark.createDataFrame([Row(i=0)]), root, keys=["i"])
+    with pytest.raises(ValueError, match="MoR"):
+        S.compact_small(spark, root, small_bytes=int(thr))
+
+
+def test_ndv_stats_merge_equals_global_and_refusals(spark, root):
+    """Per-file register maps max-merge to EXACTLY the one-pass global
+    sketch (HLL's algebra), the analyze is incremental and idempotent,
+    registers re-key with a column rename, and the read refuses
+    unanalyzed files and pending MoR deletes."""
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    df1 = spark.createDataFrame([(i, i % 37) for i in range(300)], "i int, u int")
+    df2 = spark.createDataFrame(
+        [(i, i % 53) for i in range(300, 600)], "i int, u int"
+    )
+    S.append(df1, root)
+    S.append(df2, root)
+    with pytest.raises(ValueError, match="no recorded NDV"):
+        S.metadata_distinct(spark, root, "u")
+    analyzed = S.record_ndv_stats(spark, root, "u")
+    assert analyzed  # every data file got registers
+    assert S.record_ndv_stats(spark, root, "u") == []  # idempotent
+    est, v_zero = S.metadata_distinct(spark, root, "u")
+    # the engine-side sketch over the same rows must agree EXACTLY
+    regs = hll_register_rows(
+        S.read_snapshot(spark, root).withColumn("g", F.lit(1)), ["g"], "u"
+    )
+    row = hll_estimate(regs, ["g"]).first()
+    assert row["v_zero"] == v_zero and row["est_distinct"] == est
+    # rename re-keys the register maps: the answer carries to the new name
+    S.rename_column(spark, root, "u", "uid")
+    est2, vz2 = S.metadata_distinct(spark, root, "uid")
+    assert (est2, vz2) == (est, v_zero)
+    # a new unanalyzed append refuses, then analyzes incrementally
+    S.append(
+        spark.createDataFrame([(999, 999)], "i int, uid int"), root
+    )
+    with pytest.raises(ValueError, match="no recorded NDV"):
+        S.metadata_distinct(spark, root, "uid")
+    S.record_ndv_stats(spark, root, "uid")
+    est3, _ = S.metadata_distinct(spark, root, "uid")
+    assert est3 >= est  # max-merge: the sketch can only grow
+    # pending MoR deletes refuse (dead rows baked into file registers)
+    S.mor_delete(spark.createDataFrame([Row(i=0)]), root, keys=["i"])
+    with pytest.raises(ValueError, match="MoR"):
+        S.metadata_distinct(spark, root, "uid")
