@@ -1096,6 +1096,7 @@ def merge_commit(
     prune_on: str | None = None,
     stats_cols: list[str] | None = None,
     txn: str | None = None,
+    evolve: bool = False,
 ) -> int:
     """MERGE a change batch into the table's LATEST snapshot and publish
     the result as a new version — the snapshot-isolated form of the
@@ -1147,6 +1148,32 @@ def merge_commit(
         parent = latest_version(spark, root)
         m = _read_manifest(spark, root, parent) if parent else {}
         untouched: list[str] = []
+        # MERGE schema evolution (Delta's autoMerge): with evolve=True a
+        # source batch may ADD columns (the table schema grows; matched
+        # rows take whatever when_matched_update says, untouched files
+        # NULL-backfill at read), OMIT columns (inserted rows take typed
+        # NULLs), or WIDEN along the integer lattice. Both sides are
+        # aligned to the merged schema before the join so every update/
+        # insert expression sees every column. Without evolve the
+        # historical contract holds exactly: output pinned to the
+        # table's columns, drift surfacing as an analysis error.
+        schema = m.get("schema")
+        if evolve and parent and schema:
+            schema = _merged_schema(schema, _schema_list(source), True)
+            types = _schema_types(schema)
+
+            def align(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[
+                        F.col(c).cast(types[c]).alias(c)
+                        if c in df.columns
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in _visible_names(schema)
+                    ]
+                )
+
+        else:
+            align = None  # type: ignore[assignment]
         if parent == 0:
             merged = source
         else:
@@ -1165,15 +1192,18 @@ def merge_commit(
 
                 touched = [f for f in m["files"] if can_match(f)]
                 untouched = [f for f in m["files"] if f not in set(touched)]
+            src = align(source) if align is not None else source
             if touched:
                 target = _live_view(spark, root, m, touched)
+                if align is not None:
+                    target = align(target)
                 merged = merge_upsert(
-                    target, source, keys=keys, when_matched_update=when_matched_update
+                    target, src, keys=keys, when_matched_update=when_matched_update
                 )
             else:  # no file can contain a match: the whole batch inserts
-                merged = source
-            if m.get("schema"):  # pin insert-only batches to table column order
-                merged = merged.select(*_visible_names(m["schema"]))
+                merged = src
+            if schema:  # pin insert-only batches to table column order
+                merged = merged.select(*_visible_names(schema))
         spec = m.get("partition_spec")
         _enforce_constraints(merged, root)
         files, stats = _write_data_files(
@@ -1200,7 +1230,7 @@ def merge_commit(
                 "merge",
                 parent,
                 {**carried_stats, **stats} if (carried_stats or stats) else None,
-                m.get("schema") or _schema_list(merged),
+                schema or _schema_list(merged),
                 txn=txn,
                 partition_spec=spec,
                 extra=extra,
@@ -2698,3 +2728,96 @@ def metadata_distinct(
     else:
         est = raw
     return est, v_zero
+
+
+# ---------------------------------------------------------------------------
+# Cross-table transactions: stage-everywhere, then ONE atomic coordinator
+# record as the commit decision, then publish-everywhere — two-phase commit
+# with presumed abort over the WAP machinery (stage_append is the prepare,
+# publish_staged the idempotent commit action, the coordinator file the
+# decision log record). Iceberg gets this from an external catalog; Delta
+# documents multi-table atomicity as out of scope — here it rides the same
+# manifests.
+# ---------------------------------------------------------------------------
+
+
+def _mtxn_path(coord_root: str, txn_id: str) -> str:
+    return f"{_snap_dir(coord_root)}/mtxn-{txn_id}.json"
+
+
+def multi_stage(
+    batches: list[tuple[DataFrame, str]], txn_id: str,
+    stats_cols: list[str] | None = None,
+) -> list[str]:
+    """PREPARE phase of a cross-table transaction: stage every batch on
+    its table (stage ids ``mtxn-<txn_id>``, invisible to all readers —
+    the WAP contract). Nothing is decided yet: a crash here leaves only
+    staged batches, reclaimable with :func:`multi_abort`. Returns the
+    staged roots in order."""
+    if not txn_id or any(ch in txn_id for ch in "/\\ "):
+        raise ValueError(f"invalid txn_id {txn_id!r}")
+    roots = []
+    for df, root in batches:
+        stage_append(df, root, f"mtxn-{txn_id}", stats_cols=stats_cols)
+        roots.append(root)
+    return roots
+
+
+def multi_commit(spark: SparkSession, roots: list[str], txn_id: str) -> dict[str, int]:
+    """DECIDE + COMMIT: atomically create the coordinator record (the
+    transaction's single decision point — it lists every participant
+    root) under the FIRST root's metadata dir, then publish each staged
+    batch and finally retire the record. All-or-nothing EVENTUALLY:
+    publish_staged is idempotent per stage id, so a crash between
+    publishes is completed by re-running this function or
+    :func:`multi_txn_recover` against the coordinator root — a reader
+    can observe table A's half before table B's during the window (the
+    per-table commits stay independently atomic; cross-table snapshot
+    isolation needs a shared catalog by definition), but no committed
+    transaction can half-vanish and no unrecorded one can half-appear.
+    Returns {root: published version}."""
+    coord = _mtxn_path(roots[0], txn_id)
+    record = {"txn_id": txn_id, "roots": list(roots), "decided_at": time.time()}
+    fsio.mkdirs(spark, _snap_dir(roots[0]))
+    try:
+        fsio.create_text_atomic(spark, coord, json.dumps(record))
+    except FileExistsError:
+        pass  # crash-resume: the decision already landed — finish it
+    out = {}
+    for root in roots:
+        out[root] = publish_staged(spark, root, f"mtxn-{txn_id}")
+    fsio.delete(spark, coord, recursive=False)
+    return out
+
+
+def multi_abort(spark: SparkSession, roots: list[str], txn_id: str) -> None:
+    """PRESUMED ABORT: reclaim an undecided transaction's staged batches.
+    Refused once the coordinator record exists — the decision to commit
+    is final and recovery (not abort) owns the transaction from there."""
+    if fsio.exists(spark, _mtxn_path(roots[0], txn_id)):
+        raise ValueError(
+            f"txn {txn_id!r} is decided (coordinator record exists): "
+            "run multi_commit / multi_txn_recover, not abort"
+        )
+    for root in roots:
+        try:
+            abort_staged(spark, root, f"mtxn-{txn_id}")
+        except ValueError:
+            pass  # this participant never staged (or already reclaimed)
+
+
+def multi_txn_recover(spark: SparkSession, coord_root: str) -> list[str]:
+    """Finish every DECIDED-but-unretired transaction whose coordinator
+    record lives under ``coord_root`` — the recovery job a scheduler
+    runs alongside vacuum. Idempotent (publishes are; retirement is a
+    delete). Returns the completed txn ids."""
+    done = []
+    if not fsio.exists(spark, _snap_dir(coord_root)):
+        return done
+    for f in fsio.list_names(spark, _snap_dir(coord_root)):
+        if not (f.startswith("mtxn-") and f.endswith(".json")):
+            continue
+        rec = json.loads(fsio.read_text(spark, f"{_snap_dir(coord_root)}/{f}"))
+        multi_commit(spark, rec["roots"], rec["txn_id"])
+        done.append(rec["txn_id"])
+    return sorted(done)

@@ -10244,3 +10244,189 @@ def x130_metadata_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_zero long, est_r double, n_exact long, "
         "analyze_incremental boolean, analyze_idempotent boolean",
     )
+
+
+@register(
+    "x131_merge_schema_evolution",
+    oracle="""
+    -- MERGE with automatic schema evolution (Delta autoMerge): a merge
+    -- whose source carries a NEW column under evolve=True grows the
+    -- table schema — matched rows take the source values, untouched
+    -- files NULL-backfill at read; a later merge that OMITS a column
+    -- inserts typed NULLs; without evolve the historical contract
+    -- holds (output pinned to the table's columns — the extra source
+    -- column is dropped, pinned by dropped_without_evolve).
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status
+                  FROM orders WHERE o_orderkey % 10 = 1),
+    m1 AS (SELECT o_orderkey AS k, 'M' AS status,
+                  o_orderpriority AS priority
+           FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 3 = 0),
+    r AS (
+      SELECT b.k,
+             COALESCE(m1.status, b.status) AS status,
+             m1.priority
+      FROM base b LEFT JOIN m1 USING (k)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, NULL
+      FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT CAST(k AS BIGINT) AS k, status, priority,
+           CAST(TRUE AS BOOLEAN) AS dropped_without_evolve
+    FROM r ORDER BY k
+    """,
+    doc="X131 MERGE schema evolution (operators/snapshots.py::"
+    "merge_commit(evolve=True)): Delta's autoMerge — a merge source may "
+    "ADD columns (both sides align to the merged schema before the "
+    "full-outer join, so update/insert expressions see every column; "
+    "the table schema grows in the same commit; untouched carried "
+    "files NULL-backfill through the schema-reconciling read), OMIT "
+    "columns (inserted rows take typed NULLs), or WIDEN along the "
+    "integer lattice (x116 composing with MERGE). The file-pruned COW "
+    "shape is unchanged: only key-range-intersecting files rewrite. "
+    "cdc_apply_sink(evolve=True) threads this through streaming APPLY "
+    "CHANGES for mid-stream source schema additions. Without evolve "
+    "the historical pin holds exactly (extra source columns drop, "
+    "omissions error).",
+)
+def x131_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x131_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    S.append(base, root, stats_cols=["k"])
+    m1 = o.filter(
+        (F.col("o_orderkey") % 10 == 1) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("M").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    src_wins = {c: F.col(f"s.{c}") for c in m1.columns}
+    # historical contract: without evolve the extra column drops silently
+    S.merge_commit(root, m1, keys=["k"], when_matched_update=src_wins, prune_on="k")
+    dropped = "priority" not in S.read_snapshot(spark, root).columns
+    # evolve: the same merge grows the schema; matched rows take source
+    S.merge_commit(
+        root, m1, keys=["k"], when_matched_update=src_wins, prune_on="k",
+        evolve=True,
+    )
+    # omitting source: inserted rows take typed NULLs for 'priority'
+    m2 = o.filter(F.col("o_orderkey") % 10 == 2).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    S.merge_commit(root, m2, keys=["k"], prune_on="k", evolve=True)
+    return (
+        S.read_snapshot(spark, root)
+        .select(F.col("k").cast("long").alias("k"), "status", "priority")
+        .withColumn("dropped_without_evolve", F.lit(bool(dropped)))
+        .orderBy("k")
+    )
+
+
+@register(
+    "x132_multi_table_commit",
+    oracle="""
+    -- cross-table transaction: stage-everywhere (WAP prepare), ONE
+    -- atomic coordinator record as the decision, publish-everywhere
+    -- (idempotent commits). txn t1 commits cleanly; txn t2 CRASHES
+    -- between the two publishes (table A visible, table B not — the
+    -- documented window: window_observed) and recovery completes it
+    -- from the coordinator record (recovered); txn t3 is staged but
+    -- never decided and aborts without a trace (aborted_invisible).
+    -- Final contents of both tables = this literal recompute.
+    WITH r AS (
+      SELECT 'A' AS side, o_orderkey AS k
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT 'B', c_custkey FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+    )
+    SELECT side, CAST(k AS BIGINT) AS k,
+           CAST(TRUE AS BOOLEAN) AS window_observed,
+           CAST(TRUE AS BOOLEAN) AS recovered,
+           CAST(TRUE AS BOOLEAN) AS aborted_invisible
+    FROM r ORDER BY side, k
+    """,
+    doc="X132 cross-table atomic commit (operators/snapshots.py::"
+    "multi_stage/multi_commit/multi_abort/multi_txn_recover): two-phase "
+    "commit with presumed abort over the WAP machinery — stage_append "
+    "is the prepare (invisible everywhere), one atomic coordinator "
+    "record under the first root is the decision log, publish_staged "
+    "the idempotent per-table commit action, so a crash at ANY point "
+    "either aborts cleanly (undecided: staged batches reclaim) or "
+    "completes under recovery (decided: re-publish is a no-op where it "
+    "already landed). Readers can observe A-before-B during the "
+    "publish window — per-table commits stay independently atomic; "
+    "cross-table snapshot isolation needs a shared catalog by "
+    "definition (Iceberg gets it from one; Delta documents multi-table "
+    "atomicity as out of scope). Eventual all-or-nothing is the claim, "
+    "and it is crash-point tested.",
+)
+def x132_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_x132_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    ra, rb = os.path.join(base, "A"), os.path.join(base, "B")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    S.append(o.filter(F.col("k") % 10 == 1), ra)
+    S.append(c.filter(F.col("k") % 10 == 1), rb)
+    # t1: clean two-table commit
+    S.multi_stage(
+        [(o.filter(F.col("k") % 10 == 2), ra), (c.filter(F.col("k") % 10 == 2), rb)],
+        "t1",
+    )
+    S.multi_commit(spark, [ra, rb], "t1")
+    # t2: decided, then CRASH between the publishes (A landed, B not)
+    S.multi_stage(
+        [(o.filter(F.col("k") % 10 == 3), ra), (c.filter(F.col("k") % 10 == 3), rb)],
+        "t2",
+    )
+    fsio.create_text_atomic(
+        spark,
+        f"{ra}/_snapshots/mtxn-t2.json",
+        _json.dumps({"txn_id": "t2", "roots": [ra, rb]}),
+    )
+    S.publish_staged(spark, ra, "mtxn-t2")  # ...crash here
+    n_b_before = S.read_snapshot(spark, rb).count()
+    window_observed = (
+        S.read_snapshot(spark, ra).filter(F.col("k") % 10 == 3).count() > 0
+        and S.read_snapshot(spark, rb).filter(F.col("k") % 10 == 3).count() == 0
+    )
+    recovered_txns = S.multi_txn_recover(spark, ra)
+    recovered = recovered_txns == ["t2"] and S.read_snapshot(spark, rb).count() > n_b_before
+    # t3: staged, never decided -> presumed abort, no trace anywhere
+    S.multi_stage(
+        [(o.filter(F.col("k") % 10 == 4), ra), (c.filter(F.col("k") % 10 == 4), rb)],
+        "t3",
+    )
+    S.multi_abort(spark, [ra, rb], "t3")
+    aborted_invisible = (
+        S.read_snapshot(spark, ra).filter(F.col("k") % 10 == 4).count() == 0
+        and S.read_snapshot(spark, rb).filter(F.col("k") % 10 == 4).count() == 0
+    )
+    both = (
+        S.read_snapshot(spark, ra).select(F.lit("A").alias("side"), "k")
+        .unionByName(S.read_snapshot(spark, rb).select(F.lit("B").alias("side"), "k"))
+    )
+    return (
+        both.select("side", F.col("k").cast("long").alias("k"))
+        .withColumn("window_observed", F.lit(bool(window_observed)))
+        .withColumn("recovered", F.lit(bool(recovered)))
+        .withColumn("aborted_invisible", F.lit(bool(aborted_invisible)))
+        .orderBy("side", "k")
+    )

@@ -567,6 +567,7 @@ def cdc_apply_sink(
     txn_prefix: str = "cdc-batch",
     prune_on: str | None = None,
     changes_root: str | None = None,
+    evolve: bool = False,
 ):
     """foreachBatch sink applying a CDC stream of keyed UPSERTS and
     DELETES into a snapshot table — Delta Live Tables' APPLY CHANGES
@@ -624,6 +625,12 @@ def cdc_apply_sink(
 
     from nagios_custom_etl_spark.operators import snapshots as S
 
+    if evolve and changes_root is not None:
+        raise ValueError(
+            "evolve=True with a change feed is not supported: the "
+            "pre-image fetch cannot project columns the stored rows "
+            "predate — evolve the table first, then re-enable the feed"
+        )
     prune_key = prune_on or keys[0]
 
     def latest_per_key(df: DataFrame) -> DataFrame:
@@ -719,6 +726,11 @@ def cdc_apply_sink(
             prune_on=prune_key,
             stats_cols=[prune_key, seq_col],
             txn=token,
+            # mid-stream source schema additions (Delta autoMerge): the
+            # winning-row update dict is built from the BATCH's columns,
+            # so evolved columns flow; rows whose stored version predates
+            # the column read back NULL until a newer change lands
+            evolve=evolve,
         )
 
     return write

@@ -2727,3 +2727,126 @@ def test_ndv_stats_merge_equals_global_and_refusals(spark, root):
     S.mor_delete(spark.createDataFrame([Row(i=0)]), root, keys=["i"])
     with pytest.raises(ValueError, match="MoR"):
         S.metadata_distinct(spark, root, "uid")
+
+
+def test_merge_schema_evolution(spark, root):
+    """merge_commit(evolve=True): source ADDS a column (schema grows in
+    the same commit; untouched carried files NULL-backfill; matched
+    rows take the update expressions), source OMITS a column (inserted
+    rows take typed NULLs), and a WIDER key widens the table (x116
+    composing with MERGE). The CDC apply sink threads evolve through
+    for mid-stream source schema additions."""
+    S.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (100, "z")], "k int, v string"),
+        root,
+        stats_cols=["k"],
+    )
+    src = spark.createDataFrame([(1, "A", 7), (3, "C", 9)], "k int, v string, w int")
+    S.merge_commit(
+        root,
+        src,
+        keys=["k"],
+        when_matched_update={c: F.col(f"s.{c}") for c in src.columns},
+        prune_on="k",
+        evolve=True,
+    )
+    got = {
+        (r.k, r.v, r.w) for r in S.read_snapshot(spark, root).collect()
+    }
+    assert got == {(1, "A", 7), (2, "b", None), (3, "C", 9), (100, "z", None)}
+    # omitting batch inserts typed NULLs
+    S.merge_commit(
+        root,
+        spark.createDataFrame([(4, "d")], "k int, v string"),
+        keys=["k"],
+        prune_on="k",
+        evolve=True,
+    )
+    assert (4, "d", None) in {
+        (r.k, r.v, r.w) for r in S.read_snapshot(spark, root).collect()
+    }
+    # widening through MERGE: a bigint key batch widens the int table
+    S.merge_commit(
+        root,
+        spark.createDataFrame([(2**40, "big", 1)], "k bigint, v string, w int"),
+        keys=["k"],
+        prune_on="k",
+        evolve=True,
+    )
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    assert S._schema_types(m["schema"])["k"] == "bigint"
+    assert (2**40, "big", 1) in {
+        (r.k, r.v, r.w) for r in S.read_snapshot(spark, root).collect()
+    }
+    # CDC apply with a mid-stream source column addition
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    root2 = root + "_cdc"
+    sink = cdc_apply_sink(
+        root2, keys=["k"], seq_col="seq", op_col="op", evolve=True
+    )
+    sink(spark.createDataFrame([(1, 10, "U", "a")], "k int, seq long, op string, v string"), 0)
+    sink(
+        spark.createDataFrame(
+            [(1, 20, "U", "a2", 5), (2, 20, "U", "b", 6)],
+            "k int, seq long, op string, v string, extra int",
+        ),
+        1,
+    )
+    got2 = {
+        (r.k, r.v, r.extra) for r in cdc_current(spark, root2).collect()
+    }
+    assert got2 == {(1, "a2", 5), (2, "b", 6)}
+    # evolve + change feed refuses at construction
+    with pytest.raises(ValueError, match="not supported"):
+        cdc_apply_sink(
+            root2, keys=["k"], seq_col="seq", op_col="op",
+            changes_root=root + "_chg", evolve=True,
+        )
+
+
+def test_multi_table_txn_crash_points(spark, root, tmp_path):
+    """Two-phase cross-table commit: enumerate the crash points —
+    (a) after staging, before the decision: abort reclaims, nothing
+    ever visible; (b) after the decision, before any publish;
+    (c) between the publishes — recovery completes (b) and (c) from
+    the coordinator record, idempotently; abort REFUSES once decided."""
+    rb = str(tmp_path / "tableB")
+    S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 100, 103), rb)
+
+    # (a) undecided: presumed abort — no trace, stages reclaimed
+    S.multi_stage([(_df(spark, 3, 5), root), (_df(spark, 103, 105), rb)], "u1")
+    S.multi_abort(spark, [root, rb], "u1")
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(3)]
+    assert S._staged_ids(spark, root) == [] and S._staged_ids(spark, rb) == []
+
+    # (b) decided, zero publishes happened: recovery lands BOTH
+    S.multi_stage([(_df(spark, 3, 5), root), (_df(spark, 103, 105), rb)], "d1")
+    fsio.create_text_atomic(
+        spark,
+        f"{root}/_snapshots/mtxn-d1.json",
+        json.dumps({"txn_id": "d1", "roots": [root, rb]}),
+    )
+    # abort refuses a decided txn
+    with pytest.raises(ValueError, match="decided"):
+        S.multi_abort(spark, [root, rb], "d1")
+    assert S.multi_txn_recover(spark, root) == ["d1"]
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(5)]
+    assert (104, "r104") in _rows(S.read_snapshot(spark, rb))
+
+    # (c) decided, first publish landed, then crash: recovery finishes
+    # the second; a second recovery is a no-op (idempotent)
+    S.multi_stage([(_df(spark, 5, 6), root), (_df(spark, 105, 106), rb)], "d2")
+    fsio.create_text_atomic(
+        spark,
+        f"{root}/_snapshots/mtxn-d2.json",
+        json.dumps({"txn_id": "d2", "roots": [root, rb]}),
+    )
+    S.publish_staged(spark, root, "mtxn-d2")
+    assert (105, "r105") not in _rows(S.read_snapshot(spark, rb))
+    assert S.multi_txn_recover(spark, root) == ["d2"]
+    assert (105, "r105") in _rows(S.read_snapshot(spark, rb))
+    va, vb = S.latest_version(spark, root), S.latest_version(spark, rb)
+    assert S.multi_txn_recover(spark, root) == []
+    assert (S.latest_version(spark, root), S.latest_version(spark, rb)) == (va, vb)
