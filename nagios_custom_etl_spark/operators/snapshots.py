@@ -303,6 +303,16 @@ def _file_stats(
     )
 
     def rel(full: str) -> str:
+        # input_file_name() returns the URI form: an on-disk Hive-escaped
+        # segment ('hh=00%3A00%3A00') comes back DOUBLE-encoded
+        # ('%253A'). One unquote recovers the on-disk name the manifest
+        # lists; without it the real files' stats landed under phantom
+        # keys and the listed files got the zero-row fallback — a silent
+        # metadata UNDERCOUNT on escaped partition values (found by the
+        # partitions_report test, r11).
+        from urllib.parse import unquote
+
+        full = unquote(full)
         return full[full.index(f"/{sub}/") + 1 :]
 
     return {
@@ -2821,3 +2831,101 @@ def multi_txn_recover(spark: SparkSession, coord_root: str) -> list[str]:
         multi_commit(spark, rec["roots"], rec["txn_id"])
         done.append(rec["txn_id"])
     return sorted(done)
+
+
+def table_history(spark: SparkSession, root: str) -> list[dict]:
+    """``DESCRIBE HISTORY`` from the manifests alone — one row per
+    retained version: op, parent, file/row counts (row count only when
+    every referenced file has a recorded ``__rows`` stat — no silent
+    wrong answers), idempotence token, data-change marker, commit
+    timestamp. O(retained manifests) metadata reads, zero data IO, zero
+    Spark jobs — the audit surface Delta exposes as a table function.
+    Row counts on MoR-pending versions report the PHYSICAL rows (dead
+    rows included), like the file stats they come from."""
+    out = []
+    for v in _manifest_versions(spark, root):
+        m = _read_manifest(spark, root, v)
+        stats = m.get("stats", {})
+        rows = None
+        if not m["files"]:
+            rows = 0
+        elif all("__rows" in stats.get(f, {}) for f in m["files"]):
+            rows = sum(int(stats[f]["__rows"]) for f in m["files"])
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "parent": m.get("parent"),
+                "n_files": len(m["files"]),
+                "n_rows": rows,
+                "txn": m.get("txn"),
+                "data_change": m.get("data_change"),
+                "committed_at": m.get("committed_at"),
+            }
+        )
+    return out
+
+
+def partitions_report(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[dict]:
+    """``SHOW PARTITIONS`` + per-partition row counts from the MANIFEST
+    alone: partition values parse from the files' ``col=val`` path
+    segments (typed through the recorded schema, Hive-escaped values
+    handled by the same parser pruning uses) and row counts sum the
+    per-file ``__rows`` stats. Zero file opens — at a million files this
+    is the partition dashboard without the listing. Refused on
+    unpartitioned tables and under pending MoR deletes (counts would
+    include dead rows); files missing row stats refuse rather than
+    undercount."""
+    v = latest_version(spark, root) if version is None else version
+    m = _read_manifest(spark, root, v)
+    spec = m.get("partition_spec")
+    if not spec:
+        raise ValueError("unpartitioned table: no partitions to report")
+    if m.get("deletes"):
+        raise ValueError(
+            "pending MoR deletes: partition counts would include dead "
+            "rows — compact() first"
+        )
+    col = spec[0]
+    simple = _schema_types(m.get("schema") or []).get(col)
+    stats = m.get("stats", {})
+
+    def part_value(f: str):
+        from urllib.parse import unquote
+
+        for seg in f.split("/")[1:-1]:
+            if seg.startswith(f"{col}="):
+                # Spark Hive-escapes special chars (':' -> '%3A') on
+                # disk; the REPORT must surface the logical value (the
+                # r8/r9 escaping lesson — segment-vs-segment comparisons
+                # may stay escaped, user-facing values must not)
+                raw = unquote(seg[len(col) + 1 :])
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                try:
+                    if simple in ("tinyint", "smallint", "int", "bigint"):
+                        return int(raw)
+                    if simple in ("float", "double"):
+                        return float(raw)
+                except ValueError:
+                    return raw
+                return raw
+
+    agg: dict = {}
+    for f in m["files"]:
+        s = stats.get(f, {})
+        if "__rows" not in s:
+            raise ValueError(
+                f"file {f!r} has no recorded row count; re-commit (compact) "
+                "to record it"
+            )
+        pv = part_value(f)
+        e = agg.setdefault(pv, {"n_files": 0, "n_rows": 0})
+        e["n_files"] += 1
+        e["n_rows"] += int(s["__rows"])
+    return [
+        {"value": k, **v2}
+        for k, v2 in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+    ]

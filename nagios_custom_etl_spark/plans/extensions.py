@@ -10430,3 +10430,118 @@ def x132_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("aborted_invisible", F.lit(bool(aborted_invisible)))
         .orderBy("side", "k")
     )
+
+
+@register(
+    "x133_table_history",
+    oracle="""
+    -- DESCRIBE HISTORY from the manifests alone: one row per version
+    -- with op, metadata-derived row count (sum of per-file __rows —
+    -- physical rows, so the MoR-delete version still counts the dead
+    -- row until the compact materializes), the idempotence token, and
+    -- the data-change marker; zero data-file opens. The planted
+    -- five-commit sequence makes every column's semantics visible.
+    WITH c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders WHERE o_orderkey % 10 = 1),
+    c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders WHERE o_orderkey % 10 IN (1, 2))
+    SELECT * FROM (
+      VALUES
+        (CAST(1 AS BIGINT), 'append', (SELECT n FROM c1),
+         CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN)),
+        (2, 'append', (SELECT n FROM c2), 'batch-2', NULL),
+        (3, 'rename-column', (SELECT n FROM c2), NULL, NULL),
+        (4, 'mor-delete', (SELECT n FROM c2), NULL, NULL),
+        (5, 'replace', (SELECT n FROM c2) - 1, NULL, CAST(TRUE AS BOOLEAN))
+    ) AS t(version, op, n_rows, txn, data_change)
+    ORDER BY version
+    """,
+    doc="X133 table history (operators/snapshots.py::table_history): "
+    "DESCRIBE HISTORY from the manifests alone — one row per retained "
+    "version with op, parent, file/row counts (row count only when "
+    "every referenced file carries a __rows stat; MoR-pending versions "
+    "report physical rows, dead included, like the stats they come "
+    "from), txn token, and data-change marker. O(retained manifests) "
+    "metadata reads, zero data IO, zero Spark jobs — the audit surface "
+    "Delta exposes as a table function, and the operational answer to "
+    "'what happened to this table and when' that the reference's flat "
+    "file could never give.",
+)
+def x133_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x133_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").cast("int").alias("c")
+    )
+    S.append(o.filter(F.col("k") % 10 == 1), root)
+    S.append(o.filter(F.col("k") % 10 == 2), root, txn="batch-2")
+    S.rename_column(spark, root, "c", "cust")
+    first_k = o.filter(F.col("k") % 10 == 1).agg(F.min("k")).first()[0]
+    S.mor_delete(spark.createDataFrame([Row(k=int(first_k))]), root, keys=["k"])
+    S.compact(spark, root)  # materializes the delete: data_change true
+    hist = S.table_history(spark, root)
+    return spark.createDataFrame(
+        [
+            (int(h["version"]), h["op"], h["n_rows"], h["txn"], h["data_change"])
+            for h in hist
+        ],
+        "version long, op string, n_rows long, txn string, data_change boolean",
+    ).orderBy("version")
+
+
+@register(
+    "x134_partitions_report",
+    oracle="""
+    -- SHOW PARTITIONS + per-partition row counts from the MANIFEST
+    -- alone: partition values parse from the col=val path segments,
+    -- counts sum the per-file __rows stats — zero file opens. Equality
+    -- with the GROUP BY recompute is the correctness claim.
+    SELECT o_orderstatus AS value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(TRUE AS BOOLEAN) AS unpartitioned_refused
+    FROM orders WHERE o_orderkey % 10 = 1
+    GROUP BY o_orderstatus ORDER BY value
+    """,
+    doc="X134 partitions report (operators/snapshots.py::"
+    "partitions_report): SHOW PARTITIONS with per-partition file and "
+    "row counts answered from the manifest — partition values parse "
+    "from the Hive col=val path segments (typed through the recorded "
+    "schema, the same parser pruning uses), counts sum per-file "
+    "__rows. Zero data-file opens: the partition dashboard at a "
+    "million files without the listing. Refusals: unpartitioned "
+    "tables, pending MoR deletes, files without row stats.",
+)
+def x134_partitions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x134_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1)
+    S.append(
+        o.select("o_orderkey", "o_orderstatus"), root, partition_by="o_orderstatus"
+    )
+    refused = False
+    flat = os.path.join(tempfile.gettempdir(), f"nagios_etl_x134f_{os.getpid()}")
+    shutil.rmtree(flat, ignore_errors=True)
+    S.append(o.select("o_orderkey"), flat)
+    try:
+        S.partitions_report(spark, flat)
+    except ValueError:
+        refused = True
+    rep = S.partitions_report(spark, root)
+    return spark.createDataFrame(
+        [(r["value"], int(r["n_rows"]), bool(refused)) for r in rep],
+        "value string, n_rows long, unpartitioned_refused boolean",
+    ).orderBy("value")

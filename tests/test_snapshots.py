@@ -2850,3 +2850,168 @@ def test_multi_table_txn_crash_points(spark, root, tmp_path):
     va, vb = S.latest_version(spark, root), S.latest_version(spark, rb)
     assert S.multi_txn_recover(spark, root) == []
     assert (S.latest_version(spark, root), S.latest_version(spark, rb)) == (va, vb)
+
+
+def test_column_mapping_random_ops_match_model(spark, tmp_path):
+    """Model-based randomized property test for the column-mapping
+    family (the CDC-convergence convention applied to schema
+    evolution): a random interleaving of append / rename / drop /
+    undrop / add-with-default / plain compact must read back exactly
+    what a pure-Python FIELD-ID model predicts — field identity
+    survives renames (the alias chain), files lacking a column read
+    its declared default else NULL (pre-add files, omitted-default
+    batches, during-drop appends), and a plain compact PHYSICALLY
+    erases dropped columns' stored values (undrop afterwards restores
+    the default/NULL fill, not the data — the documented loss)."""
+    import random
+
+    rnd = random.Random(20260816)
+    ABSENT = object()
+    for trial in range(2):
+        root = str(tmp_path / f"cmprop{trial}")
+        fields: dict[int, dict] = {}  # fid -> {name,default?,dropped,drop_name}
+        rows: list[dict] = []  # each: {"rid": int, fid: value-or-ABSENT}
+        name_seq = [0]
+        rid_seq = [0]
+
+        def fresh_name() -> str:
+            name_seq[0] += 1
+            return f"c{name_seq[0]}"
+
+        def visible():
+            return [f for f, m in fields.items() if not m["dropped"]]
+
+        def do_append():
+            vis = visible()
+            omit = {
+                f for f in vis if "default" in fields[f] and rnd.random() < 0.5
+            }
+            provided = [f for f in vis if f not in omit]
+            batch = []
+            for _ in range(rnd.randint(1, 3)):
+                rid_seq[0] += 1
+                vals = {f: rnd.randint(0, 99) for f in provided}
+                batch.append((rid_seq[0], vals))
+                rows.append({"rid": rid_seq[0], **vals})
+            names = ["rid"] + [fields[f]["name"] for f in provided]
+            data = [(rid, *[vals[f] for f in provided]) for rid, vals in batch]
+            S.append(
+                spark.createDataFrame(data, ", ".join(f"{n} int" for n in names)),
+                root,
+            )
+
+        do_append()  # the table must exist before any DDL
+        f0 = 1  # no value fields yet: add one to start
+        fields[f0] = {"name": fresh_name(), "dropped": False}
+        S.add_column(spark, root, fields[f0]["name"], "int")
+        for _ in range(14):
+            op = rnd.choice(["append", "append", "rename", "drop", "undrop", "add", "compact"])
+            if op == "append":
+                do_append()
+            elif op == "rename" and visible():
+                f = rnd.choice(visible())
+                new = fresh_name()
+                S.rename_column(spark, root, fields[f]["name"], new)
+                fields[f]["name"] = new
+            elif op == "drop" and len(visible()) >= 1:
+                f = rnd.choice(visible())
+                S.drop_column(spark, root, fields[f]["name"])
+                fields[f]["dropped"] = True
+                fields[f]["drop_name"] = fields[f]["name"]
+            elif op == "undrop":
+                dropped = [f for f, m in fields.items() if m["dropped"]]
+                if not dropped:
+                    continue
+                f = rnd.choice(dropped)
+                S.undrop_column(spark, root, fields[f]["drop_name"])
+                fields[f]["dropped"] = False
+                fields[f]["name"] = fields[f]["drop_name"]
+            elif op == "add":
+                f = max(fields) + 1 if fields else 1
+                fields[f] = {"name": fresh_name(), "dropped": False}
+                if rnd.random() < 0.6:
+                    fields[f]["default"] = rnd.randint(100, 199)
+                    S.add_column(
+                        spark, root, fields[f]["name"], "int",
+                        default=fields[f]["default"],
+                    )
+                else:
+                    S.add_column(spark, root, fields[f]["name"], "int")
+            elif op == "compact":
+                S.compact(spark, root, min_files=0)
+                # a plain compact rewrites through the VISIBLE view:
+                # dropped columns' stored values are physically gone
+                for f, m in fields.items():
+                    if m["dropped"]:
+                        for r in rows:
+                            r.pop(f, None)
+        # model read: per row, a visible field reads its stored value,
+        # else its declared default, else NULL
+        vis = visible()
+        want = {
+            tuple(
+                [r["rid"]]
+                + [r.get(f, fields[f].get("default")) for f in vis]
+            )
+            for r in rows
+        }
+        got_df = S.read_snapshot(spark, root)
+        assert set(got_df.columns) == {"rid"} | {fields[f]["name"] for f in vis}
+        names = ["rid"] + [fields[f]["name"] for f in vis]
+        got = {tuple(r[n] for n in names) for r in got_df.collect()}
+        assert got == want, f"trial {trial}: mismatch"
+
+
+def test_table_history_and_partitions_report(spark, root, tmp_path):
+    """DESCRIBE HISTORY / SHOW PARTITIONS from manifests alone:
+    histories surface ops, metadata row counts (None when a file
+    predates __rows), tokens and markers; the partitions report types
+    values through the schema, UNESCAPES Hive-escaped segments (the
+    time-like-value lesson), counts NULL partitions, and refuses
+    unpartitioned/MoR-pending tables."""
+    S.append(_df(spark, 0, 3), root, txn="t-a")
+    S.overwrite(_df(spark, 0, 2), root)
+    hist = S.table_history(spark, root)
+    assert [(h["version"], h["op"], h["n_rows"], h["txn"]) for h in hist] == [
+        (1, "append", 3, "t-a"),
+        (2, "overwrite", 2, None),
+    ]
+    proot = str(tmp_path / "ptab")
+    pdf = spark.createDataFrame(
+        [(1, "00:00:00"), (2, "00:00:00"), (3, "06:30:00"), (4, None)],
+        "i int, hh string",
+    )
+    S.append(pdf, proot, partition_by="hh")
+    rep = S.partitions_report(spark, proot)
+    assert [(r["value"], r["n_rows"]) for r in rep] == [
+        ("00:00:00", 2),
+        ("06:30:00", 1),
+        (None, 1),
+    ]
+    with pytest.raises(ValueError, match="unpartitioned"):
+        S.partitions_report(spark, root)
+    S.mor_delete(spark.createDataFrame([Row(i=1)]), proot, keys=["i"])
+    with pytest.raises(ValueError, match="MoR"):
+        S.partitions_report(spark, proot)
+
+
+def test_metadata_stats_exact_on_escaped_partition_values(spark, tmp_path):
+    """Regression (r11): input_file_name() returns URI-encoded paths, so
+    Hive-escaped partition segments ('%3A') came back double-encoded
+    and per-file stats landed under phantom keys while the listed files
+    took the zero-row fallback — metadata_count silently UNDERCOUNTED
+    on any partition value needing escaping. Pin exact counts/sums on a
+    time-like string partition."""
+    root = str(tmp_path / "esc")
+    pdf = spark.createDataFrame(
+        [(1, 10, "00:00:00"), (2, 20, "00:00:00"), (3, 30, "06:30:00")],
+        "i int, x int, hh string",
+    )
+    S.append(pdf, root, partition_by="hh", stats_cols=["x"])
+    assert S.metadata_count(spark, root) == 3
+    assert S.metadata_sum(spark, root, "x") == 60
+    assert S.metadata_minmax(spark, root, "x") == (10, 30)
+    m = S._read_manifest(spark, root, 1)
+    # every listed file has REAL stats; no phantom keys exist
+    assert set(m["stats"]) == set(m["files"])
+    assert all(s["__rows"] > 0 for s in m["stats"].values())
