@@ -83,3 +83,32 @@ def test_real_bands_cover_headline():
 
     assert set(BAND_MAX) <= set(HEADLINE)
     assert len(BAND_MAX) >= 25
+
+
+def test_hot_floor_licenses_small_violator_retry():
+    """When the streaming-floor canary itself read hot, even a
+    below-limit violator set re-measures (the floor is independent
+    evidence of box load); on a cool floor the same set is untouched."""
+    bands = _bands(8)
+    timings = {n: 0.9 for n in bands}
+    timings["q1"] = 1.3
+    timings["q2"] = 1.2
+    slept = []
+    v, retries = apply_band_guard(
+        timings, lambda n: 0.9, band_max=bands, limit=5, max_retries=2,
+        sleep=slept.append, floor_hot=True,
+    )
+    assert v == [] and retries == 1 and slept == [30.0]
+    assert timings["q1"] == 0.9 and timings["q2"] == 0.9
+    # cool floor, same shape: stays visible, nothing re-measured
+    timings = {n: 0.9 for n in bands}
+    timings["q1"] = 1.3
+
+    def boom(_):
+        raise AssertionError("must not re-measure on a cool floor")
+
+    v, retries = apply_band_guard(
+        timings, boom, band_max=bands, limit=5, max_retries=2,
+        sleep=boom, floor_hot=False,
+    )
+    assert v == ["q1"] and retries == 0
