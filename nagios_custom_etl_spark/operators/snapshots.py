@@ -1170,17 +1170,24 @@ def merge_commit(
         schema = m.get("schema")
         if evolve and parent and schema:
             schema = _merged_schema(schema, _schema_list(source), True)
-            types = _schema_types(schema)
 
             def align(df: DataFrame) -> DataFrame:
-                return df.select(
-                    *[
-                        F.col(c).cast(types[c]).alias(c)
-                        if c in df.columns
-                        else F.lit(None).cast(types[c]).alias(c)
-                        for c in _visible_names(schema)
-                    ]
-                )
+                # a missing column materializes its declared DEFAULT (so
+                # an omitting source's inserts read back exactly like an
+                # omitting append's rows would), else a typed NULL
+                cols = []
+                for e in schema:
+                    meta_e = _entry_meta(e)
+                    if meta_e.get("dropped"):
+                        continue
+                    n, t = e[0], e[1]
+                    if n in df.columns:
+                        cols.append(F.col(n).cast(t).alias(n))
+                    else:
+                        cols.append(
+                            F.lit(meta_e.get("default")).cast(t).alias(n)
+                        )
+                return df.select(*cols)
 
         else:
             align = None  # type: ignore[assignment]
@@ -2659,11 +2666,25 @@ def record_ndv_stats(
     # bounded collect: |missing files| x 2**p register rows, manifest
     # metadata like _file_stats
     regs = hll_register_rows(d, ["_f"], col, p=p).collect()
-    by_base = {f.split("/")[-1]: f for f in missing}  # uuid part names: unique
+
+    def rel(full: str) -> str:
+        # manifest-relative path, NOT the basename: a dynamic-partition
+        # write reuses the same part-NNNNN-<uuid> basename across its
+        # col=val dirs, so basename keying would misattribute registers.
+        # input_file_name() is URI-encoded — unquote once (the
+        # _file_stats escaped-partition lesson).
+        from urllib.parse import unquote
+
+        segs = unquote(full).split("/")
+        idx = max(i for i, s in enumerate(segs) if s.startswith("data-"))
+        return "/".join(segs[idx:])
+
     add: dict[str, dict] = {}
     for r in regs:
-        rel = by_base[r["_f"].split("/")[-1]]
-        add.setdefault(rel, {})[str(int(r["reg"]))] = int(r["rho"])
+        add.setdefault(rel(r["_f"]), {})[str(int(r["reg"]))] = int(r["rho"])
+    unknown = sorted(set(add) - set(missing))
+    if unknown:  # misattribution must fail loudly, never skew an estimate
+        raise RuntimeError(f"register rows for unlisted files: {unknown[:3]}")
     new_stats = {f: dict(s) for f, s in stats.items()}
     for f in missing:
         # an all-NULL file records an EMPTY map: analyzed, zero registers

@@ -3015,3 +3015,48 @@ def test_metadata_stats_exact_on_escaped_partition_values(spark, tmp_path):
     # every listed file has REAL stats; no phantom keys exist
     assert set(m["stats"]) == set(m["files"])
     assert all(s["__rows"] > 0 for s in m["stats"].values())
+
+
+def test_ndv_stats_partitioned_same_basename_files(spark, tmp_path):
+    """Regression (r11 review): a dynamic-partition write reuses the
+    same part-NNNNN-<uuid> basename across its col=val dirs — register
+    maps must key by manifest-relative path, or registers misattribute
+    across partitions. One coalesced task writing two partitions forces
+    the collision; the metadata estimate must equal the engine sketch."""
+    from nagios_custom_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    root = str(tmp_path / "ndvpart")
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 41) for i in range(200)], "i int, p int, u int"
+    ).coalesce(1)  # ONE task writes BOTH partition dirs: same basename
+    S.append(df, root, partition_by="p")
+    m = S._read_manifest(spark, root, 1)
+    basenames = [f.split("/")[-1] for f in m["files"]]
+    assert len(set(basenames)) < len(basenames)  # the collision is real
+    S.record_ndv_stats(spark, root, "u")
+    est, v_zero = S.metadata_distinct(spark, root, "u")
+    regs = hll_register_rows(
+        S.read_snapshot(spark, root).withColumn("g", F.lit(1)), ["g"], "u"
+    )
+    row = hll_estimate(regs, ["g"]).first()
+    assert row["v_zero"] == v_zero and row["est_distinct"] == est
+
+
+def test_merge_evolve_fills_declared_default(spark, root):
+    """An evolving merge whose source omits a default-bearing column
+    materializes the DEFAULT into inserted rows — byte-for-byte the
+    same read an omitting append would produce, not a NULL."""
+    S.append(spark.createDataFrame([(1, "a")], "k int, v string"), root)
+    S.add_column(spark, root, "score", "int", default=7)
+    S.merge_commit(
+        root,
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        keys=["k"],
+        prune_on="k",
+        evolve=True,
+    )
+    got = {(r.k, r.v, r.score) for r in S.read_snapshot(spark, root).collect()}
+    assert got == {(1, "a", 7), (2, "b", 7)}
