@@ -832,6 +832,82 @@ def test_ann_retrain_cells_local_recovery_untouched_bytes(spark, tmp_path):
     assert ann_load_index(spark, path).table.filter(F.col("vec_id") == 9999).count() == 1
 
 
+def test_ann_retrain_cells_kmeans_collapse_fallback(spark, tmp_path, monkeypatch):
+    """r11-verdict regression (x127 crash): Spark's random-init KMeans
+    DE-DUPLICATES sampled init points, so duplicate-heavy drifted cells
+    can return fewer centers than requested and the local-cell remap
+    used to IndexError. The guard must detect the shortfall and fall
+    back to deterministic per-cell mean re-centering (assignment
+    unchanged). Pinned deterministically by truncating ivf_build's
+    centers to simulate the collapse."""
+    import json
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import similarity as sim
+
+    c0, c1 = [3.0] + [0.3] * 7, [0.3, 3.0] + [0.3] * 6
+    rows = [(i, [v + 0.01 * (i % 5) for v in (c0 if i % 2 else c1)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn(
+        "cell_id", sim.ann_assign_cells(df, "embedding", [c0, c1])
+    )
+    path = str(tmp_path / "collapse_idx")
+    sim.ann_write_index(path, assigned, [c0, c1], "vec_id", "embedding")
+
+    real_build = sim.ivf_build
+
+    def collapsing_build(vecs, vec_col, id_col, n_cells, seed=0, **kw):
+        a, cents = real_build(vecs, vec_col, id_col, n_cells, seed, **kw)
+        return a, cents[:1]  # the dedup collapse: fewer centers than k
+
+    monkeypatch.setattr(sim, "ivf_build", collapsing_build)
+    seq = sim.ann_retrain_cells(spark, path, cells=[0, 1], seed=13)
+    assert seq == 1
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    assert [p["cells"] for p in meta["patches"]] == [[0, 1]]
+    idx = sim.ann_load_index(spark, path)
+    assert idx.table.count() == 80
+    # assignment unchanged: c0-rows map to centroid index 0 (40 rows)
+    assert idx.table.filter(F.col("cell_id") == 0).count() == 40
+    # centroid moved to each cell's mean: the jitter is 0.01*(i%5) with
+    # i%5 uniform over {0..4} within each parity class, so mean = c+0.02
+    for cid, base in ((0, c0), (1, c1)):
+        cent = meta["centroids"][cid]
+        expect = [v + 0.02 for v in base]
+        assert max(abs(a - b) for a, b in zip(cent, expect)) < 1e-9
+    # refreshed baseline covers both retrained cells
+    assert set(meta["drift_baseline"]["cell_d2"]) == {"0", "1"}
+
+
+def test_ann_retrain_cells_duplicate_heavy_end_to_end(spark, tmp_path):
+    """The verdict's exact recipe, unpatched: many copies of 2 distinct
+    vectors across 2 cells at the seed where the collapse was measured
+    (k=2 over 2 distinct repeated points -> 1 center at seed 13). Must
+    not crash regardless of which path runs; invariants (row count,
+    exact search, patch ownership) hold on both."""
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_assign_cells,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_write_index,
+    )
+
+    vA, vB = [3.0] + [0.3] * 7, [0.3, 3.0] + [0.3] * 6
+    rows = [(i, list(vA)) for i in range(50)] + [
+        (100 + i, list(vB)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn("cell_id", ann_assign_cells(df, "embedding", [vA, vB]))
+    path = str(tmp_path / "dup_idx")
+    ann_write_index(path, assigned, [vA, vB], "vec_id", "embedding")
+    seq = ann_retrain_cells(spark, path, cells=[0, 1], seed=13)
+    assert seq == 1
+    idx = ann_load_index(spark, path)
+    assert idx.table.count() == 100
+    got = {r.vec_id for r in idx.exact_search(list(vA), k=5, n_probe=1).collect()}
+    assert got <= set(range(50)) and len(got) == 5
+
+
 def test_ann_retrain_cells_lifecycle_guards(spark, tmp_path):
     """Patch lifecycle: a re-patch supersedes the previous patch entry
     and ann_gc_index reclaims the emptied dir; a FULL retrain clears
