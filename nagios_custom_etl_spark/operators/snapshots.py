@@ -2824,11 +2824,17 @@ def multi_commit(spark: SparkSession, roots: list[str], txn_id: str) -> dict[str
 def multi_abort(spark: SparkSession, roots: list[str], txn_id: str) -> None:
     """PRESUMED ABORT: reclaim an undecided transaction's staged batches.
     Refused once the coordinator record exists — the decision to commit
-    is final and recovery (not abort) owns the transaction from there."""
-    if fsio.exists(spark, _mtxn_path(roots[0], txn_id)):
+    is final and recovery (not abort) owns the transaction from there.
+    The record is checked under EVERY root, not just the first (r11
+    ADVICE): a caller passing roots in a different order than the
+    committer must not bypass the decided-txn guard — reclaiming a
+    decided transaction's stages would leave it half-committed and
+    unrecoverable. One exists() per root, O(len(roots))."""
+    decided = [r for r in roots if fsio.exists(spark, _mtxn_path(r, txn_id))]
+    if decided:
         raise ValueError(
-            f"txn {txn_id!r} is decided (coordinator record exists): "
-            "run multi_commit / multi_txn_recover, not abort"
+            f"txn {txn_id!r} is decided (coordinator record exists under "
+            f"{decided[0]!r}): run multi_commit / multi_txn_recover, not abort"
         )
     for root in roots:
         try:
@@ -2912,6 +2918,7 @@ def partitions_report(
     col = spec[0]
     simple = _schema_types(m.get("schema") or []).get(col)
     stats = m.get("stats", {})
+    _missing = object()  # distinct from None (__HIVE_DEFAULT_PARTITION__)
 
     def part_value(f: str):
         from urllib.parse import unquote
@@ -2933,6 +2940,7 @@ def partitions_report(
                 except ValueError:
                     return raw
                 return raw
+        return _missing
 
     agg: dict = {}
     for f in m["files"]:
@@ -2943,6 +2951,15 @@ def partitions_report(
                 "to record it"
             )
         pv = part_value(f)
+        if pv is _missing:
+            # r11 ADVICE: after partition-spec evolution (x119), old-era
+            # files carry a DIFFERENT segment name — lumping them into
+            # the NULL partition would be a wrong report, not a refusal
+            raise ValueError(
+                f"file {f!r} has no '{col}=' path segment (written under "
+                "an earlier partition spec); rewrite old-era files "
+                "(compact) before reporting partitions, or query per era"
+            )
         e = agg.setdefault(pv, {"n_files": 0, "n_rows": 0})
         e["n_files"] += 1
         e["n_rows"] += int(s["__rows"])

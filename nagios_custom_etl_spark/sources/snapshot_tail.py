@@ -105,6 +105,15 @@ def _manifest_versions(fs, base: str) -> list[int]:
 class NewFilePartition(InputPartition):
     path: str  # absolute (fs-relative) data file path
     commit_version: int
+    # per declared column, aligned with the reader's column list:
+    # (candidate physical names — current name first then the alias
+    # chain, has_default, default). Resolved DRIVER-side in partitions()
+    # from the LATEST manifest's schema (the fullest alias chains, the
+    # schema _read_files resolves against), so a file written before or
+    # after a rename is read under its own era's physical name instead
+    # of silently backfilling NULLs (r11 ADVICE: name-first-then-aliases
+    # resolution, both rename directions).
+    resolve: tuple = ()
 
 
 class SnapshotTailStreamReader(DataSourceStreamReader):
@@ -135,6 +144,35 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _resolution(self, manifest: dict) -> tuple:
+        """Column-mapping resolution against ``manifest``'s schema
+        (callers pass the LATEST manifest — its alias chains cover every
+        era in range): each declared column maps to its candidate
+        physical names (the matching entry's current name first, then
+        its alias chain — a declared PRE-rename name finds the
+        post-rename entry through the chain and vice versa) plus the
+        entry's declared default for files that omit it entirely.
+        A declared name matching a DROPPED entry's chain yields NO
+        candidates — the physical bytes stay invisible, as in
+        ``_read_files``; an unmatched declared name keeps the plain
+        (name,) fallback — schema-less tables and not-yet-known columns
+        behave exactly as before."""
+        schema = manifest.get("schema")
+        out = []
+        for name, _typ in self.columns:
+            cands: tuple = (name,)
+            has_default, default = False, None
+            for e in schema or []:
+                meta = e[2] if len(e) > 2 and isinstance(e[2], dict) else {}
+                chain = (e[0], *meta.get("aliases", ()))
+                if name in chain:
+                    cands = () if meta.get("dropped") else chain
+                    if not meta.get("dropped") and "default" in meta:
+                        has_default, default = True, meta["default"]
+                    break
+            out.append((cands, has_default, default))
+        return tuple(out)
+
     def latestOffset(self) -> dict:
         fs, base = _open_fs(self.root)
         versions = _manifest_versions(fs, base)
@@ -148,6 +186,13 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         fs, base = _open_fs(self.root)
+        # alias chains come from the NEWEST manifest available at
+        # planning time (not each adding commit's: a pre-rename manifest
+        # cannot know the post-rename name a stream's DDL may declare)
+        latest = _manifest_versions(fs, base)[-1]
+        res = self._resolution(
+            _read_json(fs, f"{base}/{_SNAP_DIR}/v{latest:08d}.json")
+        )
         parts: list[InputPartition] = []
         prev: set[str] = (
             set(_read_json(fs, f"{base}/{_SNAP_DIR}/v{lo:08d}.json")["files"])
@@ -158,7 +203,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
             if m["op"] in ("append", "wap-publish"):  # both strictly additive
                 new = sorted(f for f in m["files"] if f not in prev)
-                parts.extend(NewFilePartition(f"{base}/{f}", v) for f in new)
+                parts.extend(NewFilePartition(f"{base}/{f}", v, res) for f in new)
             elif (
                 self.skip_compactions
                 and m["op"] == "replace"
@@ -191,11 +236,21 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         fs, _ = _open_fs(self.root)
         table = pq.read_table(partition.path, filesystem=fs)
         n = table.num_rows
+        resolve = partition.resolve or tuple(
+            ((name,), False, None) for name, _ in self.columns
+        )
         arrays, fields = [], []
-        for name, simple in self.columns:
+        for (name, simple), (cands, has_default, default) in zip(
+            self.columns, resolve
+        ):
             typ = _arrow_type(simple)
-            if name in table.column_names:
-                arrays.append(table.column(name).cast(typ).combine_chunks())
+            # name-first-then-aliases: a pre-rename file stores the
+            # column under a former physical name (see partitions())
+            src = next((c for c in cands if c in table.column_names), None)
+            if src is not None:
+                arrays.append(table.column(src).cast(typ).combine_chunks())
+            elif has_default:  # Iceberg initial-default, like _read_files
+                arrays.append(pa.array([default] * n).cast(typ))
             else:  # pre-evolution file: typed-null backfill
                 arrays.append(pa.nulls(n, typ))
             fields.append(pa.field(name, typ))

@@ -732,6 +732,7 @@ def cdc_apply_sink(
             # the column read back NULL until a newer change lands
             evolve=evolve,
         )
+        _record_cdc_hwm(spark, root, txn_prefix, batch_id)
 
     return write
 
@@ -744,13 +745,49 @@ def cdc_current(spark: SparkSession, root: str, op_col: str = "op") -> DataFrame
     return S.read_snapshot(spark, root).filter(F.col(op_col) != "D")
 
 
+def _record_cdc_hwm(spark, root: str, txn_prefix: str, batch_id: int) -> None:
+    """Durable applied-high-water marker, written AFTER a batch's merge
+    lands (r11 ADVICE): txn tokens live in manifests and vanish when
+    vacuum expires them — if the newest retained versions are all
+    compactions/GC replaces, a fully-applied feed would read as
+    permanently empty. The marker lives OUTSIDE ``_snapshots`` and the
+    data dirs, so vacuum never reclaims it. Create-if-absent per batch
+    id (replay-idempotent); older markers are pruned opportunistically
+    — only the maximum matters, and the newest is written first, so the
+    max is monotone through any crash."""
+    import json
+
+    from nagios_custom_etl_spark import fsio
+
+    d = f"{root}/_cdc_hwm"
+    fsio.mkdirs(spark, d)
+    name = f"{txn_prefix}-{int(batch_id):012d}.json"
+    with contextlib.suppress(FileExistsError):
+        fsio.create_text_atomic(
+            spark, f"{d}/{name}", json.dumps({"batch_id": int(batch_id)})
+        )
+    pre = f"{txn_prefix}-"
+    for f in fsio.list_names(spark, d):
+        if (
+            f.startswith(pre)
+            and f.endswith(".json")
+            and f[len(pre):-5].isdigit()
+            and f < name
+        ):
+            fsio.delete(spark, f"{d}/{f}", recursive=False)
+
+
 def cdc_applied_high_water(
     spark: SparkSession, target_root: str, txn_prefix: str
 ) -> int | None:
     """Highest micro-batch id whose MERGE landed in the target table —
-    read from the txn tokens (``<prefix>-<batch_id>``) the apply sinks
-    record in every merge commit. O(retained manifests) metadata reads,
-    zero data IO. None when no batch has been applied yet."""
+    the max over (a) the txn tokens (``<prefix>-<batch_id>``) the apply
+    sinks record in every merge commit, scanned from the retained
+    manifests, and (b) the durable ``_cdc_hwm`` markers the sinks write
+    after each merge (which survive vacuum expiring every token-bearing
+    manifest — r11 ADVICE). O(retained manifests + 1 listing) metadata
+    reads, zero data IO. None when no batch has been applied yet."""
+    from nagios_custom_etl_spark import fsio
     from nagios_custom_etl_spark.operators import snapshots as S
 
     best: int | None = None
@@ -760,6 +797,12 @@ def cdc_applied_high_water(
         if t and t.startswith(pre) and t[len(pre):].isdigit():
             b = int(t[len(pre):])
             best = b if best is None or b > best else best
+    d = f"{target_root}/_cdc_hwm"
+    if fsio.exists(spark, d):
+        for f in fsio.list_names(spark, d):
+            if f.startswith(pre) and f.endswith(".json") and f[len(pre):-5].isdigit():
+                b = int(f[len(pre):-5])
+                best = b if best is None or b > best else best
     return best
 
 
@@ -786,7 +829,10 @@ def cdc_read_changes(
     below the high-water mark is fully applied. A high-water comparison
     (not set membership) also stays correct after the target's old
     manifests are vacuumed: their tokens vanish but their batches are
-    provably below the surviving maximum. The pending transition is not
+    provably below the surviving maximum — and even when EVERY
+    token-bearing manifest has been expired (the newest retained
+    versions are all compactions/GC replaces), the sinks' durable
+    ``_cdc_hwm`` marker still carries the mark (r11 ADVICE). The pending transition is not
     lost, merely deferred: crash recovery replays the batch, the merge
     lands (the feed half is skipped via its own token), and the row
     becomes visible — replay-idempotent end to end. Keep feed retention
@@ -972,6 +1018,7 @@ def scd2_cdc_sink(
             stats_cols=[key],
             txn=token,
         )
+        _record_cdc_hwm(spark, root, txn_prefix, batch_id)
 
     return write
 

@@ -2458,6 +2458,53 @@ def test_cdc_read_changes_crash_points(spark, root, tmp_path):
     assert cdc_read_changes(spark, chroot2, root2).isEmpty()
 
 
+def test_cdc_high_water_survives_vacuumed_tokens(spark, root, tmp_path):
+    """r11 ADVICE regression: txn tokens live in manifests, so once
+    vacuum expires every token-bearing version (the retained versions
+    are all later non-CDC commits) the mark used to read as None and a
+    fully-applied feed as permanently empty. The sinks' durable
+    _cdc_hwm marker (written after each merge, outside _snapshots)
+    must keep the mark — and the gate's never-show-pending rule must
+    still hold for a feed batch whose merge never landed."""
+    from nagios_custom_etl_spark.streaming.ops import (
+        cdc_apply_sink,
+        cdc_applied_high_water,
+        cdc_read_changes,
+    )
+
+    chroot = str(tmp_path / "chg")
+    sch = "k int, seq long, op string, v string"
+    sink = cdc_apply_sink(
+        root, keys=["k"], seq_col="seq", op_col="op", changes_root=chroot
+    )
+    sink(spark.createDataFrame([(1, 10, "U", "a")], sch), 0)
+    sink(spark.createDataFrame([(2, 10, "U", "b")], sch), 1)
+    assert cdc_applied_high_water(spark, root, "cdc-batch") == 1
+    # two non-CDC commits, then vacuum to exactly those: every retained
+    # manifest now lacks a cdc token
+    S.append(spark.createDataFrame([(9, 99, "U", "z")], sch), root)
+    S.append(spark.createDataFrame([(8, 99, "U", "y")], sch), root)
+    S.vacuum(spark, root, keep_last=2)
+    for v in S._manifest_versions(spark, root):
+        assert not (S._read_manifest(spark, root, v).get("txn") or "").startswith(
+            "cdc-batch-"
+        )
+    assert cdc_applied_high_water(spark, root, "cdc-batch") == 1
+    applied = cdc_read_changes(spark, chroot, root)
+    assert {r.k for r in applied.collect()} == {1, 2}
+    # pending-batch rule unchanged: a feed-first crash at batch 2 stays
+    # invisible even though the mark now comes from the marker file
+    pending = spark.createDataFrame(
+        [(3, 10, "U", "c", "insert", 2)], S.read_snapshot(spark, chroot).schema
+    )
+    S.append(pending, chroot, txn="cdc-batch-2-chg")
+    assert {r.k for r in cdc_read_changes(spark, chroot, root).collect()} == {1, 2}
+    # recovery replays batch 2: marker advances, transition visible
+    sink(spark.createDataFrame([(3, 10, "U", "c")], sch), 2)
+    assert cdc_applied_high_water(spark, root, "cdc-batch") == 2
+    assert {r.k for r in cdc_read_changes(spark, chroot, root).collect()} == {1, 2, 3}
+
+
 def test_rename_column_metadata_only_across_eras(spark, root):
     """Rename is ONE metadata commit: zero data files written, old files
     resolve through the alias chain, new writes use the new name, stats
@@ -2649,6 +2696,49 @@ def test_metadata_only_commits_steppable_incrementally(spark, root):
     assert parts and all(p.commit_version == 3 for p in parts)
 
 
+def test_snapshot_tail_resolves_renames_both_directions(spark, root):
+    """r11 ADVICE regression: the tail source's read() must resolve
+    declared columns through the alias chain like _read_files — a
+    post-rename stream tailing PRE-rename data files (and a pre-rename
+    stream tailing POST-rename files) gets real values, never silent
+    typed-NULL backfill. Driven directly through the DataSource reader
+    (partitions() + read()) so both file eras are exercised."""
+    from nagios_custom_etl_spark.sources.snapshot_tail import (
+        SnapshotTailStreamReader,
+    )
+
+    S.append(spark.createDataFrame([(1, 10)], "k int, qty int"), root)  # v1
+    S.rename_column(spark, root, "qty", "quantity")  # v2 (metadata only)
+    S.append(
+        spark.createDataFrame([(2, 20)], "k int, quantity int"), root
+    )  # v3
+
+    def drive(ddl, lo, hi):
+        rd = SnapshotTailStreamReader({"root": root}, ddl)
+        rows = []
+        for p in rd.partitions({"version": lo}, {"version": hi}):
+            for b in rd.read(p):
+                rows.extend(b.to_pylist())
+        return sorted(rows, key=lambda r: r["k"])
+
+    # post-rename DDL over BOTH eras' files: the v1 file stores the
+    # column under the former name 'qty' — resolved, not NULLed
+    got = drive("k int, quantity int", 0, 3)
+    assert [(r["k"], r["quantity"]) for r in got] == [(1, 10), (2, 20)]
+    # pre-rename DDL over post-rename files: 'qty' resolves through the
+    # latest manifest's alias chain to the v3 file's 'quantity'
+    got = drive("k int, qty int", 1, 3)
+    assert [(r["k"], r["qty"]) for r in got] == [(2, 20)]
+    # a genuinely-unknown declared column still typed-NULL backfills
+    got = drive("k int, nope int", 0, 3)
+    assert [r["nope"] for r in got] == [None, None]
+    # a DROPPED column's bytes stay invisible (matches _read_files)
+    S.drop_column(spark, root, "quantity")  # v4
+    S.append(spark.createDataFrame([(3,)], "k int"), root)  # v5
+    got = drive("k int, quantity int", 0, 5)
+    assert [r["quantity"] for r in got] == [None, None, None]
+
+
 def test_compact_small_binpacks_only_slivers(spark, root):
     """compact_small merges ONLY sub-threshold files: right-sized files
     carry byte-identically (reference AND stats), content is invariant,
@@ -2828,9 +2918,13 @@ def test_multi_table_txn_crash_points(spark, root, tmp_path):
         f"{root}/_snapshots/mtxn-d1.json",
         json.dumps({"txn_id": "d1", "roots": [root, rb]}),
     )
-    # abort refuses a decided txn
+    # abort refuses a decided txn — in ANY roots order (r11 ADVICE: the
+    # record lives under the COMMITTER's first root; a reordered caller
+    # must not bypass the guard and reclaim a decided txn's stages)
     with pytest.raises(ValueError, match="decided"):
         S.multi_abort(spark, [root, rb], "d1")
+    with pytest.raises(ValueError, match="decided"):
+        S.multi_abort(spark, [rb, root], "d1")
     assert S.multi_txn_recover(spark, root) == ["d1"]
     assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(5)]
     assert (104, "r104") in _rows(S.read_snapshot(spark, rb))
@@ -2990,6 +3084,23 @@ def test_table_history_and_partitions_report(spark, root, tmp_path):
     ]
     with pytest.raises(ValueError, match="unpartitioned"):
         S.partitions_report(spark, root)
+    # r11 ADVICE: after partition-spec EVOLUTION the old-era files lack
+    # the current spec's segment — refuse (a wrong report lumping them
+    # into the NULL row is worse than no report), like the other guards
+    eroot = str(tmp_path / "etab")
+    S.append(
+        spark.createDataFrame([(1, "a", "x")], "i int, p1 string, p2 string"),
+        eroot,
+        partition_by="p1",
+    )
+    S.append(
+        spark.createDataFrame([(2, "b", "y")], "i int, p1 string, p2 string"),
+        eroot,
+        partition_by="p2",
+        allow_spec_change=True,
+    )
+    with pytest.raises(ValueError, match="earlier partition spec"):
+        S.partitions_report(spark, eroot)
     S.mor_delete(spark.createDataFrame([Row(i=1)]), proot, keys=["i"])
     with pytest.raises(ValueError, match="MoR"):
         S.partitions_report(spark, proot)
