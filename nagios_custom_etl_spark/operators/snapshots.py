@@ -205,8 +205,152 @@ def latest_version(spark: SparkSession, root: str) -> int:
     return vs[-1] if vs else 0
 
 
+# ---------------------------------------------------------------------------
+# Delta-log storage (r11 verdict task 2): a version file holds EITHER a
+# self-contained ("full") manifest — v1, overwrites/compactions whose
+# change set approaches the table size, and every pre-existing table —
+# OR a DELTA record: the files added/removed, the stats/seqs entries
+# set/deleted, and the commit's non-file fields verbatim. Appending K
+# files to an N-file table writes O(K) metadata bytes, not O(N) — the
+# Delta-Lake JSON-log model. Readers reconstruct a version's logical
+# manifest by walking back to the nearest base (a full version file or a
+# ``ckpt-<v>.json`` CHECKPOINT, written every ``_CKPT_EVERY`` commits
+# and at vacuum-retained versions) and folding the deltas forward;
+# reconstructed states are memoized per (root, version, file-identity)
+# — the identity guard (mtime+size of the version file) keeps the memo
+# honest when a work dir is wiped and rebuilt at the same path. The
+# atomic-create commit point and every refusal are unchanged: the
+# version FILE is still what arbitrates racing writers.
+# ---------------------------------------------------------------------------
+
+_DELTA_FORMAT = "delta-v1"
+_CKPT_EVERY = 16  # bounded reconstruction walk; amortized full writes
+_DIFFED_KEYS = ("files", "stats", "seqs")
+_STATE_CACHE: dict[tuple, dict] = {}  # (root, v, ident) -> IMMUTABLE state
+_STATE_CACHE_MAX = 256
+
+
+def _ckpt_path(root: str, version: int) -> str:
+    return f"{_snap_dir(root)}/ckpt-{version:08d}.json"
+
+
+def _copy_json(o):
+    if isinstance(o, dict):
+        return {k: _copy_json(v) for k, v in o.items()}
+    if isinstance(o, list):
+        return [_copy_json(v) for v in o]
+    return o
+
+
+def _cache_state(key: tuple, state: dict) -> None:
+    if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+        for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
+            del _STATE_CACHE[k]
+    _STATE_CACHE[key] = state
+
+
+def _dict_diff(prev: dict, new: dict) -> tuple[dict, list]:
+    set_map = {k: v for k, v in new.items() if prev.get(k) != v}
+    del_list = sorted(k for k in prev if k not in new)
+    return set_map, del_list
+
+
+def _make_delta(prev: dict, manifest: dict) -> dict:
+    """Delta record: ``manifest`` expressed as changes against ``prev``.
+    Non-file fields (op/parent/txn/schema/partition_spec/deletes/...)
+    ride verbatim in ``base`` — they are small and replace, never
+    inherit, so reconstruction is exact field-for-field."""
+    d = {
+        "format": _DELTA_FORMAT,
+        "base": {k: v for k, v in manifest.items() if k not in _DIFFED_KEYS},
+    }
+    pf, nf = set(prev["files"]), set(manifest["files"])
+    d["files_added"] = sorted(nf - pf)
+    d["files_removed"] = sorted(pf - nf)
+    sset, sdel = _dict_diff(prev.get("stats") or {}, manifest.get("stats") or {})
+    if sset:
+        d["stats_set"] = sset
+    if sdel:
+        d["stats_del"] = sdel
+    if "seqs" in manifest:
+        qset, qdel = _dict_diff(prev.get("seqs") or {}, manifest["seqs"])
+        d["seqs"] = {"set": qset, "del": qdel}
+    return d
+
+
+def _apply_delta(prev: dict, d: dict) -> dict:
+    state = dict(d["base"])
+    removed = set(d.get("files_removed", ()))
+    state["files"] = sorted(
+        (set(prev["files"]) - removed) | set(d.get("files_added", ()))
+    )
+    stats = dict(prev.get("stats") or {})
+    for f in d.get("stats_del", ()):
+        stats.pop(f, None)
+    stats.update(d.get("stats_set") or {})
+    state["stats"] = stats
+    if "seqs" in d:
+        sq = dict(prev.get("seqs") or {})
+        for f in d["seqs"]["del"]:
+            sq.pop(f, None)
+        sq.update(d["seqs"]["set"])
+        state["seqs"] = sq
+    return state
+
+
+def _file_ident(spark: SparkSession, path: str) -> tuple[int, int]:
+    return fsio.mtime_ms(spark, path), fsio.file_size(spark, path)
+
+
+def _state(spark: SparkSession, root: str, version: int) -> dict:
+    """Reconstructed logical manifest at ``version`` — INTERNAL, shared,
+    never hand out without :func:`_copy_json`. Raises like a plain read
+    when the version file is gone (vacuumed)."""
+    p = _manifest_path(root, version)
+    key = (root, version, _file_ident(spark, p))
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cp = _ckpt_path(root, version)
+    if fsio.exists(spark, cp):
+        state = json.loads(fsio.read_text(spark, cp))
+    else:
+        raw = json.loads(fsio.read_text(spark, p))
+        if raw.get("format") != _DELTA_FORMAT:
+            state = raw
+        else:
+            state = _apply_delta(_state(spark, root, version - 1), raw)
+    _cache_state(key, state)
+    return state
+
+
+def _ensure_checkpoint(spark: SparkSession, root: str, version: int) -> None:
+    """Materialize a full checkpoint at ``version`` (create-if-absent) —
+    vacuum calls this for every retained version BEFORE expiring older
+    version files, so retained versions stay reconstructible however
+    non-contiguous the survivor set (tags keep arbitrary old versions)."""
+    p = _ckpt_path(root, version)
+    if fsio.exists(spark, p):
+        return
+    state = _state(spark, root, version)
+    try:
+        fsio.create_text_atomic(spark, p, json.dumps(state))
+    except FileExistsError:
+        pass
+
+
+def _manifest_base_field(spark: SparkSession, root: str, version: int, key: str):
+    """A single non-file manifest field (txn/op/committed_at/...) from
+    the RAW version file — no reconstruction, one read: what keeps
+    O(versions) scans like txn_version linear in versions, not
+    versions x files."""
+    raw = json.loads(fsio.read_text(spark, _manifest_path(root, version)))
+    src = raw["base"] if raw.get("format") == _DELTA_FORMAT else raw
+    return src.get(key)
+
+
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
-    return json.loads(fsio.read_text(spark, _manifest_path(root, version)))
+    return _copy_json(_state(spark, root, version))
 
 
 def _commit(
@@ -228,7 +372,16 @@ def _commit(
     its pen. Losers get ConcurrentCommitError and must retry against the
     new latest (re-running their conflict check — optimistic
     concurrency). ``extra`` carries op-family fields (the MoR layer's
-    ``seqs``/``deletes``) verbatim into the manifest."""
+    ``seqs``/``deletes``) verbatim into the manifest.
+
+    STORAGE is delta-logged: when the change set against the parent is
+    small, the version file holds only the delta (O(files-touched)
+    bytes — a 1-file append to a million-file table writes one tiny
+    record); when it approaches the table size (overwrite, compaction)
+    a full manifest is written instead, which doubles as an implicit
+    checkpoint. Every ``_CKPT_EVERY``-th version also gets an explicit
+    ``ckpt-*.json`` so reconstruction walks stay bounded; a crash before
+    the checkpoint write only lengthens the walk, never loses state."""
     fsio.mkdirs(spark, _snap_dir(root))
     version = parent + 1
     manifest = {
@@ -247,12 +400,36 @@ def _commit(
         manifest["partition_spec"] = partition_spec
     if extra:
         manifest.update(extra)
+    payload = manifest
+    if parent > 0 and fsio.exists(spark, _manifest_path(root, parent)):
+        prev = _state(spark, root, parent)
+        delta = _make_delta(prev, manifest)
+        n_changed = (
+            len(delta["files_added"])
+            + len(delta["files_removed"])
+            + len(delta.get("stats_set", {}))
+            + len(delta.get("stats_del", ()))
+            + len(delta.get("seqs", {}).get("set", {}))
+            + len(delta.get("seqs", {}).get("del", ()))
+        )
+        n_full = len(manifest["files"]) + len(manifest["stats"])
+        if n_changed < max(1, n_full // 2):
+            payload = delta
     try:
-        fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(manifest))
+        fsio.create_text_atomic(spark, _manifest_path(root, version), json.dumps(payload))
     except FileExistsError as ex:
         raise ConcurrentCommitError(
             f"version {version} was committed by another writer"
         ) from ex
+    _cache_state(
+        (root, version, _file_ident(spark, _manifest_path(root, version))),
+        _copy_json(manifest),
+    )
+    if version % _CKPT_EVERY == 0:
+        try:
+            fsio.create_text_atomic(spark, _ckpt_path(root, version), json.dumps(manifest))
+        except FileExistsError:
+            pass
     return version
 
 
@@ -477,7 +654,7 @@ def append(
         if attempt:  # lost a race: re-read, classify, re-parent
             new_parent = latest_version(spark, root)
             for v in range(parent + 1, new_parent + 1):
-                op = _read_manifest(spark, root, v).get("op", "")
+                op = _manifest_base_field(spark, root, v, "op") or ""
                 if op not in _APPEND_COMMUTES_WITH:
                     raise ConcurrentCommitError(
                         f"append lost to a non-commuting {op!r} commit "
@@ -516,7 +693,7 @@ def txn_version(spark: SparkSession, root: str, txn: str) -> int | None:
     horizon would re-commit — keep the vacuum window longer than any
     possible stream-recovery gap."""
     for v in reversed(_manifest_versions(spark, root)):
-        if _read_manifest(spark, root, v).get("txn") == txn:
+        if _manifest_base_field(spark, root, v, "txn") == txn:
             return v
     return None
 
@@ -567,7 +744,7 @@ def version_as_of(spark: SparkSession, root: str, ts: float) -> int:
     wrong (Delta raises the same way)."""
     best = None
     for v in _manifest_versions(spark, root):
-        if _read_manifest(spark, root, v)["committed_at"] <= ts:
+        if _manifest_base_field(spark, root, v, "committed_at") <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -1269,6 +1446,13 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     versions = _manifest_versions(spark, root)
     keep_versions = set(versions[-keep_last:]) if keep_last > 0 else set()
     keep_versions.update(v for _n, v in list_tags(spark, root) if v in set(versions))
+    # Delta-log invariant: a retained version must stay reconstructible
+    # after its ancestors' version files expire — materialize a full
+    # checkpoint at EVERY retained version before deleting anything
+    # (kept sets are non-contiguous: tags pin arbitrary old versions).
+    if any(v not in keep_versions for v in versions):
+        for v in sorted(keep_versions):
+            _ensure_checkpoint(spark, root, v)
     reachable: set[str] = set()
     for v in keep_versions:
         reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
@@ -1286,6 +1470,9 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
             if f not in reachable and fsio.delete(spark, f"{root}/{f}", recursive=False):
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
+        # expired versions' checkpoints go with them (every kept version
+        # now carries its own)
+        fsio.delete(spark, _ckpt_path(root, v), recursive=False)
     return sorted(set(deleted))
 
 
@@ -1968,7 +2155,7 @@ def publish_staged(spark: SparkSession, root: str, stage_id: str) -> int:
         if attempt:
             new_parent = latest_version(spark, root)
             for v in range(parent + 1, new_parent + 1):
-                op = _read_manifest(spark, root, v).get("op", "")
+                op = _manifest_base_field(spark, root, v, "op") or ""
                 if op not in _APPEND_COMMUTES_WITH:
                     raise ConcurrentCommitError(
                         f"publish lost to a non-commuting {op!r} commit "

@@ -101,6 +101,42 @@ def _manifest_versions(fs, base: str) -> list[int]:
     return sorted(out)
 
 
+def _fs_exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _load_state(fs, base: str, version: int) -> dict:
+    """Reconstruct the logical manifest at ``version`` — the pure-python
+    mirror of snapshots._state (the DataSourceStreamReader runs in the
+    driver's Python process with no SparkSession): walk back through
+    delta records to the nearest full version file or ``ckpt-*.json``
+    checkpoint, then fold the deltas forward. Only the fields this
+    source consumes (files/op/schema/data_change) need to be exact."""
+    chain = []
+    v = version
+    while True:
+        cp = f"{base}/{_SNAP_DIR}/ckpt-{v:08d}.json"
+        if _fs_exists(fs, cp):
+            state = _read_json(fs, cp)
+            break
+        m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
+        if m.get("format") != "delta-v1":
+            state = m
+            break
+        chain.append(m)
+        v -= 1
+    for d in reversed(chain):
+        prev_files = set(state["files"])
+        state = dict(d["base"])
+        state["files"] = sorted(
+            (prev_files - set(d.get("files_removed", ())))
+            | set(d.get("files_added", ()))
+        )
+    return state
+
+
 @dataclass
 class NewFilePartition(InputPartition):
     path: str  # absolute (fs-relative) data file path
@@ -188,29 +224,37 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         fs, base = _open_fs(self.root)
         # alias chains come from the NEWEST manifest available at
         # planning time (not each adding commit's: a pre-rename manifest
-        # cannot know the post-rename name a stream's DDL may declare)
+        # cannot know the post-rename name a stream's DDL may declare).
+        # Non-file fields ride verbatim in a delta's `base`, so no
+        # reconstruction is needed for the schema.
         latest = _manifest_versions(fs, base)[-1]
+        lraw = _read_json(fs, f"{base}/{_SNAP_DIR}/v{latest:08d}.json")
         res = self._resolution(
-            _read_json(fs, f"{base}/{_SNAP_DIR}/v{latest:08d}.json")
+            lraw["base"] if lraw.get("format") == "delta-v1" else lraw
         )
         parts: list[InputPartition] = []
-        prev: set[str] = (
-            set(_read_json(fs, f"{base}/{_SNAP_DIR}/v{lo:08d}.json")["files"])
-            if lo > 0
-            else set()
-        )
+        prev: set[str] = set(_load_state(fs, base, lo)["files"]) if lo > 0 else set()
         for v in range(lo + 1, hi + 1):  # versions consumed by THIS batch
             m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
-            if m["op"] in ("append", "wap-publish"):  # both strictly additive
-                new = sorted(f for f in m["files"] if f not in prev)
-                parts.extend(NewFilePartition(f"{base}/{f}", v, res) for f in new)
-            elif (
-                self.skip_compactions
-                and m["op"] == "replace"
-                and m.get("data_change") is False
-            ):
+            if m.get("format") == "delta-v1":
+                # the delta IS the diff this loop used to compute
+                op = m["base"]["op"]
+                dchange = m["base"].get("data_change")
+                added = [f for f in m.get("files_added", ()) if f not in prev]
+                cur = (prev - set(m.get("files_removed", ()))) | set(
+                    m.get("files_added", ())
+                )
+            else:
+                op, dchange = m["op"], m.get("data_change")
+                cur = set(m["files"])
+                added = sorted(f for f in cur if f not in prev)
+            if op in ("append", "wap-publish"):  # both strictly additive
+                parts.extend(
+                    NewFilePartition(f"{base}/{f}", v, res) for f in sorted(added)
+                )
+            elif self.skip_compactions and op == "replace" and dchange is False:
                 pass  # row-preserving rewrite: no delta (see __init__ note)
-            elif m["op"] in _METADATA_ONLY_OPS and set(m["files"]) == prev:
+            elif op in _METADATA_ONLY_OPS and cur == prev:
                 # schema-only commit (column mapping DDL): identical file
                 # set by construction, zero rows — each data file is read
                 # under its OWN era's physical names anyway (the declared
@@ -218,10 +262,10 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 pass
             else:
                 raise ValueError(
-                    f"snapshot_tail: version {v} is '{m['op']}', not append — "
+                    f"snapshot_tail: version {v} is '{op}', not append — "
                     "tailing a mutating table is unsound; use snapshot CDC"
                 )
-            prev = set(m["files"])
+            prev = cur
         return parts
 
     def read(self, partition: NewFilePartition) -> Iterator:

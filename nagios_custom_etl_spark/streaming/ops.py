@@ -793,7 +793,7 @@ def cdc_applied_high_water(
     best: int | None = None
     pre = f"{txn_prefix}-"
     for v in S._manifest_versions(spark, target_root):
-        t = S._read_manifest(spark, target_root, v).get("txn")
+        t = S._manifest_base_field(spark, target_root, v, "txn")
         if t and t.startswith(pre) and t[len(pre):].isdigit():
             b = int(t[len(pre):])
             best = b if best is None or b > best else best

@@ -180,6 +180,79 @@ def test_vacuum_keeps_files_shared_with_retained_versions(spark, root):
     assert _rows(S.read_snapshot(spark, root, 2)) == [(i, f"r{i}") for i in range(0, 5)]
 
 
+def test_delta_log_commit_bytes_are_o_of_change(spark, root):
+    """r11 verdict task 2 (the binding 100 TB ceiling): appending K files
+    to a many-file table writes O(K) metadata bytes, not O(total files).
+    Grow the table past a checkpoint interval, then pin that (a) the
+    1-file append's version file stays SMALL and does not grow with the
+    table, (b) a checkpoint landed at the cadence version, (c) readers
+    reconstruct exactly, (d) every version file is still valid JSON."""
+    sizes = {}
+    for lo in range(0, 40, 2):  # 20 single-file appends -> v1..v20
+        v = S.append(_df(spark, lo, lo + 2).coalesce(1), root, stats_cols=["i"])
+        sizes[v] = fsio.file_size(spark, S._manifest_path(root, v))
+    assert S.latest_version(spark, root) == 20
+    # (a) delta size at v20 (20-file table) ~ delta size at v3 (3-file
+    # table): both describe ONE added file. Allow slack for stat noise.
+    assert sizes[20] < 3 * sizes[3]
+    # and it is much smaller than the full state (the checkpoint at 16)
+    ckpt = fsio.file_size(spark, S._ckpt_path(root, 16))
+    assert sizes[20] < ckpt / 3
+    # (b) checkpoint cadence
+    assert fsio.exists(spark, S._ckpt_path(root, 16))
+    assert not fsio.exists(spark, S._ckpt_path(root, 15))
+    # (c) reconstruction: 20 files, all rows, stats for every file
+    m = S._read_manifest(spark, root, 20)
+    assert len(m["files"]) == 20
+    assert all("__rows" in m["stats"][f] for f in m["files"])
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(40)]
+    # time travel through the delta chain (below the checkpoint too)
+    assert _rows(S.read_snapshot(spark, root, 5)) == [(i, f"r{i}") for i in range(10)]
+    # (d) every version file parses standalone
+    for v in range(1, 21):
+        json.loads(fsio.read_text(spark, S._manifest_path(root, v)))
+
+
+def test_delta_log_cache_survives_wipe_and_rebuild(spark, root):
+    """The state memo is identity-guarded (mtime+size of the version
+    file): registry queries wipe and rebuild fixed per-pid roots, so a
+    (root, version)-keyed cache would serve stale manifests. Rebuild the
+    same path with different content and different file sets — reads
+    must reflect the NEW table."""
+    S.append(_df(spark, 0, 3), root)
+    S.append(_df(spark, 3, 5), root)
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(5)]
+    old_files = set(S._read_manifest(spark, root, 2)["files"])
+    shutil.rmtree(root)
+    S.append(_df(spark, 100, 103), root)
+    S.append(_df(spark, 103, 105), root)
+    m = S._read_manifest(spark, root, 2)
+    assert set(m["files"]) != old_files
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in range(100, 105)
+    ]
+
+
+def test_vacuum_keeps_noncontiguous_versions_reconstructible(spark, root):
+    """Tags pin arbitrary old versions, so vacuum's survivor set is
+    non-contiguous; with delta-logged manifests every survivor must stay
+    readable after the versions its chain crossed are expired (vacuum
+    materializes checkpoints first)."""
+    for lo in range(0, 12, 2):  # v1..v6, all deltas after v1
+        S.append(_df(spark, lo, lo + 2), root)
+    S.create_tag(spark, root, "pin3", version=3)
+    deleted = S.vacuum(spark, root, keep_last=2)
+    assert S._manifest_versions(spark, root) == [3, 5, 6]
+    # v3's delta chain crossed v1/v2 (now gone) — checkpoint serves it
+    assert _rows(S.read_snapshot(spark, root, 3)) == [(i, f"r{i}") for i in range(6)]
+    assert _rows(S.read_snapshot(spark, root, 5)) == [(i, f"r{i}") for i in range(10)]
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(12)]
+    assert isinstance(deleted, list)
+    # appends continue on the vacuumed tail and stay delta-logged
+    S.append(_df(spark, 12, 14), root)
+    assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(14)]
+
+
 def test_repeated_vacuum_after_new_commits_is_safe(spark, root):
     """Regression: vacuum used to enumerate range(1, latest+1) and
     re-open manifests an earlier vacuum had removed -> FileNotFoundError
@@ -258,9 +331,18 @@ def test_manifest_contents_and_parent_chain(spark, root):
     assert m1["op"] == "overwrite" and m1["parent"] == 0
     assert m2["op"] == "append" and m2["parent"] == 1
     assert set(m1["files"]) < set(m2["files"])  # append shares parent files
-    # manifests are valid JSON on disk (readable by any other tool)
-    raw = json.loads(fsio.read_text(spark, S._manifest_path(root, 2)))
-    assert raw == m2
+    # on-disk storage is delta-logged: v1 (no parent state) is a full,
+    # self-contained JSON; the small append at v2 is a delta record whose
+    # non-file fields ride verbatim in `base` and whose adds are O(K)
+    raw1 = json.loads(fsio.read_text(spark, S._manifest_path(root, 1)))
+    assert raw1 == m1
+    raw2 = json.loads(fsio.read_text(spark, S._manifest_path(root, 2)))
+    assert raw2["format"] == "delta-v1"
+    assert raw2["base"]["op"] == "append" and raw2["base"]["parent"] == 1
+    assert set(raw2["files_added"]) == set(m2["files"]) - set(m1["files"])
+    assert raw2["files_removed"] == []
+    # reconstruction (what every reader sees) is exact
+    assert S._apply_delta(m1, raw2) == m2
 
 
 # --- manifest file stats + pruned reads (x76) -------------------------------
