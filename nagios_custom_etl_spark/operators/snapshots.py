@@ -508,35 +508,48 @@ def _file_stats(
     }
 
 
+def _norm_pcols(partition_by) -> list[str]:
+    """Normalize a partition declaration (str | list[str] | None) to a
+    column list — multi-column Hive layouts (``date=…/region=…``) are a
+    list, the historical single-column form stays accepted everywhere."""
+    if partition_by is None:
+        return []
+    if isinstance(partition_by, str):
+        return [partition_by]
+    return list(partition_by)
+
+
 def _write_data_files(
     df: DataFrame,
     root: str,
     stats_cols: list[str] | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into an immutable uniquely-named data directory and
     return (part files as relative paths, per-file stats). Files are
     never rewritten or renamed after this — manifests may share them
-    across versions. With ``partition_by`` the directory is Hive-layout
-    (``col=val`` subdirs); the partition value is recoverable from each
-    file's relative path, so manifests need no extra field."""
+    across versions. With ``partition_by`` (one column or a list) the
+    directory is Hive-layout (nested ``col=val`` subdirs in declaration
+    order); the partition values are recoverable from each file's
+    relative path, so manifests need no extra field."""
     spark = df.sparkSession
+    pcols = _norm_pcols(partition_by)
     sub = f"data-{uuid.uuid4().hex[:12]}"
     writer = df.write
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
     writer.parquet(f"{root}/{sub}")
     files = [
         f"{sub}/{f}"
         for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
-    # The partition column never reaches leaf-file schemas (it lives only
-    # in the col=val path segments), so a stats read on it would raise;
-    # pruning on it rides path values in read_snapshot_pruned anyway
+    # Partition columns never reach leaf-file schemas (they live only
+    # in the col=val path segments), so a stats read on them would raise;
+    # pruning on them rides path values in read_snapshot_pruned anyway
     # (r9 ADVICE).
-    if partition_by and stats_cols:
-        stats_cols = [c for c in stats_cols if c != partition_by]
+    if pcols and stats_cols:
+        stats_cols = [c for c in stats_cols if c not in pcols]
     # stats are always collected (at minimum the per-file __rows count
     # behind metadata-only aggregates) — one pass over just-written,
     # page-cached bytes; the standard stats-collection cost every table
@@ -557,7 +570,7 @@ def _write_data_files(
 
 def _check_partition_spec(
     parent_manifest: dict,
-    partition_by: str | None,
+    partition_by: str | list[str] | None,
     allow_change: bool = False,
 ) -> list[str] | None:
     """A table's declared partition column is part of its contract: an
@@ -572,7 +585,7 @@ def _check_partition_spec(
     wrong, since files without the new column's segment fall back to
     stats/keep)."""
     parent_spec = parent_manifest.get("partition_spec")
-    new_spec = [partition_by] if partition_by else None
+    new_spec = _norm_pcols(partition_by) or None
     if parent_manifest and parent_spec != new_spec and not allow_change:
         raise SchemaMismatchError(
             f"partition spec mismatch: table has {parent_spec}, append has {new_spec}"
@@ -605,7 +618,7 @@ def append(
     stats_cols: list[str] | None = None,
     evolve: bool = False,
     txn: str | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     max_retries: int = 3,
     hidden_partition: bool = False,
     allow_spec_change: bool = False,
@@ -642,7 +655,8 @@ def append(
     spark = df.sparkSession
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
-    schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
+    pcols = _norm_pcols(partition_by)
+    schema_df = df.drop(*pcols) if hidden_partition and pcols else df
     parent = latest_version(spark, root)
     m = _read_manifest(spark, root, parent) if parent else {}
     spec = _check_partition_spec(m, partition_by, allow_spec_change)
@@ -703,7 +717,7 @@ def overwrite(
     root: str,
     stats_cols: list[str] | None = None,
     txn: str | None = None,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     hidden_partition: bool = False,
 ) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
@@ -719,7 +733,8 @@ def overwrite(
     parent = latest_version(spark, root)
     _enforce_constraints(df, root)
     files, stats = _write_data_files(df, root, stats_cols, partition_by)
-    schema_df = df.drop(partition_by) if hidden_partition and partition_by else df
+    pcols = _norm_pcols(partition_by)
+    schema_df = df.drop(*pcols) if hidden_partition and pcols else df
     return _commit(
         spark,
         root,
@@ -729,7 +744,7 @@ def overwrite(
         stats,
         _schema_list(schema_df),
         txn=txn,
-        partition_spec=[partition_by] if partition_by else None,
+        partition_spec=_norm_pcols(partition_by) or None,
     )
 
 
@@ -1010,7 +1025,7 @@ def mor_upsert(
     spec = m.get("partition_spec")
     _enforce_constraints(source, root)
     nfiles, nstats = _write_data_files(
-        source, root, stats_cols, spec[0] if spec else None
+        source, root, stats_cols, spec
     )
     dfiles, _ = _write_data_files(source.select(*keys).dropDuplicates(keys), root)
     version = parent + 1
@@ -1060,12 +1075,19 @@ def read_snapshot_pruned(
     def part_value(f: str):
         """Typed partition value parsed from the file's relative path,
         None if absent/null-partition (then pruning falls back to
-        stats/conservative)."""
+        stats/conservative). The segment is UNQUOTED before comparing:
+        the caller's [lo, hi] bounds are logical values, and a
+        Hive-escaped segment ('00%3A00%3A00') compared raw would order
+        differently from its logical form ('00:00:00') — a wrong PRUNE,
+        not a conservative keep."""
+        from urllib.parse import unquote
+
         for seg in f.split("/")[1:-1]:
             if seg.startswith(f"{col}="):
                 raw = seg[len(col) + 1 :]
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return None
+                raw = unquote(raw)
                 try:
                     if simple in ("tinyint", "smallint", "int", "bigint"):
                         return int(raw)
@@ -1120,12 +1142,40 @@ def read_snapshot_pruned_multi(
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     stats = m.get("stats", {})
+    spec = m.get("partition_spec") or []
+    types = _schema_types(m.get("schema") or [])
+
+    def part_value(f: str, col: str):
+        from urllib.parse import unquote
+
+        simple = types.get(col)
+        for seg in f.split("/")[1:-1]:
+            if seg.startswith(f"{col}="):
+                raw = seg[len(col) + 1 :]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                raw = unquote(raw)  # logical value, not the escaped form
+                try:
+                    if simple in ("tinyint", "smallint", "int", "bigint"):
+                        return int(raw)
+                    if simple in ("float", "double"):
+                        return float(raw)
+                except ValueError:
+                    return None
+                return raw
+        return None
 
     def overlaps_all(f: str) -> bool:
         for col, lo, hi in preds:
             s = stats.get(f, {}).get(col)
             if s and s[0] is not None and s[1] is not None and (s[1] < lo or s[0] > hi):
                 return False  # one disjoint range kills the file (AND)
+            if col in spec:
+                # partition levels prune via path values — composite
+                # specs prune multiplicatively, one level per predicate
+                pv = part_value(f, col)
+                if pv is not None and not (lo <= pv <= hi):
+                    return False
         return True
 
     planned = [f for f in m["files"] if overlaps_all(f)]
@@ -1401,7 +1451,7 @@ def merge_commit(
         spec = m.get("partition_spec")
         _enforce_constraints(merged, root)
         files, stats = _write_data_files(
-            merged, root, stats_cols, spec[0] if spec else None
+            merged, root, stats_cols, spec
         )
         carried_stats = {
             f: s for f, s in m.get("stats", {}).items() if f in set(untouched)
@@ -1814,7 +1864,7 @@ def compact(
         )
     else:
         shaped = df.coalesce(target_file_count)
-    files, stats = _write_data_files(shaped, root, stats_cols, spec[0] if spec else None)
+    files, stats = _write_data_files(shaped, root, stats_cols, spec)
     # Delta's dataChange=false is legal ONLY for row-preserving rewrites
     # (OPTIMIZE): when this compaction also MATERIALIZES pending MoR
     # deletes, rows are dropped, so the marker is withheld — incremental
@@ -2080,7 +2130,7 @@ def stage_append(
     spec = m.get("partition_spec")
     schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
     files, stats = _write_data_files(
-        df, root, stats_cols, spec[0] if spec else None
+        df, root, stats_cols, spec
     )
     staged = {
         "stage_id": stage_id,
@@ -2412,10 +2462,9 @@ def replace_partitions(
             "pending MoR deletes: their scope over a partial replace is "
             "ambiguous — compact() to materialize them first"
         )
-    pcol = spec[0]
     _merged_schema(m.get("schema"), _schema_list(df), evolve=False)
-    raw_values = [r[0] for r in df.select(pcol).distinct().collect()]  # bounded
-    if any(v is None for v in raw_values):
+    raw_values = df.select(*spec).distinct().collect()  # bounded metadata
+    if any(v is None for r in raw_values for v in r):
         raise ValueError(
             "NULL partition values cannot be replaced (Hive default-"
             "partition escaping is not round-trippable here)"
@@ -2423,19 +2472,25 @@ def replace_partitions(
     if not raw_values:
         raise ValueError("empty batch: nothing to replace")
     _enforce_constraints(df, root)
-    files, stats = _write_data_files(df, root, stats_cols, pcol)
+    files, stats = _write_data_files(df, root, stats_cols, spec)
     # The replaced-value set is read back from the NEW files' own path
     # segments, not str(value): Spark Hive-escapes partition values on
     # disk (':' -> '%3A' etc.), so a str() comparison never matches an
     # escaped segment and would silently CARRY the old partition files
     # alongside the new ones — duplication instead of a replace (r8
     # ADVICE). Both old and new segments came from the same writer
-    # encoding, so segment equality is exact by construction.
-    new_segs = {f.split("/", 2)[1] for f in files}
+    # encoding, so segment equality is exact by construction. The unit
+    # of replacement is the COMPOSITE value: all spec levels' segments
+    # as one tuple (data-<uuid>/<c1>=<v1>/.../<cN>=<vN>/part-...).
+    nseg = len(spec)
+
+    def pkey(f: str) -> tuple:
+        return tuple(f.split("/")[1 : 1 + nseg])
+
+    new_segs = {pkey(f) for f in files}
 
     def replaced(f: str) -> bool:
-        seg = f.split("/", 2)[1]  # data-<uuid>/<col>=<val>/part-...
-        return seg in new_segs
+        return pkey(f) in new_segs
 
     kept = [f for f in m.get("files", []) if not replaced(f)]
     kept_stats = {f: s for f, s in m.get("stats", {}).items() if f in set(kept)}
@@ -2796,7 +2851,7 @@ def compact_small(
         or None
     )
     files, new_stats = _write_data_files(
-        view.coalesce(int(n_out)), root, stats_cols, spec[0] if spec else None
+        view.coalesce(int(n_out)), root, stats_cols, spec
     )
     carried = {f: s for f, s in stats.items() if f in set(big)}
     return _commit(
@@ -3102,14 +3157,14 @@ def partitions_report(
             "pending MoR deletes: partition counts would include dead "
             "rows — compact() first"
         )
-    col = spec[0]
-    simple = _schema_types(m.get("schema") or []).get(col)
+    types = _schema_types(m.get("schema") or [])
     stats = m.get("stats", {})
     _missing = object()  # distinct from None (__HIVE_DEFAULT_PARTITION__)
 
-    def part_value(f: str):
+    def part_value(f: str, col: str):
         from urllib.parse import unquote
 
+        simple = types.get(col)
         for seg in f.split("/")[1:-1]:
             if seg.startswith(f"{col}="):
                 # Spark Hive-escapes special chars (':' -> '%3A') on
@@ -3137,20 +3192,32 @@ def partitions_report(
                 f"file {f!r} has no recorded row count; re-commit (compact) "
                 "to record it"
             )
-        pv = part_value(f)
-        if pv is _missing:
-            # r11 ADVICE: after partition-spec evolution (x119), old-era
-            # files carry a DIFFERENT segment name — lumping them into
-            # the NULL partition would be a wrong report, not a refusal
-            raise ValueError(
-                f"file {f!r} has no '{col}=' path segment (written under "
-                "an earlier partition spec); rewrite old-era files "
-                "(compact) before reporting partitions, or query per era"
-            )
-        e = agg.setdefault(pv, {"n_files": 0, "n_rows": 0})
+        vals = []
+        for col in spec:
+            pv = part_value(f, col)
+            if pv is _missing:
+                # r11 ADVICE: after partition-spec evolution (x119),
+                # old-era files carry a DIFFERENT segment name — lumping
+                # them into the NULL partition would be a wrong report,
+                # not a refusal
+                raise ValueError(
+                    f"file {f!r} has no '{col}=' path segment (written "
+                    "under an earlier partition spec); rewrite old-era "
+                    "files (compact) before reporting partitions, or "
+                    "query per era"
+                )
+            vals.append(pv)
+        key = vals[0] if len(spec) == 1 else tuple(vals)
+        e = agg.setdefault(key, {"n_files": 0, "n_rows": 0})
         e["n_files"] += 1
         e["n_rows"] += int(s["__rows"])
+
+    def sort_key(k):
+        ks = k if isinstance(k, tuple) else (k,)
+        return tuple((v is None, v) for v in ks)
+
+    # multi-level specs report the composite value as a per-level list
     return [
-        {"value": k, **v2}
-        for k, v2 in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        {"value": list(k) if isinstance(k, tuple) else k, **v2}
+        for k, v2 in sorted(agg.items(), key=lambda kv: sort_key(kv[0]))
     ]

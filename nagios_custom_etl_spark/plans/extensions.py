@@ -10545,3 +10545,98 @@ def x134_partitions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["value"], int(r["n_rows"]), bool(refused)) for r in rep],
         "value string, n_rows long, unpartitioned_refused boolean",
     ).orderBy("value")
+
+
+@register(
+    "x135_multi_level_partitions",
+    oracle="""
+    -- Composite (2-level) Hive partition spec end-to-end, with
+    -- ':'-bearing (Hive-escaped) values in BOTH levels: per-partition
+    -- counts are recomputed by GROUP BY over the replace-adjusted base;
+    -- planned_files/total_files are LITERAL claims about the pruning
+    -- DECISION (1 file per composite value by construction: the box
+    -- hh='02:00:00', q in ['15:00','30:00'] plans exactly 2 of 12
+    -- files) and box_rows re-counts what the pruned read returned.
+    WITH base AS (
+      SELECT event_id,
+             printf('%02d:00:00', CAST(event_id % 4 AS INT)) AS hh,
+             printf('%02d:00', CAST((event_id % 3) * 15 AS INT)) AS q
+      FROM events WHERE event_id % 7 = 0
+    ), after AS (
+      SELECT * FROM base
+      WHERE NOT (hh = '01:00:00' AND q = '15:00' AND (event_id // 84) % 2 = 1)
+    ), rep AS (
+      SELECT hh, q, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM after GROUP BY hh, q
+    ), box AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS box_rows FROM after
+      WHERE hh = '02:00:00' AND q BETWEEN '15:00' AND '30:00'
+    )
+    SELECT rep.hh, rep.q, rep.n_rows,
+           CAST(2 AS BIGINT) AS planned_files,
+           CAST(12 AS BIGINT) AS total_files,
+           box.box_rows
+    FROM rep, box ORDER BY hh, q
+    """,
+    doc="X135 multi-column partition specs (r11 verdict task 3; "
+    "operators/snapshots.py::_norm_pcols and the composite paths in "
+    "replace_partitions/partitions_report/read_snapshot_pruned_multi): "
+    "a 2-level Hive layout (hh=…/q=…, both levels carrying ':' so both "
+    "segments are Hive-escaped on disk) written as partition_by=[hh,q]; "
+    "composite pruning plans path values per LEVEL (multiplicative — "
+    "the (hh, q-range) box plans exactly the 2 matching files of 12, a "
+    "literal oracle claim on the pruning decision); replace_partitions "
+    "replaces the COMPOSITE unit only; partitions_report reports "
+    "per-level unescaped values with manifest-only row counts. Delta/"
+    "Iceberg standard surface; 100 TB: date=/region= layouts prune at "
+    "manifest-planning time, zero file opens.",
+)
+def x135_multi_level_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x135_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            F.format_string("%02d:00:00", (F.col("event_id") % 4).cast("int")).alias("hh"),
+            F.format_string("%02d:00", ((F.col("event_id") % 3) * 15).cast("int")).alias("q"),
+        )
+    )
+    # one file per composite value: each (hh, q) lives in exactly one
+    # task after the repartition, so planned-file counts are layout
+    # facts, not data accidents
+    S.overwrite(
+        base.repartition("hh", "q"), root,
+        partition_by=["hh", "q"], stats_cols=["event_id"],
+    )
+    # replace exactly ONE composite cell with a thinned recompute — the
+    # other 11 cells' files must carry untouched
+    batch = base.filter(
+        (F.col("hh") == "01:00:00") & (F.col("q") == "15:00")
+        & (F.expr("event_id div 84") % 2 == 0)
+    ).coalesce(1)
+    S.replace_partitions(batch, root)
+    pruned, planned, total = S.read_snapshot_pruned_multi(
+        spark, root,
+        [("hh", "02:00:00", "02:00:00"), ("q", "15:00", "30:00")],
+    )
+    box_rows = pruned.filter(
+        (F.col("hh") == "02:00:00") & F.col("q").between("15:00", "30:00")
+    ).count()
+    rep = S.partitions_report(spark, root)
+    return spark.createDataFrame(
+        [
+            (r["value"][0], r["value"][1], int(r["n_rows"]), int(planned),
+             int(total), int(box_rows))
+            for r in rep
+        ],
+        "hh string, q string, n_rows long, planned_files long, "
+        "total_files long, box_rows long",
+    ).orderBy("hh", "q")
