@@ -790,6 +790,39 @@ def read_snapshot(
     return _live_view(spark, root, m, m["files"])
 
 
+def _project_to_schema(
+    df: DataFrame, schema: list[list[str]], keep: tuple = ()
+) -> DataFrame:
+    """Column-mapping resolution per entry: current logical name first,
+    then its alias chain (a file written before a rename stores the
+    column under a former name — one write's files are name-uniform, so
+    per-group resolution is exact); files lacking the column entirely
+    materialize the declared default (Iceberg initial-default) or a
+    typed NULL. Dropped entries are skipped: the physical bytes stay in
+    old files, no reader sees them. ``keep`` appends extra physical
+    columns verbatim (the change-feed reader's ``_change_type``)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for e in schema:
+        meta = _entry_meta(e)
+        if meta.get("dropped"):
+            continue
+        n, t = e[0], e[1]
+        src = next(
+            (c for c in (n, *meta.get("aliases", ())) if c in df.columns),
+            None,
+        )
+        if src is not None:
+            cols.append(F.col(src).cast(t).alias(n))
+        elif "default" in meta:
+            cols.append(F.lit(meta["default"]).cast(t).alias(n))
+        else:
+            cols.append(F.lit(None).cast(t).alias(n))
+    cols.extend(F.col(c) for c in keep)
+    return df.select(*cols)
+
+
 def _read_files(
     spark: SparkSession,
     root: str,
@@ -833,30 +866,7 @@ def _read_files(
         groups.setdefault(dkey(f), []).append(f)
 
     def cast_to_schema(df: DataFrame) -> DataFrame:
-        # column-mapping resolution per entry: current logical name
-        # first, then its alias chain (a file written before a rename
-        # stores the column under a former name — one write's files are
-        # name-uniform, so per-group resolution is exact); files lacking
-        # the column entirely materialize the declared default (Iceberg
-        # initial-default) or a typed NULL. Dropped entries are skipped:
-        # the physical bytes stay in old files, no reader sees them.
-        cols = []
-        for e in schema:
-            meta = _entry_meta(e)
-            if meta.get("dropped"):
-                continue
-            n, t = e[0], e[1]
-            src = next(
-                (c for c in (n, *meta.get("aliases", ())) if c in df.columns),
-                None,
-            )
-            if src is not None:
-                cols.append(F.col(src).cast(t).alias(n))
-            elif "default" in meta:
-                cols.append(F.lit(meta["default"]).cast(t).alias(n))
-            else:
-                cols.append(F.lit(None).cast(t).alias(n))
-        return df.select(*cols)
+        return _project_to_schema(df, schema)
 
     parts = []
     for sub, fl in sorted(groups.items()):
@@ -872,12 +882,14 @@ def _read_files(
 
 def _all_data_refs(m: dict) -> set[str]:
     """Every data file a manifest keeps alive: the row files in
-    ``files`` PLUS the equality-delete key files of pending MoR
-    deletes — both must survive vacuum/GC for the version to stay
+    ``files``, the equality-delete key files of pending MoR deletes,
+    and the version's recorded change-feed files — all must survive
+    vacuum/GC for the version (and its slice of the feed) to stay
     readable."""
     refs = set(m.get("files", []))
     for e in m.get("deletes", []) or []:
         refs.update(e["files"])
+    refs.update(m.get("change_files", []) or [])
     return refs
 
 
@@ -977,10 +989,37 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         raise ValueError("mor_delete on an empty table")
     m = _read_manifest(spark, root, parent)
     _check_mor_keys(m, keys)
-    dfiles, _ = _write_data_files(deletes.select(*keys).dropDuplicates(keys), root)
+    keyset = deletes.select(*keys).dropDuplicates(keys)
+    extra: dict = {}
+    if change_feed_enabled(spark, root):
+        # the feed's `delete` rows carry the OLD row values (Delta CDF),
+        # which a pure key-file write never reads — with the feed on,
+        # mor_delete pays a pre-image read of the live rows matching the
+        # keys, file-pruned through the recorded [min, max] of keys[0]
+        # where stats exist (conservative keep otherwise): the same
+        # trade Delta makes deriving CDF from deletion vectors. Keys
+        # absent from the table emit nothing; NULL keys never match.
+        from pyspark.sql import functions as F
+
+        lo, hi = deletes.agg(F.min(keys[0]), F.max(keys[0])).first()
+        if lo is None:
+            pre = _live_view(spark, root, m, m["files"]).limit(0)
+        else:
+            pruned, _, _ = read_snapshot_pruned(
+                spark, root, keys[0], lo, hi, version=parent
+            )
+            pre = pruned.join(keyset, keys, "left_semi")
+        # always recorded when the feed is on — an empty list is a
+        # recorded "no transitions" (all-miss delete), distinct from
+        # an unrecorded commit which the reader refuses
+        extra["change_files"] = _write_change_files(
+            pre.withColumn("_change_type", F.lit("delete")), root
+        )
+    dfiles, _ = _write_data_files(keyset, root)
     version = parent + 1
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
     entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
+    extra.update({"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]})
     return _commit(
         spark,
         root,
@@ -990,7 +1029,7 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         m.get("stats"),
         m.get("schema"),
         partition_spec=m.get("partition_spec"),
-        extra={"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]},
+        extra=extra,
     )
 
 
@@ -1028,10 +1067,41 @@ def mor_upsert(
         source, root, stats_cols, spec
     )
     dfiles, _ = _write_data_files(source.select(*keys).dropDuplicates(keys), root)
+    extra: dict = {}
+    if change_feed_enabled(spark, root):
+        from pyspark.sql import functions as F
+
+        # delete-before-insert's feed: source rows over a LIVE key emit
+        # an update pre/post pair (source wins — MoR upsert semantics),
+        # fresh keys insert. Pre-images come from a file-pruned read of
+        # the parent's live view (same trade as mor_delete's).
+        lo, hi = source.agg(F.min(keys[0]), F.max(keys[0])).first()
+        if lo is None:
+            pre = _live_view(spark, root, m, m["files"]).limit(0)
+        else:
+            pruned, _, _ = read_snapshot_pruned(
+                spark, root, keys[0], lo, hi, version=parent
+            )
+            pre = pruned.join(source.select(*keys), keys, "left_semi")
+        cols = source.columns
+        pre_keys = pre.select(*keys)
+        posts = source.join(pre_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = source.join(pre_keys, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        pres = pre.select(*cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        extra["change_files"] = _write_change_files(
+            posts.unionByName(ins).unionByName(pres), root
+        )
     version = parent + 1
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
     seqs.update({f: version for f in nfiles})
     entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
+    extra.update({"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]})
     return _commit(
         spark,
         root,
@@ -1041,7 +1111,7 @@ def mor_upsert(
         {**(m.get("stats") or {}), **nstats} or None,
         m.get("schema") or _schema_list(source),
         partition_spec=spec,
-        extra={"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]},
+        extra=extra,
     )
 
 
@@ -1380,6 +1450,7 @@ def merge_commit(
         raise ValueError(f"prune_on {prune_on!r} must be one of keys {keys}")
     if stats_cols is None and prune_on is not None:
         stats_cols = [prune_on]
+    cdf = change_feed_enabled(spark, root)
     last_err: Exception | None = None
     for _ in range(max_retries):
         parent = latest_version(spark, root)
@@ -1453,10 +1524,25 @@ def merge_commit(
         files, stats = _write_data_files(
             merged, root, stats_cols, spec
         )
+        change_files = None
+        if cdf and parent > 0 and touched:
+            # transitions recorded atomically with the commit (Delta's
+            # AddCDCFile): built from the same pruned target and the
+            # same routing expressions, so the feed equals the table
+            # delta by construction. Insert-only merges (no matched
+            # files) record nothing — their feed derives from the added
+            # files at read time, zero write amplification.
+            out_cols = (
+                _visible_names(schema) if schema else list(merged.columns)
+            )
+            change_files = _write_change_files(
+                _merge_transitions(target, src, keys, when_matched_update, out_cols),
+                root,
+            )
         carried_stats = {
             f: s for f, s in m.get("stats", {}).items() if f in set(untouched)
         }
-        extra = None
+        extra: dict = {"change_files": change_files} if change_files is not None else {}
         if m.get("deletes") and untouched:
             # pending MoR deletes still govern the untouched files (their
             # dead rows were NOT materialized away); the rewritten files
@@ -1465,7 +1551,8 @@ def merge_commit(
             # drops the list instead.
             seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
             seqs.update({f: parent + 1 for f in files})
-            extra = {"seqs": seqs, "deletes": m["deletes"]}
+            extra.update({"seqs": seqs, "deletes": m["deletes"]})
+        extra = extra or None
         try:
             return _commit(
                 spark,
@@ -1731,8 +1818,8 @@ def gc_orphans(
             )
     deleted = []
     for d in fsio.list_names(spark, root):
-        if not d.startswith("data-"):
-            continue
+        if not (d.startswith("data-") or d.startswith("cdc-")):
+            continue  # cdc- dirs: change-feed files orphaned by a lost race
         # Captured BEFORE the file sweep (deleting a child bumps the
         # dir's mtime): a young dir may belong to an in-flight writer
         # that created it but has not flushed parquet yet, or hold only
@@ -1842,26 +1929,7 @@ def compact(
     )
     spec = m.get("partition_spec")
     if cluster_by:
-        from nagios_custom_etl_spark.operators.maintenance import zorder_key
-
-        n = 1 << zorder_bits
-        bounds = df.agg(
-            *[f(c).alias(f"{p}_{c}") for c in cluster_by for p, f in (("lo", F.min), ("hi", F.max))]
-        ).first()
-        buckets = []
-        for c in cluster_by:
-            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-            if lo is None or hi == lo:
-                buckets.append(F.lit(0))
-            else:
-                b = F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
-                buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(n - 1)))
-        shaped = (
-            df.withColumn("_zk", zorder_key(buckets, bits=zorder_bits))
-            .repartitionByRange(target_file_count, "_zk")
-            .sortWithinPartitions("_zk")
-            .drop("_zk")
-        )
+        shaped = _zorder_shape(df, cluster_by, target_file_count, zorder_bits)
     else:
         shaped = df.coalesce(target_file_count)
     files, stats = _write_data_files(shaped, root, stats_cols, spec)
@@ -2508,6 +2576,220 @@ def replace_partitions(
 
 
 # ---------------------------------------------------------------------------
+# Table-level CHANGE DATA FEED (r11 verdict task 4 — Delta's
+# enableChangeDataFeed): a table property that makes EVERY row-mutating
+# writer record its row-level transitions. Unlike the streaming sinks'
+# separate feed tables (st31/st33), the change files here are committed
+# ATOMICALLY in the same manifest that publishes the data change
+# (Delta's AddCDCFile actions) — there is no feed-before-merge window
+# at all, so no visibility gate is needed: a transition is readable
+# exactly iff its commit is. Add-only commits (append/wap-publish) and
+# file-replacing commits (overwrite/replace-partitions/rollback) need
+# NO change files — their feed derives from the manifest file diff at
+# read time (Delta derives add-only CDF the same way), so the common
+# write path pays nothing.
+# ---------------------------------------------------------------------------
+
+
+def _cdf_path(root: str) -> str:
+    return f"{_snap_dir(root)}/cdf.json"
+
+
+def set_change_feed(spark: SparkSession, root: str, enabled: bool = True) -> None:
+    """Enable/disable the table-level change data feed. Enabling is a
+    forward-only property (Delta's contract): commits BEFORE enablement
+    recorded no change files, and :func:`read_changes` refuses ranges
+    that cross an unrecorded row-mutating commit rather than guessing."""
+    if enabled:
+        fsio.mkdirs(spark, _snap_dir(root))
+        try:
+            fsio.create_text_atomic(
+                spark, _cdf_path(root), json.dumps({"enabled": True})
+            )
+        except FileExistsError:
+            pass
+    else:
+        fsio.delete(spark, _cdf_path(root), recursive=False)
+
+
+def change_feed_enabled(spark: SparkSession, root: str) -> bool:
+    return fsio.exists(spark, _cdf_path(root))
+
+
+def _write_change_files(df: DataFrame, root: str) -> list[str]:
+    """Write change rows (table columns + ``_change_type``) into an
+    immutable ``cdc-<uuid>/`` dir — referenced from the committing
+    manifest's ``change_files``, kept alive by vacuum exactly as long
+    as the version is retained, swept by orphan GC if the commit loses
+    its race."""
+    spark = df.sparkSession
+    sub = f"cdc-{uuid.uuid4().hex[:12]}"
+    df.write.parquet(f"{root}/{sub}")
+    return [
+        f"{sub}/{f}"
+        for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
+        if f.endswith(".parquet")
+    ]
+
+
+def _merge_transitions(
+    target: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    when_matched_update,
+    out_cols: list[str],
+) -> DataFrame:
+    """Row-level transitions of a MERGE, built from the same join shape
+    and the same routing expressions the merge itself uses (so the post
+    images equal what the merge wrote by construction): every source
+    row either matched a live target row (update_preimage from the
+    target side + update_postimage from the update expressions) or
+    inserts (NULL join keys never match, SQL MERGE semantics)."""
+    from pyspark.sql import functions as F
+
+    wm = when_matched_update or {}
+    t = target.select(*out_cols).withColumn("_t_present", F.lit(True)).alias("t")
+    s = src.select(*out_cols).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "right_outer")
+    matched = F.col("t._t_present").isNotNull()
+    posts = j.select(
+        *[
+            F.when(matched, wm.get(c, F.col(f"t.{c}")))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in out_cols
+        ],
+        F.when(matched, F.lit("update_postimage"))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+    )
+    pres = j.filter(matched).select(
+        *[F.col(f"t.{c}").alias(c) for c in out_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    return posts.unionByName(pres)
+
+
+#: ops whose feed derives from the manifest file diff — removed files'
+#: rows are deletes, added files' rows are inserts (requires the removed
+#: files to still be on disk: retention >= feed-consumer lag, Delta's
+#: own CDF caveat)
+_CDF_FILE_DIFF_OPS = ("overwrite", "replace-partitions", "fast-forward")
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """The table's CHANGE DATA FEED over ``(since_version,
+    end_version]`` — current visible columns plus ``_change_type``
+    (Delta's four row types) and ``_commit_version``. Per version:
+    recorded change files are read as-is (merge/MoR commits wrote them
+    atomically with the commit); add-only commits derive inserts from
+    their added files; file-replacing commits derive deletes+inserts
+    from the file diff; metadata-only and row-preserving (data_change
+    false) commits contribute nothing. Ranges crossing a row-mutating
+    commit with NO recorded change files (written before enablement, or
+    a compaction that materialized MoR deletes) REFUSE — no silently
+    wrong feeds. Every leg resolves to the END version's schema through
+    the alias chains, so renames mid-range are transparent."""
+    from pyspark.sql import functions as F
+
+    v_end = latest_version(spark, root) if end_version is None else end_version
+    if v_end <= since_version:
+        base = read_snapshot(spark, root, v_end) if v_end else None
+        if base is None:
+            raise ValueError("empty table: no versions to read changes from")
+        return (
+            base.limit(0)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    have = set(_manifest_versions(spark, root))
+    missing = [v for v in range(max(1, since_version), v_end + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"versions {missing[:3]}... were vacuumed: the change range is "
+            "not reconstructible"
+        )
+    m_end = _read_manifest(spark, root, v_end)
+    schema_now = m_end.get("schema") or []
+    if since_version > 0:
+        m_prev = _read_manifest(spark, root, since_version)
+        prev, prev_spec = set(m_prev["files"]), m_prev.get("partition_spec")
+    else:
+        prev, prev_spec = set(), None
+
+    def file_leg(files: list[str], spec, ctype: str, v: int) -> DataFrame:
+        df = (
+            _read_files(spark, root, sorted(files), schema_now or None, spec)
+            if schema_now
+            else _read_files(spark, root, sorted(files), None, spec)
+        )
+        return df.withColumn("_change_type", F.lit(ctype)).withColumn(
+            "_commit_version", F.lit(int(v)).cast("long")
+        )
+
+    legs: list[DataFrame] = []
+    for v in range(since_version + 1, v_end + 1):
+        m = _read_manifest(spark, root, v)
+        cur, spec = set(m["files"]), m.get("partition_spec")
+        added, removed = cur - prev, prev - cur
+        op = m.get("op", "")
+        if "change_files" in m:
+            if m["change_files"]:
+                raw = spark.read.option("mergeSchema", "true").parquet(
+                    *[f"{root}/{f}" for f in m["change_files"]]
+                )
+                leg = (
+                    _project_to_schema(raw, schema_now, keep=("_change_type",))
+                    if schema_now
+                    else raw
+                )
+                legs.append(
+                    leg.withColumn("_commit_version", F.lit(int(v)).cast("long"))
+                )
+        elif op in _METADATA_ONLY_OPS and cur == prev:
+            pass  # schema-only commit: no rows changed (file-set verified)
+        elif op == "replace" and m.get("data_change") is False:
+            pass  # row-preserving rewrite (compaction/Z-order)
+        elif op in ("append", "wap-publish", "merge") and not removed:
+            # add-only: derived inserts, zero write amplification (a
+            # merge with no matched files is add-only too)
+            if added:
+                legs.append(file_leg(added, spec, "insert", v))
+        elif op in _CDF_FILE_DIFF_OPS or op.startswith("rollback-to-"):
+            if removed:
+                legs.append(file_leg(removed, prev_spec, "delete", v))
+            if added:
+                legs.append(file_leg(added, spec, "insert", v))
+        else:
+            raise ValueError(
+                f"version {v} ({op!r}) recorded no change files — committed "
+                "before the change feed was enabled, or a compaction that "
+                "materialized MoR deletes; re-read from a later version"
+            )
+        prev, prev_spec = cur, spec
+    if not legs:
+        return (
+            read_snapshot(spark, root, v_end)
+            .limit(0)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Column mapping: rename / drop / undrop / add-with-default as METADATA-ONLY
 # commits (Delta column mapping / Iceberg schema evolution). The schema
 # entry's alias chain is the field identity Delta carries as a field id: old
@@ -2792,11 +3074,47 @@ def _purged_schema(schema) -> list | None:
     return out or None
 
 
+def _zorder_shape(
+    df: DataFrame, cluster_by: list[str], n_out: int, zorder_bits: int
+) -> DataFrame:
+    """Shape a rewrite into ``n_out`` Z-order-clustered files: bucketize
+    each cluster column over the REWRITTEN rows' observed [min, max]
+    (one bounded agg), Morton-interleave, range-partition on the key and
+    sort within — each output file then covers a small hyper-rectangle
+    of the clustered space, so multi-column data skipping (x123) prunes
+    multiplicatively. Shared by :func:`compact` (full rewrite) and
+    :func:`compact_small` (incremental OPTIMIZE ZORDER)."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.maintenance import zorder_key
+
+    n = 1 << zorder_bits
+    bounds = df.agg(
+        *[f(c).alias(f"{p}_{c}") for c in cluster_by for p, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    buckets = []
+    for c in cluster_by:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None or hi == lo:
+            buckets.append(F.lit(0))
+        else:
+            b = F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)) - 1
+            buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(n - 1)))
+    return (
+        df.withColumn("_zk", zorder_key(buckets, bits=zorder_bits))
+        .repartitionByRange(n_out, "_zk")
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+    )
+
+
 def compact_small(
     spark: SparkSession,
     root: str,
     small_bytes: int = 128 * 1024 * 1024,
     min_merge: int = 2,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int | None:
     """INCREMENTAL compaction — Delta OPTIMIZE's actual behavior: bin-pack
     ONLY the files smaller than ``small_bytes`` into ~target-sized
@@ -2820,7 +3138,18 @@ def compact_small(
     ``skip_compactions`` step over it. Pending MoR deletes REFUSE: a
     partial rewrite would materialize them for some files and not
     others; run :func:`compact` to fold them first. Partitioned tables
-    keep their layout (bin-packing within the declared partitioning)."""
+    keep their layout (bin-packing within the declared partitioning).
+
+    ``cluster_by`` (r11 verdict task 5 — incremental OPTIMIZE ZORDER
+    BY): the merged sliver output is Z-order-clustered instead of
+    coalesced, so the steady-state maintenance loop KEEPS the table's
+    clustering as it grows — right-sized (already-clustered) files are
+    still left byte-untouched, and only the sliver bytes are read and
+    re-shaped. This is the composition of x129 (bin-pack) and x94
+    (Z-order) that keeps x123's multi-column skipping paying on a
+    growing table without ever re-paying the full-table rewrite.
+    Cluster columns are added to the recorded stats so the new files
+    prune immediately."""
     parent = latest_version(spark, root)
     if parent == 0:
         return None
@@ -2842,17 +3171,27 @@ def compact_small(
         return None
     big = [f for f in m["files"] if f not in set(small)]
     n_out = max(1, -(-sum(sizes[f] for f in small) // small_bytes))
+    if len(small) <= n_out:
+        # progress guard: merging must strictly REDUCE the file count,
+        # or outputs landing marginally under the threshold (compression
+        # variance) would be re-merged into the same count forever —
+        # churn commits, not convergence
+        return None
     schema, spec = m.get("schema"), m.get("partition_spec")
     view = _read_files(spark, root, small, schema, spec)
     stats_cols = (
         sorted(
             {c for s in stats.values() for c in s if not c.startswith("__")}
+            | set(cluster_by or [])
         )
         or None
     )
-    files, new_stats = _write_data_files(
-        view.coalesce(int(n_out)), root, stats_cols, spec
+    shaped = (
+        _zorder_shape(view, cluster_by, int(n_out), zorder_bits)
+        if cluster_by
+        else view.coalesce(int(n_out))
     )
+    files, new_stats = _write_data_files(shaped, root, stats_cols, spec)
     carried = {f: s for f, s in stats.items() if f in set(big)}
     return _commit(
         spark,

@@ -10548,6 +10548,183 @@ def x134_partitions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x137_clustered_incremental_compaction",
+    oracle="""
+    -- Incremental OPTIMIZE ZORDER BY (x129 bin-pack composed with x94
+    -- Z-order): the quadrant GROUP BY is the row-invariance proof (a
+    -- layout-only rewrite must reproduce the recompute exactly), and
+    -- the literal flags pin the layout claims — locality_improved (a
+    -- 2-D corner box plans FEWER files than the 8 scattered slivers it
+    -- replaced), layout_only (data_change:false), converged (the
+    -- progress guard reaches a fixpoint).
+    WITH base AS (
+      SELECT event_id,
+             CAST(event_id % 97 AS BIGINT) AS x,
+             CAST((event_id * 37) % 97 AS BIGINT) AS y
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT CAST(x // 49 AS BIGINT) AS xq, CAST(y // 49 AS BIGINT) AS yq,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(TRUE AS BOOLEAN) AS locality_improved,
+           CAST(TRUE AS BOOLEAN) AS layout_only,
+           CAST(TRUE AS BOOLEAN) AS converged
+    FROM base GROUP BY 1, 2 ORDER BY xq, yq
+    """,
+    doc="X137 clustered incremental compaction (r11 verdict task 5; "
+    "operators/snapshots.py::compact_small(cluster_by=) via "
+    "_zorder_shape): the steady-state maintenance loop that KEEPS a "
+    "growing table's Z-order clustering — bin-packs ONLY sub-threshold "
+    "sliver files and Z-orders the rewritten output (range-partition "
+    "on the Morton key, sort within), leaving right-sized clustered "
+    "files byte-untouched; a progress guard (merging must strictly "
+    "reduce the file count) makes the loop convergent. This is what "
+    "keeps x123's multi-column skipping paying without re-paying x94's "
+    "full-table rewrite. 100 TB: O(sliver bytes) per run, sizes from "
+    "the manifest's __bytes — no listing, no statting.",
+)
+def x137_clustered_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x137_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            (F.col("event_id") % 97).cast("long").alias("x"),
+            ((F.col("event_id") * 37) % 97).cast("long").alias("y"),
+        )
+    )
+    # 8 slivers, each scattered over the WHOLE (x, y) space — the
+    # worst case for multi-column skipping
+    for k in range(8):
+        S.append(
+            base.filter(F.col("event_id") % 8 == k).coalesce(1),
+            root, stats_cols=["x", "y"],
+        )
+    m = S._read_manifest(spark, root, 8)
+    thr = 2 * max(m["stats"][f]["__bytes"] for f in m["files"])
+    _, planned_before, _ = S.read_snapshot_pruned_multi(
+        spark, root, [("x", 0, 47), ("y", 0, 47)]
+    )
+    v = S.compact_small(spark, root, small_bytes=int(thr), cluster_by=["x", "y"])
+    layout_only = S._read_manifest(spark, root, v).get("data_change") is False
+    _, planned_after, _ = S.read_snapshot_pruned_multi(
+        spark, root, [("x", 0, 47), ("y", 0, 47)]
+    )
+    locality = planned_after < planned_before
+    converged = False
+    for _ in range(5):
+        if S.compact_small(spark, root, small_bytes=int(thr), cluster_by=["x", "y"]) is None:
+            converged = True
+            break
+    return (
+        S.read_snapshot(spark, root)
+        .groupBy(
+            (F.col("x") / 49).cast("long").alias("xq"),
+            (F.col("y") / 49).cast("long").alias("yq"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .withColumn("locality_improved", F.lit(bool(locality)))
+        .withColumn("layout_only", F.lit(bool(layout_only)))
+        .withColumn("converged", F.lit(bool(converged)))
+        .orderBy("xq", "yq")
+    )
+
+
+@register(
+    "x136_table_change_feed",
+    oracle="""
+    -- Table-level CHANGE DATA FEED (Delta enableChangeDataFeed): the
+    -- oracle recomputes every transition literally — v1 derived inserts
+    -- (append), v2 MERGE update pre/post pairs + inserts (recorded
+    -- ATOMICALLY in the committing manifest: no feed-before-merge
+    -- window), v3 MoR-delete rows carrying the OLD values from the
+    -- post-merge state. Equality is the replay==delta proof.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS c,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 100 = 3
+    ), upd AS (
+      SELECT k, c, st FROM base WHERE k % 3 = 0
+    ), state2 AS (
+      SELECT k, c, CASE WHEN k % 3 = 0 THEN 'X' ELSE st END AS st FROM base
+      UNION ALL SELECT -k, c, 'N' FROM base WHERE k % 7 = 3
+    )
+    SELECT k, c, st, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM base
+    UNION ALL SELECT k, c, st, 'update_preimage', 2 FROM upd
+    UNION ALL SELECT k, c, 'X', 'update_postimage', 2 FROM upd
+    UNION ALL SELECT -k, c, 'N', 'insert', 2 FROM base WHERE k % 7 = 3
+    UNION ALL SELECT k, c, st, 'delete', 3 FROM state2 WHERE k % 5 = 0
+    ORDER BY _commit_version, _change_type, k
+    """,
+    doc="X136 table-level change data feed (r11 verdict task 4; "
+    "operators/snapshots.py::set_change_feed/read_changes + the "
+    "writer integrations in merge_commit/mor_delete/mor_upsert): a "
+    "table property that makes every row-mutating writer record its "
+    "row-level transitions — Delta's enableChangeDataFeed. Change "
+    "files commit ATOMICALLY in the same manifest as the data change "
+    "(AddCDCFile), so unlike the streaming sinks' separate feed "
+    "tables (st31) there is NO feed-before-merge window and no "
+    "visibility gate is needed; add-only and file-replacing commits "
+    "derive their feed from the manifest file diff at read time (zero "
+    "write amplification on the hot append path). Vacuum keeps a "
+    "version's change files exactly as long as the version; unrecorded "
+    "row-mutating commits in range REFUSE. 100 TB: feed read cost is "
+    "O(change files + added files in range), never a table scan.",
+)
+def x136_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x136_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 3)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base, root, stats_cols=["k"])  # v1: feed derives inserts
+    batch = (
+        base.filter(F.col("k") % 3 == 0).withColumn("st", F.lit("X"))
+    ).unionByName(
+        base.filter(F.col("k") % 7 == 3).select(
+            (-F.col("k")).alias("k"), F.col("c"), F.lit("N").alias("st")
+        )
+    )
+    S.merge_commit(
+        root, batch, keys=["k"], prune_on="k",
+        when_matched_update={
+            "k": F.col("s.k"), "c": F.col("s.c"), "st": F.col("s.st")
+        },
+    )  # v2: change files in the committing manifest
+    live = S.read_snapshot(spark, root)
+    S.mor_delete(
+        live.filter(F.col("k") % 5 == 0).select("k"), root, keys=["k"]
+    )  # v3: delete rows carry the old values
+    return S.read_changes(spark, root, 0).orderBy(
+        "_commit_version", "_change_type", "k"
+    )
+
+
+@register(
     "x135_multi_level_partitions",
     oracle="""
     -- Composite (2-level) Hive partition spec end-to-end, with

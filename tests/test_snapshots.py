@@ -2662,6 +2662,221 @@ def test_cdc_high_water_survives_vacuumed_tokens(spark, root, tmp_path):
     assert {r.k for r in cdc_read_changes(spark, chroot, root).collect()} == {1, 2, 3}
 
 
+def _change_rows(df):
+    return sorted(
+        (r["_change_type"], r["_commit_version"], r["i"], r["s"])
+        for r in df.collect()
+    )
+
+
+def test_change_feed_merge_matches_snapshot_diff(spark, root):
+    """r11 verdict task 4 (table-level CDF): with the feed enabled, a
+    batch MERGE records its transitions ATOMICALLY in the committing
+    manifest, appends derive inserts from added files, and per version
+    the feed's net effect equals snapshot_diff's content diff (x124 as
+    ground truth). Feed replay reproduces the final table."""
+    S.set_change_feed(spark, root, True)
+    assert S.change_feed_enabled(spark, root)
+    S.append(_df(spark, 0, 4), root, stats_cols=["i"])  # v1: derived inserts
+    batch = spark.createDataFrame(
+        [Row(i=2, s="u2"), Row(i=3, s="u3"), Row(i=9, s="n9")], "i int, s string"
+    )
+    S.merge_commit(
+        root, batch, keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )  # v2: 2 updates + 1 insert, change files recorded
+    m2 = S._read_manifest(spark, root, 2)
+    assert m2["change_files"] and all(f.startswith("cdc-") for f in m2["change_files"])
+    feed = S.read_changes(spark, root, 0)
+    v1 = [c for c in _change_rows(feed) if c[1] == 1]
+    assert v1 == [("insert", 1, i, f"r{i}") for i in range(4)]
+    v2 = [c for c in _change_rows(feed) if c[1] == 2]
+    assert v2 == sorted(
+        [
+            ("insert", 2, 9, "n9"),
+            ("update_preimage", 2, 2, "r2"),
+            ("update_postimage", 2, 2, "u2"),
+            ("update_preimage", 2, 3, "r3"),
+            ("update_postimage", 2, 3, "u3"),
+        ]
+    )
+    # x124 ground truth: per version, feed adds == diff inserts and
+    # feed removals == diff deletes (multiset)
+    diff = S.snapshot_diff(spark, root, 1, 2)
+    adds = sorted((r.i, r.s) for r in diff.filter(F.col("_change_type") == "insert").collect())
+    dels = sorted((r.i, r.s) for r in diff.filter(F.col("_change_type") == "delete").collect())
+    assert adds == sorted((c[2], c[3]) for c in v2 if c[0] in ("insert", "update_postimage"))
+    assert dels == sorted((c[2], c[3]) for c in v2 if c[0] in ("update_preimage", "delete"))
+    # replay: last transition per key decides presence/value
+    import collections
+
+    state: dict = {}
+    for ctype, v, i, s in sorted(_change_rows(feed), key=lambda c: c[1]):
+        if ctype in ("insert", "update_postimage"):
+            state[i] = s
+        elif ctype == "delete":
+            state.pop(i, None)
+    assert sorted(state.items()) == _rows(S.read_snapshot(spark, root))
+    del collections
+
+
+def test_change_feed_mor_paths_and_replay(spark, root):
+    """MoR writers with the feed on: mor_delete records `delete` rows
+    carrying the OLD values (pre-image read, file-pruned); mor_upsert
+    records update pairs + inserts; an all-miss delete records an EMPTY
+    feed slice (distinct from unrecorded -> no refusal); replay still
+    reproduces the live view."""
+    S.set_change_feed(spark, root, True)
+    S.append(_df(spark, 0, 5), root, stats_cols=["i"])  # v1
+    S.mor_delete(spark.createDataFrame([Row(i=1)]), root, keys=["i"])  # v2
+    S.mor_upsert(
+        spark.createDataFrame([Row(i=2, s="u2"), Row(i=7, s="n7")], "i int, s string"),
+        root, keys=["i"], stats_cols=["i"],
+    )  # v3
+    S.mor_delete(spark.createDataFrame([Row(i=999)]), root, keys=["i"])  # v4 all-miss
+    feed = _change_rows(S.read_changes(spark, root, 1))  # (1, latest]
+    assert [c for c in feed if c[1] == 2] == [("delete", 2, 1, "r1")]
+    assert [c for c in feed if c[1] == 3] == sorted(
+        [
+            ("insert", 3, 7, "n7"),
+            ("update_preimage", 3, 2, "r2"),
+            ("update_postimage", 3, 2, "u2"),
+        ]
+    )
+    assert [c for c in feed if c[1] == 4] == []  # recorded-empty, not refused
+    state = {i: s for i, s in _rows(S.read_snapshot(spark, root, 1))}
+    for ctype, v, i, s in sorted(feed, key=lambda c: c[1]):
+        if ctype in ("insert", "update_postimage"):
+            state[i] = s
+        elif ctype == "delete":
+            state.pop(i, None)
+    assert sorted(state.items()) == _rows(S.read_snapshot(spark, root))
+
+
+def test_change_feed_derived_ops_refusals_and_vacuum(spark, root):
+    """Derived legs (replace_partitions/overwrite file diffs), the
+    forward-only enablement refusal, compaction skipping, and vacuum:
+    retained versions keep their change files, expired versions'
+    change files are reclaimed with them."""
+    # committed BEFORE enablement: a row-mutating merge in range refuses
+    S.append(_df(spark, 0, 3), root, stats_cols=["i"])  # v1
+    S.merge_commit(
+        root, spark.createDataFrame([Row(i=0, s="x0")], "i int, s string"),
+        keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )  # v2 pre-enable, no change files
+    S.set_change_feed(spark, root, True)
+    with pytest.raises(ValueError, match="no change files"):
+        S.read_changes(spark, root, 0)
+    assert _change_rows(S.read_changes(spark, root, 2)) == []  # empty post-enable range is fine
+    # overwrite: derived delete+insert from the file diff
+    S.overwrite(_df(spark, 10, 12), root, stats_cols=["i"])  # v3
+    v3 = _change_rows(S.read_changes(spark, root, 2))
+    assert [c for c in v3 if c[0] == "delete"] == [
+        ("delete", 3, 0, "x0"), ("delete", 3, 1, "r1"), ("delete", 3, 2, "r2")
+    ]
+    assert [c for c in v3 if c[0] == "insert"] == [
+        ("insert", 3, 10, "r10"), ("insert", 3, 11, "r11")
+    ]
+    # compaction (row-preserving) contributes nothing
+    S.append(_df(spark, 12, 13), root, stats_cols=["i"])  # v4
+    S.compact(spark, root)  # v5 replace data_change:false
+    assert [c[1] for c in _change_rows(S.read_changes(spark, root, 3))] == [4]
+    # merge change files survive vacuum while retained, reclaimed after
+    S.merge_commit(
+        root, spark.createDataFrame([Row(i=12, s="u12")], "i int, s string"),
+        keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )  # v6
+    cfiles = S._read_manifest(spark, root, 6)["change_files"]
+    assert cfiles
+    assert len([c for c in _change_rows(S.read_changes(spark, root, 5)) if c[1] == 6]) == 2
+    S.append(_df(spark, 13, 14), root, stats_cols=["i"])  # v7
+    S.vacuum(spark, root, keep_last=2)  # keeps v6+v7
+    assert all(fsio.exists(spark, f"{root}/{f}") for f in cfiles)
+    # a range anchored on a vacuumed version refuses (the file diff
+    # needs the anchor manifest), a retained anchor still reads
+    with pytest.raises(ValueError, match="vacuumed"):
+        S.read_changes(spark, root, 5)
+    assert [c[1] for c in _change_rows(S.read_changes(spark, root, 6))] == [7]
+    S.append(_df(spark, 14, 15), root, stats_cols=["i"])  # v8
+    S.vacuum(spark, root, keep_last=2)  # v6 expires -> its change files go
+    assert not any(fsio.exists(spark, f"{root}/{f}") for f in cfiles)
+    # disable is forward-only too
+    S.set_change_feed(spark, root, False)
+    assert not S.change_feed_enabled(spark, root)
+
+
+def test_multi_read_consistent_cross_table_cut(spark, root, tmp_path):
+    """r11 verdict task 6: multi_read pins each table to a cut in which
+    every decided cross-table transaction is uniformly included or
+    uniformly excluded across the read set — a reader never sees A's
+    half of a decided txn without B's (the x132 window, closed by
+    reader protocol like st33). Crash points enumerated; normal reads
+    (no in-flight txns) are unpinned."""
+    rb = str(tmp_path / "tableB")
+    S.append(_df(spark, 0, 2), root)          # A v1
+    S.append(_df(spark, 100, 102), rb)        # B v1
+    # no in-flight txns: pins == latest
+    pins = S.multi_read_versions(spark, [root, rb])
+    assert pins == {root: 1, rb: 1}
+    # decided txn T1, crash after publishing ONLY A
+    S.multi_stage([(_df(spark, 2, 3), root), (_df(spark, 102, 103), rb)], "t1")
+    fsio.create_text_atomic(
+        spark, f"{root}/_snapshots/mtxn-t1.json",
+        json.dumps({"txn_id": "t1", "roots": [root, rb]}),
+    )
+    S.publish_staged(spark, root, "mtxn-t1")  # A v2 = T1's half
+    S.append(_df(spark, 3, 4), root)          # A v3 (unrelated later write)
+    pins = S.multi_read_versions(spark, [root, rb])
+    assert pins == {root: 1, rb: 1}  # A pinned BELOW its T1 half
+    dfs = S.multi_read(spark, [root, rb])
+    assert _rows(dfs[root]) == [(0, "r0"), (1, "r1")]  # no torn T1
+    assert _rows(dfs[rb]) == [(100, "r100"), (101, "r101")]
+    # single-table read of A alone is NOT held back by B's missing half
+    # (cross-table consistency is a property of the read SET)
+    assert S.multi_read_versions(spark, [root])[root] == 1
+    # recovery completes T1: the cut advances to include both halves
+    assert S.multi_txn_recover(spark, root) == ["t1"]
+    pins = S.multi_read_versions(spark, [root, rb])
+    assert pins == {root: 3, rb: 2}
+    dfs = S.multi_read(spark, [root, rb])
+    assert (2, "r2") in _rows(dfs[root]) and (102, "r102") in _rows(dfs[rb])
+    # interleaved txns: T2 fully published, then T3 half-published ABOVE
+    # T2 on B but BELOW on A — lowering B's pin for T3 must not tear T2
+    S.multi_stage([(_df(spark, 4, 5), root), (_df(spark, 104, 105), rb)], "t2")
+    S.multi_stage([(_df(spark, 5, 6), root), (_df(spark, 105, 106), rb)], "t3")
+    fsio.create_text_atomic(
+        spark, f"{root}/_snapshots/mtxn-t3.json",
+        json.dumps({"txn_id": "t3", "roots": [root, rb]}),
+    )
+    S.publish_staged(spark, rb, "mtxn-t2")    # B v3 = T2
+    S.publish_staged(spark, rb, "mtxn-t3")    # B v4 = T3 (half: A missing)
+    S.publish_staged(spark, root, "mtxn-t2")  # A v4 = T2
+    pins = S.multi_read_versions(spark, [root, rb])
+    # T3 half forces B <= 3; T2 is then still uniformly included (A v4,
+    # B v3) — no cascade needed in this layout
+    assert pins == {root: 4, rb: 3}
+    dfs = S.multi_read(spark, [root, rb])
+    assert (4, "r4") in _rows(dfs[root]) and (104, "r104") in _rows(dfs[rb])
+    assert (5, "r5") not in _rows(dfs[root]) and (105, "r105") not in _rows(dfs[rb])
+    # cascade case: finish T3 on A, then a NEW half-published T4 lands
+    # on A above T3 but T3's B half... (already published) — instead
+    # pin-lowering interaction: T4 half on B only, published ABOVE T3
+    S.multi_txn_recover(spark, root)  # completes t3 everywhere
+    S.multi_stage([(_df(spark, 6, 7), root), (_df(spark, 106, 107), rb)], "t4")
+    fsio.create_text_atomic(
+        spark, f"{root}/_snapshots/mtxn-t4.json",
+        json.dumps({"txn_id": "t4", "roots": [root, rb]}),
+    )
+    S.publish_staged(spark, rb, "mtxn-t4")
+    pins = S.multi_read_versions(spark, [root, rb])
+    dfs = S.multi_read(spark, [root, rb])
+    # t3 uniformly included, t4 uniformly excluded
+    assert (5, "r5") in _rows(dfs[root]) and (105, "r105") in _rows(dfs[rb])
+    assert (6, "r6") not in _rows(dfs[root]) and (106, "r106") not in _rows(dfs[rb])
+
+
 def test_rename_column_metadata_only_across_eras(spark, root):
     """Rename is ONE metadata commit: zero data files written, old files
     resolve through the alias chain, new writes use the new name, stats
@@ -2927,6 +3142,77 @@ def test_compact_small_binpacks_only_slivers(spark, root):
     S.mor_delete(spark.createDataFrame([Row(i=0)]), root, keys=["i"])
     with pytest.raises(ValueError, match="MoR"):
         S.compact_small(spark, root, small_bytes=int(thr))
+
+
+def test_compact_small_clustered_zorder(spark, root):
+    """r11 verdict task 5 (incremental OPTIMIZE ZORDER BY): compact_small
+    (cluster_by=) bin-packs ONLY the sliver files and Z-orders the
+    rewritten output — right-sized files carry byte-identically, rows
+    are invariant (data_change:false), a 2-D box predicate plans fewer
+    files than the scattered slivers did, and a second run is a no-op
+    (the progress guard: merging must strictly reduce the file count)."""
+    # one big, already-right-sized file (a z-clustered corner) + 8
+    # scattered slivers, each spanning the WHOLE 2-D space
+    # footer overhead dominates tiny parquet files, so "big" must be big
+    # enough in ROWS to clear 2x a 60-row sliver in bytes
+    bigdf = spark.createDataFrame(
+        [(100000 + i, i % 5, i % 5) for i in range(20000)], "i int, x int, y int"
+    ).coalesce(1)
+    S.append(bigdf, root, stats_cols=["x", "y"])
+    for k in range(8):
+        sl = spark.createDataFrame(
+            [(k * 100 + j, (k * 100 + j) % 100, ((k * 100 + j) * 37) % 100)
+             for j in range(60)],
+            "i int, x int, y int",
+        ).coalesce(1)
+        S.append(sl, root, stats_cols=["x", "y"])
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    sizes = {f: m["stats"][f]["__bytes"] for f in m["files"]}
+    big_file = max(sizes, key=sizes.get)
+    slivers = [f for f in m["files"] if f != big_file]
+    assert len(slivers) == 8
+    # 2x the largest sliver: all 8 are slivers (big stays right-sized at
+    # ~6x), and the bin-packing target is ~2 slivers per output — at
+    # thr = max+1 the progress guard would correctly no-op (8 -> 8 files)
+    thr = 2 * max(sizes[f] for f in slivers)
+    assert S.compact_small(
+        spark, root, small_bytes=int(max(sizes[f] for f in slivers) + 1),
+        cluster_by=["x", "y"],
+    ) is None  # the guard: no merge that cannot reduce the file count
+    def xyrows(df):
+        return sorted((r.i, r.x, r.y) for r in df.collect())
+
+    before = xyrows(S.read_snapshot(spark, root))
+    _, planned_before, total_before = S.read_snapshot_pruned_multi(
+        spark, root, [("x", 0, 24), ("y", 0, 24)]
+    )
+    assert planned_before >= 9  # every scattered sliver + the big corner
+    v = S.compact_small(spark, root, small_bytes=int(thr), cluster_by=["x", "y"])
+    m2 = S._read_manifest(spark, root, v)
+    assert m2["data_change"] is False  # layout-only: rows invariant
+    assert big_file in m2["files"]  # right-sized file carried untouched
+    assert m2["stats"][big_file] == m["stats"][big_file]
+    assert xyrows(S.read_snapshot(spark, root)) == before
+    # locality: the clustered outputs cover disjoint z-rectangles, so
+    # the corner box plans a strict subset of the rewritten files
+    _, planned_after, total_after = S.read_snapshot_pruned_multi(
+        spark, root, [("x", 0, 24), ("y", 0, 24)]
+    )
+    n_new = len(m2["files"]) - 1  # minus the carried big file
+    assert 1 < n_new < 8  # genuinely bin-packed into fewer, multiple files
+    assert planned_after < planned_before
+    assert planned_after - 1 < n_new  # box does NOT touch every new file
+    # convergence: the progress guard (merge must strictly reduce the
+    # file count) bounds the loop — at fixture scale merged parquet
+    # shrinks below any byte threshold (footer overhead), so reach the
+    # fixpoint and pin that it IS one, rows invariant throughout
+    for _ in range(4):
+        if S.compact_small(spark, root, small_bytes=int(thr), cluster_by=["x", "y"]) is None:
+            break
+    assert S.compact_small(spark, root, small_bytes=int(thr), cluster_by=["x", "y"]) is None
+    mf = S._read_manifest(spark, root, S.latest_version(spark, root))
+    assert big_file in mf["files"] and mf["stats"][big_file] == m["stats"][big_file]
+    assert xyrows(S.read_snapshot(spark, root)) == before
 
 
 def test_ndv_stats_merge_equals_global_and_refusals(spark, root):
