@@ -1460,6 +1460,56 @@ def ann_retrain_cells(
     return new_seq
 
 
+def ann_consolidate_index(spark, path: str) -> int | None:
+    """Fold the accumulated per-cell retrain patches (r11 verdict task
+    7) into ONE patch dir: repeated :func:`ann_retrain_cells` runs leave
+    a ``data-p<seq>`` dir per retrain and the read plan pays one union
+    leg per outstanding patch — this maintenance job rewrites ONLY the
+    patched cells' rows (read straight from their owning dirs, the
+    primary is never touched) into a single consolidated dir, flips the
+    sidecar's patch list to the one entry, and leaves the superseded
+    dirs for :func:`ann_gc_index`. Routing, centroids, PQ codes and the
+    drift baseline are all content-invariant — this is layout
+    maintenance, the index serves identically before and after (the
+    ANN analog of x129's bin-packing). Returns the new mutation_seq,
+    or None with fewer than two outstanding patches (nothing to fold)."""
+    import json
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(f"unsupported ANN index format {meta.get('format')!r} at {path}")
+    patches = meta.get("patches") or []
+    if len(patches) < 2:
+        return None
+    df = None
+    all_cells: set[int] = set()
+    for p in patches:
+        cells = sorted(int(c) for c in p["cells"])
+        all_cells.update(cells)
+        leg = spark.read.parquet(f"{path}/{p['dir']}").filter(
+            F.col("cell_id").isin(cells)
+        )
+        df = leg if df is None else df.unionByName(leg)
+    new_seq = int(meta.get("mutation_seq", 0)) + 1
+    new_dir = f"data-p{new_seq}"
+    (
+        df.repartition(max(1, len(all_cells)), "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{path}/{new_dir}")
+    )
+    meta.update(
+        {
+            "patches": [{"dir": new_dir, "cells": sorted(all_cells)}],
+            "mutation_seq": new_seq,
+        }
+    )
+    # one-file publish, exactly like retrain: readers holding the old
+    # meta keep serving the old patch dirs until GC
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+    return new_seq
+
+
 def ann_gc_index(spark, path: str) -> list[str]:
     """Reclaim data directories SUPERSEDED by a retrain (the sidecar
     points elsewhere): every reader that loads from the current meta

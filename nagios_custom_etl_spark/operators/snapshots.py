@@ -3424,6 +3424,96 @@ def multi_abort(spark: SparkSession, roots: list[str], txn_id: str) -> None:
             pass  # this participant never staged (or already reclaimed)
 
 
+def _publish_version_of(spark: SparkSession, root: str, stage_id: str) -> int | None:
+    """Version whose commit published WAP stage ``stage_id`` on
+    ``root``, or None — publish_staged stamps the stage id into the
+    manifest, so this is an O(retained manifests) base-field scan."""
+    for v in reversed(_manifest_versions(spark, root)):
+        if _manifest_base_field(spark, root, v, "stage_id") == stage_id:
+            return v
+    return None
+
+
+def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]:
+    """Cross-table CONSISTENT CUT (r11 verdict task 6 — the reader-side
+    close of x132's A-before-B window, st33's protocol generalized):
+    pin each table in the read set to the highest version such that
+    every decided cross-table transaction is UNIFORMLY included or
+    uniformly excluded across the read set — a reader never sees table
+    A's half of a decided transaction without B's.
+
+    Decided-but-unretired transactions are the only torn-window source
+    (multi_commit retires the coordinator record after all publishes),
+    so the scan is over the coordinator records visible under the read
+    set's roots — normally zero, making the common case one metadata
+    listing per root on top of plain latest-version reads. For each
+    in-flight record, any participant whose half is inside the cut
+    while a sibling's (within the read set) is not gets pinned below
+    its half; lowering can expose a new tear of an interleaved
+    transaction, so the rule iterates to a fixpoint (pins only
+    decrease — terminates). Cross-table consistency is a property of
+    the read SET: a single-table read is never held back by a sibling
+    table it is not reading (single-table atomicity already holds)."""
+    rset = list(dict.fromkeys(roots))
+    pins = {r: latest_version(spark, r) for r in rset}
+    records = []
+    seen = set()
+    for r in rset:
+        if not fsio.exists(spark, _snap_dir(r)):
+            continue
+        for f in fsio.list_names(spark, _snap_dir(r)):
+            if f.startswith("mtxn-") and f.endswith(".json"):
+                rec = json.loads(fsio.read_text(spark, f"{_snap_dir(r)}/{f}"))
+                if rec["txn_id"] not in seen:
+                    seen.add(rec["txn_id"])
+                    records.append(rec)
+    if not records:
+        return pins
+    pubs_cache: dict[tuple[str, str], int | None] = {}
+
+    def pub(p: str, txn_id: str):
+        key = (p, txn_id)
+        if key not in pubs_cache:
+            pubs_cache[key] = _publish_version_of(spark, p, f"mtxn-{txn_id}")
+        return pubs_cache[key]
+
+    changed = True
+    while changed:
+        changed = False
+        for rec in records:
+            sub = [p for p in rec["roots"] if p in pins]
+            if len(sub) < 2:
+                continue  # reading at most one participant: nothing to tear
+            incl = {
+                p: (pub(p, rec["txn_id"]) is not None and pub(p, rec["txn_id"]) <= pins[p])
+                for p in sub
+            }
+            if any(incl.values()) and not all(incl.values()):
+                for p in sub:
+                    if incl[p]:
+                        pins[p] = pub(p, rec["txn_id"]) - 1
+                        changed = True
+    bad = [r for r, v in pins.items() if v <= 0]
+    if bad:
+        raise ValueError(
+            f"no consistent cut: every version of {bad[0]!r} carries a "
+            "half-published transaction — run multi_txn_recover first"
+        )
+    return pins
+
+
+def multi_read(spark: SparkSession, roots: list[str]) -> dict[str, DataFrame]:
+    """Snapshot-read every table in ``roots`` at the consistent cut
+    :func:`multi_read_versions` computes — the cross-table analog of a
+    single table's snapshot isolation. Conservative by design: a table
+    with a half-published transaction is read BELOW that half (later
+    unrelated commits on it are deferred too — a consistent cut is a
+    frontier, not a per-row filter); recovery advancing the transaction
+    advances the cut."""
+    pins = multi_read_versions(spark, roots)
+    return {r: read_snapshot(spark, r, pins[r]) for r in pins}
+
+
 def multi_txn_recover(spark: SparkSession, coord_root: str) -> list[str]:
     """Finish every DECIDED-but-unretired transaction whose coordinator
     record lives under ``coord_root`` — the recovery job a scheduler

@@ -10057,6 +10057,91 @@ def x127_ann_partial_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x139_ann_patch_consolidation",
+    oracle="""
+    -- Patch-dir consolidation (the ANN analog of x129's bin-packing):
+    -- after TWO per-cell retrains the read plan pays one union leg per
+    -- patch dir; ann_consolidate_index folds them into ONE dir owning
+    -- the union of the patched cells — rows read ONLY from the owning
+    -- patch dirs, the primary dir byte-identical, routing/codes/
+    -- baseline invariant (layout maintenance). Both invariants are
+    -- asserted INSIDE the query (loud-fail), and the planted
+    -- codeword-exact construction makes probe-all ADC search through
+    -- the consolidated index find exactly the planted matches.
+    """
+    + _PLANTED_PQ_ORACLE_TAIL,
+    doc="X139 ANN patch consolidation (r11 verdict task 7; operators/"
+    "similarity.py::ann_consolidate_index): repeated x127 per-cell "
+    "retrains accumulate data-p<seq> dirs and grow the sidecar patch "
+    "list; consolidation rewrites ONLY the patched cells' rows (read "
+    "straight from their owning dirs — never the primary) into one "
+    "consolidated dir, flips the sidecar patch list to a single entry "
+    "in one publish, and ann_gc_index reclaims the superseded dirs. "
+    "Content-invariant by construction: centroids, PQ codes and the "
+    "drift baseline are untouched — the index serves identically "
+    "before and after. 100 TB: O(patched-cell rows) per run, bounding "
+    "the read plan's union legs between full retrains.",
+)
+def x139_ann_patch_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_consolidate_index,
+        ann_gc_index,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_write_index,
+        ivf_build,
+        pq_encode,
+        pq_train,
+    )
+
+    planted = cache_once(_planted_pattern_embeddings(spark, sf_dir))
+    initial = planted.filter(F.col("vec_id") % 16 < 8)
+    arrivals = planted.filter(F.col("vec_id") % 16 >= 8)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id", n_cells=4, seed=11)
+    cb = pq_train(initial, "embedding", "vec_id", **_PLANTED_PQ)
+    codes = pq_encode(initial, "embedding", "vec_id", cb)
+    path = os.path.join(tempfile.gettempdir(), f"nagios_etl_x139_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding", codes, cb)
+    ann_append_to_index(spark, path, arrivals)
+    occ = (
+        ann_load_index(spark, path)
+        .table.groupBy("cell_id")
+        .count()
+        .orderBy(F.desc("count"), "cell_id")
+        .collect()  # bounded: n_cells rows
+    )
+    ranked = [int(r["cell_id"]) for r in occ]
+    ann_retrain_cells(spark, path, cells=sorted(ranked[:2]), seed=13)  # patch 1
+    ann_retrain_cells(spark, path, cells=[ranked[2]], seed=17)  # patch 2
+    primary_files = sorted(fsio.list_files_recursive(spark, f"{path}/data"))
+    n_before = ann_load_index(spark, path).table.count()
+    ann_consolidate_index(spark, path)
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    if len(meta.get("patches", [])) != 1:  # loud-fail invariants
+        raise AssertionError(f"consolidation left {meta.get('patches')} patches")
+    if sorted(fsio.list_files_recursive(spark, f"{path}/data")) != primary_files:
+        raise AssertionError("consolidation touched the primary dir")
+    ann_gc_index(spark, path)
+    idx = ann_load_index(spark, path)
+    if idx.table.count() != n_before:
+        raise AssertionError("consolidation changed the row count")
+    return (
+        idx.pq_search(_PLANTED_QUERY_VEC, k=12, n_probe=4)
+        .select("vec_id", F.round("adc_dist", 6).alias("adc_dist_r"))
+        .filter(F.col("adc_dist_r") == 0.0)
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "x129_small_file_compaction",
     oracle="""
     -- incremental OPTIMIZE (bin-packing): one big append + three
@@ -10545,6 +10630,170 @@ def x134_partitions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["value"], int(r["n_rows"]), bool(refused)) for r in rep],
         "value string, n_rows long, unpartitioned_refused boolean",
     ).orderBy("value")
+
+
+@register(
+    "x140_cdf_incremental_mv",
+    oracle="""
+    -- Incremental MV maintenance driven by the TABLE-LEVEL change feed
+    -- (x136 composed with the signed-delta MV algebra): a batch MERGE's
+    -- recorded transitions feed mv_apply_delta — postimages/inserts as
+    -- +1 rows, preimages/deletes as -1 rows — and the maintained view
+    -- must equal this full GROUP-BY recompute of the post-merge state,
+    -- the base table never re-scanned.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 7 AS BIGINT) AS g,
+             CAST(o_orderkey % 1000 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 10 = 6
+    ), state2 AS (
+      SELECT k, g, CASE WHEN k % 4 = 0 THEN v + 100 ELSE v END AS v FROM base
+      UNION ALL SELECT -k, g, 55 FROM base WHERE k % 9 = 0
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+    FROM state2 GROUP BY g ORDER BY g
+    """,
+    doc="X140 CDF-driven incremental MV (operators/merge.py::"
+    "mv_apply_delta consuming operators/snapshots.py::read_changes): "
+    "the batch-MERGE counterpart of st31's streaming MV maintenance — "
+    "with the table-level feed on, a MERGE's atomically-recorded "
+    "transitions ARE the signed delta (insert/update_postimage -> +1, "
+    "update_preimage/delete -> -1), so a downstream summary table "
+    "refreshes at O(transitions) cost with zero base re-scan and no "
+    "separate feed infrastructure. Equality with the full recompute is "
+    "the classic view-maintenance soundness claim. 100 TB: the delta "
+    "aggregate is |changes|-sized; the view join is |groups|-sized.",
+)
+def x140_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x140_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 6)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 7).cast("long").alias("g"),
+            (F.col("o_orderkey") % 1000).cast("long").alias("v"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base, root, stats_cols=["k"])  # v1
+    mv = mv_build(S.read_snapshot(spark, root, 1), ["g"], "n", {"sv": ("v", 38, 0)})
+    batch = (
+        base.filter(F.col("k") % 4 == 0).withColumn("v", F.col("v") + 100)
+    ).unionByName(
+        base.filter(F.col("k") % 9 == 0).select(
+            (-F.col("k")).alias("k"), F.col("g"), F.lit(55).cast("long").alias("v")
+        )
+    )
+    S.merge_commit(
+        root, batch, keys=["k"], prune_on="k",
+        when_matched_update={c: F.col(f"s.{c}") for c in ("k", "g", "v")},
+    )  # v2: transitions recorded atomically
+    feed = S.read_changes(spark, root, 1)  # (1, 2]: the merge's delta only
+    ins = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "g", "v")
+    dels = feed.filter(
+        F.col("_change_type").isin("update_preimage", "delete")
+    ).select("k", "g", "v")
+    maintained = mv_apply_delta(mv, ins, dels, ["g"], "n", {"sv": ("v", 38, 0)})
+    return maintained.select(
+        "g", F.col("n").cast("long").alias("n"), F.col("sv").cast("long").alias("sv")
+    ).orderBy("g")
+
+
+@register(
+    "x138_multi_read_consistency",
+    oracle="""
+    -- Cross-table consistent cut: with txn T decided and published on
+    -- table A only (planted crash), multi_read pins A BELOW its half —
+    -- 'before' sees exactly the pre-T contents of BOTH tables (A's
+    -- later unrelated append is deferred too: a cut is a frontier);
+    -- after recovery the cut advances to include T's both halves AND
+    -- the unrelated append. All four aggregates recompute literally.
+    WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey % 10 = 4),
+         b AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey % 10 = 4)
+    SELECT 'before' AS phase, 'a' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k FROM a
+    UNION ALL SELECT 'before', 'b', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM b
+    UNION ALL SELECT 'after', 'a', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      FROM (SELECT k FROM a UNION ALL SELECT -k FROM a
+            UNION ALL SELECT k + 10000000 FROM a)
+    UNION ALL SELECT 'after', 'b', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      FROM (SELECT k FROM b UNION ALL SELECT -k FROM b)
+    ORDER BY phase, tag
+    """,
+    doc="X138 cross-table read consistency (r11 verdict task 6; "
+    "operators/snapshots.py::multi_read/multi_read_versions): the "
+    "reader-side close of x132's A-before-B window — st33's "
+    "visibility protocol generalized to 2PC participants. Each table "
+    "in the read set is pinned to the highest version at which every "
+    "decided cross-table transaction is uniformly included or "
+    "uniformly excluded (iterated to a fixpoint: lowering one pin can "
+    "expose an interleaved transaction's tear), so a reader never "
+    "sees one table's half of a decided transaction without its "
+    "siblings'. Common case costs one metadata listing per root "
+    "(coordinator records are retired after commit). Single-table "
+    "reads are never held back — consistency is a property of the "
+    "read SET.",
+)
+def x138_multi_read_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_x138_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    ra, rb = f"{base}/a", f"{base}/b"
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 4)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+    )
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 4)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    )
+    S.append(a, ra)
+    S.append(b, rb)
+    S.multi_stage([(a.select((-F.col("k")).alias("k")), ra),
+                   (b.select((-F.col("k")).alias("k")), rb)], "rt")
+    # the decision landed, then the coordinator crashed after ONE publish
+    fsio.create_text_atomic(
+        spark, f"{ra}/_snapshots/mtxn-rt.json",
+        _json.dumps({"txn_id": "rt", "roots": [ra, rb]}),
+    )
+    S.publish_staged(spark, ra, "mtxn-rt")
+    S.append(a.select((F.col("k") + 10000000).alias("k")), ra)  # unrelated
+
+    def agg(df, phase, tag):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("sum_k"),
+        ).select(F.lit(phase).alias("phase"), F.lit(tag).alias("tag"), "n_rows", "sum_k")
+
+    cut = S.multi_read(spark, [ra, rb])
+    before_a, before_b = agg(cut[ra], "before", "a"), agg(cut[rb], "before", "b")
+    S.multi_txn_recover(spark, ra)
+    cut2 = S.multi_read(spark, [ra, rb])
+    after_a, after_b = agg(cut2[ra], "after", "a"), agg(cut2[rb], "after", "b")
+    return (
+        before_a.unionByName(before_b).unionByName(after_a).unionByName(after_b)
+        .orderBy("phase", "tag")
+    )
 
 
 @register(

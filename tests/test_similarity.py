@@ -908,6 +908,62 @@ def test_ann_retrain_cells_duplicate_heavy_end_to_end(spark, tmp_path):
     assert got <= set(range(50)) and len(got) == 5
 
 
+def test_ann_consolidate_index_folds_patches(spark, tmp_path):
+    """r11 verdict task 7: after >=2 per-cell retrains, consolidation
+    folds the patch dirs into ONE (rows read only from the owning patch
+    dirs), the primary stays byte-identical, routing/search/counts are
+    invariant, gc reclaims the superseded dirs, and <2 patches is a
+    no-op."""
+    import json
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_assign_cells,
+        ann_consolidate_index,
+        ann_gc_index,
+        ann_load_index,
+        ann_retrain_cells,
+        ann_write_index,
+    )
+
+    c0 = [3.0] + [0.3] * 7
+    c1 = [0.3, 3.0] + [0.3] * 6
+    c2 = [0.3, 0.3, 3.0] + [0.3] * 5
+    cents = [c0, c1, c2]
+    rows = [
+        (i, [v + 0.01 * (i % 7) for v in cents[i % 3]]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn("cell_id", ann_assign_cells(df, "embedding", cents))
+    path = str(tmp_path / "cons_idx")
+    ann_write_index(path, assigned, cents, "vec_id", "embedding")
+    assert ann_consolidate_index(spark, path) is None  # no patches yet
+    ann_retrain_cells(spark, path, cells=[0], seed=3)  # patch 1
+    assert ann_consolidate_index(spark, path) is None  # one patch: no-op
+    ann_retrain_cells(spark, path, cells=[2], seed=4)  # patch 2
+    before = sorted(
+        (r.vec_id, r.cell_id) for r in ann_load_index(spark, path).table.collect()
+    )
+    primary_files = sorted(fsio.list_files_recursive(spark, f"{path}/data"))
+    seq = ann_consolidate_index(spark, path)
+    meta = json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    assert seq == meta["mutation_seq"] == 3
+    assert [sorted(p["cells"]) for p in meta["patches"]] == [[0, 2]]  # ONE entry
+    assert meta["patches"][0]["dir"] == "data-p3"
+    # primary untouched; content invariant
+    assert sorted(fsio.list_files_recursive(spark, f"{path}/data")) == primary_files
+    idx = ann_load_index(spark, path)
+    assert sorted((r.vec_id, r.cell_id) for r in idx.table.collect()) == before
+    got = {r.vec_id for r in idx.exact_search(list(c1), k=5, n_probe=1).collect()}
+    assert got and all(v % 3 == 1 for v in got)  # cell-1 rows, untouched leg
+    # gc reclaims exactly the superseded patch dirs
+    reclaimed = ann_gc_index(spark, path)
+    assert sorted(reclaimed) == ["data-p1", "data-p2"]
+    assert ann_load_index(spark, path).table.count() == 120
+    # idempotent: one patch left -> no-op
+    assert ann_consolidate_index(spark, path) is None
+
+
 def test_ann_retrain_cells_lifecycle_guards(spark, tmp_path):
     """Patch lifecycle: a re-patch supersedes the previous patch entry
     and ann_gc_index reclaims the emptied dir; a FULL retrain clears

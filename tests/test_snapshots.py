@@ -2835,7 +2835,7 @@ def test_multi_read_consistent_cross_table_cut(spark, root, tmp_path):
     assert _rows(dfs[rb]) == [(100, "r100"), (101, "r101")]
     # single-table read of A alone is NOT held back by B's missing half
     # (cross-table consistency is a property of the read SET)
-    assert S.multi_read_versions(spark, [root])[root] == 1
+    assert S.multi_read_versions(spark, [root])[root] == 3
     # recovery completes T1: the cut advances to include both halves
     assert S.multi_txn_recover(spark, root) == ["t1"]
     pins = S.multi_read_versions(spark, [root, rb])
