@@ -2594,6 +2594,147 @@ def st31_cdc_change_feed_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st35_table_cdf_streaming_mv",
+    oracle="""
+    -- Streaming MERGE into a CHANGE-FEED-ENABLED table (x136) + a
+    -- downstream MV folded from the table-level feed: each micro-batch
+    -- merges keep-max-seq (order-free), the transitions are recorded
+    -- ATOMICALLY in the committing manifest (no feed-before-merge
+    -- window, no visibility gate, no second token), and the consumer
+    -- folds them version by version with signed-delta maintenance —
+    -- the MV must equal the GROUP-BY recompute of the final
+    -- latest-per-key state. replay_noop pins that re-running a
+    -- committed batch holds the table AND its feed still (one txn
+    -- token covers both, because they are one commit).
+    WITH c AS (
+      SELECT user_id % 40 AS k, event_id AS seq, value FROM events
+    ),
+    r AS (SELECT k, value,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM c),
+    live AS (SELECT k, value FROM r WHERE rn = 1)
+    SELECT CAST(k % 5 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(TRUE AS BOOLEAN) AS replay_noop
+    FROM live GROUP BY k % 5 ORDER BY g
+    """,
+    doc="ST-ext streaming MERGE with the TABLE-LEVEL change feed "
+    "driving an incremental MV (operators/snapshots.py::"
+    "set_change_feed/read_changes + merge_commit's atomic transition "
+    "recording, consumed with operators/merge.py::mv_apply_delta): "
+    "st31's chain rebuilt on x136 — the feed is not a second table a "
+    "sink crash-orders ahead of the merge; it IS part of the merge "
+    "commit (Delta AddCDCFile), so exactly-once needs ONE txn token "
+    "and the st33 visibility gate becomes unnecessary by construction. "
+    "Batches merge keep-max-seq (order-free under any interleaving); "
+    "the consumer folds read_changes version by version, never "
+    "re-scanning the base. 100 TB: per-trigger cost is O(batch + "
+    "files holding the batch's keys) on the write side and "
+    "O(transitions) on the read side.",
+)
+def st35_table_cdf_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+
+    base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st35_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root, ckpt = (
+        os.path.join(base, "src"),
+        os.path.join(base, "tab"),
+        os.path.join(base, "ckpt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("k"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    ev.withColumn("_b", F.col("seq") % 3).repartition(3, "_b").drop(
+        "_b"
+    ).write.parquet(src)
+    S.set_change_feed(spark, root, True)
+
+    def sink(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        token = f"st35-{batch_id}"
+        if S.txn_version(sp, root, token) is not None:
+            return  # replay: the merge AND its feed landed together
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("k").orderBy(F.desc("seq"))
+        delta = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        newer = F.col("s.seq") > F.col("t.seq")
+        S.merge_commit(
+            root,
+            delta,
+            keys=["k"],
+            when_matched_update={
+                c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                for c in ("k", "seq", "value")
+            },
+            prune_on="k",
+            stats_cols=["k", "seq"],
+            txn=token,
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    before = S.latest_version(spark, root)
+    committed = next(
+        b for b in range(3) if S.txn_version(spark, root, f"st35-{b}") is not None
+    )
+    sink(ev, committed)  # crash-recovery replay: one token guards BOTH
+    replay_noop = S.latest_version(spark, root) == before
+    # downstream consumer: fold the table-level feed, version by version
+    feed = S.read_changes(spark, root, 0)
+    versions = sorted(
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
+    )  # bounded: one per merge commit
+    grp = (F.col("k") % 5).alias("g")
+    mv = mv_build(
+        feed.limit(0).select(grp, "value"), ["g"], "n", {"sum_v": ("value", 18, 6)}
+    )
+    for v in versions:
+        ch = feed.filter(F.col("_commit_version") == v)
+        ins = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(grp, "value")
+        dels = ch.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).select(grp, "value")
+        mv = mv_apply_delta(
+            mv, ins, dels, ["g"], "n", {"sum_v": ("value", 18, 6)}
+        ).localCheckpoint()
+    return (
+        mv.select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_v").cast("double").alias("sum_v"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .orderBy("g")
+    )
+
+
+@register(
     "st32_scd2_change_feed",
     oracle="""
     -- SCD2 CHANGE DATA FEED: replaying the emitted transitions — per
