@@ -253,6 +253,112 @@ def test_vacuum_keeps_noncontiguous_versions_reconstructible(spark, root):
     assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(14)]
 
 
+@pytest.mark.parametrize("trial", [0, 1])
+def test_delta_log_random_op_sequences_reconstruct(spark, root, trial):
+    """Model-based randomized guard for the delta-log storage layer
+    (the column-mapping family's convention applied to r12's manifest
+    change): a random interleaving of append / overwrite / merge /
+    compact / compact_small / rollback / tag+vacuum must leave EVERY
+    retained version reconstructing to the model's expected rows — from
+    a cold cache (forced mid-sequence clears exercise checkpoint walks
+    and full delta chains), with metadata_count agreeing wherever it is
+    answerable and expired versions refusing."""
+    import random
+
+    rnd = random.Random(1000 + trial)
+    versions: dict[int, list] = {}  # retained version -> expected rows
+    tagged: set[int] = set()
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [(next_id + j, f"r{next_id + j}") for j in range(n)]
+        next_id += n
+        return rows
+
+    cur: list = []
+    for step in range(14):
+        op = rnd.choice(
+            ["append", "append", "append", "overwrite", "merge",
+             "compact", "compact_small", "rollback", "vacuum"]
+        )
+        if op == "append" or not versions:
+            rows = batch(rnd.randint(1, 4))
+            df = spark.createDataFrame(rows, "i int, s string").coalesce(
+                rnd.randint(1, 2)
+            )
+            v = S.append(df, root, stats_cols=["i"])
+            cur = cur + rows
+        elif op == "overwrite":
+            rows = batch(rnd.randint(1, 3))
+            v = S.overwrite(
+                spark.createDataFrame(rows, "i int, s string"), root,
+                stats_cols=["i"],
+            )
+            cur = list(rows)
+        elif op == "merge":
+            # keyed upsert: update up to 2 existing keys, insert 1 new
+            upd = rnd.sample(cur, min(2, len(cur))) if cur else []
+            ins = batch(1)
+            src = [(i, f"u{i}") for i, _ in upd] + ins
+            v = S.merge_commit(
+                root,
+                spark.createDataFrame(src, "i int, s string"),
+                keys=["i"],
+                prune_on="i",
+                when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+            )
+            m = {i: s for i, s in cur}
+            m.update({i: s for i, s in src})
+            cur = sorted(m.items())
+        elif op == "compact":
+            v = S.compact(spark, root)
+            if v is None:
+                continue
+        elif op == "compact_small":
+            v = S.compact_small(spark, root, small_bytes=1 << 20)
+            if v is None:
+                continue
+        elif op == "rollback":
+            if not versions:
+                continue
+            to = rnd.choice(sorted(versions))
+            v = S.rollback(spark, root, to)
+            cur = list(versions[to])
+        else:  # vacuum (tagging one survivor first half the time)
+            if rnd.random() < 0.5 and versions:
+                pin = rnd.choice(sorted(versions))
+                if pin not in tagged:
+                    S.create_tag(spark, root, f"pin{step}", version=pin)
+                    tagged.add(pin)
+            S.vacuum(spark, root, keep_last=2)
+            retained = set(S._manifest_versions(spark, root))
+            for gone in [x for x in versions if x not in retained]:
+                del versions[gone]
+            continue
+        versions[v] = sorted(set(cur))
+        cur = versions[v]
+        if rnd.random() < 0.4:
+            S._STATE_CACHE.clear()  # force cold reconstruction walks
+    S._STATE_CACHE.clear()
+    retained = set(S._manifest_versions(spark, root))
+    assert retained == set(versions) | {
+        x for x in retained if x not in versions
+    }  # every modeled version still listed is checked below
+    for v, expect in sorted(versions.items()):
+        if v not in retained:
+            continue
+        assert _rows(S.read_snapshot(spark, root, v)) == expect, f"v{v}"
+        m = S._read_manifest(spark, root, v)
+        assert sorted(m["files"]) == m["files"]  # canonical order kept
+        assert S.metadata_count(spark, root, version=v) == len(expect)
+    # expired versions refuse instead of resurrecting from the cache
+    expired = [x for x in range(1, max(retained)) if x not in retained]
+    if expired:
+        with pytest.raises(Exception):
+            S.read_snapshot(spark, root, expired[0]).collect()
+
+
 def test_repeated_vacuum_after_new_commits_is_safe(spark, root):
     """Regression: vacuum used to enumerate range(1, latest+1) and
     re-open manifests an earlier vacuum had removed -> FileNotFoundError
