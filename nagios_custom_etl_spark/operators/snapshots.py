@@ -234,6 +234,134 @@ def _ckpt_path(root: str, version: int) -> str:
     return f"{_snap_dir(root)}/ckpt-{version:08d}.json"
 
 
+# --- manifest-list sharding (r12 verdict task 2) -------------------------
+# A checkpoint of a table with >= _SHARD_MIN_FILES files is written as a
+# MANIFEST LIST (Iceberg's manifest-list/manifest split): the file
+# entries (paths + per-file stats + MoR seqs) land in _SHARD_SIZE-file
+# SHARD files clustered by path (partition dirs stay together) then by
+# the lead stats column's min, and the ckpt-*.json index holds only the
+# non-file fields plus, per shard, its file count and the [min, max]
+# ENVELOPE of every stats column whose bounds are known for ALL member
+# files (any unknown member -> no envelope -> conservative include).
+# Pruned reads (read_snapshot_pruned*) then parse ONLY the shards whose
+# envelopes intersect the predicate — shard exclusion is sound because
+# an envelope is the union of member ranges: a disjoint envelope implies
+# every member file would fail the same per-file check. Small tables
+# keep the inline single-JSON checkpoint (sharding two shards' worth of
+# files buys nothing).
+_SHARD_MIN_FILES = 2048  # >= 2 shards before sharding pays
+_SHARD_SIZE = 1024  # file entries per shard (~Iceberg manifest target)
+#: test-visible instrumentation: bytes of checkpoint/shard JSON parsed
+_CKPT_BYTES_READ = {"n": 0}
+
+
+def _shard_path(root: str, version: int, i: int) -> str:
+    return f"{_snap_dir(root)}/ckptshard-{version:08d}-{i:04d}.json"
+
+
+def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict) -> None:
+    """Write the full checkpoint for ``state`` at ``version`` —
+    create-if-absent, sharded into a manifest list when the file count
+    crosses ``_SHARD_MIN_FILES``. Shards land BEFORE the index file, and
+    the index create is the atomic publish point: a reader never sees an
+    index whose shards are missing, and a crash in between leaves only
+    orphan shard files (reclaimed when the version expires)."""
+    cp = _ckpt_path(root, version)
+    if fsio.exists(spark, cp):
+        return
+    files = state.get("files") or []
+    if len(files) < _SHARD_MIN_FILES:
+        try:
+            fsio.create_text_atomic(spark, cp, json.dumps(state))
+        except FileExistsError:
+            pass
+        return
+    stats = state.get("stats") or {}
+    seqs = state.get("seqs")
+
+    def cluster_key(f: str):
+        # partition dirs cluster together; within a dir, order by the
+        # lead stats column's min so shard envelopes stay tight on it.
+        # Clustering is a HEURISTIC (envelopes are correct under any
+        # order, only tightness varies) — str() keeps mixed-type keys
+        # comparable.
+        d, _, b = f.rpartition("/")
+        s = stats.get(f) or {}
+        lead = next((c for c in sorted(s) if not c.startswith("__")), None)
+        lo = s.get(lead, [None, None])[0] if lead else None
+        return (d, lead or "", lo is None, str(lo), b)
+
+    ordered = sorted(files, key=cluster_key)
+    shards_meta = []
+    for i in range(0, len(ordered), _SHARD_SIZE):
+        sub = ordered[i : i + _SHARD_SIZE]
+        shard: dict = {"files": sub, "stats": {f: stats[f] for f in sub if f in stats}}
+        if seqs is not None:
+            shard["seqs"] = {f: seqs[f] for f in sub if f in seqs}
+        ranges: dict = {}
+        cols = {
+            c
+            for f in sub
+            for c in (stats.get(f) or {})
+            if not c.startswith("__")
+        }
+        for c in sorted(cols):
+            ents = [(stats.get(f) or {}).get(c) for f in sub]
+            if all(e and e[0] is not None and e[1] is not None for e in ents):
+                ranges[c] = [min(e[0] for e in ents), max(e[1] for e in ents)]
+        idx = len(shards_meta)
+        try:
+            fsio.create_text_atomic(
+                spark, _shard_path(root, version, idx), json.dumps(shard)
+            )
+        except FileExistsError:
+            pass  # idempotent re-write (racing _ensure_checkpoint)
+        shards_meta.append(
+            {"path": f"ckptshard-{version:08d}-{idx:04d}.json",
+             "n_files": len(sub), "ranges": ranges}
+        )
+    index = {
+        "format": "ckpt-list-v1",
+        "base": {k: v for k, v in state.items() if k not in _DIFFED_KEYS},
+        "has_seqs": seqs is not None,
+        "shards": shards_meta,
+    }
+    try:
+        fsio.create_text_atomic(spark, cp, json.dumps(index))
+    except FileExistsError:
+        pass
+
+
+def _read_ckpt_text(spark: SparkSession, path: str) -> dict:
+    txt = fsio.read_text(spark, path)
+    _CKPT_BYTES_READ["n"] += len(txt)
+    return json.loads(txt)
+
+
+def _load_ckpt(spark: SparkSession, root: str, version: int) -> dict:
+    """Full logical state from a checkpoint — inline checkpoints load as
+    one JSON, manifest-list checkpoints merge every shard (full
+    reconstruction semantics unchanged; selective shard loading is the
+    pruned planners' job, :func:`_plan_pruned_state`)."""
+    obj = _read_ckpt_text(spark, _ckpt_path(root, version))
+    if obj.get("format") != "ckpt-list-v1":
+        return obj
+    state = dict(obj["base"])
+    files: list[str] = []
+    stats: dict = {}
+    seqs: dict = {}
+    for sm in obj["shards"]:
+        sh = _read_ckpt_text(spark, f"{_snap_dir(root)}/{sm['path']}")
+        files.extend(sh["files"])
+        stats.update(sh.get("stats") or {})
+        seqs.update(sh.get("seqs") or {})
+    state["files"] = sorted(files)
+    state["stats"] = stats
+    if obj.get("has_seqs"):
+        state["seqs"] = seqs
+    return state
+
+
 def _copy_json(o):
     if isinstance(o, dict):
         return {k: _copy_json(v) for k, v in o.items()}
@@ -313,7 +441,7 @@ def _state(spark: SparkSession, root: str, version: int) -> dict:
         return hit
     cp = _ckpt_path(root, version)
     if fsio.exists(spark, cp):
-        state = json.loads(fsio.read_text(spark, cp))
+        state = _load_ckpt(spark, root, version)
     else:
         raw = json.loads(fsio.read_text(spark, p))
         if raw.get("format") != _DELTA_FORMAT:
@@ -329,14 +457,9 @@ def _ensure_checkpoint(spark: SparkSession, root: str, version: int) -> None:
     vacuum calls this for every retained version BEFORE expiring older
     version files, so retained versions stay reconstructible however
     non-contiguous the survivor set (tags keep arbitrary old versions)."""
-    p = _ckpt_path(root, version)
-    if fsio.exists(spark, p):
+    if fsio.exists(spark, _ckpt_path(root, version)):
         return
-    state = _state(spark, root, version)
-    try:
-        fsio.create_text_atomic(spark, p, json.dumps(state))
-    except FileExistsError:
-        pass
+    _write_checkpoint(spark, root, version, _state(spark, root, version))
 
 
 def _manifest_base_field(spark: SparkSession, root: str, version: int, key: str):
@@ -351,6 +474,108 @@ def _manifest_base_field(spark: SparkSession, root: str, version: int, key: str)
 
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return _copy_json(_state(spark, root, version))
+
+
+def _shard_maybe(ranges: dict, preds: list[tuple]) -> bool:
+    """Can any file in a shard with column envelopes ``ranges`` satisfy
+    the conjunction ``preds``? Missing envelope -> conservative True."""
+    for col, lo, hi in preds:
+        r = ranges.get(col)
+        if r is not None and (r[1] < lo or r[0] > hi):
+            return False
+    return True
+
+
+def _plan_pruned_state(
+    spark: SparkSession, root: str, version: int, preds: list[tuple]
+) -> dict:
+    """Manifest-shaped planning state for the pruned readers, touching
+    O(intersecting shards + deltas above the base) checkpoint bytes
+    instead of reconstructing the full file list (r12 verdict task 2 —
+    the Iceberg manifest-list read path): ``files``/``stats``/``seqs``
+    hold only the CANDIDATE files (members of shards whose envelopes
+    intersect every predicate, plus every delta-added file), non-file
+    fields are exact, and ``_files_total`` carries the true table file
+    count (tracked arithmetically through the delta fold — a valid log
+    only removes present files and adds absent ones). Shard-level
+    exclusion is a strict subset of the per-file check the caller still
+    applies (an envelope is the union of member ranges), so the planned
+    file set is IDENTICAL to a full-reconstruction plan. A full state
+    already memoized in ``_STATE_CACHE`` short-circuits with zero IO —
+    warm processes never regress."""
+    p = _manifest_path(root, version)
+    key = (root, version, _file_ident(spark, p))
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        m = _copy_json(hit)
+        m["_files_total"] = len(m["files"])
+        return m
+    # walk down to the nearest base (checkpoint or full version file),
+    # collecting the delta records above it
+    chain: list[dict] = []
+    v = version
+    while True:
+        if fsio.exists(spark, _ckpt_path(root, v)):
+            base_obj = _read_ckpt_text(spark, _ckpt_path(root, v))
+            break
+        raw = json.loads(fsio.read_text(spark, _manifest_path(root, v)))
+        if raw.get("format") != _DELTA_FORMAT:
+            base_obj = raw
+            break
+        chain.append(raw)
+        v -= 1
+    chain.reverse()
+    files: dict[str, bool] = {}
+    stats: dict = {}
+    seqs: dict = {}
+    if base_obj.get("format") == "ckpt-list-v1":
+        fields = dict(base_obj["base"])
+        has_seqs = bool(base_obj.get("has_seqs"))
+        total = sum(sm["n_files"] for sm in base_obj["shards"])
+        for sm in base_obj["shards"]:
+            if not _shard_maybe(sm.get("ranges") or {}, preds):
+                continue  # provably no member can match: skip its bytes
+            sh = _read_ckpt_text(spark, f"{_snap_dir(root)}/{sm['path']}")
+            for f in sh["files"]:
+                files[f] = True
+            stats.update(sh.get("stats") or {})
+            seqs.update(sh.get("seqs") or {})
+    else:
+        # inline checkpoint or full manifest: all files are candidates
+        fields = {k: val for k, val in base_obj.items() if k not in _DIFFED_KEYS}
+        has_seqs = "seqs" in base_obj
+        total = len(base_obj.get("files") or [])
+        files = {f: True for f in base_obj.get("files") or []}
+        stats = dict(base_obj.get("stats") or {})
+        seqs = dict(base_obj.get("seqs") or {})
+    for d in chain:  # the exact _apply_delta fold, restricted to candidates
+        fields = dict(d["base"])
+        removed = d.get("files_removed", ())
+        total += len(d.get("files_added", ())) - len(removed)
+        for f in removed:
+            files.pop(f, None)
+            seqs.pop(f, None)
+        for f in d.get("files_added", ()):
+            files[f] = True
+        for f in d.get("stats_del", ()):
+            stats.pop(f, None)
+        for f, s in (d.get("stats_set") or {}).items():
+            if f in files:
+                stats[f] = s
+        if "seqs" in d:
+            has_seqs = True
+            for f in d["seqs"]["del"]:
+                seqs.pop(f, None)
+            for f, s in d["seqs"]["set"].items():
+                if f in files:
+                    seqs[f] = s
+    m = dict(fields)
+    m["files"] = sorted(files)
+    m["stats"] = {f: stats[f] for f in m["files"] if f in stats}
+    if has_seqs:
+        m["seqs"] = {f: seqs[f] for f in m["files"] if f in seqs}
+    m["_files_total"] = total
+    return m
 
 
 def _commit(
@@ -426,10 +651,7 @@ def _commit(
         _copy_json(manifest),
     )
     if version % _CKPT_EVERY == 0:
-        try:
-            fsio.create_text_atomic(spark, _ckpt_path(root, version), json.dumps(manifest))
-        except FileExistsError:
-            pass
+        _write_checkpoint(spark, root, version, manifest)
     return version
 
 
@@ -1084,18 +1306,39 @@ def mor_upsert(
             )
             pre = pruned.join(source.select(*keys), keys, "left_semi")
         cols = source.columns
-        pre_keys = pre.select(*keys)
+        pre_keys = pre.select(*keys).dropDuplicates(keys)
         posts = source.join(pre_keys, keys, "left_semi").withColumn(
             "_change_type", F.lit("update_postimage")
         )
         ins = source.join(pre_keys, keys, "left_anti").withColumn(
             "_change_type", F.lit("insert")
         )
-        pres = pre.select(*cols).withColumn(
-            "_change_type", F.lit("update_preimage")
+        # r12 ADVICE (low): a target holding DUPLICATE rows for a key
+        # (plain appends before the upsert) has N live pre-rows but the
+        # upsert writes ONE post-row — emitting N update_preimages
+        # against 1 update_postimage breaks multiset replay. Emit
+        # exactly one update_preimage per key (the lexicographically
+        # smallest row — deterministic) and the other N-1 removals as
+        # plain `delete` rows: replayed transitions (minus pres/deletes,
+        # plus posts/inserts) then equal the snapshot diff exactly. The
+        # window runs over the key-pruned matching rows only — O(batch-
+        # touched rows), never the table.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in cols])
+        ranked = pre.select(*cols).withColumn("_rn", F.row_number().over(w))
+        pres = (
+            ranked.filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        dup_dels = (
+            ranked.filter(F.col("_rn") > 1)
+            .drop("_rn")
+            .withColumn("_change_type", F.lit("delete"))
         )
         extra["change_files"] = _write_change_files(
-            posts.unionByName(ins).unionByName(pres), root
+            posts.unionByName(ins).unionByName(pres).unionByName(dup_dels), root
         )
     version = parent + 1
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
@@ -1137,7 +1380,7 @@ def read_snapshot_pruned(
     predicate touches and opening every footer in a million-object
     table."""
     v = latest_version(spark, root) if version is None else version
-    m = _read_manifest(spark, root, v)
+    m = _plan_pruned_state(spark, root, v, [(col, lo, hi)])
     stats = m.get("stats", {})
     spec = m.get("partition_spec") or []
     simple = _schema_types(m.get("schema") or []).get(col)
@@ -1179,13 +1422,14 @@ def read_snapshot_pruned(
         return True
 
     planned = [f for f in m["files"] if overlaps(f)]
+    total = m.get("_files_total", len(m["files"]))
     if not planned:
         df = read_snapshot(spark, root, v).limit(0)
-        return df, 0, len(m["files"])
+        return df, 0, total
     return (
         _live_view(spark, root, m, planned),
         len(planned),
-        len(m["files"]),
+        total,
     )
 
 
@@ -1210,7 +1454,7 @@ def read_snapshot_pruned_multi(
     if not preds:
         raise ValueError("no predicates: use read_snapshot for a full scan")
     v = latest_version(spark, root) if version is None else version
-    m = _read_manifest(spark, root, v)
+    m = _plan_pruned_state(spark, root, v, list(preds))
     stats = m.get("stats", {})
     spec = m.get("partition_spec") or []
     types = _schema_types(m.get("schema") or [])
@@ -1249,9 +1493,10 @@ def read_snapshot_pruned_multi(
         return True
 
     planned = [f for f in m["files"] if overlaps_all(f)]
+    total = m.get("_files_total", len(m["files"]))
     if not planned:
-        return read_snapshot(spark, root, v).limit(0), 0, len(m["files"])
-    return _live_view(spark, root, m, planned), len(planned), len(m["files"])
+        return read_snapshot(spark, root, v).limit(0), 0, total
+    return _live_view(spark, root, m, planned), len(planned), total
 
 
 def metadata_count(
@@ -1404,6 +1649,7 @@ def merge_commit(
     stats_cols: list[str] | None = None,
     txn: str | None = None,
     evolve: bool = False,
+    change_rows: DataFrame | None = None,
 ) -> int:
     """MERGE a change batch into the table's LATEST snapshot and publish
     the result as a new version — the snapshot-isolated form of the
@@ -1436,6 +1682,18 @@ def merge_commit(
     ``txn`` is the same idempotence token as :func:`append`'s —
     streaming foreachBatch merges (the CDC apply sink) record their
     batch id so a replayed batch is provably skippable.
+
+    ``change_rows`` (r12 verdict task 5) OVERRIDES the feed rows this
+    commit records when the table's change feed is on: callers whose
+    transition semantics differ from the physical merge — APPLY
+    CHANGES targets whose feed describes the CURRENT VIEW (tombstones
+    feed `delete`, stale rows feed nothing), SCD2 rebuilds whose feed
+    is interval transitions — pass their own precomputed rows (table
+    columns + ``_change_type`` [+ extras like ``_batch_id``]) and get
+    them committed ATOMICALLY in the same manifest as the merge: one
+    txn token covers table and feed, no feed-before-merge ordering, no
+    st33-style visibility gate. Refused when the feed is not enabled
+    (a silently dropped feed is worse than an error).
     Reference behavior: extract.py:115-132 — the flat-file in-place
     rewrite this replaces with transactional, file-pruned semantics.
     """
@@ -1451,6 +1709,12 @@ def merge_commit(
     if stats_cols is None and prune_on is not None:
         stats_cols = [prune_on]
     cdf = change_feed_enabled(spark, root)
+    if change_rows is not None and not cdf:
+        raise ValueError(
+            "change_rows passed but the change feed is not enabled on "
+            f"{root!r}: set_change_feed first (a silently dropped feed "
+            "is worse than an error)"
+        )
     last_err: Exception | None = None
     for _ in range(max_retries):
         parent = latest_version(spark, root)
@@ -1525,7 +1789,12 @@ def merge_commit(
             merged, root, stats_cols, spec
         )
         change_files = None
-        if cdf and parent > 0 and touched:
+        if change_rows is not None:
+            # caller-authored transitions (APPLY CHANGES / SCD2 feeds):
+            # recorded verbatim — and even when EMPTY (recorded-empty is
+            # a statement, unrecorded refuses at read)
+            change_files = _write_change_files(change_rows, root)
+        elif cdf and parent > 0 and touched:
             # transitions recorded atomically with the commit (Delta's
             # AddCDCFile): built from the same pruned target and the
             # same routing expressions, so the feed equals the table
@@ -1593,11 +1862,33 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     reachable: set[str] = set()
     for v in keep_versions:
         reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
+    # TWO-PASS (r12 ADVICE): collect every expired version's refs
+    # ASCENDING and BEFORE deleting any manifest — delta versions
+    # reconstruct through their ancestors, so a delete-as-you-go walk
+    # with a cold _STATE_CACHE crashes reading an expired delta whose
+    # expired parent was just removed (and, after the crash, every later
+    # vacuum too). A version left unreconstructible by a PREVIOUS
+    # crashed vacuum is tolerated: its refs are unknowable, so its data
+    # files may leak (reclaimable by orphan GC), but it is expired — its
+    # manifest still drops, restoring idempotence. Skipping refs never
+    # deletes a live file (deletion is ref-driven, not reachability-
+    # driven), so the tolerance is safe by construction.
+    expired = [v for v in versions if v not in keep_versions]
+    expired_refs: dict[int, set[str]] = {}
+    for v in expired:
+        try:
+            expired_refs[v] = _all_data_refs(_read_manifest(spark, root, v))
+        except Exception:
+            expired_refs[v] = set()
+    # expired sharded checkpoints: their ckptshard-* files go with the
+    # index (one listing, grouped by version)
+    shard_names: dict[int, list[str]] = {}
+    for name in fsio.list_names(spark, _snap_dir(root)):
+        if name.startswith("ckptshard-"):
+            shard_names.setdefault(int(name[10:18]), []).append(name)
     deleted = []
-    for v in versions:
-        if v in keep_versions:
-            continue
-        for f in _all_data_refs(_read_manifest(spark, root, v)):
+    for v in expired:
+        for f in expired_refs[v]:
             if f.startswith("..") or f.startswith("_branches/"):
                 # not this table's bytes: parent-owned (a branch's view of
                 # the source) or branch-owned (a fast-forwarded branch's
@@ -1610,6 +1901,8 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
         # expired versions' checkpoints go with them (every kept version
         # now carries its own)
         fsio.delete(spark, _ckpt_path(root, v), recursive=False)
+        for name in shard_names.get(v, ()):
+            fsio.delete(spark, f"{_snap_dir(root)}/{name}", recursive=False)
     return sorted(set(deleted))
 
 
@@ -1886,7 +2179,11 @@ def compact(
     stamped ``data_change: true`` + ``deletes_materialized`` (Delta:
     dataChange=false is legal only for OPTIMIZE) — incremental readers
     refuse to skip it; only pure layout rewrites carry the
-    skip-compactions marker.
+    skip-compactions marker. With the change feed enabled it also
+    records an EMPTY change-file list so :func:`read_changes` crosses
+    it without refusal (the materialized rows already fed their
+    pre-images at their mor_delete/mor_upsert commit — compaction is
+    logically row-preserving).
 
     ``cluster_by`` is OPTIMIZE ZORDER BY: before writing, rows are
     range-partitioned and sorted on a Morton interleave of the named
@@ -1943,6 +2240,21 @@ def compact(
         "data_change": True,
         "deletes_materialized": True,
     }
+    if m.get("deletes") and change_feed_enabled(spark, root):
+        # r12 verdict task 3 (CDF continuity): with the feed on, a
+        # delete-materializing compaction records an EMPTY change-file
+        # list — recorded-empty, not unrecorded, so read_changes crosses
+        # it without refusal and a long-lag feed consumer never needs a
+        # full resync. Empty is CORRECT, not a shortcut: the rows this
+        # rewrite physically drops already left the LOGICAL table at
+        # their mor_delete/mor_upsert commit (which recorded their
+        # pre-image `delete` rows in its own feed slice; read_snapshot
+        # applies pending deletes at every version, so the dead rows
+        # were never visible after that commit) — re-emitting them here
+        # would double-remove on multiset replay. Compaction is always
+        # logically row-preserving; data_change:true stays for FILE-diff
+        # consumers (read_incremental), which correctly still refuse.
+        extra["change_files"] = []
     return _commit(
         spark,
         root,
@@ -3357,6 +3669,20 @@ def _mtxn_path(coord_root: str, txn_id: str) -> str:
     return f"{_snap_dir(coord_root)}/mtxn-{txn_id}.json"
 
 
+def _norm_root(root: str) -> str:
+    """Canonical spelling of a table root for cross-record comparison
+    (r12 ADVICE): a coordinator record's ``roots`` must match
+    caller-passed roots however they were spelled — trailing slashes,
+    ``//`` and ``.`` segments collapse; a URI scheme is preserved."""
+    import posixpath
+
+    scheme, body = "", root
+    if "://" in root:
+        scheme, body = root.split("://", 1)
+        scheme += "://"
+    return scheme + posixpath.normpath(body)
+
+
 def multi_stage(
     batches: list[tuple[DataFrame, str]], txn_id: str,
     stats_cols: list[str] | None = None,
@@ -3387,7 +3713,19 @@ def multi_commit(spark: SparkSession, roots: list[str], txn_id: str) -> dict[str
     per-table commits stay independently atomic; cross-table snapshot
     isolation needs a shared catalog by definition), but no committed
     transaction can half-vanish and no unrecorded one can half-appear.
-    Returns {root: published version}."""
+    Returns {root: published version}.
+
+    The decision record is MIRRORED under every participant root
+    before any publish (r12 verdict task 1): the atomic decision point
+    stays the roots[0] create, the mirrors are advisory copies retired
+    together after the publishes — but because every mirror lands
+    BEFORE the first publish, any reader whose read set can see a
+    published half of this transaction is guaranteed to find a record
+    under one of ITS OWN roots, even when the coordinator root is
+    outside the read set (the torn-cut hole multi_read_versions'
+    scan-own-roots design otherwise had). A crash between the decision
+    and the mirrors leaves zero halves published — uniformly excluded,
+    no tear."""
     coord = _mtxn_path(roots[0], txn_id)
     record = {"txn_id": txn_id, "roots": list(roots), "decided_at": time.time()}
     fsio.mkdirs(spark, _snap_dir(roots[0]))
@@ -3395,9 +3733,22 @@ def multi_commit(spark: SparkSession, roots: list[str], txn_id: str) -> dict[str
         fsio.create_text_atomic(spark, coord, json.dumps(record))
     except FileExistsError:
         pass  # crash-resume: the decision already landed — finish it
+    for root in roots[1:]:
+        fsio.mkdirs(spark, _snap_dir(root))
+        try:
+            fsio.create_text_atomic(
+                spark, _mtxn_path(root, txn_id), json.dumps(record)
+            )
+        except FileExistsError:
+            pass  # crash-resume: mirror already landed
     out = {}
     for root in roots:
         out[root] = publish_staged(spark, root, f"mtxn-{txn_id}")
+    # retire mirrors first, the decision record last: a crash mid-
+    # retirement leaves records whose transaction is fully published —
+    # a reader's uniform-inclusion check then pins nothing (no tear)
+    for root in roots[1:]:
+        fsio.delete(spark, _mtxn_path(root, txn_id), recursive=False)
     fsio.delete(spark, coord, recursive=False)
     return out
 
@@ -3446,7 +3797,13 @@ def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]
     (multi_commit retires the coordinator record after all publishes),
     so the scan is over the coordinator records visible under the read
     set's roots — normally zero, making the common case one metadata
-    listing per root on top of plain latest-version reads. For each
+    listing per root on top of plain latest-version reads. The scan is
+    COMPLETE because multi_commit mirrors the decision record under
+    every participant root before publishing anything: a published half
+    inside the read set implies a record under that same root, even
+    when the coordinator root is not being read (r12 verdict task 1).
+    Record roots compare through :func:`_norm_root`, so spelling
+    variants (trailing slash, ``//``) cannot hide a participant. For each
     in-flight record, any participant whose half is inside the cut
     while a sibling's (within the read set) is not gets pinned below
     its half; lowering can expose a new tear of an interleaved
@@ -3456,6 +3813,7 @@ def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]
     table it is not reading (single-table atomicity already holds)."""
     rset = list(dict.fromkeys(roots))
     pins = {r: latest_version(spark, r) for r in rset}
+    nmap = {_norm_root(r): r for r in rset}
     records = []
     seen = set()
     for r in rset:
@@ -3481,7 +3839,11 @@ def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]
     while changed:
         changed = False
         for rec in records:
-            sub = [p for p in rec["roots"] if p in pins]
+            sub = [
+                nmap[_norm_root(p)]
+                for p in rec["roots"]
+                if _norm_root(p) in nmap
+            ]
             if len(sub) < 2:
                 continue  # reading at most one participant: nothing to tear
             incl = {
@@ -3572,10 +3934,22 @@ def partitions_report(
     segments (typed through the recorded schema, Hive-escaped values
     handled by the same parser pruning uses) and row counts sum the
     per-file ``__rows`` stats. Zero file opens — at a million files this
-    is the partition dashboard without the listing. Refused on
-    unpartitioned tables and under pending MoR deletes (counts would
-    include dead rows); files missing row stats refuse rather than
-    undercount."""
+    is the partition dashboard without the listing.
+
+    PER-ERA under spec evolution (r12 verdict task 4, replacing the
+    r11 refusal): a file written under an EARLIER partition spec keeps
+    its own era's ``col=val`` segments forever (files are immutable —
+    their paths self-describe the spec that wrote them, the same basis
+    the mixed-spec planner in transforms.py uses), so each report row
+    carries its era's column list in ``spec`` and rows group by
+    (spec, value) — a days→hours-evolved table reports BOTH eras'
+    values rather than refusing or mis-lumping old files into the NULL
+    partition. Files predating any partitioning report as the
+    ``spec: []`` row. Refused on unpartitioned tables (no current
+    spec) and under pending MoR deletes (counts would include dead
+    rows); files missing row stats refuse rather than undercount."""
+    from urllib.parse import unquote
+
     v = latest_version(spark, root) if version is None else version
     m = _read_manifest(spark, root, v)
     spec = m.get("partition_spec")
@@ -3588,30 +3962,24 @@ def partitions_report(
         )
     types = _schema_types(m.get("schema") or [])
     stats = m.get("stats", {})
-    _missing = object()  # distinct from None (__HIVE_DEFAULT_PARTITION__)
 
-    def part_value(f: str, col: str):
-        from urllib.parse import unquote
-
+    def typed(col: str, raw: str):
+        # Spark Hive-escapes special chars (':' -> '%3A') on disk; the
+        # REPORT must surface the logical value (the r8/r9 escaping
+        # lesson — segment-vs-segment comparisons may stay escaped,
+        # user-facing values must not)
+        raw = unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
         simple = types.get(col)
-        for seg in f.split("/")[1:-1]:
-            if seg.startswith(f"{col}="):
-                # Spark Hive-escapes special chars (':' -> '%3A') on
-                # disk; the REPORT must surface the logical value (the
-                # r8/r9 escaping lesson — segment-vs-segment comparisons
-                # may stay escaped, user-facing values must not)
-                raw = unquote(seg[len(col) + 1 :])
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    return None
-                try:
-                    if simple in ("tinyint", "smallint", "int", "bigint"):
-                        return int(raw)
-                    if simple in ("float", "double"):
-                        return float(raw)
-                except ValueError:
-                    return raw
-                return raw
-        return _missing
+        try:
+            if simple in ("tinyint", "smallint", "int", "bigint"):
+                return int(raw)
+            if simple in ("float", "double"):
+                return float(raw)
+        except ValueError:
+            return raw
+        return raw
 
     agg: dict = {}
     for f in m["files"]:
@@ -3621,32 +3989,33 @@ def partitions_report(
                 f"file {f!r} has no recorded row count; re-commit (compact) "
                 "to record it"
             )
-        vals = []
-        for col in spec:
-            pv = part_value(f, col)
-            if pv is _missing:
-                # r11 ADVICE: after partition-spec evolution (x119),
-                # old-era files carry a DIFFERENT segment name — lumping
-                # them into the NULL partition would be a wrong report,
-                # not a refusal
-                raise ValueError(
-                    f"file {f!r} has no '{col}=' path segment (written "
-                    "under an earlier partition spec); rewrite old-era "
-                    "files (compact) before reporting partitions, or "
-                    "query per era"
-                )
-            vals.append(pv)
-        key = vals[0] if len(spec) == 1 else tuple(vals)
-        e = agg.setdefault(key, {"n_files": 0, "n_rows": 0})
+        # the file's OWN era: every `name=value` segment in path order
+        # ('=' inside values is Hive-escaped to %3D, so the first '='
+        # always splits name from value)
+        segs = [
+            tuple(seg.split("=", 1))
+            for seg in f.split("/")[1:-1]
+            if "=" in seg
+        ]
+        cols = tuple(n for n, _ in segs)
+        vals = tuple(typed(n, raw) for n, raw in segs)
+        e = agg.setdefault((cols, vals), {"n_files": 0, "n_rows": 0})
         e["n_files"] += 1
         e["n_rows"] += int(s["__rows"])
 
-    def sort_key(k):
-        ks = k if isinstance(k, tuple) else (k,)
-        return tuple((v is None, v) for v in ks)
+    def sort_key(kv):
+        cols, vals = kv[0]
+        return (cols, tuple((x is None, x) for x in vals))
 
+    # single-level rows report the scalar value (the pre-x135 shape);
     # multi-level specs report the composite value as a per-level list
     return [
-        {"value": list(k) if isinstance(k, tuple) else k, **v2}
-        for k, v2 in sorted(agg.items(), key=lambda kv: sort_key(kv[0]))
+        {
+            "spec": list(cols),
+            "value": (
+                None if not vals else vals[0] if len(vals) == 1 else list(vals)
+            ),
+            **counts,
+        }
+        for (cols, vals), counts in sorted(agg.items(), key=sort_key)
     ]

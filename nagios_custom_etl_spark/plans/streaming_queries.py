@@ -2768,7 +2768,12 @@ def st35_table_cdf_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY k, valid_from
     """,
     doc="ST-ext SCD2 change data feed (streaming/ops.py::scd2_cdc_sink("
-    "changes_root=)): st31's Delta-CDF convention adapted to intervals "
+    "inline_feed=True) — ported r13 to the x136 IN-MANIFEST convention "
+    "per the r12 verdict: the interval transitions commit as change "
+    "files of the rebuild's own merge, ONE txn token covering history "
+    "and feed, consumers read read_changes(root) directly — no "
+    "feed-before-merge window, no visibility gate): st31's Delta-CDF "
+    "convention adapted to intervals "
     "— per batch the NET effect of the touched-key rebuild on the "
     "stored history is appended to a change log keyed on (key, "
     "valid_from): new version rows as 'insert' (late events slot into "
@@ -2794,10 +2799,9 @@ def st32_scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st32_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
-    src, root, chroot, ckpt = (
+    src, root, ckpt = (
         os.path.join(base, "src"),
         os.path.join(base, "tab"),
-        os.path.join(base, "chg"),
         os.path.join(base, "ckpt"),
     )
     ev = load_table(spark, sf_dir, "events").select(
@@ -2810,7 +2814,7 @@ def st32_scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_b"
     ).write.parquet(src)
     sink = scd2_cdc_sink(
-        root, key="k", seq_col="seq", op_col="op", changes_root=chroot
+        root, key="k", seq_col="seq", op_col="op", inline_feed=True
     )
     q = (
         spark.readStream.schema(ev.schema)
@@ -2822,21 +2826,21 @@ def st32_scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
-    before = (S.latest_version(spark, root), S.latest_version(spark, chroot))
+    before = S.latest_version(spark, root)
     committed = next(
         b for b in range(3) if S.txn_version(spark, root, f"scd2-batch-{b}") is not None
     )
-    sink(ev, committed)  # crash-recovery replay: BOTH tables must hold still
-    replay_noop = (
-        S.latest_version(spark, root),
-        S.latest_version(spark, chroot),
-    ) == before
-    feed = S.read_snapshot(spark, chroot)
+    # crash-recovery replay: ONE commit covers history and feed, so one
+    # token check holds both still
+    sink(ev, committed)
+    replay_noop = S.latest_version(spark, root) == before
+    feed = S.read_changes(spark, root, 0)  # the in-manifest feed
     n_pre = feed.filter(F.col("_change_type") == "update_preimage").count()
     n_post = feed.filter(F.col("_change_type") == "update_postimage").count()
     paired = n_pre == n_post and n_pre > 0
-    # replay: per (key, valid_from) the LAST batch's applied row wins
-    w = Window.partitionBy("k", "valid_from").orderBy(F.desc("_batch_id"))
+    # replay: per (key, valid_from) the LAST commit's applied row wins
+    # (_commit_version is the in-manifest feed's batch axis)
+    w = Window.partitionBy("k", "valid_from").orderBy(F.desc("_commit_version"))
     recon = (
         feed.filter(F.col("_change_type").isin("insert", "update_postimage"))
         .withColumn("_rn", F.row_number().over(w))
@@ -3036,7 +3040,10 @@ def st33_cdc_visibility_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ST-ext maintained temporal join from the SCD2 change feed "
     "(st32's downstream consumer — the 'temporal joins at delta cost' "
     "promise): the dimension history is maintained by scd2_cdc_sink("
-    "changes_root=); a fact-enrichment table keyed (k, fseq) is then "
+    "inline_feed=True) — the x136 in-manifest feed, read back via "
+    "read_changes with _commit_version as the batch axis (r12 verdict "
+    "task 5: one atomic commit per batch covers history and feed); a "
+    "fact-enrichment table keyed (k, fseq) is then "
     "maintained batch-by-batch FROM THE FEED — each feed batch names "
     "the touched keys, only those keys' facts re-enrich (semi-join + "
     "as-of range join against the file-pruned touched history), and "
@@ -3056,10 +3063,9 @@ def st34_scd2_temporal_join_maintenance(spark: SparkSession, sf_dir: str) -> Dat
 
     base = os.path.join(tempfile.gettempdir(), f"nagios_etl_st34_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
-    src, droot, chroot, jroot, ckpt = (
+    src, droot, jroot, ckpt = (
         os.path.join(base, "src"),
         os.path.join(base, "dim"),
-        os.path.join(base, "chg"),
         os.path.join(base, "join"),
         os.path.join(base, "ckpt"),
     )
@@ -3079,7 +3085,7 @@ def st34_scd2_temporal_join_maintenance(spark: SparkSession, sf_dir: str) -> Dat
         "_b"
     ).write.parquet(src)
     sink = scd2_cdc_sink(
-        droot, key="k", seq_col="seq", op_col="op", changes_root=chroot
+        droot, key="k", seq_col="seq", op_col="op", inline_feed=True
     )
     q = (
         spark.readStream.schema(dim.schema)
@@ -3091,18 +3097,20 @@ def st34_scd2_temporal_join_maintenance(spark: SparkSession, sf_dir: str) -> Dat
         .start()
     )
     q.awaitTermination(120)
-    # feed-driven maintenance: per batch, only the touched keys' facts
-    # re-enrich against the (file-pruned) touched history
-    feed = S.read_snapshot(spark, chroot)
+    # feed-driven maintenance: per feed commit, only the touched keys'
+    # facts re-enrich against the (file-pruned) touched history — the
+    # in-manifest feed's batch axis is the commit version
+    feed = S.read_changes(spark, droot, 0)
     batch_ids = sorted(
-        r["_batch_id"] for r in feed.select("_batch_id").distinct().collect()
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
     )  # bounded: one per micro-batch
 
     def maintain(b: int) -> None:
         token = f"tj-batch-{b}"
         if S.txn_version(spark, jroot, token) is not None:
             return
-        touched = feed.filter(F.col("_batch_id") == b).select("k").distinct()
+        touched = feed.filter(F.col("_commit_version") == b).select("k").distinct()
         if touched.isEmpty():
             return
         aff = facts.join(touched, "k", "left_semi")

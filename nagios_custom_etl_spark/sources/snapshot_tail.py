@@ -120,6 +120,19 @@ def _load_state(fs, base: str, version: int) -> dict:
         cp = f"{base}/{_SNAP_DIR}/ckpt-{v:08d}.json"
         if _fs_exists(fs, cp):
             state = _read_json(fs, cp)
+            if state.get("format") == "ckpt-list-v1":
+                # manifest-list checkpoint (r13): merge the shards —
+                # this source diffs FILE SETS version to version, so it
+                # needs the full list, not the stats (which stay in the
+                # shards it also parses; cheap relative to the data IO
+                # the new files it emits will cost)
+                merged = dict(state["base"])
+                files: list = []
+                for sm in state["shards"]:
+                    sh = _read_json(fs, f"{base}/{_SNAP_DIR}/{sm['path']}")
+                    files.extend(sh["files"])
+                merged["files"] = sorted(files)
+                state = merged
             break
         m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
         if m.get("format") != "delta-v1":

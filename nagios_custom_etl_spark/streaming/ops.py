@@ -568,6 +568,7 @@ def cdc_apply_sink(
     prune_on: str | None = None,
     changes_root: str | None = None,
     evolve: bool = False,
+    inline_feed: bool = False,
 ):
     """foreachBatch sink applying a CDC stream of keyed UPSERTS and
     DELETES into a snapshot table — Delta Live Tables' APPLY CHANGES
@@ -620,12 +621,27 @@ def cdc_apply_sink(
     Crash-safe ordering: the change-log append
     (its own txn token) lands BEFORE the merge commit; a replay skips
     whichever halves already landed and recomputes identical content
-    (the pre-image read re-pins the same parent)."""
+    (the pre-image read re-pins the same parent).
+
+    ``inline_feed=True`` (r12 verdict task 5) records the SAME
+    view-semantic transition rows as in-manifest CHANGE FILES of the
+    merge commit itself (the x136 convention, via merge_commit's
+    ``change_rows``): table and feed are ONE atomic commit under ONE
+    txn token, so there is no feed-before-merge window at all and the
+    st33 visibility gate is unnecessary by construction — consumers
+    read :func:`~..operators.snapshots.read_changes` on the target
+    directly. The separate ``changes_root`` convention remains for
+    existing tables; the two are mutually exclusive."""
     from pyspark.sql import Window
 
     from nagios_custom_etl_spark.operators import snapshots as S
 
-    if evolve and changes_root is not None:
+    if inline_feed and changes_root is not None:
+        raise ValueError(
+            "inline_feed and changes_root are mutually exclusive: pick "
+            "the in-manifest convention (x136) or the separate feed table"
+        )
+    if evolve and (changes_root is not None or inline_feed):
         raise ValueError(
             "evolve=True with a change feed is not supported: the "
             "pre-image fetch cannot project columns the stored rows "
@@ -643,7 +659,7 @@ def cdc_apply_sink(
             .drop("_rn")
         )
 
-    def _emit_changes(spark, delta: DataFrame, batch_id: int, chg_token: str) -> None:
+    def _compute_changes(spark, delta: DataFrame, batch_id: int) -> DataFrame:
         cols = delta.columns
         parent = S.latest_version(spark, root)
         if parent > 0:
@@ -690,12 +706,9 @@ def cdc_apply_sink(
             .otherwise(F.lit("update_preimage"))
             .alias("_change_type"),
         )
-        changes = post_rows.unionByName(pre_rows).withColumn(
+        return post_rows.unionByName(pre_rows).withColumn(
             "_batch_id", F.lit(int(batch_id)).cast("long")
         )
-        # an all-stale batch appends a zero-row version carrying the
-        # token — exactly what a replay wants to find
-        S.append(changes, changes_root, txn=chg_token)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -708,7 +721,21 @@ def cdc_apply_sink(
         if changes_root is not None and S.txn_version(
             spark, changes_root, f"{token}-chg"
         ) is None:
-            _emit_changes(spark, delta, batch_id, f"{token}-chg")
+            # separate-table convention: the change-log append lands
+            # BEFORE the merge under its own token; an all-stale batch
+            # appends a zero-row version carrying the token — exactly
+            # what a replay wants to find
+            S.append(
+                _compute_changes(spark, delta, batch_id),
+                changes_root,
+                txn=f"{token}-chg",
+            )
+        chg = None
+        if inline_feed:
+            # in-manifest convention (x136): one commit = table + feed,
+            # no ordering, no gate. Idempotent enable (forward-only).
+            S.set_change_feed(spark, root, True)
+            chg = _compute_changes(spark, delta, batch_id)
         newer = F.col(f"s.{seq_col}") > F.col(f"t.{seq_col}")
         # whole-row keep-max-seq: matched -> source row iff strictly
         # newer (ties keep target, which makes replays no-ops even
@@ -731,6 +758,7 @@ def cdc_apply_sink(
             # so evolved columns flow; rows whose stored version predates
             # the column read back NULL until a newer change lands
             evolve=evolve,
+            change_rows=chg,
         )
         _record_cdc_hwm(spark, root, txn_prefix, batch_id)
 
@@ -853,6 +881,7 @@ def scd2_cdc_sink(
     op_col: str,
     txn_prefix: str = "scd2-batch",
     changes_root: str | None = None,
+    inline_feed: bool = False,
 ):
     """foreachBatch sink maintaining an SCD TYPE 2 history table from a
     keyed CDC stream — DLT's APPLY CHANGES ... STORED AS SCD TYPE 2,
@@ -906,12 +935,26 @@ def scd2_cdc_sink(
     unchanged parent snapshot. The transition computation costs
     O(touched histories): it compares the rebuild (already in hand)
     against the same file-pruned touched-history read the rebuild
-    itself used — no extra table scan."""
+    itself used — no extra table scan.
+
+    ``inline_feed=True`` (r12 verdict task 5) records the same interval
+    transitions as in-manifest CHANGE FILES of the rebuild's own merge
+    commit (the x136 convention via merge_commit's ``change_rows``):
+    history and feed are ONE atomic commit under ONE txn token — no
+    feed-before-merge ordering, no visibility gate; consumers read
+    :func:`~..operators.snapshots.read_changes` on the history table
+    directly. Mutually exclusive with ``changes_root``."""
     from pyspark.sql import Window
 
     from nagios_custom_etl_spark.operators import snapshots as S
 
-    def _emit_transitions(rebuilt, stored, batch_id: int, chg_token: str) -> None:
+    if inline_feed and changes_root is not None:
+        raise ValueError(
+            "inline_feed and changes_root are mutually exclusive: pick "
+            "the in-manifest convention (x136) or the separate feed table"
+        )
+
+    def _compute_transitions(rebuilt, stored, batch_id: int) -> DataFrame:
         # NET effect of the rebuild on the stored history, keyed on
         # (key, valid_from): new version rows insert; stored versions
         # whose derived interval changed (a neighbor arrived) emit a
@@ -954,13 +997,7 @@ def scd2_cdc_sink(
                     .withColumn("_change_type", F.lit("update_postimage"))
                 )
             )
-        # an all-duplicate batch appends a zero-row version carrying the
-        # token — exactly what a replay wants to find
-        S.append(
-            changes.withColumn("_batch_id", F.lit(int(batch_id)).cast("long")),
-            changes_root,
-            txn=chg_token,
-        )
+        return changes.withColumn("_batch_id", F.lit(int(batch_id)).cast("long"))
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1006,7 +1043,19 @@ def scd2_cdc_sink(
         if changes_root is not None and S.txn_version(
             spark, changes_root, f"{token}-chg"
         ) is None:
-            _emit_transitions(rebuilt, stored_touched, batch_id, f"{token}-chg")
+            # separate-table convention: feed-first under its own token;
+            # an all-duplicate batch appends a zero-row version carrying
+            # the token — exactly what a replay wants to find
+            S.append(
+                _compute_transitions(rebuilt, stored_touched, batch_id),
+                changes_root,
+                txn=f"{token}-chg",
+            )
+        chg = None
+        if inline_feed:
+            # in-manifest convention (x136): one commit = history + feed
+            S.set_change_feed(spark, root, True)
+            chg = _compute_transitions(rebuilt, stored_touched, batch_id)
         S.merge_commit(
             root,
             rebuilt,
@@ -1017,6 +1066,7 @@ def scd2_cdc_sink(
             prune_on=key,
             stats_cols=[key],
             txn=token,
+            change_rows=chg,
         )
         _record_cdc_hwm(spark, root, txn_prefix, batch_id)
 

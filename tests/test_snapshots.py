@@ -253,8 +253,8 @@ def test_vacuum_keeps_noncontiguous_versions_reconstructible(spark, root):
     assert _rows(S.read_snapshot(spark, root)) == [(i, f"r{i}") for i in range(14)]
 
 
-@pytest.mark.parametrize("trial", [0, 1])
-def test_delta_log_random_op_sequences_reconstruct(spark, root, trial):
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_delta_log_random_op_sequences_reconstruct(spark, root, trial, monkeypatch):
     """Model-based randomized guard for the delta-log storage layer
     (the column-mapping family's convention applied to r12's manifest
     change): a random interleaving of append / overwrite / merge /
@@ -262,8 +262,16 @@ def test_delta_log_random_op_sequences_reconstruct(spark, root, trial):
     retained version reconstructing to the model's expected rows — from
     a cold cache (forced mid-sequence clears exercise checkpoint walks
     and full delta chains), with metadata_count agreeing wherever it is
-    answerable and expired versions refusing."""
+    answerable and expired versions refusing. Trial 2 shrinks the shard
+    constants so every checkpoint the sequence writes (vacuum-time and
+    periodic) takes the r13 MANIFEST-LIST form — the same model then
+    fuzzes sharded reconstruction, shard reclaim, and the sharded
+    pruned-planner (probed below against the full plan)."""
     import random
+
+    if trial == 2:
+        monkeypatch.setattr(S, "_SHARD_MIN_FILES", 4)
+        monkeypatch.setattr(S, "_SHARD_SIZE", 2)
 
     rnd = random.Random(1000 + trial)
     versions: dict[int, list] = {}  # retained version -> expected rows
@@ -352,6 +360,22 @@ def test_delta_log_random_op_sequences_reconstruct(spark, root, trial):
         m = S._read_manifest(spark, root, v)
         assert sorted(m["files"]) == m["files"]  # canonical order kept
         assert S.metadata_count(spark, root, version=v) == len(expect)
+        # sharded pruned planner == full plan (same candidates superset
+        # contract, same total) at every retained version
+        if expect:
+            lo = expect[0][0]
+            hi = expect[min(2, len(expect) - 1)][0]
+            S._STATE_CACHE.clear()
+            pm = S._plan_pruned_state(spark, root, v, [("i", lo, hi)])
+            assert pm["_files_total"] == len(m["files"])
+            assert set(pm["files"]) <= set(m["files"])
+            got = sorted(
+                (r.i, r.s)
+                for r in S.read_snapshot_pruned(spark, root, "i", lo, hi, version=v)[0]
+                .filter(F.col("i").between(lo, hi))
+                .collect()
+            )
+            assert got == [e for e in expect if lo <= e[0] <= hi], f"pruned v{v}"
     # expired versions refuse instead of resurrecting from the cache
     expired = [x for x in range(1, max(retained)) if x not in retained]
     if expired:
@@ -374,6 +398,147 @@ def test_repeated_vacuum_after_new_commits_is_safe(spark, root):
     S.append(_df(spark, 6, 7), root)
     assert _rows(S.read_snapshot(spark, root)) == [(4, "r4"), (5, "r5"), (6, "r6")]
     assert isinstance(deleted, list)
+
+
+def test_vacuum_cold_cache_expired_deltas_below_expired_full(spark, root):
+    """r12 ADVICE (high): with delta-logged manifests and a COLD
+    _STATE_CACHE, vacuum used to reconstruct each expired version AFTER
+    deleting earlier expired versions' manifests — an expired delta
+    below an expired full manifest (appends preceding an overwrite)
+    crashed mid-vacuum reading its already-deleted parent, and every
+    later vacuum failed the same way. Two-pass vacuum collects every
+    expired version's refs before deleting anything."""
+    for lo in (0, 2, 4):
+        S.append(_df(spark, lo, lo + 2), root)  # v1..v3 (v2, v3 deltas)
+    S.overwrite(_df(spark, 10, 14), root)  # v4 (full)
+    S.append(_df(spark, 14, 16), root)  # v5 (delta)
+    S.append(_df(spark, 16, 18), root)  # v6 (delta)
+    S._STATE_CACHE.clear()  # a fresh process: nothing warmed by commits
+    deleted = S.vacuum(spark, root, keep_last=2)
+    assert S._manifest_versions(spark, root) == [5, 6]
+    # v1..v3's data files (rows 0..5) are unreachable from v5/v6 and gone
+    assert len(deleted) >= 3
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in range(10, 18)
+    ]
+    # idempotent: immediate re-vacuum on the survivor tail is a no-op
+    S._STATE_CACHE.clear()
+    assert S.vacuum(spark, root, keep_last=2) == []
+
+
+def test_vacuum_recovers_after_crashed_predecessor(spark, root):
+    """A vacuum that crashed mid-delete (expired parent manifest gone,
+    expired delta child still present, no checkpoint at the child) must
+    not wedge the table: the unreconstructible expired version's refs
+    are skipped (files may leak to orphan GC) and its manifest drops."""
+    for lo in (0, 2, 4):
+        S.append(_df(spark, lo, lo + 2), root)  # v1..v3
+    S.overwrite(_df(spark, 10, 12), root)  # v4
+    S.append(_df(spark, 12, 14), root)  # v5
+    # simulate the old bug's crash point: v1's manifest deleted, v2 (a
+    # delta on v1) left behind, cache cold
+    fsio.delete(spark, S._manifest_path(root, 1), recursive=False)
+    S._STATE_CACHE.clear()
+    S.vacuum(spark, root, keep_last=2)
+    assert S._manifest_versions(spark, root) == [4, 5]
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in range(10, 14)
+    ]
+    # table keeps working: append + another vacuum
+    S.append(_df(spark, 14, 15), root)
+    S._STATE_CACHE.clear()
+    S.vacuum(spark, root, keep_last=1)
+    assert _rows(S.read_snapshot(spark, root)) == [
+        (i, f"r{i}") for i in range(10, 15)
+    ]
+
+
+def test_sharded_checkpoint_pruned_read_parses_fewer_bytes(
+    spark, root, monkeypatch
+):
+    """r12 verdict task 2 (manifest-list sharding): a big table's
+    checkpoint splits into range-enveloped shard files; pruned reads
+    parse ONLY intersecting shards (strictly fewer checkpoint bytes
+    than full reconstruction) while planning the IDENTICAL file set,
+    with the true files_total tracked through the delta fold."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    # 16 range-partitioned files: tight, disjoint per-file [min, max]
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 502).coalesce(1), root, stats_cols=["i"])  # v2 (delta)
+    S._ensure_checkpoint(spark, root, 2)
+    names = fsio.list_names(spark, f"{root}/_snapshots")
+    assert any(n.startswith("ckptshard-00000002-") for n in names)
+    S.append(_df(spark, 600, 602).coalesce(1), root, stats_cols=["i"])  # v3 (delta)
+    # pruned read, cold cache: bytes parsed strictly fewer than full
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 10, 25)
+    pruned_bytes = S._CKPT_BYTES_READ["n"]
+    got = sorted(r.i for r in df.filter(F.col("i").between(10, 25)).collect())
+    assert got == list(range(10, 26))
+    assert 0 < planned < total and total == 18
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    m_full = S._read_manifest(spark, root, 3)
+    full_bytes = S._CKPT_BYTES_READ["n"]
+    assert len(m_full["files"]) == 18
+    assert 0 < pruned_bytes < full_bytes
+    # planned set identical to a full-reconstruction per-file plan
+    stats = m_full.get("stats", {})
+    expect = [
+        f
+        for f in m_full["files"]
+        if not (
+            (s := stats.get(f, {}).get("i"))
+            and s[0] is not None
+            and (s[1] < 10 or s[0] > 25)
+        )
+    ]
+    assert planned == len(expect)
+    # the pure-python snapshot_tail mirror merges shards identically
+    from nagios_custom_etl_spark.sources import snapshot_tail as T
+
+    tfs, tbase = T._open_fs(root)
+    assert T._load_state(tfs, tbase, 2)["files"] == S._read_manifest(
+        spark, root, 2
+    )["files"]
+    # vacuum reclaims an expired version's shards with its checkpoint
+    S.vacuum(spark, root, keep_last=1)
+    names = fsio.list_names(spark, f"{root}/_snapshots")
+    assert not any(n.startswith("ckptshard-00000002-") for n in names)
+    assert any(n.startswith("ckptshard-00000003-") for n in names)
+    assert sorted(
+        r.i for r in S.read_snapshot(spark, root).filter(F.col("i") >= 500).collect()
+    ) == [500, 501, 600, 601]
+
+
+def test_sharded_checkpoint_mor_pruned_read_applies_deletes(
+    spark, root, monkeypatch
+):
+    """Sharded checkpoints carry per-file MoR seqs in their shards: a
+    pruned read planned through intersecting shards still applies the
+    pending equality deletes (the seqs slice covers every candidate)."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 120).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(12, "i"), root, stats_cols=["i"])  # v1
+    S.mor_delete(
+        spark.createDataFrame([Row(i=12), Row(i=14)]), root, keys=["i"]
+    )  # v2: pending deletes
+    S._ensure_checkpoint(spark, root, 2)
+    S._STATE_CACHE.clear()
+    df, planned, total = S.read_snapshot_pruned(spark, root, "i", 10, 20)
+    assert planned < total
+    got = sorted(r.i for r in df.filter(F.col("i").between(10, 20)).collect())
+    assert got == [10, 11, 13, 15, 16, 17, 18, 19, 20]
 
 
 def test_merge_commit_insert_then_newer_wins_update(spark, root):
@@ -2859,6 +3024,144 @@ def test_change_feed_mor_paths_and_replay(spark, root):
     assert sorted(state.items()) == _rows(S.read_snapshot(spark, root))
 
 
+def test_change_feed_mor_upsert_duplicate_key_multiplicity(spark, root):
+    """r12 ADVICE (low): a target holding DUPLICATE rows for a key
+    (plain appends) upserted via mor_upsert must record a feed whose
+    MULTISET replay equals the snapshot diff — one update_preimage per
+    key (deterministic: lexicographically smallest row) plus N-1
+    `delete` rows, one update_postimage."""
+    import collections
+
+    S.set_change_feed(spark, root, True)
+    S.append(_df(spark, 0, 3), root, stats_cols=["i"])  # v1: i=0,1,2
+    S.append(
+        spark.createDataFrame(
+            [Row(i=1, s="dupA"), Row(i=1, s="dupB")], "i int, s string"
+        ),
+        root, stats_cols=["i"],
+    )  # v2: key 1 now has 3 live rows (r1, dupA, dupB)
+    S.mor_upsert(
+        spark.createDataFrame([Row(i=1, s="ONE")], "i int, s string"),
+        root, keys=["i"], stats_cols=["i"],
+    )  # v3
+    v3 = [c for c in _change_rows(S.read_changes(spark, root, 2)) if c[1] == 3]
+    by_type = collections.Counter(c[0] for c in v3)
+    assert by_type == {"update_preimage": 1, "update_postimage": 1, "delete": 2}
+    # deterministic pre: the lexicographically smallest matching row
+    assert [c for c in v3 if c[0] == "update_preimage"][0][2:] == (1, "dupA")
+    assert sorted(c[2:] for c in v3 if c[0] == "delete") == [(1, "dupB"), (1, "r1")]
+    # multiset replay over the full feed == final table contents
+    state = collections.Counter(_rows(S.read_snapshot(spark, root, 2)))
+    for ctype, _v, i, s in v3:
+        if ctype in ("insert", "update_postimage"):
+            state[(i, s)] += 1
+        else:  # delete / update_preimage remove one instance
+            state[(i, s)] -= 1
+    assert sorted(state.elements()) == _rows(S.read_snapshot(spark, root))
+
+
+def test_change_feed_across_materializing_compaction(spark, root):
+    """r12 verdict task 3: with the feed on, a compaction that
+    materializes pending MoR deletes records the killed rows as
+    `delete` change files in its own commit — a long-lag feed consumer
+    whose range crosses the compaction replays without refusal, and the
+    multiset replay equals the final table. Feed-OFF tables keep the
+    refusal (no silently wrong feeds)."""
+    import collections
+
+    S.set_change_feed(spark, root, True)
+    S.append(_df(spark, 0, 5), root, stats_cols=["i"])  # v1
+    S.mor_delete(
+        spark.createDataFrame([Row(i=1), Row(i=3)]), root, keys=["i"]
+    )  # v2: MoR delete (already feeds its pre-images)
+    v3 = S.compact(spark, root)  # v3: materializes the deletes
+    assert v3 == 3
+    m3 = S._read_manifest(spark, root, 3)
+    assert m3.get("deletes_materialized") and "change_files" in m3
+    S.append(_df(spark, 10, 12), root, stats_cols=["i"])  # v4
+    # long-lag consumer: full range crossing the compaction, no refusal
+    feed = _change_rows(S.read_changes(spark, root, 0))
+    # v3 contributes NOTHING: the killed rows already left the logical
+    # table at v2 (mor_delete recorded their pre-images there) — a
+    # re-emit at v3 would double-remove on multiset replay
+    assert [c for c in feed if c[1] == 3] == []
+    # multiset replay over the whole feed equals the final table
+    state: collections.Counter = collections.Counter()
+    for ctype, _v, i, s in sorted(feed, key=lambda c: c[1]):
+        if ctype in ("insert", "update_postimage"):
+            state[(i, s)] += 1
+        elif ctype in ("delete", "update_preimage"):
+            state[(i, s)] -= 1
+    assert sorted(state.elements()) == _rows(S.read_snapshot(spark, root))
+
+
+def test_cdc_inline_feed_atomic_no_window(spark, root, monkeypatch):
+    """r12 verdict task 5: cdc_apply_sink(inline_feed=True) records its
+    view-semantic transitions as change files of the merge commit
+    ITSELF — one txn token covers table and feed, so (1) a replayed
+    batch holds both still with a single check, and (2) a batch whose
+    merge commit CRASHES leaves no visible feed row at all (the st33
+    feed-before-merge window cannot exist by construction: the change
+    files are unreachable until the manifest lands)."""
+    from nagios_custom_etl_spark.streaming.ops import cdc_apply_sink, cdc_current
+
+    ddl = "k int, seq int, op string, v string"
+    sink = cdc_apply_sink(root, keys=["k"], seq_col="seq", op_col="op",
+                          inline_feed=True)
+    sink(spark.createDataFrame([(1, 1, "U", "a"), (2, 1, "U", "b")], ddl), 0)
+    sink(
+        spark.createDataFrame(
+            [(1, 2, "U", "a2"), (2, 2, "D", None), (3, 2, "U", "c")], ddl
+        ),
+        1,
+    )
+    feed = S.read_changes(spark, root, 0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r.k, r.v)
+        for r in feed.collect()
+    )
+    assert rows == [
+        (1, "insert", 1, "a"),
+        (1, "insert", 2, "b"),
+        (2, "delete", 2, "b"),          # winning tombstone carries OLD values
+        (2, "insert", 3, "c"),
+        (2, "update_postimage", 1, "a2"),
+        (2, "update_preimage", 1, "a"),
+    ]
+    # replay: ONE commit covers table + feed — one version check proves
+    # both halves held still
+    before = S.latest_version(spark, root)
+    sink(spark.createDataFrame([(1, 2, "U", "a2")], ddl), 1)
+    assert S.latest_version(spark, root) == before
+    # crash: the merge commit dies -> NO feed row becomes visible (the
+    # change files were written but no manifest references them)
+    real_commit = S._commit
+
+    def dying_commit(spark_, root_, files, op, parent, *a, **kw):
+        if op == "merge":
+            raise RuntimeError("simulated crash at the commit point")
+        return real_commit(spark_, root_, files, op, parent, *a, **kw)
+
+    monkeypatch.setattr(S, "_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink(spark.createDataFrame([(1, 3, "U", "a3")], ddl), 2)
+    monkeypatch.setattr(S, "_commit", real_commit)
+    assert S.latest_version(spark, root) == before
+    assert S.read_changes(spark, root, 0).count() == 6  # nothing leaked
+    # crash recovery: re-running the batch lands table + feed together
+    sink(spark.createDataFrame([(1, 3, "U", "a3")], ddl), 2)
+    v3 = [
+        (r["_change_type"], r.k, r.v)
+        for r in S.read_changes(spark, root, before).collect()
+    ]
+    assert sorted(v3) == [
+        ("update_postimage", 1, "a3"), ("update_preimage", 1, "a2")
+    ]
+    assert sorted((r.k, r.v) for r in cdc_current(spark, root).collect()) == [
+        (1, "a3"), (3, "c")
+    ]
+
+
 def test_change_feed_derived_ops_refusals_and_vacuum(spark, root):
     """Derived legs (replace_partitions/overwrite file diffs), the
     forward-only enablement refusal, compaction skipping, and vacuum:
@@ -2981,6 +3284,103 @@ def test_multi_read_consistent_cross_table_cut(spark, root, tmp_path):
     # t3 uniformly included, t4 uniformly excluded
     assert (5, "r5") in _rows(dfs[root]) and (105, "r105") in _rows(dfs[rb])
     assert (6, "r6") not in _rows(dfs[root]) and (106, "r106") not in _rows(dfs[rb])
+
+
+def test_multi_read_coordinator_outside_read_set(spark, root, tmp_path):
+    """r12 verdict task 1 + ADVICE (medium): a decided 3-root txn whose
+    coordinator record lives under A crashes after publishing B only —
+    a reader of [B, C] (coordinator root NOT in the read set) must
+    still see a consistent cut. multi_commit now mirrors the decision
+    record under EVERY participant root before any publish, so the
+    reader's own-roots scan finds it."""
+    ra, rb, rc = root, str(tmp_path / "tB"), str(tmp_path / "tC")
+    S.append(_df(spark, 0, 2), ra)
+    S.append(_df(spark, 100, 102), rb)
+    S.append(_df(spark, 200, 202), rc)
+    S.multi_stage(
+        [(_df(spark, 2, 3), ra), (_df(spark, 102, 103), rb), (_df(spark, 202, 203), rc)],
+        "t9",
+    )
+    # simulate multi_commit crashing after publishing B only: decision
+    # record + mirrors (all land before the first publish), then B's half
+    rec = {"txn_id": "t9", "roots": [ra, rb, rc]}
+    for r in (ra, rb, rc):
+        fsio.create_text_atomic(
+            spark, f"{r}/_snapshots/mtxn-t9.json", json.dumps(rec)
+        )
+    S.publish_staged(spark, rb, "mtxn-t9")  # B v2 = t9's half
+    pins = S.multi_read_versions(spark, [rb, rc])
+    assert pins == {rb: 1, rc: 1}  # B pinned BELOW its half: no torn cut
+    dfs = S.multi_read(spark, [rb, rc])
+    assert (102, "r102") not in _rows(dfs[rb])
+    assert (202, "r202") not in _rows(dfs[rc])
+    # recovery from a MIRROR root (not the coordinator) completes t9
+    assert S.multi_txn_recover(spark, rb) == ["t9"]
+    pins = S.multi_read_versions(spark, [rb, rc])
+    assert pins == {rb: 2, rc: 2}
+    dfs = S.multi_read(spark, [rb, rc])
+    assert (102, "r102") in _rows(dfs[rb]) and (202, "r202") in _rows(dfs[rc])
+    # all records retired everywhere
+    for r in (ra, rb, rc):
+        assert not fsio.exists(spark, f"{r}/_snapshots/mtxn-t9.json")
+
+
+def test_multi_read_pins_over_mor_branch_tag_state(spark, root, tmp_path):
+    """r12 verdict task 7: the consistent cut composes with the rest of
+    the table state — a participant pinned BELOW a half-published txn
+    still reads through its pinned version's pending MoR deletes (the
+    anti-join is part of read_snapshot at every version), a tag on the
+    pinned version is orthogonal (retention only), and a BRANCH root is
+    just another root in the read set (branches are tables)."""
+    ra, rb = root, str(tmp_path / "tB")
+    S.append(_df(spark, 0, 4), ra, stats_cols=["i"])  # A v1
+    S.mor_delete(spark.createDataFrame([Row(i=1)]), ra, keys=["i"])  # A v2
+    S.create_tag(spark, ra, "pin2", 2)
+    S.append(_df(spark, 100, 102), rb)  # B v1
+    # decided txn half-published on A only (coordinator + mirrors land
+    # before the publish, the multi_commit contract)
+    S.multi_stage([(_df(spark, 50, 51), ra), (_df(spark, 150, 151), rb)], "t7")
+    rec = {"txn_id": "t7", "roots": [ra, rb]}
+    for r in (ra, rb):
+        fsio.create_text_atomic(
+            spark, f"{r}/_snapshots/mtxn-t7.json", json.dumps(rec)
+        )
+    S.publish_staged(spark, ra, "mtxn-t7")  # A v3 = t7's half
+    pins = S.multi_read_versions(spark, [ra, rb])
+    assert pins == {ra: 2, rb: 1}
+    dfs = S.multi_read(spark, [ra, rb])
+    # the pinned read of A v2 APPLIES its pending MoR delete (i=1 gone)
+    assert _rows(dfs[ra]) == [(0, "r0"), (2, "r2"), (3, "r3")]
+    assert _rows(dfs[rb]) == [(100, "r100"), (101, "r101")]
+    # recovery advances the cut; MoR state carries through the publish
+    S.multi_txn_recover(spark, rb)
+    dfs = S.multi_read(spark, [ra, rb])
+    assert (50, "r50") in _rows(dfs[ra]) and (1, "r1") not in _rows(dfs[ra])
+    assert (150, "r150") in _rows(dfs[rb])
+    # a branch root participates like any table (it IS a root)
+    S.create_branch(spark, ra, "dev")
+    broot = f"{ra}/_branches/dev"
+    pins2 = S.multi_read_versions(spark, [broot, rb])
+    assert set(pins2) == {broot, rb}
+    assert (1, "r1") not in _rows(S.multi_read(spark, [broot, rb])[broot])
+
+
+def test_multi_read_record_root_spelling_normalized(spark, root, tmp_path):
+    """r12 ADVICE: a record whose roots were spelled with a trailing
+    slash (or //) must still match the caller's spelling — otherwise a
+    decided half-published txn hides from the uniform-inclusion check."""
+    rb = str(tmp_path / "tB")
+    S.append(_df(spark, 0, 2), root)
+    S.append(_df(spark, 100, 102), rb)
+    S.multi_stage([(_df(spark, 2, 3), root), (_df(spark, 102, 103), rb)], "t8")
+    rec = {"txn_id": "t8", "roots": [root + "/", rb + "//"]}  # odd spellings
+    for r in (root, rb):
+        fsio.create_text_atomic(
+            spark, f"{r}/_snapshots/mtxn-t8.json", json.dumps(rec)
+        )
+    S.publish_staged(spark, root, "mtxn-t8")  # A's half only
+    pins = S.multi_read_versions(spark, [root, rb])
+    assert pins == {root: 1, rb: 1}  # pinned despite the spelling skew
 
 
 def test_rename_column_metadata_only_across_eras(spark, root):
@@ -3633,9 +4033,10 @@ def test_table_history_and_partitions_report(spark, root, tmp_path):
     ]
     with pytest.raises(ValueError, match="unpartitioned"):
         S.partitions_report(spark, root)
-    # r11 ADVICE: after partition-spec EVOLUTION the old-era files lack
-    # the current spec's segment — refuse (a wrong report lumping them
-    # into the NULL row is worse than no report), like the other guards
+    # r12 verdict task 4 (replacing the r11 refusal): after
+    # partition-spec EVOLUTION each file's path self-describes its own
+    # era's spec — the report shows BOTH eras' values, each row tagged
+    # with its era's column list, never lumping old files into NULL
     eroot = str(tmp_path / "etab")
     S.append(
         spark.createDataFrame([(1, "a", "x")], "i int, p1 string, p2 string"),
@@ -3648,8 +4049,11 @@ def test_table_history_and_partitions_report(spark, root, tmp_path):
         partition_by="p2",
         allow_spec_change=True,
     )
-    with pytest.raises(ValueError, match="earlier partition spec"):
-        S.partitions_report(spark, eroot)
+    erep = S.partitions_report(spark, eroot)
+    assert [(r["spec"], r["value"], r["n_rows"]) for r in erep] == [
+        (["p1"], "a", 1),
+        (["p2"], "y", 1),
+    ]
     S.mor_delete(spark.createDataFrame([Row(i=1)]), proot, keys=["i"])
     with pytest.raises(ValueError, match="MoR"):
         S.partitions_report(spark, proot)
