@@ -52,6 +52,78 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    pred,
+    k: int = 10,
+    assigned: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+    n_probe: int = 4,
+    selectivity: float | None = None,
+    pre_threshold: float = 0.05,
+) -> tuple[DataFrame, str]:
+    """FILTERED vector search: top-k by cosine among the rows satisfying
+    a metadata predicate ``pred`` — the retrieval shape every RAG/search
+    stack needs ("nearest docs WHERE lang='en' AND quality > t"). Two
+    strategies, picked by predicate selectivity (the classic vector-DB
+    decision), returned alongside the result:
+
+    * ``prefilter`` (selective predicate, or no index supplied): filter
+      first, EXACT brute-force top-k over the survivors. At 100 TB a
+      0.1 %-selective predicate leaves ~10^8 rows — one pruned scan +
+      TakeOrdered heap, no index needed, exact by construction. The
+      filter reaches the parquet scan (Catalyst pushdown), composing
+      with partition/stats pruning when the predicate column is a
+      partition or stats column.
+    * ``probe`` (unselective predicate over an IVF index): probe the
+      ``n_probe`` nearest cells and apply the predicate IN the probed
+      scan — pred evaluates before the top-k truncation, so no
+      expanded-k dance is needed and recall degrades exactly like
+      unfiltered IVF (cells, not candidates, are what is approximated;
+      probing all cells recovers the exact filtered answer, pinned in
+      tests).
+
+    ``selectivity`` should come from table stats at scale (a metadata
+    NDV/count estimate); when None it is measured with one bounded
+    count — fine interactively, wasteful inside a serving loop. The
+    probe path's ``assigned`` must CARRY the predicate columns
+    (ivf_build keeps only id/vector/cell_id — join the metadata back on
+    the id, or persist the index with the metadata columns, the x52
+    persisted-index shape)."""
+    import math
+
+    if selectivity is None:
+        total = df.count()
+        selectivity = df.filter(pred).count() / max(total, 1)
+    if assigned is None or centroids is None or selectivity <= pre_threshold:
+        return (
+            cosine_topk(df.filter(pred), vec_col, id_col, query_vec, k),
+            "prefilter",
+        )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda c: -_cos(centroids[c], query_vec)
+    )[:n_probe]
+    q = F.lit(query_vec).cast("array<double>")
+    out = (
+        assigned.filter(F.col("cell_id").isin(probe))
+        .filter(pred)
+        .select(F.col(id_col), cosine(vec_col, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+    return out, "probe"
+
+
 def cosine_topk_join(
     vectors: DataFrame,
     queries: DataFrame,

@@ -11439,3 +11439,172 @@ def x144_multi_read_coordinator_mirror(spark: SparkSession, sf_dir: str) -> Data
         .unionByName(after_c)
         .orderBy("phase", "tag")
     )
+
+
+@register(
+    "x145_table_sql_surface",
+    oracle="""
+    -- SQL-string surface over the table layer (r12 verdict missing
+    -- item 4): MERGE INTO (source-wins star form, key-pruned),
+    -- snapshot views per version bridging into plain Spark SQL,
+    -- DESCRIBE HISTORY and SHOW PARTITIONS — each routed 1:1 onto the
+    -- Python API. n1 = per-partition counts at VERSION AS OF 1 (the
+    -- pre-merge base), n2 = post-merge counts via SHOW PARTITIONS;
+    -- history_ok pins the op sequence, vacuumed pins that OPTIMIZE
+    -- ZORDER + VACUUM RETAIN 1 VERSIONS reclaimed the old files.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS g,
+             CAST(o_orderkey % 1000 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 10 = 8
+    ), merged AS (
+      SELECT k, g, CASE WHEN k % 3 = 0 THEN v + 100 ELSE v END AS v FROM base
+      UNION ALL SELECT -k, g, CAST(55 AS BIGINT) FROM base WHERE k % 9 = 0
+    )
+    SELECT b.g,
+           CAST(b.n AS BIGINT) AS n1,
+           CAST(m.n AS BIGINT) AS n2,
+           CAST(SUM_v AS BIGINT) AS sv2,
+           CAST(TRUE AS BOOLEAN) AS history_ok,
+           CAST(TRUE AS BOOLEAN) AS vacuumed
+    FROM (SELECT g, COUNT(*) AS n FROM base GROUP BY g) b
+    JOIN (SELECT g, COUNT(*) AS n, SUM(v) AS SUM_v FROM merged GROUP BY g) m
+      USING (g)
+    ORDER BY g
+    """,
+    doc="X145 table-format SQL surface (operators/table_sql.py::"
+    "table_sql — r12 verdict 'What's missing' item 4): a regex-routed "
+    "mini-dialect giving the Delta-habituated user SQL strings for the "
+    "table layer — MERGE INTO ... UPDATE SET */INSERT * (source-wins "
+    "star form onto the file-pruned COW merge_commit), CREATE TEMP "
+    "VIEW ... AS SNAPSHOT OF ... VERSION AS OF/TAG (bridges into the "
+    "FULL Spark SQL surface), DESCRIBE HISTORY, SHOW PARTITIONS, "
+    "OPTIMIZE [ZORDER BY], VACUUM RETAIN n VERSIONS. Open-source Spark "
+    "has no parser extension point for these against a custom layout "
+    "(Delta injects a whole parser), so the dialect is explicit and "
+    "REFUSES unsupported syntax with the grammar in the error. Every "
+    "statement returns a DataFrame (Delta's convention). 100 TB: each "
+    "statement maps 1:1 onto the already-scale-shaped Python API — the "
+    "SQL layer adds parsing, never a plan.",
+)
+def x145_table_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.table_sql import table_sql
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x145_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 8)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.col("o_orderstatus").alias("g"),
+            (F.col("o_orderkey") % 1000).cast("long").alias("v"),
+        )
+    )
+    S.append(base, root, partition_by="g", stats_cols=["k"])  # v1
+    src = base.filter(F.col("k") % 3 == 0).select(
+        "k", "g", (F.col("v") + 100).alias("v")
+    ).unionByName(
+        base.filter(F.col("k") % 9 == 0).select(
+            (-F.col("k")).alias("k"), "g", F.lit(55).cast("long").alias("v")
+        )
+    )
+    src.createOrReplaceTempView("x145_src")
+    table_sql(
+        spark,
+        f"MERGE INTO '{root}' USING x145_src ON k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+        "PRUNE ON k",
+    )  # v2
+    hist = table_sql(spark, f"DESCRIBE HISTORY '{root}'")
+    ops = [r.op for r in hist.orderBy("version").collect()]
+    history_ok = ops == ["append", "merge"]
+    # materialize the per-partition probes BEFORE vacuum reclaims the
+    # old versions' files (bounded collects: one row per order status)
+    parts = {
+        r["value"]: int(r["n_rows"])
+        for r in table_sql(spark, f"SHOW PARTITIONS '{root}'").collect()
+    }
+    table_sql(
+        spark,
+        f"CREATE OR REPLACE TEMP VIEW x145_v1 AS SNAPSHOT OF '{root}' "
+        "VERSION AS OF 1",
+    )
+    n1 = {
+        r["g"]: int(r["n1"])
+        for r in spark.sql(
+            "SELECT g, CAST(COUNT(*) AS LONG) AS n1 FROM x145_v1 GROUP BY g"
+        ).collect()
+    }
+    table_sql(
+        spark,
+        f"CREATE OR REPLACE TEMP VIEW x145_cur AS SNAPSHOT OF '{root}'",
+    )
+    sv2 = {
+        r["g"]: int(r["sv2"])
+        for r in spark.sql(
+            "SELECT g, CAST(SUM(v) AS LONG) AS sv2 FROM x145_cur GROUP BY g"
+        ).collect()
+    }
+    table_sql(spark, f"OPTIMIZE '{root}' ZORDER BY (k, v)")  # v3
+    deleted = table_sql(
+        spark, f"VACUUM '{root}' RETAIN 1 VERSIONS"
+    ).first()["files_deleted"]
+    return spark.createDataFrame(
+        [
+            (g, n1[g], parts[g], sv2[g], bool(history_ok), bool(int(deleted) > 0))
+            for g in sorted(n1)
+        ],
+        "g string, n1 long, n2 long, sv2 long, history_ok boolean, "
+        "vacuumed boolean",
+    ).orderBy("g")
+
+
+@register(
+    "x146_filtered_vector_search",
+    oracle="""
+    -- FILTERED vector search (the RAG-stack retrieval shape: nearest
+    -- vectors WHERE <metadata predicate>): the selective path filters
+    -- first and runs the EXACT brute-force top-k over the survivors —
+    -- exact by construction, so the oracle is the literal filtered
+    -- top-k. The unselective path (predicate applied INSIDE the IVF
+    -- probe, before truncation) is probabilistic and pinned by the
+    -- probe-all == prefilter equality test in tests/test_similarity.py.
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim_r,
+           'prefilter' AS strategy
+    FROM embeddings, q WHERE label = 3
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+    LIMIT 10
+    """,
+    doc="X146 filtered vector search (operators/similarity.py::"
+    "cosine_topk_filtered): top-k by cosine among rows satisfying a "
+    "metadata predicate — strategy picked by predicate selectivity, "
+    "the classic vector-DB decision. Selective predicates PRE-FILTER "
+    "(Catalyst pushes the predicate to the scan, composing with "
+    "partition/stats pruning) then exact TakeOrdered top-k; "
+    "unselective predicates apply the filter INSIDE the probed IVF "
+    "cells BEFORE the top-k truncation, so recall degrades exactly "
+    "like unfiltered IVF and no expanded-k dance is needed (probing "
+    "all cells recovers the exact filtered answer — the equality "
+    "pinned in tests). 100 TB: a 0.1%-selective predicate leaves "
+    "~10^8 rows for one pruned scan + per-partition heaps; the probe "
+    "path reads n_probe/n_cells of a cell-partitioned index.",
+)
+def x146_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nagios_custom_etl_spark.operators.similarity import cosine_topk_filtered
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out, strategy = cosine_topk_filtered(
+        em, "embedding", "vec_id", qvec, F.col("label") == 3, k=10,
+        selectivity=0.1,  # stats-derived in production; labels are ~10 values
+    )
+    return out.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim_r")
+    ).withColumn("strategy", F.lit(strategy))

@@ -1007,3 +1007,54 @@ def test_ann_retrain_cells_lifecycle_guards(spark, tmp_path):
     assert "patches" not in meta
     assert any(d.startswith("data-p") for d in ann_gc_index(spark, path))
     assert ann_load_index(spark, path).table.count() == 79
+
+
+def test_filtered_search_strategies_and_probe_all_exactness(spark, sf_dir):
+    """x146: filtered vector search — the selective path prefilters and
+    is EXACT; the unselective path applies the predicate inside the
+    probed cells (before truncation), so probing EVERY cell recovers
+    exactly the prefiltered answer; selectivity measurement picks the
+    strategy when none is supplied."""
+    from nagios_custom_etl_spark.operators.similarity import (
+        cosine_topk_filtered,
+        ivf_build,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in em.filter(F.col("vec_id") == 0).head()["embedding"]]
+    pred = F.col("label") == 3
+    exact, s1 = cosine_topk_filtered(
+        em, "embedding", "vec_id", qvec, pred, k=10, selectivity=0.01
+    )
+    assert s1 == "prefilter"
+    exact_rows = [(r["vec_id"], round(r["cos_sim"], 9)) for r in exact.collect()]
+    assert all(
+        r["label"] == 3
+        for r in em.join(exact.select("vec_id"), "vec_id", "left_semi").collect()
+    )
+    # probe path: index carries the predicate column (joined back on id)
+    assigned, centroids = ivf_build(em, "embedding", "vec_id", n_cells=8, seed=42)
+    assigned_meta = assigned.join(em.select("vec_id", "label"), "vec_id")
+    probed, s2 = cosine_topk_filtered(
+        em, "embedding", "vec_id", qvec, pred, k=10,
+        assigned=assigned_meta, centroids=centroids,
+        n_probe=8, selectivity=0.5,  # unselective -> probe
+    )
+    assert s2 == "probe"
+    probed_rows = [(r["vec_id"], round(r["cos_sim"], 9)) for r in probed.collect()]
+    assert probed_rows == exact_rows  # probe-all == exact filtered
+    # partial probes return a subset of the filtered corpus, never leak
+    # predicate-failing rows
+    part, _ = cosine_topk_filtered(
+        em, "embedding", "vec_id", qvec, pred, k=10,
+        assigned=assigned_meta, centroids=centroids,
+        n_probe=2, selectivity=0.5,
+    )
+    ids = [r["vec_id"] for r in part.collect()]
+    labels = {r["label"] for r in em.filter(F.col("vec_id").isin(ids)).collect()}
+    assert labels <= {3}
+    # measured selectivity (no hint): ~10% labels -> above the 5%
+    # threshold BUT no index supplied -> prefilter fallback
+    auto, s3 = cosine_topk_filtered(em, "embedding", "vec_id", qvec, pred, k=10)
+    assert s3 == "prefilter"
+    assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in auto.collect()] == exact_rows
