@@ -158,6 +158,12 @@ HEADLINE = [
     # alias-resolving read + a manifest-only SUM per run, so mapping
     # overhead on the read path would surface here)
     "x126_column_mapping",
+    # r13 addition: manifest-list sharding — the metadata-layer read-path
+    # representative (a 16-file range-clustered write + a sharded
+    # checkpoint + a cold-cache pruned read AND a cold-cache full
+    # reconstruction per run, so shard-write cost and planner overhead
+    # both surface here)
+    "x143_manifest_list_sharding",
 ]
 
 
@@ -214,6 +220,11 @@ BAND_MAX = {
     # two stats-recording appends over the sf0.1 orders subset + two
     # metadata commits + the alias-resolving read + a manifest-only SUM
     "x126_column_mapping": 3.80,
+    # r13: first measurement 1.613 on a mildly warm box (x117/x126 read
+    # ~15% over their settled minima in the same run) — the cost is a
+    # 16-file range-clustered write + sharded checkpoint + one
+    # cold-cache pruned read + one cold-cache full reconstruction
+    "x143_manifest_list_sharding": 2.20,
 }
 BAND_VIOLATION_LIMIT = 5
 BAND_MAX_RETRIES = 2
