@@ -316,9 +316,15 @@ def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict)
             )
         except FileExistsError:
             pass  # idempotent re-write (racing _ensure_checkpoint)
+        # per-shard row sum (None when any member predates __rows): lets
+        # metadata_count answer from the INDEX alone on checkpointed
+        # versions — zero shard loads at a million files
+        rows = None
+        if all("__rows" in (stats.get(f) or {}) for f in sub):
+            rows = sum(int(stats[f]["__rows"]) for f in sub)
         shards_meta.append(
             {"path": f"ckptshard-{version:08d}-{idx:04d}.json",
-             "n_files": len(sub), "ranges": ranges}
+             "n_files": len(sub), "rows": rows, "ranges": ranges}
         )
     index = {
         "format": "ckpt-list-v1",
@@ -1510,6 +1516,23 @@ def metadata_count(
     count would overstate; compact first or scan) or when any planned
     file predates row-count recording (no silent wrong answers)."""
     v = latest_version(spark, root) if version is None else version
+    # r13 manifest-list fast path: a checkpointed version's count sums
+    # the per-shard `rows` recorded in the INDEX — one small JSON read,
+    # zero shard loads, at any table file count. Any shard predating
+    # row stats (rows: null) falls through to the full path, which
+    # raises the precise missing-file error.
+    if fsio.exists(spark, _ckpt_path(root, v)):
+        obj = _read_ckpt_text(spark, _ckpt_path(root, v))
+        if obj.get("format") == "ckpt-list-v1":
+            if obj["base"].get("deletes"):
+                raise ValueError(
+                    "pending MoR deletes: metadata count would include "
+                    "dead rows — compact() first or count through "
+                    "read_snapshot"
+                )
+            rows = [sm.get("rows") for sm in obj["shards"]]
+            if all(r is not None for r in rows):
+                return sum(int(r) for r in rows)
     m = _read_manifest(spark, root, v)
     if m.get("deletes"):
         raise ValueError(
@@ -1537,6 +1560,19 @@ def metadata_minmax(
     min/max over rows ignores NULLs, so those files are skippable, but
     a file with no recorded entry at all is not)."""
     v = latest_version(spark, root) if version is None else version
+    # r13 manifest-list fast path: when EVERY shard recorded a [min,max]
+    # envelope for the column (an envelope exists only when all member
+    # files carry non-null bounds), the answer is the envelope of
+    # envelopes — one index read, zero shard loads. Any shard without
+    # the envelope (pre-stats files, all-NULL files, zero-row files)
+    # falls through to the full path, which keeps the per-file skip/
+    # refuse semantics exactly.
+    if fsio.exists(spark, _ckpt_path(root, v)):
+        obj = _read_ckpt_text(spark, _ckpt_path(root, v))
+        if obj.get("format") == "ckpt-list-v1" and not obj["base"].get("deletes"):
+            envs = [(sm.get("ranges") or {}).get(col) for sm in obj["shards"]]
+            if envs and all(e is not None for e in envs):
+                return (min(e[0] for e in envs), max(e[1] for e in envs))
     m = _read_manifest(spark, root, v)
     if m.get("deletes"):
         raise ValueError(

@@ -517,6 +517,59 @@ def test_sharded_checkpoint_pruned_read_parses_fewer_bytes(
     ) == [500, 501, 600, 601]
 
 
+def test_sharded_checkpoint_multi_pruning_count_and_time_travel(
+    spark, root, monkeypatch
+):
+    """Sharded-base coverage for the other metadata readers: the
+    conjunctive pruned reader plans through intersecting shards only;
+    metadata_count answers from the INDEX alone (per-shard row sums,
+    zero shard loads); a time-travel pruned read BELOW the checkpoint
+    walks its own (unsharded) base unaffected."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        (F.col("id") * 37 % 160).cast("int").alias("j"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i", "j"])  # v1
+    S.append(
+        spark.createDataFrame([Row(i=500, j=1, s="x")], "i int, j int, s string")
+        .coalesce(1),
+        root, stats_cols=["i", "j"],
+    )  # v2
+    S._ensure_checkpoint(spark, root, 2)
+    # conjunctive pruning through the sharded base
+    S._STATE_CACHE.clear()
+    df, planned, total = S.read_snapshot_pruned_multi(
+        spark, root, [("i", 10, 25), ("j", 0, 159)]
+    )
+    assert 0 < planned < total == 17
+    got = sorted(r.i for r in df.filter(F.col("i").between(10, 25)).collect())
+    assert got == list(range(10, 26))
+    # metadata_count from the index alone: strictly fewer bytes than
+    # even ONE shard load (the index is read, no ckptshard-* files)
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    assert S.metadata_count(spark, root, version=2) == 161
+    assert S.metadata_minmax(spark, root, "i", version=2) == (0, 500)
+    index_only = S._CKPT_BYTES_READ["n"]
+    # two index reads, zero ckptshard-* loads
+    assert index_only == 2 * fsio.file_size(spark, S._ckpt_path(root, 2))
+    # time-travel pruned read below the checkpoint: v1 is a full
+    # manifest, its own base — results exact
+    S._STATE_CACHE.clear()
+    df1, planned1, total1 = S.read_snapshot_pruned(spark, root, "i", 150, 159)
+    assert total1 == 17  # latest; now pin v1 explicitly
+    df1, planned1, total1 = S.read_snapshot_pruned(
+        spark, root, "i", 150, 159, version=1
+    )
+    assert total1 == 16 and 0 < planned1 < 16
+    assert sorted(
+        r.i for r in df1.filter(F.col("i") >= 150).collect()
+    ) == list(range(150, 160))
+
+
 def test_sharded_checkpoint_mor_pruned_read_applies_deletes(
     spark, root, monkeypatch
 ):
