@@ -31,6 +31,7 @@ point on HDFS/local; on object stores it maps to a conditional PUT
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import time
@@ -255,8 +256,12 @@ _SHARD_SIZE = 1024  # file entries per shard (~Iceberg manifest target)
 _CKPT_BYTES_READ = {"n": 0}
 
 
-def _shard_path(root: str, version: int, i: int) -> str:
-    return f"{_snap_dir(root)}/ckptshard-{version:08d}-{i:04d}.json"
+def _shard_path(root: str, version: int, i: int, digest: str) -> str:
+    # content-addressed name: a checkpoint retry under DIFFERENT shard
+    # constants (process upgrade between a crash and its retry) writes
+    # differently-named shards instead of colliding with stale ones —
+    # the index references exact names, orphans expire with the version
+    return f"{_snap_dir(root)}/ckptshard-{version:08d}-{i:04d}-{digest}.json"
 
 
 def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict) -> None:
@@ -310,12 +315,14 @@ def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict)
             if all(e and e[0] is not None and e[1] is not None for e in ents):
                 ranges[c] = [min(e[0] for e in ents), max(e[1] for e in ents)]
         idx = len(shards_meta)
+        text = json.dumps(shard)
+        digest = hashlib.md5(text.encode()).hexdigest()[:8]
         try:
             fsio.create_text_atomic(
-                spark, _shard_path(root, version, idx), json.dumps(shard)
+                spark, _shard_path(root, version, idx, digest), text
             )
         except FileExistsError:
-            pass  # idempotent re-write (racing _ensure_checkpoint)
+            pass  # identical content (name is content-addressed): reuse
         # per-shard row sum (None when any member predates __rows): lets
         # metadata_count answer from the INDEX alone on checkpointed
         # versions — zero shard loads at a million files
@@ -323,7 +330,7 @@ def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict)
         if all("__rows" in (stats.get(f) or {}) for f in sub):
             rows = sum(int(stats[f]["__rows"]) for f in sub)
         shards_meta.append(
-            {"path": f"ckptshard-{version:08d}-{idx:04d}.json",
+            {"path": f"ckptshard-{version:08d}-{idx:04d}-{digest}.json",
              "n_files": len(sub), "rows": rows, "ranges": ranges}
         )
     index = {
