@@ -329,9 +329,40 @@ def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict)
         rows = None
         if all("__rows" in (stats.get(f) or {}) for f in sub):
             rows = sum(int(stats[f]["__rows"]) for f in sub)
+        # per-shard integer-sum aggregates [total, nonnull] per column,
+        # replaying _metadata_sum_parts' exact member semantics
+        # (zero-row files contribute nothing; a non-zero member missing
+        # the keys kills the column for the shard -> index fast path
+        # falls back to the full reconstruction and its refusal)
+        sums: dict = {}
+        sum_cols = {
+            c[len("__sum_"):]
+            for f in sub
+            for c in (stats.get(f) or {})
+            if c.startswith("__sum_")
+        }
+        for c in sorted(sum_cols):
+            total, nonnull, ok = 0, 0, True
+            for f in sub:
+                s = stats.get(f) or {}
+                if s.get("__rows") == 0:
+                    continue
+                if (
+                    f"__sum_{c}" not in s
+                    or f"__nulls_{c}" not in s
+                    or "__rows" not in s
+                ):
+                    ok = False
+                    break
+                if s[f"__sum_{c}"] is not None:
+                    total += int(s[f"__sum_{c}"])
+                nonnull += int(s["__rows"]) - int(s[f"__nulls_{c}"])
+            if ok:
+                sums[c] = [total, nonnull]
         shards_meta.append(
             {"path": f"ckptshard-{version:08d}-{idx:04d}-{digest}.json",
-             "n_files": len(sub), "rows": rows, "ranges": ranges}
+             "n_files": len(sub), "rows": rows, "sums": sums,
+             "ranges": ranges}
         )
     index = {
         "format": "ckpt-list-v1",
@@ -1614,6 +1645,25 @@ def _metadata_sum_parts(
     non-integer column — float sums are never recorded, see
     :func:`_file_stats`)."""
     v = latest_version(spark, root) if version is None else version
+    # r13 manifest-list fast path: per-shard [total, nonnull] recorded
+    # in the index — one small JSON read, zero shard loads, when every
+    # shard carries the column (else fall through to the full path and
+    # its precise refusals)
+    if fsio.exists(spark, _ckpt_path(root, v)):
+        obj = _read_ckpt_text(spark, _ckpt_path(root, v))
+        if obj.get("format") == "ckpt-list-v1":
+            if obj["base"].get("deletes"):
+                raise ValueError(
+                    "pending MoR deletes: deleted rows still sit in file "
+                    "stats — compact() first or aggregate through "
+                    "read_snapshot"
+                )
+            parts = [(sm.get("sums") or {}).get(col) for sm in obj["shards"]]
+            if parts and all(p is not None for p in parts):
+                return (
+                    sum(int(p[0]) for p in parts),
+                    sum(int(p[1]) for p in parts),
+                )
     m = _read_manifest(spark, root, v)
     if m.get("deletes"):
         raise ValueError(

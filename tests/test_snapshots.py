@@ -553,9 +553,11 @@ def test_sharded_checkpoint_multi_pruning_count_and_time_travel(
     S._CKPT_BYTES_READ["n"] = 0
     assert S.metadata_count(spark, root, version=2) == 161
     assert S.metadata_minmax(spark, root, "i", version=2) == (0, 500)
+    # exact integer SUM/AVG from the per-shard sum aggregates
+    assert S.metadata_sum(spark, root, "i", version=2) == sum(range(160)) + 500
     index_only = S._CKPT_BYTES_READ["n"]
-    # two index reads, zero ckptshard-* loads
-    assert index_only == 2 * fsio.file_size(spark, S._ckpt_path(root, 2))
+    # three index reads, zero ckptshard-* loads
+    assert index_only == 3 * fsio.file_size(spark, S._ckpt_path(root, 2))
     # time-travel pruned read below the checkpoint: v1 is a full
     # manifest, its own base — results exact
     S._STATE_CACHE.clear()
