@@ -220,10 +220,16 @@ BAND_MAX = {
     # two stats-recording appends over the sf0.1 orders subset + two
     # metadata commits + the alias-resolving read + a manifest-only SUM
     "x126_column_mapping": 3.80,
-    # r13: first measurement 1.613 on a mildly warm box (x117/x126 read
-    # ~15% over their settled minima in the same run) — the cost is a
-    # 16-file range-clustered write + sharded checkpoint + one
-    # cold-cache pruned read + one cold-cache full reconstruction
+    # r13: settled-box minimum 1.323; band pinned from the first
+    # measurement 1.613 (the x126 precedent) because a load-wave run
+    # minutes after the 0-violation settled run read 2.681 with FIVE
+    # simultaneous metadata-write violations (x100/x110/x117/x126/x143
+    # all inflated together — box-wide, not a regression): this
+    # write-heavy profile swings ~2x under load, so the wider band
+    # keeps hot-box driver runs from flagging phantom regressions while
+    # a real 1.7x slowdown still surfaces. Cost per run: a 16-file
+    # range-clustered write + sharded checkpoint + one cold-cache
+    # pruned read + one cold-cache full reconstruction.
     "x143_manifest_list_sharding": 2.20,
 }
 BAND_VIOLATION_LIMIT = 5
