@@ -254,6 +254,10 @@ _SHARD_MIN_FILES = 2048  # >= 2 shards before sharding pays
 _SHARD_SIZE = 1024  # file entries per shard (~Iceberg manifest target)
 #: test-visible instrumentation: bytes of checkpoint/shard JSON parsed
 _CKPT_BYTES_READ = {"n": 0}
+#: test-visible instrumentation: bytes of checkpoint/shard JSON WRITTEN
+#: (counted only on a successful create — a content-addressed collision
+#: reuses the existing identical file and writes nothing)
+_CKPT_BYTES_WRITTEN = {"n": 0}
 
 
 def _shard_path(root: str, version: int, i: int, digest: str) -> str:
@@ -264,116 +268,298 @@ def _shard_path(root: str, version: int, i: int, digest: str) -> str:
     return f"{_snap_dir(root)}/ckptshard-{version:08d}-{i:04d}-{digest}.json"
 
 
-def _write_checkpoint(spark: SparkSession, root: str, version: int, state: dict) -> None:
-    """Write the full checkpoint for ``state`` at ``version`` —
-    create-if-absent, sharded into a manifest list when the file count
-    crosses ``_SHARD_MIN_FILES``. Shards land BEFORE the index file, and
-    the index create is the atomic publish point: a reader never sees an
-    index whose shards are missing, and a crash in between leaves only
-    orphan shard files (reclaimed when the version expires)."""
-    cp = _ckpt_path(root, version)
-    if fsio.exists(spark, cp):
+def _write_ckpt_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-if-absent write of checkpoint/shard JSON with the written
+    bytes counted (an existing identical file — content-addressed shard
+    collision or a racing checkpointer — costs zero new bytes)."""
+    try:
+        fsio.create_text_atomic(spark, path, text)
+    except FileExistsError:
         return
-    files = state.get("files") or []
-    if len(files) < _SHARD_MIN_FILES:
-        try:
-            fsio.create_text_atomic(spark, cp, json.dumps(state))
-        except FileExistsError:
-            pass
-        return
-    stats = state.get("stats") or {}
-    seqs = state.get("seqs")
+    _CKPT_BYTES_WRITTEN["n"] += len(text)
 
-    def cluster_key(f: str):
-        # partition dirs cluster together; within a dir, order by the
-        # lead stats column's min so shard envelopes stay tight on it.
-        # Clustering is a HEURISTIC (envelopes are correct under any
-        # order, only tightness varies) — str() keeps mixed-type keys
-        # comparable.
+
+def _cluster_key(stats: dict):
+    """Shard clustering heuristic: partition dirs cluster together;
+    within a dir, order by the lead stats column's min so shard
+    envelopes stay tight on it. Envelopes are correct under ANY order —
+    only tightness varies; str() keeps mixed-type keys comparable."""
+
+    def key(f: str):
         d, _, b = f.rpartition("/")
         s = stats.get(f) or {}
         lead = next((c for c in sorted(s) if not c.startswith("__")), None)
         lo = s.get(lead, [None, None])[0] if lead else None
         return (d, lead or "", lo is None, str(lo), b)
 
-    ordered = sorted(files, key=cluster_key)
-    shards_meta = []
+    return key
+
+
+def _build_shard(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    idx: int,
+    sub: list[str],
+    stats: dict,
+    seqs: dict | None,
+) -> dict:
+    """Write one shard file for member files ``sub`` and return its
+    index meta: per-shard row sum (None when any member predates
+    ``__rows`` — lets metadata_count answer from the INDEX alone),
+    integer [total, nonnull] sum aggregates replaying
+    :func:`_metadata_sum_parts`' exact member semantics (zero-row files
+    contribute nothing; a non-zero member missing the keys kills the
+    column for the shard, so the index fast path falls back to the full
+    reconstruction and its precise refusal), and the [min, max] ENVELOPE
+    of every stats column whose bounds are known for ALL members (any
+    unknown member -> no envelope -> conservative include)."""
+    shard: dict = {"files": sub, "stats": {f: stats[f] for f in sub if f in stats}}
+    if seqs is not None:
+        shard["seqs"] = {f: seqs[f] for f in sub if f in seqs}
+    ranges: dict = {}
+    cols = {c for f in sub for c in (stats.get(f) or {}) if not c.startswith("__")}
+    for c in sorted(cols):
+        ents = [(stats.get(f) or {}).get(c) for f in sub]
+        if all(e and e[0] is not None and e[1] is not None for e in ents):
+            ranges[c] = [min(e[0] for e in ents), max(e[1] for e in ents)]
+    text = json.dumps(shard)
+    digest = hashlib.md5(text.encode()).hexdigest()[:8]
+    _write_ckpt_text(spark, _shard_path(root, version, idx, digest), text)
+    rows = None
+    if all("__rows" in (stats.get(f) or {}) for f in sub):
+        rows = sum(int(stats[f]["__rows"]) for f in sub)
+    sums: dict = {}
+    sum_cols = {
+        c[len("__sum_"):]
+        for f in sub
+        for c in (stats.get(f) or {})
+        if c.startswith("__sum_")
+    }
+    for c in sorted(sum_cols):
+        total, nonnull, ok = 0, 0, True
+        for f in sub:
+            s = stats.get(f) or {}
+            if s.get("__rows") == 0:
+                continue
+            if (
+                f"__sum_{c}" not in s
+                or f"__nulls_{c}" not in s
+                or "__rows" not in s
+            ):
+                ok = False
+                break
+            if s[f"__sum_{c}"] is not None:
+                total += int(s[f"__sum_{c}"])
+            nonnull += int(s["__rows"]) - int(s[f"__nulls_{c}"])
+        if ok:
+            sums[c] = [total, nonnull]
+    return {
+        "path": f"ckptshard-{version:08d}-{idx:04d}-{digest}.json",
+        "n_files": len(sub),
+        "rows": rows,
+        "sums": sums,
+        "ranges": ranges,
+    }
+
+
+def _try_incremental_ckpt(spark: SparkSession, root: str, version: int) -> bool:
+    """INCREMENTAL checkpoint (r13 verdict task 1 — the writer-side
+    O(files) checkpoint-write ceiling removed): when the nearest base
+    below ``version`` is a SHARDED checkpoint and everything above it is
+    delta records, the new checkpoint REUSES the previous one's shard
+    files whose membership and member stats are untouched by the deltas
+    (referenced by name in the new index — shard files are immutable and
+    content-addressed, so sharing is safe) and writes only (a) rewritten
+    shards for prev members the deltas removed or re-statted and (b) new
+    shards for the delta-added files. A checkpoint after K small appends
+    then writes O(K + touched shards) bytes, not O(table files) — the
+    Iceberg incremental-manifest-list model. The delta records themselves
+    carry every changed file/stat/seq, so the pure-append fast path reads
+    ZERO previous shard bytes; only a prev-member-touching chain pays
+    shard reads to locate the touched members (write stays O(touched)).
+
+    Returns False (caller falls back to the exact full write) whenever
+    the incremental form is not provably identical to it: a full
+    manifest or missing version file in the chain, an inline previous
+    checkpoint, a wholesale seqs drop, a shrink below the sharding
+    threshold, or any membership-count mismatch after the fold."""
+    chain: list[dict] = []
+    v = version
+    base_idx = None
+    while v >= 1:
+        if v < version and fsio.exists(spark, _ckpt_path(root, v)):
+            base_idx = _read_ckpt_text(spark, _ckpt_path(root, v))
+            break
+        p = _manifest_path(root, v)
+        if not fsio.exists(spark, p):
+            return False
+        raw = json.loads(fsio.read_text(spark, p))
+        if raw.get("format") != _DELTA_FORMAT:
+            return False  # a full manifest in the chain: full write is right
+        chain.append(raw)
+        v -= 1
+    if base_idx is None or base_idx.get("format") != "ckpt-list-v1":
+        return False
+    chain.reverse()
+    has_seqs = bool(base_idx.get("has_seqs"))
+    total = sum(sm["n_files"] for sm in base_idx["shards"])
+    fields = dict(base_idx["base"])
+    added: set[str] = set()  # chain-added files still present
+    add_stats: dict = {}
+    add_seqs: dict = {}
+    prev_removed: set[str] = set()  # prev members removed (or re-added)
+    stat_set: dict = {}  # prev members: stats overridden
+    stat_del: set[str] = set()  # prev members: stats deleted
+    seq_set: dict = {}
+    seq_del: set[str] = set()
+    for d in chain:
+        fields = dict(d["base"])
+        if has_seqs and "seqs" not in d:
+            return False  # seqs dropped wholesale: every prev entry dies
+        for f in d.get("files_removed", ()):
+            total -= 1
+            if f in added:
+                added.discard(f)
+                add_stats.pop(f, None)
+                add_seqs.pop(f, None)
+            else:
+                prev_removed.add(f)
+        for f in d.get("files_added", ()):
+            total += 1
+            # a re-added prev member stays in prev_removed (its old
+            # shard must still rewrite without it) AND lands in `added`
+            # (the new shard carries its post-fold stats)
+            added.add(f)
+        for f in d.get("stats_del", ()):
+            if f in added:
+                add_stats.pop(f, None)
+            else:
+                stat_del.add(f)
+                stat_set.pop(f, None)
+        for f, s in (d.get("stats_set") or {}).items():
+            if f in added:
+                add_stats[f] = s
+            else:
+                stat_set[f] = s
+                stat_del.discard(f)
+        if "seqs" in d:
+            has_seqs = True
+            for f in d["seqs"]["del"]:
+                if f in added:
+                    add_seqs.pop(f, None)
+                else:
+                    seq_del.add(f)
+                    seq_set.pop(f, None)
+            for f, s in d["seqs"]["set"].items():
+                if f in added:
+                    add_seqs[f] = s
+                else:
+                    seq_set[f] = s
+                    seq_del.discard(f)
+    if total < _SHARD_MIN_FILES:
+        return False  # table shrank: inline checkpoint is the right form
+    touched_prev = prev_removed | set(stat_set) | stat_del | set(seq_set) | seq_del
+    reused: list[dict] = []
+    pool: list[str] = []
+    pool_stats: dict = {}
+    pool_seqs: dict = {}
+    to_locate = set(touched_prev)
+    for sm in base_idx["shards"]:
+        if to_locate:
+            sh = _read_ckpt_text(spark, f"{_snap_dir(root)}/{sm['path']}")
+            members = sh["files"]
+            hit = [f for f in members if f in touched_prev]
+            if hit:
+                to_locate.difference_update(hit)
+                sstats = sh.get("stats") or {}
+                sseqs = sh.get("seqs") or {}
+                for f in members:
+                    if f in prev_removed:
+                        continue
+                    pool.append(f)
+                    s = None if f in stat_del else stat_set.get(f, sstats.get(f))
+                    if s is not None:
+                        pool_stats[f] = s
+                    q = None if f in seq_del else seq_set.get(f, sseqs.get(f))
+                    if q is not None:
+                        pool_seqs[f] = q
+                continue
+        reused.append(sm)
+    for f in sorted(added):
+        pool.append(f)
+        if f in add_stats:
+            pool_stats[f] = add_stats[f]
+        if f in add_seqs:
+            pool_seqs[f] = add_seqs[f]
+    if sum(sm["n_files"] for sm in reused) + len(pool) != total:
+        return False  # fold inconsistency: take the exact full write
+    metas = list(reused)
+    ordered = sorted(pool, key=_cluster_key(pool_stats))
     for i in range(0, len(ordered), _SHARD_SIZE):
-        sub = ordered[i : i + _SHARD_SIZE]
-        shard: dict = {"files": sub, "stats": {f: stats[f] for f in sub if f in stats}}
-        if seqs is not None:
-            shard["seqs"] = {f: seqs[f] for f in sub if f in seqs}
-        ranges: dict = {}
-        cols = {
-            c
-            for f in sub
-            for c in (stats.get(f) or {})
-            if not c.startswith("__")
-        }
-        for c in sorted(cols):
-            ents = [(stats.get(f) or {}).get(c) for f in sub]
-            if all(e and e[0] is not None and e[1] is not None for e in ents):
-                ranges[c] = [min(e[0] for e in ents), max(e[1] for e in ents)]
-        idx = len(shards_meta)
-        text = json.dumps(shard)
-        digest = hashlib.md5(text.encode()).hexdigest()[:8]
-        try:
-            fsio.create_text_atomic(
-                spark, _shard_path(root, version, idx, digest), text
+        metas.append(
+            _build_shard(
+                spark,
+                root,
+                version,
+                len(metas),
+                ordered[i : i + _SHARD_SIZE],
+                pool_stats,
+                pool_seqs if has_seqs else None,
             )
-        except FileExistsError:
-            pass  # identical content (name is content-addressed): reuse
-        # per-shard row sum (None when any member predates __rows): lets
-        # metadata_count answer from the INDEX alone on checkpointed
-        # versions — zero shard loads at a million files
-        rows = None
-        if all("__rows" in (stats.get(f) or {}) for f in sub):
-            rows = sum(int(stats[f]["__rows"]) for f in sub)
-        # per-shard integer-sum aggregates [total, nonnull] per column,
-        # replaying _metadata_sum_parts' exact member semantics
-        # (zero-row files contribute nothing; a non-zero member missing
-        # the keys kills the column for the shard -> index fast path
-        # falls back to the full reconstruction and its refusal)
-        sums: dict = {}
-        sum_cols = {
-            c[len("__sum_"):]
-            for f in sub
-            for c in (stats.get(f) or {})
-            if c.startswith("__sum_")
-        }
-        for c in sorted(sum_cols):
-            total, nonnull, ok = 0, 0, True
-            for f in sub:
-                s = stats.get(f) or {}
-                if s.get("__rows") == 0:
-                    continue
-                if (
-                    f"__sum_{c}" not in s
-                    or f"__nulls_{c}" not in s
-                    or "__rows" not in s
-                ):
-                    ok = False
-                    break
-                if s[f"__sum_{c}"] is not None:
-                    total += int(s[f"__sum_{c}"])
-                nonnull += int(s["__rows"]) - int(s[f"__nulls_{c}"])
-            if ok:
-                sums[c] = [total, nonnull]
-        shards_meta.append(
-            {"path": f"ckptshard-{version:08d}-{idx:04d}-{digest}.json",
-             "n_files": len(sub), "rows": rows, "sums": sums,
-             "ranges": ranges}
         )
+    index = {
+        "format": "ckpt-list-v1",
+        "base": {k: v for k, v in fields.items() if k not in _DIFFED_KEYS},
+        "has_seqs": has_seqs,
+        "shards": metas,
+    }
+    _write_ckpt_text(spark, _ckpt_path(root, version), json.dumps(index))
+    return True
+
+
+def _write_checkpoint(
+    spark: SparkSession, root: str, version: int, state: dict | None = None
+) -> None:
+    """Write the full checkpoint for ``version`` — create-if-absent,
+    sharded into a manifest list when the file count crosses
+    ``_SHARD_MIN_FILES``. An INCREMENTAL sharded write (reusing the
+    previous checkpoint's untouched shard files, :func:`
+    _try_incremental_ckpt`) is tried first, so the common append-heavy
+    cadence writes O(touched) bytes and a caller may pass ``state=None``
+    to avoid reconstructing the full file list at all; the exact full
+    write remains the fallback. Shards land BEFORE the index file, and
+    the index create is the atomic publish point: a reader never sees an
+    index whose shards are missing, and a crash in between leaves only
+    orphan shard files (reclaimed when the version expires)."""
+    cp = _ckpt_path(root, version)
+    if fsio.exists(spark, cp):
+        return
+    if _try_incremental_ckpt(spark, root, version):
+        return
+    if state is None:
+        state = _state(spark, root, version)
+    files = state.get("files") or []
+    if len(files) < _SHARD_MIN_FILES:
+        _write_ckpt_text(spark, cp, json.dumps(state))
+        return
+    stats = state.get("stats") or {}
+    seqs = state.get("seqs")
+    ordered = sorted(files, key=_cluster_key(stats))
+    shards_meta = [
+        _build_shard(
+            spark, root, version, i // _SHARD_SIZE, ordered[i : i + _SHARD_SIZE],
+            stats, seqs,
+        )
+        for i in range(0, len(ordered), _SHARD_SIZE)
+    ]
     index = {
         "format": "ckpt-list-v1",
         "base": {k: v for k, v in state.items() if k not in _DIFFED_KEYS},
         "has_seqs": seqs is not None,
         "shards": shards_meta,
     }
-    try:
-        fsio.create_text_atomic(spark, cp, json.dumps(index))
-    except FileExistsError:
-        pass
+    _write_ckpt_text(spark, cp, json.dumps(index))
 
 
 def _read_ckpt_text(spark: SparkSession, path: str) -> dict:
@@ -503,7 +689,9 @@ def _ensure_checkpoint(spark: SparkSession, root: str, version: int) -> None:
     non-contiguous the survivor set (tags keep arbitrary old versions)."""
     if fsio.exists(spark, _ckpt_path(root, version)):
         return
-    _write_checkpoint(spark, root, version, _state(spark, root, version))
+    # state=None: the incremental path (previous-checkpoint shard reuse)
+    # needs no full reconstruction; only its fallback pays _state()
+    _write_checkpoint(spark, root, version)
 
 
 def _manifest_base_field(spark: SparkSession, root: str, version: int, key: str):
@@ -572,26 +760,50 @@ def _plan_pruned_state(
     files: dict[str, bool] = {}
     stats: dict = {}
     seqs: dict = {}
+    excluded = False
     if base_obj.get("format") == "ckpt-list-v1":
         fields = dict(base_obj["base"])
         has_seqs = bool(base_obj.get("has_seqs"))
         total = sum(sm["n_files"] for sm in base_obj["shards"])
         for sm in base_obj["shards"]:
             if not _shard_maybe(sm.get("ranges") or {}, preds):
+                excluded = True
                 continue  # provably no member can match: skip its bytes
             sh = _read_ckpt_text(spark, f"{_snap_dir(root)}/{sm['path']}")
             for f in sh["files"]:
                 files[f] = True
             stats.update(sh.get("stats") or {})
             seqs.update(sh.get("seqs") or {})
+        if not excluded:
+            # r13 ADVICE: every shard was loaded — the planner holds the
+            # FULL state, so memoize it under the same key _state() uses
+            # (via the exact _apply_delta fold — candidate-fold guards
+            # differ on degenerate non-member stats/seqs edges) and
+            # subsequent cold-process reads short-circuit with zero IO
+            # instead of re-walking the chain per call.
+            full = dict(fields)
+            full["files"] = sorted(files)
+            full["stats"] = dict(stats)
+            if has_seqs:
+                full["seqs"] = dict(seqs)
+            for d in chain:
+                full = _apply_delta(full, d)
+            _cache_state(key, full)
+            m = _copy_json(full)
+            m["_files_total"] = len(m["files"])
+            return m
     else:
-        # inline checkpoint or full manifest: all files are candidates
-        fields = {k: val for k, val in base_obj.items() if k not in _DIFFED_KEYS}
-        has_seqs = "seqs" in base_obj
-        total = len(base_obj.get("files") or [])
-        files = {f: True for f in base_obj.get("files") or []}
-        stats = dict(base_obj.get("stats") or {})
-        seqs = dict(base_obj.get("seqs") or {})
+        # inline checkpoint or full manifest: all files are candidates —
+        # the base IS the full state, so fold exactly and memoize (r13
+        # ADVICE: repeated cold pruned reads must not re-walk the chain)
+        full = _copy_json(base_obj)
+        full.pop("format", None)
+        for d in chain:
+            full = _apply_delta(full, d)
+        _cache_state(key, full)
+        m = _copy_json(full)
+        m["_files_total"] = len(m["files"])
+        return m
     for d in chain:  # the exact _apply_delta fold, restricted to candidates
         fields = dict(d["base"])
         removed = d.get("files_removed", ())
@@ -696,6 +908,79 @@ def _commit(
     )
     if version % _CKPT_EVERY == 0:
         _write_checkpoint(spark, root, version, manifest)
+    return version
+
+
+def _parent_head(spark: SparkSession, root: str, parent: int) -> tuple[dict, bool]:
+    """(non-file manifest fields at ``parent``, parent-is-delta-record)
+    from ONE raw version-file read — a delta record's ``base`` carries
+    every non-file field (schema/partition_spec/deletes/txn/...) verbatim
+    and is O(commit-touched) bytes, so a writer that only needs the HEAD
+    fields never reconstructs the O(files) state (r13 verdict task 2)."""
+    raw = json.loads(fsio.read_text(spark, _manifest_path(root, parent)))
+    if raw.get("format") == _DELTA_FORMAT:
+        return dict(raw["base"]), True
+    return {k: v for k, v in raw.items() if k not in _DIFFED_KEYS}, False
+
+
+def _commit_delta(
+    spark: SparkSession,
+    root: str,
+    parent: int,
+    op: str,
+    files_added: list[str],
+    stats_added: dict | None,
+    schema: list[list[str]] | None = None,
+    txn: str | None = None,
+    partition_spec: list[str] | None = None,
+) -> int:
+    """Publish a blind-append commit as a DELTA RECORD directly — the
+    shard-lazy writer path (r13 verdict task 2): nothing here reads or
+    reconstructs the parent's file list, so a K-file append to a
+    million-file table costs one raw head read (the caller's) + one
+    O(K)-byte delta write, plus — every ``_CKPT_EVERY``-th version — an
+    incremental checkpoint that reuses the previous checkpoint's
+    untouched shards (:func:`_try_incremental_ckpt`). Driver memory is
+    O(K + touched shards), never O(table files).
+
+    Only valid when the committed state is exactly parent-state +
+    ``files_added`` carrying ``stats_added`` (no removals, no MoR
+    bookkeeping — :func:`append` falls back to :func:`_commit` when the
+    parent holds pending deletes or is a full manifest). The atomic
+    commit point and its :class:`ConcurrentCommitError` contract are
+    identical to :func:`_commit`'s."""
+    version = parent + 1
+    base: dict = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "committed_at": time.time(),
+    }
+    if schema is not None:
+        base["schema"] = schema
+    if txn is not None:
+        base["txn"] = txn
+    if partition_spec:
+        base["partition_spec"] = partition_spec
+    d: dict = {
+        "format": _DELTA_FORMAT,
+        "base": base,
+        "files_added": sorted(files_added),
+        "files_removed": [],
+    }
+    if stats_added:
+        d["stats_set"] = {f: stats_added[f] for f in sorted(stats_added)}
+    fsio.mkdirs(spark, _snap_dir(root))
+    try:
+        fsio.create_text_atomic(
+            spark, _manifest_path(root, version), json.dumps(d)
+        )
+    except FileExistsError as ex:
+        raise ConcurrentCommitError(
+            f"version {version} was committed by another writer"
+        ) from ex
+    if version % _CKPT_EVERY == 0:
+        _write_checkpoint(spark, root, version)
     return version
 
 
@@ -923,8 +1208,24 @@ def append(
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     pcols = _norm_pcols(partition_by)
     schema_df = df.drop(*pcols) if hidden_partition and pcols else df
+
+    def head(parent: int) -> tuple[dict, bool]:
+        """Parent view for the schema/spec checks + whether the SHARD-
+        LAZY commit applies (r13 verdict task 2): a delta-record parent
+        with no pending MoR deletes means a blind append never needs the
+        parent's file list at all — its head fields (one O(commit) raw
+        read) are enough, and the commit is a direct delta write. A
+        full-manifest parent costs the same read either way; pending
+        deletes need the full seqs rebuild — both take the legacy path."""
+        if not parent:
+            return {}, False
+        fields, is_delta = _parent_head(spark, root, parent)
+        if is_delta and not fields.get("deletes"):
+            return fields, True
+        return _read_manifest(spark, root, parent), False
+
     parent = latest_version(spark, root)
-    m = _read_manifest(spark, root, parent) if parent else {}
+    m, lazy = head(parent)
     spec = _check_partition_spec(m, partition_by, allow_spec_change)
     schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
     _enforce_constraints(df, root)
@@ -941,10 +1242,15 @@ def append(
                         f"(version {v}); re-run against the new table state"
                     ) from last_err
             parent = new_parent
-            m = _read_manifest(spark, root, parent) if parent else {}
+            m, lazy = head(parent)
             spec = _check_partition_spec(m, partition_by, allow_spec_change)
             schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
         try:
+            if lazy:
+                return _commit_delta(
+                    spark, root, parent, "append", files, stats,
+                    schema=schema, txn=txn, partition_spec=spec,
+                )
             return _commit(
                 spark,
                 root,
@@ -1368,8 +1674,30 @@ def mor_upsert(
         # window runs over the key-pruned matching rows only — O(batch-
         # touched rows), never the table.
         from pyspark.sql import Window
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in cols])
+        def _orderable(dt) -> bool:
+            # Spark refuses ORDER BY on maps (and anything containing
+            # one) at analysis time; arrays/structs order recursively
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        # r13 ADVICE: order by keys + the orderable columns only, with
+        # a to_json tiebreak over any non-orderable ones — a table
+        # carrying a map column must not fail at analysis time exactly
+        # when the feed is on and a duplicate-key upsert arrives, and
+        # the canonical-preimage pick stays deterministic.
+        types = {f.name: f.dataType for f in pre.schema.fields}
+        ord_cols = [F.col(c) for c in cols if _orderable(types[c])]
+        bad = [c for c in cols if not _orderable(types[c])]
+        if bad:
+            ord_cols.append(F.to_json(F.struct(*[F.col(c) for c in bad])))
+        w = Window.partitionBy(*keys).orderBy(*ord_cols)
         ranked = pre.select(*cols).withColumn("_rn", F.row_number().over(w))
         pres = (
             ranked.filter(F.col("_rn") == 1)
@@ -1933,6 +2261,231 @@ def merge_commit(
     raise last_err  # type: ignore[misc]
 
 
+def _locate_files(spark: SparkSession, root: str, m: dict, pred: str) -> list[str]:
+    """Manifest-relative paths of the files holding ANY row matching SQL
+    predicate ``pred`` — the find phase of predicate DML (Delta's
+    DELETE/UPDATE do the same scan-to-find): per write-group reads carry
+    ``input_file_name`` through the schema projection, the predicate is
+    pushed into the parquet scan (row-group stats skip the IO Spark
+    can), and only the DISTINCT matching file names come back to the
+    driver (bounded by the touched-file count, never rows). Dead MoR
+    rows may flag a file conservatively — the rewrite reads through
+    :func:`_live_view`, so the result is still exact. Unlocatable file
+    URIs fail loudly (the record_ndv lesson: silent misattribution is
+    worse than an error)."""
+    import os
+    import posixpath
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    schema, spec = m.get("schema"), m.get("partition_spec")
+    rindex: dict[str, str] = {}
+    for f in m["files"]:
+        if "://" in root:
+            ap = posixpath.normpath(urlparse(f"{root}/{f}").path)
+        else:
+            ap = posixpath.normpath(os.path.join(os.path.abspath(root), f))
+        rindex[ap] = f
+
+    def dkey(f: str) -> str:
+        segs = f.split("/")
+        for i, s in enumerate(segs):
+            if s.startswith("data-"):
+                return "/".join(segs[: i + 1])
+        return segs[0]
+
+    groups: dict[str, list[str]] = {}
+    for f in m["files"]:
+        groups.setdefault(dkey(f), []).append(f)
+    parts = []
+    for sub, fl in sorted(groups.items()):
+        rd = spark.read.option("mergeSchema", "true")
+        if spec:
+            rd = rd.option("basePath", f"{root}/{sub}")
+        df = rd.parquet(*[f"{root}/{f}" for f in fl]).withColumn(
+            "__f", F.input_file_name()
+        )
+        if schema:
+            df = _project_to_schema(df, schema, keep=("__f",))
+        parts.append(df)
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    hits = (
+        allrows.filter(F.coalesce(F.expr(pred), F.lit(False)))
+        .select("__f")
+        .distinct()
+        .collect()  # bounded: one row per touched file (metadata scale)
+    )
+    out = []
+    for r in hits:
+        p = posixpath.normpath(unquote(urlparse(r["__f"]).path))
+        rel = rindex.get(p)
+        if rel is None:
+            raise ValueError(f"matched file {r['__f']!r} not in the manifest")
+        out.append(rel)
+    return sorted(out)
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    pred: str,
+    stats_cols: list[str] | None = None,
+    txn: str | None = None,
+) -> int:
+    """``DELETE FROM <table> WHERE <pred>`` as file-pruned COPY-ON-WRITE
+    (Delta's DELETE): one find scan locates the files holding any
+    matching row (predicate pushed to parquet — row-group stats bound
+    the IO), ONLY those files are read through the MoR-aware live view
+    and rewritten without the matching rows, every other file reference
+    and its stats carry into the child manifest unchanged. SQL
+    semantics: rows where the predicate is TRUE are deleted; FALSE and
+    NULL survive. With the change feed on, the deleted rows' pre-images
+    are recorded atomically in the same commit (``delete`` rows;
+    recorded-empty when every candidate file held only non-matching
+    rows). A predicate matching NO file commits nothing and returns the
+    current version (Delta's no-op DELETE). Pending MoR deletes on
+    untouched files are carried; rewritten files take this commit's
+    sequence, above every pending delete — the merge_commit convention.
+    At 100 TB: O(table IO) find scan (bounded by parquet pushdown),
+    O(touched files) rewrite + one manifest commit. Prefer
+    :func:`mor_delete` for keyed high-frequency deletes."""
+    from pyspark.sql import functions as F
+
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError("delete_where on an empty table")
+    m = _read_manifest(spark, root, parent)
+    F.expr(pred)  # parse before any work
+    touched = _locate_files(spark, root, m, pred)
+    if not touched:
+        return parent  # nothing matches anywhere: no-op, no commit
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    live_touched = _live_view(spark, root, m, touched)
+    cond = F.coalesce(F.expr(pred), F.lit(False))
+    survivors = live_touched.filter(~cond)
+    schema = m.get("schema")
+    if schema:
+        survivors = survivors.select(*_visible_names(schema))
+    extra: dict = {}
+    if change_feed_enabled(spark, root):
+        extra["change_files"] = _write_change_files(
+            live_touched.filter(cond).withColumn("_change_type", F.lit("delete")),
+            root,
+        )
+    spec = m.get("partition_spec")
+    files, stats = _write_data_files(survivors, root, stats_cols, spec)
+    carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
+    if m.get("deletes") and untouched:
+        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
+        seqs.update({f: parent + 1 for f in files})
+        extra.update({"seqs": seqs, "deletes": m["deletes"]})
+    return _commit(
+        spark,
+        root,
+        untouched + files,
+        "delete-where",
+        parent,
+        {**carried, **stats} if (carried or stats) else None,
+        schema,
+        txn=txn,
+        partition_spec=spec,
+        extra=extra or None,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    assignments: dict[str, str],
+    pred: str,
+    stats_cols: list[str] | None = None,
+    txn: str | None = None,
+) -> int:
+    """``UPDATE <table> SET col = <expr>, ... WHERE <pred>`` as
+    file-pruned COPY-ON-WRITE — the same find-then-rewrite shape as
+    :func:`delete_where`: only files holding a matching row are read
+    (MoR-aware) and rewritten with the assignments applied to the
+    matching rows (non-matching rows in those files carry verbatim);
+    assignment expressions may reference any table column and are CAST
+    back to the column's declared type (the table schema never drifts
+    through an UPDATE). CHECK constraints are enforced on the rewritten
+    rows before any data lands. With the change feed on, matching rows
+    record atomically as ``update_preimage``/``update_postimage`` pairs.
+    A predicate matching no file is a no-op returning the current
+    version."""
+    from pyspark.sql import functions as F
+
+    if txn is not None and txn_version(spark, root, txn) is not None:
+        raise ValueError(f"txn {txn!r} already committed; check txn_version first")
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError("update_where on an empty table")
+    m = _read_manifest(spark, root, parent)
+    F.expr(pred)
+    for c, e in assignments.items():
+        F.expr(e)
+    schema = m.get("schema")
+    cols = _visible_names(schema) if schema else None
+    touched = _locate_files(spark, root, m, pred)
+    if not touched:
+        return parent
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    live_touched = _live_view(spark, root, m, touched)
+    if cols is None:
+        cols = live_touched.columns
+    bad = sorted(set(assignments) - set(cols))
+    if bad:
+        raise ValueError(f"UPDATE assigns to unknown column(s) {bad}")
+    types = _schema_types(schema) if schema else {}
+    cond = F.coalesce(F.expr(pred), F.lit(False))
+
+    def assigned(c: str):
+        e = F.expr(assignments[c])
+        if c in types:
+            e = e.cast(types[c])
+        return F.when(cond, e).otherwise(F.col(c)).alias(c)
+
+    new_rows = live_touched.select(
+        *[assigned(c) if c in assignments else F.col(c) for c in cols]
+    )
+    extra: dict = {}
+    if change_feed_enabled(spark, root):
+        pre = live_touched.filter(cond).select(*cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = (
+            live_touched.filter(cond)
+            .select(*[assigned(c) if c in assignments else F.col(c) for c in cols])
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        extra["change_files"] = _write_change_files(pre.unionByName(post), root)
+    _enforce_constraints(new_rows, root)
+    spec = m.get("partition_spec")
+    files, stats = _write_data_files(new_rows, root, stats_cols, spec)
+    carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
+    if m.get("deletes") and untouched:
+        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
+        seqs.update({f: parent + 1 for f in files})
+        extra.update({"seqs": seqs, "deletes": m["deletes"]})
+    return _commit(
+        spark,
+        root,
+        untouched + files,
+        "update-where",
+        parent,
+        {**carried, **stats} if (carried or stats) else None,
+        schema,
+        txn=txn,
+        partition_spec=spec,
+        extra=extra or None,
+    )
+
+
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     """Delete data files unreachable from every retained manifest (the
     newest ``keep_last`` EXISTING versions, plus every TAGGED version —
@@ -1974,11 +2527,33 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
         except Exception:
             expired_refs[v] = set()
     # expired sharded checkpoints: their ckptshard-* files go with the
-    # index (one listing, grouped by version)
-    shard_names: dict[int, list[str]] = {}
-    for name in fsio.list_names(spark, _snap_dir(root)):
-        if name.startswith("ckptshard-"):
-            shard_names.setdefault(int(name[10:18]), []).append(name)
+    # index (one listing, grouped by version) — EXCEPT shards a retained
+    # checkpoint still references: incremental checkpoints (r13 verdict
+    # task 1) share untouched shard files forward by name, so liveness
+    # is BY REFERENCE, not by the version embedded in the name. Every
+    # retained version has its own checkpoint by this point (ensured
+    # above), so collecting their indexes' shard refs is complete.
+    kept_shards: set[str] = set()
+    for v in keep_versions:
+        cp = _ckpt_path(root, v)
+        if fsio.exists(spark, cp):
+            obj = json.loads(fsio.read_text(spark, cp))
+            if obj.get("format") == "ckpt-list-v1":
+                kept_shards.update(sm["path"] for sm in obj["shards"])
+    # sweep: a shard is reclaimable when (a) no retained checkpoint
+    # references it AND (b) its name-version is not retained (a
+    # retained version's own shards stay with it — conservative toward
+    # a concurrent checkpointer of that version). Covers shards whose
+    # name-version's manifest expired in an EARLIER vacuum (a later
+    # incremental checkpoint kept them alive by reference until a full
+    # rewrite dropped the reference).
+    stale_shards = [
+        name
+        for name in fsio.list_names(spark, _snap_dir(root))
+        if name.startswith("ckptshard-")
+        and name not in kept_shards
+        and int(name[10:18]) not in keep_versions
+    ]
     deleted = []
     for v in expired:
         for f in expired_refs[v]:
@@ -1991,11 +2566,11 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
             if f not in reachable and fsio.delete(spark, f"{root}/{f}", recursive=False):
                 deleted.append(f)
         fsio.delete(spark, _manifest_path(root, v), recursive=False)
-        # expired versions' checkpoints go with them (every kept version
-        # now carries its own)
+        # expired versions' checkpoint indexes go with them (every kept
+        # version now carries its own)
         fsio.delete(spark, _ckpt_path(root, v), recursive=False)
-        for name in shard_names.get(v, ()):
-            fsio.delete(spark, f"{_snap_dir(root)}/{name}", recursive=False)
+    for name in stale_shards:
+        fsio.delete(spark, f"{_snap_dir(root)}/{name}", recursive=False)
     return sorted(set(deleted))
 
 
@@ -3906,7 +4481,21 @@ def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]
     table it is not reading (single-table atomicity already holds)."""
     rset = list(dict.fromkeys(roots))
     pins = {r: latest_version(spark, r) for r in rset}
-    nmap = {_norm_root(r): r for r in rset}
+    # r13 ADVICE: two read-set spellings normalizing to the SAME root
+    # ('a/b' and 'a/b/') are aliases of one table — map each normalized
+    # root to ALL of its spellings and lower every alias's pin together
+    # (a last-spelling-wins dict left the duplicate alias reading a
+    # torn half). Aliases also start from one shared pin: same dir,
+    # but a racing commit between the two latest_version calls could
+    # otherwise split them.
+    nmap: dict[str, list[str]] = {}
+    for r in rset:
+        nmap.setdefault(_norm_root(r), []).append(r)
+    for aliases in nmap.values():
+        if len(aliases) > 1:
+            low = min(pins[a] for a in aliases)
+            for a in aliases:
+                pins[a] = low
     records = []
     seen = set()
     for r in rset:
@@ -3932,21 +4521,23 @@ def multi_read_versions(spark: SparkSession, roots: list[str]) -> dict[str, int]
     while changed:
         changed = False
         for rec in records:
-            sub = [
-                nmap[_norm_root(p)]
-                for p in rec["roots"]
-                if _norm_root(p) in nmap
-            ]
-            if len(sub) < 2:
+            # participants counted by NORMALIZED identity: an aliased
+            # spelling is the same table, not a second participant
+            subn = sorted(
+                {_norm_root(p) for p in rec["roots"]} & set(nmap)
+            )
+            if len(subn) < 2:
                 continue  # reading at most one participant: nothing to tear
-            incl = {
-                p: (pub(p, rec["txn_id"]) is not None and pub(p, rec["txn_id"]) <= pins[p])
-                for p in sub
-            }
+            incl = {}
+            for n in subn:
+                pv = pub(nmap[n][0], rec["txn_id"])
+                incl[n] = pv is not None and pv <= pins[nmap[n][0]]
             if any(incl.values()) and not all(incl.values()):
-                for p in sub:
-                    if incl[p]:
-                        pins[p] = pub(p, rec["txn_id"]) - 1
+                for n in subn:
+                    if incl[n]:
+                        below = pub(nmap[n][0], rec["txn_id"]) - 1
+                        for a in nmap[n]:  # every alias lowers together
+                            pins[a] = below
                         changed = True
     bad = [r for r, v in pins.items() if v <= 0]
     if bad:

@@ -19,11 +19,18 @@ Supported statements (keywords case-insensitive):
 - ``DESCRIBE HISTORY '<root>'``
 - ``SHOW PARTITIONS '<root>'``
 - ``CREATE OR REPLACE TEMP VIEW <name> AS SNAPSHOT OF '<root>'
-  [VERSION AS OF <n> | TAG '<tag>']``
+  [VERSION AS OF <n> | TAG '<tag>' | TIMESTAMP AS OF <epoch>|'<iso>']``
 - ``MERGE INTO '<root>' USING <view> ON <k1>[, <k2>...]
-  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-  [PRUNE ON <col>]`` — source-wins upsert, the Delta fast path;
-  arbitrary per-column expressions stay on the Python API
+  WHEN MATCHED [AND <cond>] THEN UPDATE SET * WHEN NOT MATCHED THEN
+  INSERT * [PRUNE ON <col>]`` — source-wins upsert, the Delta fast
+  path; ``AND <cond>`` guards the update per matched key (the ``s``/
+  ``t`` aliases name source and target — condition FALSE/NULL keeps the
+  target row); arbitrary per-column expressions stay on the Python API
+- ``DELETE FROM '<root>' WHERE <pred>`` — file-pruned copy-on-write
+  (:func:`..operators.snapshots.delete_where`)
+- ``UPDATE '<root>' SET <col> = <expr>[, ...] WHERE <pred>`` —
+  file-pruned copy-on-write (:func:`..operators.snapshots.update_where`)
+- ``RESTORE '<root>' TO VERSION AS OF <n>`` — rollback-as-commit
 - ``OPTIMIZE '<root>' [ZORDER BY (<c1>[, <c2>...])]``
 - ``VACUUM '<root>' RETAIN <n> VERSIONS``
 
@@ -52,16 +59,31 @@ _PARTS = re.compile(rf"^\s*SHOW\s+PARTITIONS\s+{_ROOT}\s*;?\s*$", re.I)
 _VIEW = re.compile(
     rf"^\s*CREATE\s+OR\s+REPLACE\s+TEMP\s+VIEW\s+(?P<name>{_ID})\s+AS\s+"
     rf"SNAPSHOT\s+OF\s+{_ROOT}"
-    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)|\s+TAG\s+'(?P<tag>[^']+)')?"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)|\s+TAG\s+'(?P<tag>[^']+)'"
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>[0-9][0-9.]*|'[^']+'))?"
     rf"\s*;?\s*$",
     re.I,
 )
 _MERGE = re.compile(
     rf"^\s*MERGE\s+INTO\s+{_ROOT}\s+USING\s+(?P<view>{_ID})\s+"
     rf"ON\s+(?P<keys>{_ID}(?:\s*,\s*{_ID})*)\s+"
-    rf"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    rf"WHEN\s+MATCHED\s+(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+UPDATE\s+SET\s+\*\s+"
     rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
     rf"(?:\s+PRUNE\s+ON\s+(?P<prune>{_ID}))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+{_ROOT}\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+{_ROOT}\s+SET\s+(?P<sets>.+?)\s+"
+    rf"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+{_ROOT}\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    rf"\s*;?\s*$",
     re.I,
 )
 _OPTIMIZE = re.compile(
@@ -76,6 +98,36 @@ _VACUUM = re.compile(
 
 def _split_ids(s: str) -> list[str]:
     return [c.strip() for c in s.split(",")]
+
+
+def _split_assignments(s: str) -> dict[str, str]:
+    """``SET`` clause into {column: sql expression} — splits on
+    TOP-LEVEL commas only (an expression may contain commas inside
+    parentheses) and on the FIRST ``=`` of each part (the assignment
+    operator; an expression's own ``=`` comparisons come later)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for p in parts:
+        col, eq, expr = p.partition("=")
+        col, expr = col.strip(), expr.strip()
+        if not eq or not expr or not re.fullmatch(_ID, col) or col in out:
+            raise ValueError(
+                f"malformed SET clause part {p.strip()!r}: expected "
+                "'<column> = <expression>' with unique column names"
+            )
+        out[col] = expr
+    return out
 
 
 def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
@@ -127,6 +179,17 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
             df = S.read_snapshot_tag(spark, root, m["tag"])
         elif m["version"] is not None:
             df = S.read_snapshot(spark, root, int(m["version"]))
+        elif m["ts"] is not None:
+            raw = m["ts"]
+            if raw.startswith("'"):
+                # quoted ISO form; naive timestamps are local time, the
+                # same convention committed_at (time.time) records in
+                from datetime import datetime
+
+                ts = datetime.fromisoformat(raw[1:-1]).timestamp()
+            else:
+                ts = float(raw)  # bare epoch seconds
+            df = S.read_snapshot(spark, root, as_of_ts=ts)
         else:
             df = S.read_snapshot(spark, root)
         df.createOrReplaceTempView(m["name"])
@@ -137,8 +200,18 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         src = spark.table(m["view"])
         keys = _split_ids(m["keys"])
-        # UPDATE SET * = source wins on every column (Delta's star form)
-        upd = {c: F.col(f"s.{c}") for c in src.columns}
+        # UPDATE SET * = source wins on every column (Delta's star form);
+        # WHEN MATCHED AND <cond> guards it per key — condition FALSE or
+        # NULL keeps the target row (Delta's conditional-clause rule),
+        # with the s/t aliases naming source and target
+        if m["cond"] is not None:
+            guard = F.coalesce(F.expr(m["cond"]), F.lit(False))
+            upd = {
+                c: F.when(guard, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                for c in src.columns
+            }
+        else:
+            upd = {c: F.col(f"s.{c}") for c in src.columns}
         version = S.merge_commit(
             m["root"], src, keys=keys, when_matched_update=upd,
             prune_on=m["prune"] or None,
@@ -146,6 +219,20 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return spark.createDataFrame(
             [(int(version),)], "version long"
         )
+    m = _DELETE.match(stmt)
+    if m:
+        v = S.delete_where(spark, m["root"], m["pred"])
+        return spark.createDataFrame([(int(v),)], "version long")
+    m = _UPDATE.match(stmt)
+    if m:
+        v = S.update_where(
+            spark, m["root"], _split_assignments(m["sets"]), m["pred"]
+        )
+        return spark.createDataFrame([(int(v),)], "version long")
+    m = _RESTORE.match(stmt)
+    if m:
+        v = S.rollback(spark, m["root"], int(m["version"]))
+        return spark.createDataFrame([(int(v),)], "version long")
     m = _OPTIMIZE.match(stmt)
     if m:
         zcols = _split_ids(m["zcols"]) if m["zcols"] else None
@@ -163,8 +250,11 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
         "unsupported table-SQL statement; supported grammar: DESCRIBE "
         "HISTORY '<root>' | SHOW PARTITIONS '<root>' | CREATE OR REPLACE "
         "TEMP VIEW <name> AS SNAPSHOT OF '<root>' [VERSION AS OF <n> | "
-        "TAG '<tag>'] | MERGE INTO '<root>' USING <view> ON <keys> WHEN "
-        "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
-        "[PRUNE ON <col>] | OPTIMIZE '<root>' [ZORDER BY (<cols>)] | "
+        "TAG '<tag>' | TIMESTAMP AS OF <epoch>|'<iso>'] | MERGE INTO "
+        "'<root>' USING <view> ON <keys> WHEN MATCHED [AND <cond>] THEN "
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT * [PRUNE ON <col>] | "
+        "DELETE FROM '<root>' WHERE <pred> | UPDATE '<root>' SET <col> = "
+        "<expr>[, ...] WHERE <pred> | RESTORE '<root>' TO VERSION AS OF "
+        "<n> | OPTIMIZE '<root>' [ZORDER BY (<cols>)] | "
         f"VACUUM '<root>' RETAIN <n> VERSIONS. Got: {stmt!r}"
     )

@@ -507,14 +507,165 @@ def test_sharded_checkpoint_pruned_read_parses_fewer_bytes(
     assert T._load_state(tfs, tbase, 2)["files"] == S._read_manifest(
         spark, root, 2
     )["files"]
-    # vacuum reclaims an expired version's shards with its checkpoint
+    # vacuum: shard liveness is BY REFERENCE (r13 incremental
+    # checkpoints share untouched shards forward by name) — v3's
+    # checkpoint, written incrementally during vacuum, reuses v2's
+    # shard files, so expiring v2 drops its INDEX but keeps every
+    # shared shard; only unreferenced shards are reclaimed
     S.vacuum(spark, root, keep_last=1)
     names = fsio.list_names(spark, f"{root}/_snapshots")
-    assert not any(n.startswith("ckptshard-00000002-") for n in names)
-    assert any(n.startswith("ckptshard-00000003-") for n in names)
+    assert not any(n == "ckpt-00000002.json" for n in names)
+    idx3 = json.loads(fsio.read_text(spark, S._ckpt_path(root, 3)))
+    assert idx3["format"] == "ckpt-list-v1"
+    referenced = {sm["path"] for sm in idx3["shards"]}
+    assert any(p.startswith("ckptshard-00000002-") for p in referenced)
+    on_disk = {n for n in names if n.startswith("ckptshard-")}
+    assert referenced <= on_disk  # every referenced shard survives
+    assert on_disk <= referenced  # ...and nothing unreferenced lingers
     assert sorted(
         r.i for r in S.read_snapshot(spark, root).filter(F.col("i") >= 500).collect()
     ) == [500, 501, 600, 601]
+    # a full rewrite drops every old shard reference; the next vacuum
+    # then reclaims the now-unreferenced shared shards
+    S.overwrite(_df(spark, 900, 902), root, stats_cols=["i"])
+    S.vacuum(spark, root, keep_last=1)
+    names = fsio.list_names(spark, f"{root}/_snapshots")
+    assert not any(n.startswith("ckptshard-00000002-") for n in names)
+    assert _rows(S.read_snapshot(spark, root)) == [(900, "r900"), (901, "r901")]
+
+
+def test_incremental_checkpoint_reuses_untouched_shards(spark, root, monkeypatch):
+    """r13 verdict task 1: a checkpoint after K small appends onto a
+    sharded-checkpoint base REUSES the previous checkpoint's shard files
+    by name and writes only O(K + touched shards) bytes — never
+    O(table files) — and the reconstructed state is byte-equal to the
+    full-walk reconstruction."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 501).coalesce(1), root, stats_cols=["i"])  # v2
+    S._CKPT_BYTES_WRITTEN["n"] = 0
+    S._ensure_checkpoint(spark, root, 2)  # first sharded ckpt: full write
+    full_write_bytes = S._CKPT_BYTES_WRITTEN["n"]
+    idx2 = json.loads(fsio.read_text(spark, S._ckpt_path(root, 2)))
+    assert idx2["format"] == "ckpt-list-v1" and len(idx2["shards"]) == 5
+    # two 1-file appends, then checkpoint again: pure-append fast path
+    S.append(_df(spark, 600, 601).coalesce(1), root, stats_cols=["i"])  # v3
+    S.append(_df(spark, 700, 701).coalesce(1), root, stats_cols=["i"])  # v4
+    S._STATE_CACHE.clear()
+    expect = S._read_manifest(spark, root, 4)  # full delta-walk state
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_WRITTEN["n"] = 0
+    S._CKPT_BYTES_READ["n"] = 0
+    S._ensure_checkpoint(spark, root, 4)
+    inc_write_bytes = S._CKPT_BYTES_WRITTEN["n"]
+    # O(touched): strictly fewer bytes than the full write, and the
+    # pure-append path reads ZERO previous shard bytes (the deltas
+    # already carry every added file + stat)
+    assert 0 < inc_write_bytes < full_write_bytes / 2
+    assert S._CKPT_BYTES_READ["n"] == fsio.file_size(spark, S._ckpt_path(root, 2))
+    idx4 = json.loads(fsio.read_text(spark, S._ckpt_path(root, 4)))
+    paths2 = [sm["path"] for sm in idx2["shards"]]
+    paths4 = [sm["path"] for sm in idx4["shards"]]
+    assert set(paths2) <= set(paths4)  # every v2 shard reused by name
+    new = [p for p in paths4 if p not in paths2]
+    assert len(new) == 1 and new[0].startswith("ckptshard-00000004-")
+    # reconstruction through the incremental checkpoint is exact
+    S._STATE_CACHE.clear()
+    assert S._read_manifest(spark, root, 4) == expect
+    assert S.metadata_count(spark, root, version=4) == 163
+    assert S.metadata_minmax(spark, root, "i", version=4) == (0, 700)
+
+
+def test_incremental_checkpoint_rewrites_only_touched_shards(
+    spark, root, monkeypatch
+):
+    """A chain that removes/re-stats PREV members (a COW merge) rewrites
+    exactly the shards holding the touched files; untouched shards are
+    still referenced by name, and the reconstructed state matches the
+    full walk."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 501).coalesce(1), root, stats_cols=["i"])  # v2
+    S._ensure_checkpoint(spark, root, 2)
+    idx2 = json.loads(fsio.read_text(spark, S._ckpt_path(root, 2)))
+    # COW-merge keys living in one file (i in [0, 9]): removes that
+    # file, adds its rewrite — exactly one prev shard is touched
+    src = spark.createDataFrame([Row(i=3, s="u3")], "i int, s string")
+    S.merge_commit(
+        root, src, keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )  # v3
+    S._STATE_CACHE.clear()
+    expect = S._read_manifest(spark, root, 3)
+    S._STATE_CACHE.clear()
+    S._ensure_checkpoint(spark, root, 3)
+    idx3 = json.loads(fsio.read_text(spark, S._ckpt_path(root, 3)))
+    paths2 = {sm["path"] for sm in idx2["shards"]}
+    paths3 = {sm["path"] for sm in idx3["shards"]}
+    reused = paths2 & paths3
+    assert len(reused) == len(paths2) - 1  # exactly one shard rewritten
+    assert sum(sm["n_files"] for sm in idx3["shards"]) == len(expect["files"])
+    S._STATE_CACHE.clear()
+    assert S._read_manifest(spark, root, 3) == expect
+    got = sorted((r.i, r.s) for r in S.read_snapshot(spark, root).collect())
+    assert (3, "u3") in got and (3, "r3") not in got
+
+
+def test_lazy_append_skips_full_reconstruction(spark, root, monkeypatch):
+    """r13 verdict task 2: an append whose parent is a delta record with
+    no pending MoR deletes commits through the shard-lazy path — one raw
+    head read, ZERO checkpoint/shard bytes loaded, a pure delta record
+    written — while schema/spec enforcement, txn idempotence tokens and
+    the reconstructed state stay exactly the legacy path's."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 501).coalesce(1), root, stats_cols=["i"])  # v2
+    S._ensure_checkpoint(spark, root, 2)
+    # cold process: the lazy append must not reconstruct the file list
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    v3 = S.append(
+        _df(spark, 600, 601).coalesce(1), root, stats_cols=["i"], txn="b-42"
+    )
+    assert S._CKPT_BYTES_READ["n"] == 0  # zero checkpoint bytes loaded
+    raw = json.loads(fsio.read_text(spark, S._manifest_path(root, v3)))
+    assert raw["format"] == "delta-v1" and raw["files_removed"] == []
+    assert len(raw["files_added"]) == 1
+    assert raw["base"]["txn"] == "b-42"
+    assert S.txn_version(spark, root, "b-42") == v3
+    # contrast: the full reconstruction a legacy writer would have paid
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    m = S._read_manifest(spark, root, v3)
+    assert S._CKPT_BYTES_READ["n"] > 0 and len(m["files"]) == 18
+    assert S.metadata_count(spark, root, version=v3) == 162
+    # schema drift is still refused from the head fields alone
+    with pytest.raises(S.SchemaMismatchError):
+        S.append(
+            spark.createDataFrame([Row(i="x", s="y")], "i string, s string"),
+            root,
+        )
+    # a parent with pending MoR deletes takes the legacy path (seqs
+    # bookkeeping needs the full file list) and stays correct
+    S.mor_delete(spark.createDataFrame([Row(i=3)], "i int"), root, keys=["i"])
+    S.append(_df(spark, 800, 801).coalesce(1), root, stats_cols=["i"])
+    got = {r.i for r in S.read_snapshot(spark, root).collect()}
+    assert 3 not in got and {600, 800} <= got
 
 
 def test_sharded_checkpoint_multi_pruning_count_and_time_travel(
@@ -3380,6 +3531,57 @@ def test_multi_read_coordinator_outside_read_set(spark, root, tmp_path):
         assert not fsio.exists(spark, f"{r}/_snapshots/mtxn-t9.json")
 
 
+def test_multi_read_duplicate_alias_spellings_pin_together(spark, root, tmp_path):
+    """r13 ADVICE: two read-set spellings normalizing to the same root
+    ('a/b' and 'a/b/') are ONE table — a half-published txn must lower
+    BOTH spellings' pins (the old last-spelling-wins nmap left the
+    duplicate alias reading the torn half)."""
+    ra, rb = root, str(tmp_path / "tB")
+    S.append(_df(spark, 0, 2), ra)  # A v1
+    S.append(_df(spark, 100, 102), rb)  # B v1
+    S.multi_stage([(_df(spark, 2, 3), ra), (_df(spark, 102, 103), rb)], "t8")
+    rec = {"txn_id": "t8", "roots": [ra, rb]}
+    for r in (ra, rb):
+        fsio.create_text_atomic(
+            spark, f"{r}/_snapshots/mtxn-t8.json", json.dumps(rec)
+        )
+    S.publish_staged(spark, ra, "mtxn-t8")  # A v2 = the torn half
+    alias = ra + "/"
+    pins = S.multi_read_versions(spark, [ra, alias, rb])
+    assert pins[ra] == pins[alias] == 1 and pins[rb] == 1
+    dfs = S.multi_read(spark, [ra, alias, rb])
+    assert (2, "r2") not in _rows(dfs[ra])
+    assert (2, "r2") not in _rows(dfs[alias])
+    # recovery completes the txn; both spellings advance together
+    S.multi_txn_recover(spark, ra)
+    pins = S.multi_read_versions(spark, [ra, alias, rb])
+    assert pins[ra] == pins[alias] == 2 and pins[rb] == 2
+
+
+def test_mor_upsert_feed_map_column_duplicate_key(spark, root):
+    """r13 ADVICE: a table carrying a MAP column (non-orderable) with
+    the change feed ON must not fail at analysis time on a
+    duplicate-key upsert — the canonical-preimage window orders by
+    keys + orderable columns with a to_json tiebreak."""
+    df = spark.createDataFrame(
+        [Row(i=1, m={"a": 1}), Row(i=1, m={"b": 2}), Row(i=2, m={"c": 3})],
+        "i int, m map<string,int>",
+    )
+    S.append(df, root)
+    S.set_change_feed(spark, root, True)
+    src = spark.createDataFrame([Row(i=1, m={"z": 9})], "i int, m map<string,int>")
+    v = S.mor_upsert(src, root, keys=["i"])
+    live = sorted(
+        (r.i, sorted(r.m.items())) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert live == [(1, [("z", 9)]), (2, [("c", 3)])]
+    # N=2 duplicate pre-rows: exactly 1 update_preimage + 1 delete + post
+    kinds = sorted(
+        r["_change_type"] for r in S.read_changes(spark, root, v - 1, v).collect()
+    )
+    assert kinds == ["delete", "update_postimage", "update_preimage"]
+
+
 def test_multi_read_pins_over_mor_branch_tag_state(spark, root, tmp_path):
     """r12 verdict task 7: the consistent cut composes with the rest of
     the table state — a participant pinned BELOW a half-published txn
@@ -4179,3 +4381,58 @@ def test_merge_evolve_fills_declared_default(spark, root):
     )
     got = {(r.k, r.v, r.score) for r in S.read_snapshot(spark, root).collect()}
     assert got == {(1, "a", 7), (2, "b", 7)}
+
+
+def test_delete_update_where_file_pruned_cow_and_feed(spark, root):
+    """r13 verdict task 5 (engine half): predicate DELETE/UPDATE as
+    file-pruned COW — untouched files carried by reference, the change
+    feed records atomically in the same commit, no-op predicates commit
+    nothing, and NULL-predicate rows survive (SQL semantics)."""
+    base = spark.range(0, 40).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(4, "i"), root, stats_cols=["i"])  # v1
+    S.set_change_feed(spark, root, True)
+    m1 = S._read_manifest(spark, root, 1)
+    v2 = S.delete_where(spark, root, "i BETWEEN 10 AND 14")
+    m2 = S._read_manifest(spark, root, v2)
+    # 3 of 4 files untouched: carried by reference (same stats too)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 3
+    for f in carried:
+        assert m2["stats"][f] == m1["stats"][f]
+    assert sorted(r.i for r in S.read_snapshot(spark, root).collect()) == [
+        i for i in range(40) if not 10 <= i <= 14
+    ]
+    dels = sorted(
+        r.i
+        for r in S.read_changes(spark, root, 1, v2)
+        .filter(F.col("_change_type") == "delete")
+        .collect()
+    )
+    assert dels == list(range(10, 15))
+    v3 = S.update_where(spark, root, {"s": "concat(s, '!')"}, "i = 20")
+    rows = sorted(
+        (r["_change_type"], r.i, r.s)
+        for r in S.read_changes(spark, root, v2, v3).collect()
+    )
+    assert rows == [
+        ("update_postimage", 20, "r20!"),
+        ("update_preimage", 20, "r20"),
+    ]
+    got = {r.s for r in S.read_snapshot(spark, root).filter("i = 20").collect()}
+    assert got == {"r20!"}
+    # no-op predicate: no commit, same version handed back
+    assert S.delete_where(spark, root, "i = 9999") == v3
+    assert S.latest_version(spark, root) == v3
+    # NULL predicate rows survive a delete (SQL: only TRUE deletes)
+    S.append(
+        spark.createDataFrame([Row(i=None, s="n")], "i int, s string"), root
+    )
+    S.delete_where(spark, root, "i < 5")
+    left = {r.s for r in S.read_snapshot(spark, root).collect()}
+    assert "n" in left and "r0" not in left and "r5" in left
+    # UPDATE refuses unknown assignment targets
+    with pytest.raises(ValueError, match="unknown column"):
+        S.update_where(spark, root, {"zz": "1"}, "i = 20")

@@ -101,3 +101,63 @@ def test_optimize_vacuum_and_refusals(spark, root):
     ):
         with pytest.raises(ValueError, match="supported grammar"):
             table_sql(spark, bad)
+
+
+def test_dml_delete_update_conditional_merge_restore(spark, root):
+    """r13 verdict task 5: the conditional DML forms — DELETE FROM /
+    UPDATE ... SET / WHEN MATCHED AND <cond> / TIMESTAMP AS OF snapshot
+    views / RESTORE — route 1:1 onto the Python API with Delta's
+    semantics (predicate TRUE deletes, condition FALSE/NULL keeps the
+    target row), and the still-unsupported grammar keeps refusing."""
+    S.append(
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]),
+        root, stats_cols=["k"],
+    )
+    ts1 = S._manifest_base_field(spark, root, 1, "committed_at")
+    # DELETE FROM ... WHERE: file-pruned COW, metrics row = new version
+    out = table_sql(spark, f"DELETE FROM '{root}' WHERE v > 25 AND g = 'b'")
+    assert out.first()["version"] == 2
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == [1, 2]
+    assert S._read_manifest(spark, root, 2)["op"] == "delete-where"
+    # UPDATE ... SET (top-level comma split; expressions see columns)
+    out = table_sql(
+        spark, f"UPDATE '{root}' SET v = v + 100, g = upper(g) WHERE k = 2"
+    )
+    assert out.first()["version"] == 3
+    got = sorted((r.k, r.g, r.v) for r in S.read_snapshot(spark, root).collect())
+    assert got == [(1, "a", 10), (2, "A", 120)]
+    # MERGE ... WHEN MATCHED AND <cond>: update only where s.v > t.v
+    _df(spark, [(1, "z", 5), (2, "z", 999)]).createOrReplaceTempView("tsql_cond")
+    table_sql(
+        spark,
+        f"MERGE INTO '{root}' USING tsql_cond ON k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = sorted((r.k, r.g, r.v) for r in S.read_snapshot(spark, root).collect())
+    assert got == [(1, "a", 10), (2, "z", 999)]  # k=1 kept (5 < 10)
+    # TIMESTAMP AS OF bridges version_as_of into a temp view
+    table_sql(
+        spark,
+        f"CREATE OR REPLACE TEMP VIEW tsql_ts AS SNAPSHOT OF '{root}' "
+        f"TIMESTAMP AS OF {ts1}",
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM tsql_ts").first()["n"] == 4
+    # RESTORE = rollback-as-commit: history is append-only
+    out = table_sql(spark, f"RESTORE '{root}' TO VERSION AS OF 1")
+    assert out.first()["version"] == 5
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == [
+        1, 2, 3, 4,
+    ]
+    # still-unsupported grammar keeps refusing loudly
+    for bad in (
+        f"DELETE FROM '{root}'",  # no WHERE: full-table delete stays refused
+        f"UPDATE '{root}' SET v = 1",  # no WHERE
+        f"MERGE INTO '{root}' USING v ON k WHEN MATCHED THEN DELETE",
+        f"RESTORE '{root}' TO TIMESTAMP AS OF 5",
+    ):
+        with pytest.raises(ValueError, match="supported grammar"):
+            table_sql(spark, bad)
+    # malformed SET parts refuse with their own message
+    with pytest.raises(ValueError, match="malformed SET"):
+        table_sql(spark, f"UPDATE '{root}' SET v WHERE k = 1")
