@@ -819,6 +819,10 @@ class AnnIndex:
     id_col: str
     vec_col: str | None = None
     codebooks: list | None = None
+    #: metadata columns persisted WITH the cell-partitioned rows
+    #: (ann_write_index meta_cols= opt-in) — what filtered search
+    #: evaluates its predicate against inside probed cells
+    meta_cols: list | None = None
 
     def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
         import math
@@ -868,6 +872,60 @@ class AnnIndex:
             .limit(k)
         )
 
+    def _check_meta(self, what: str) -> None:
+        if not self.meta_cols:
+            raise ValueError(
+                f"{what} needs an index written with meta_cols= (the "
+                "predicate columns must be persisted with the "
+                "cell-partitioned rows; re-write or rebuild the index "
+                "with ann_write_index(..., meta_cols=[...]))"
+            )
+
+    def filtered_pq_search(
+        self, query_vec: list[float], pred, k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """FILTERED ADC top-k from the persisted codes (r13 verdict
+        task 4 — x146's probe strategy reaching the x52/x53 index): the
+        predicate evaluates against the stored metadata columns INSIDE
+        the probed cells, BEFORE the top-k truncation, then the
+        survivors' m-byte codes score through the broadcast LUT — so a
+        codes-only (no float payload) index serves the RAG shape
+        'nearest k WHERE lang = en' at n_probe/n_cells scan cost, and
+        recall degrades exactly like unfiltered IVF (cells are what is
+        approximated; probing all cells recovers the exact filtered
+        answer — pinned by the x49c planted-lossless oracle)."""
+        if self.codebooks is None:
+            raise ValueError("index was written without PQ codes/codebooks")
+        self._check_meta("filtered_pq_search")
+        return pq_topk(
+            self.routed(query_vec, n_probe)
+            .filter(pred)
+            .select(F.col(self.id_col), "pq_codes"),
+            self.codebooks,
+            self.id_col,
+            query_vec,
+            k=k,
+        )
+
+    def filtered_exact_search(
+        self, query_vec: list[float], pred, k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Exact-cosine filtered top-k within probed cells (needs stored
+        float vectors + meta_cols) — the re-rank-capable twin of
+        :meth:`filtered_pq_search`; with n_probe = n_cells it IS the
+        exact filtered answer."""
+        if self.vec_col is None:
+            raise ValueError("index was written without float vectors")
+        self._check_meta("filtered_exact_search")
+        q = F.lit(query_vec).cast("array<double>")
+        return (
+            self.routed(query_vec, n_probe)
+            .filter(pred)
+            .select(F.col(self.id_col), cosine(self.vec_col, q).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(self.id_col))
+            .limit(k)
+        )
+
     def range_search(
         self, query_vec: list[float], min_cosine: float, n_probe: int = 4
     ) -> DataFrame:
@@ -912,6 +970,7 @@ def ann_write_index(
     vec_col: str | None = None,
     codes: DataFrame | None = None,
     codebooks: list | None = None,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Persist an IVF / IVF-PQ index: the assigned rows as parquet
     ``partitionBy("cell_id")`` under ``path/data`` plus a JSON sidecar
@@ -923,16 +982,28 @@ def ann_write_index(
     keeps exact re-rank possible at n_probe cost. The write repartitions
     by cell_id first so each cell directory gets file-sized output
     instead of one sliver per upstream task (at 100 TB, target ~128 MiB
-    files per cell like compact_parquet)."""
+    files per cell like compact_parquet).
+
+    ``meta_cols`` (r13 verdict task 4) persists metadata columns WITH
+    the cell-partitioned rows — what :meth:`AnnIndex.filtered_pq_search`
+    / :meth:`AnnIndex.filtered_exact_search` evaluate their predicate
+    against inside probed cells; a codes-only index then serves
+    filtered queries with zero join-back to the corpus. Bytes cost:
+    the metadata columns per row (keep them to the filterable few —
+    lang, quality, date — not the document body)."""
     import json
 
     spark = assigned.sparkSession
+    for c in meta_cols or ():
+        if c not in assigned.columns:
+            raise ValueError(f"meta_cols column {c!r} not in assigned rows")
     cols = [F.col(id_col)]
     if vec_col is not None:
         # canonical stored element type is double (ivf_build's
         # convention): normalizing here keeps later appends from mixing
         # float/double parquet physical types within one index
         cols.append(as_double_array(vec_col).alias(vec_col))
+    cols.extend(F.col(c) for c in meta_cols or ())
     data = assigned.select(*cols, "cell_id")
     if codes is not None:
         if codebooks is None:
@@ -949,6 +1020,7 @@ def ann_write_index(
         "format": ANN_INDEX_FORMAT,
         "id_col": id_col,
         "vec_col": vec_col,
+        "meta_cols": list(meta_cols) if meta_cols else None,
         "n_cells": n_cells,
         "centroids": centroids,
         "codebooks": codebooks,
@@ -1031,6 +1103,15 @@ def ann_append_to_index(
         # match the index's canonical double element type regardless of
         # the arrival batch's (often float) vector type
         cols.append(as_double_array(src_vec).alias(stored_vec))
+    # an index persisted with metadata columns requires every arrival
+    # batch to carry them — a NULL-backfilled row would silently drop
+    # out of filtered searches, which is worse than an error
+    for c in meta.get("meta_cols") or ():
+        if c not in new_vectors.columns:
+            raise ValueError(
+                f"index stores meta column {c!r}: new_vectors must carry it"
+            )
+        cols.append(F.col(c))
     data = new_vectors.select(
         *cols, ann_assign_cells(new_vectors, src_vec, centroids).alias("cell_id")
     )
@@ -1625,4 +1706,139 @@ def ann_load_index(spark, path: str) -> AnnIndex:
         id_col=meta["id_col"],
         vec_col=meta.get("vec_col"),
         codebooks=meta.get("codebooks"),
+        meta_cols=meta.get("meta_cols"),
     )
+
+
+def ann_selectivity_from_stats(
+    spark, root: str, col: str, lo, hi, version: int | None = None
+) -> float:
+    """Range-predicate selectivity estimate for ``col BETWEEN lo AND hi``
+    over a SNAPSHOT-TABLE corpus, from its manifest stats alone — ZERO
+    Spark jobs, zero file opens (r13 verdict task 4, closing x146's
+    two-full-count fallback inside serving loops): every writer records
+    per-file ``__rows`` and [min, max] for its stats columns, so the
+    estimate is the rows-weighted sum of per-file overlap fractions
+    under the classic assumed-uniform-within-range model (the estimator
+    every cost-based optimizer uses for range predicates). Numeric
+    bounds interpolate; non-numeric or missing bounds count their file
+    FULLY — an upper-bound lean, which errs toward the probe strategy
+    (approximate-but-cheap) rather than understating and silently
+    brute-forcing an unselective predicate. Pass the result as
+    ``cosine_topk_filtered(selectivity=...)`` — the strategy pick then
+    costs one kilobyte-scale metadata read per query instead of two
+    corpus scans."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    v = S.latest_version(spark, root) if version is None else version
+    m = S._read_manifest(spark, root, v)
+    stats = m.get("stats", {})
+    total = 0
+    matched = 0.0
+    for f in m["files"]:
+        s = stats.get(f, {})
+        rows = s.get("__rows")
+        if rows is None:
+            raise ValueError(
+                f"file {f!r} has no recorded row count; re-commit (compact) "
+                "to record stats before estimating from the manifest"
+            )
+        rows = int(rows)
+        if rows == 0:
+            continue
+        total += rows
+        ent = s.get(col)
+        if not ent or ent[0] is None or ent[1] is None:
+            matched += rows  # unknown bounds: count fully (upper bound)
+            continue
+        mn, mx = ent
+        try:
+            fmn, fmx, flo, fhi = float(mn), float(mx), float(lo), float(hi)
+        except (TypeError, ValueError):
+            # non-numeric column: overlap check only, no interpolation
+            matched += rows if not (mx < lo or mn > hi) else 0.0
+            continue
+        if fmx < flo or fmn > fhi:
+            continue
+        if all(float(x).is_integer() for x in (fmn, fmx, flo, fhi)):
+            # discrete (integer) uniformity: inclusive unit widths — a
+            # point predicate lo == hi gets 1/(mx-mn+1), not the zero
+            # width the continuous form would assign
+            ol = min(fhi, fmx) - max(flo, fmn) + 1.0
+            span = fmx - fmn + 1.0
+        else:
+            ol = min(fhi, fmx) - max(flo, fmn)
+            span = fmx - fmn
+        if span <= 0:
+            matched += rows  # point file inside the range
+        else:
+            matched += rows * min(1.0, max(0.0, ol / span))
+    return matched / total if total else 0.0
+
+
+def ann_sync_from_changes(
+    spark, path: str, table_root: str, vec_col: str | None = None
+) -> int:
+    """Keep a persisted ANN index FOLLOWING a mutating snapshot-table
+    corpus through the table's CHANGE DATA FEED — the index-maintenance
+    loop every RAG stack runs (Databricks' vector-sync shape): consume
+    ``read_changes`` over ``(synced_version, latest]``, net each id to
+    its FINAL transition in the range (an insert later deleted nets to
+    nothing; an update nets to its last post-image), then apply as
+    delete-all-touched-ids + append-final-rows against the index and
+    record the new high-water version in the sidecar.
+
+    Cost is O(transitions) — never a corpus rescan or an index rebuild:
+    deletes rewrite only the touched cells, appends route through the
+    frozen quantizers. CRASH-SAFE/idempotent by construction: the
+    high-water mark advances only after both legs land, and a replayed
+    range first deletes every touched id (including rows a crashed
+    attempt already appended) before re-appending — the same
+    delete-covers-duplicates algebra st14's ingest uses. Refusals ride
+    read_changes' own: an unrecorded row-mutating version or a vacuumed
+    range fails loudly instead of desyncing the index. Returns the new
+    synced version."""
+    import json
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    if meta.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(f"unsupported ANN index format at {path}")
+    since = int(meta.get("synced_version", 0))
+    latest = S.latest_version(spark, table_root)
+    if latest <= since:
+        return since
+    id_col = meta["id_col"]
+    feed = S.read_changes(spark, table_root, since, latest)
+    # net per id: the LAST transition wins; within one version a
+    # post-image outranks its pre-image (an update's final state)
+    is_add = F.col("_change_type").isin("insert", "update_postimage")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_commit_version"), F.desc(is_add.cast("int"))
+    )
+    final = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    final = final.localCheckpoint()  # the delete leg rewrites files the
+    # feed legs may plan from; pin the rows first (the index-delete
+    # pattern ann_delete_from_index itself uses)
+    touched_ids = final.select(id_col).distinct()
+    ann_delete_from_index(spark, path, touched_ids)
+    adds = final.filter(is_add)
+    if not adds.isEmpty():
+        # codes-only indexes need the TABLE's vector column named (the
+        # ann_append_to_index contract); vector indexes default to the
+        # stored column name
+        ann_append_to_index(
+            spark, path, adds, vec_col=vec_col or meta.get("vec_col")
+        )
+    # re-read: the delete/append legs bumped the sidecar's mutation seq
+    meta = json.loads(_fs_read_text(spark, f"{path}/{_ANN_META_FILE}"))
+    meta["synced_version"] = int(latest)
+    _fs_write_text(spark, f"{path}/{_ANN_META_FILE}", json.dumps(meta))
+    return int(latest)

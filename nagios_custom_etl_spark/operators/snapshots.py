@@ -933,22 +933,29 @@ def _commit_delta(
     schema: list[list[str]] | None = None,
     txn: str | None = None,
     partition_spec: list[str] | None = None,
+    files_removed: list[str] | tuple = (),
+    stats_del: list[str] | tuple = (),
+    extra_base: dict | None = None,
 ) -> int:
-    """Publish a blind-append commit as a DELTA RECORD directly — the
-    shard-lazy writer path (r13 verdict task 2): nothing here reads or
-    reconstructs the parent's file list, so a K-file append to a
-    million-file table costs one raw head read (the caller's) + one
-    O(K)-byte delta write, plus — every ``_CKPT_EVERY``-th version — an
-    incremental checkpoint that reuses the previous checkpoint's
-    untouched shards (:func:`_try_incremental_ckpt`). Driver memory is
-    O(K + touched shards), never O(table files).
+    """Publish an append/merge-family commit as a DELTA RECORD directly
+    — the shard-lazy writer path (r13 verdict task 2): nothing here
+    reads or reconstructs the parent's file list, so a K-file append
+    (or a merge that removed ``files_removed`` and added
+    ``files_added``) to a million-file table costs one raw head read
+    (the caller's) + one O(touched)-byte delta write, plus — every
+    ``_CKPT_EVERY``-th version — an incremental checkpoint that reuses
+    the previous checkpoint's untouched shards
+    (:func:`_try_incremental_ckpt`). Driver memory is O(touched +
+    touched shards), never O(table files).
 
-    Only valid when the committed state is exactly parent-state +
-    ``files_added`` carrying ``stats_added`` (no removals, no MoR
-    bookkeeping — :func:`append` falls back to :func:`_commit` when the
-    parent holds pending deletes or is a full manifest). The atomic
-    commit point and its :class:`ConcurrentCommitError` contract are
-    identical to :func:`_commit`'s."""
+    Only valid when the committed state is exactly parent-state −
+    ``files_removed`` + ``files_added`` with the given stats changes
+    and no MoR bookkeeping (callers fall back to :func:`_commit` when
+    the parent holds pending deletes or is a full manifest).
+    ``extra_base`` carries op-family non-file fields (a merge's
+    recorded ``change_files``) verbatim. The atomic commit point and
+    its :class:`ConcurrentCommitError` contract are identical to
+    :func:`_commit`'s."""
     version = parent + 1
     base: dict = {
         "version": version,
@@ -962,14 +969,18 @@ def _commit_delta(
         base["txn"] = txn
     if partition_spec:
         base["partition_spec"] = partition_spec
+    if extra_base:
+        base.update(extra_base)
     d: dict = {
         "format": _DELTA_FORMAT,
         "base": base,
         "files_added": sorted(files_added),
-        "files_removed": [],
+        "files_removed": sorted(files_removed),
     }
     if stats_added:
         d["stats_set"] = {f: stats_added[f] for f in sorted(stats_added)}
+    if stats_del:
+        d["stats_del"] = sorted(stats_del)
     fsio.mkdirs(spark, _snap_dir(root))
     try:
         fsio.create_text_atomic(
@@ -2060,6 +2071,97 @@ def rollback(spark: SparkSession, root: str, to_version: int) -> int:
     )
 
 
+def _merge_commit_lazy(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched_update,
+    prune_on: str,
+    stats_cols: list[str] | None,
+    txn: str | None,
+    change_rows: DataFrame | None,
+    cdf: bool,
+    parent: int,
+) -> int | None:
+    """SHARD-LAZY file-pruned MERGE (r13 verdict tasks 1-2 extended to
+    the merge writer): when the parent is a delta record with no pending
+    MoR deletes, the merge plans its candidate files through
+    :func:`_plan_pruned_state` — parsing only the checkpoint shards
+    whose envelopes intersect the source's key range — and commits a
+    DELTA RECORD directly (touched files removed, rewritten files
+    added, stats delta'd), so neither planning nor commit ever
+    materializes the table's full file list: driver memory and metadata
+    IO are O(candidate files in intersecting shards), not O(table
+    files). Sound for the same reason the pruned READ is: a shard whose
+    envelope misses [lo, hi] provably holds no matching key, so its
+    members are untouched by definition and the delta leaves them in
+    place. Returns None when the preconditions fail (full-manifest
+    parent, pending deletes, schema-less table) — the caller falls back
+    to the legacy full-state path."""
+    from pyspark.sql import functions as F
+
+    from nagios_custom_etl_spark.operators.merge import merge_upsert
+
+    hfields, is_delta = _parent_head(spark, root, parent)
+    if not is_delta or hfields.get("deletes") or not hfields.get("schema"):
+        return None
+    schema = hfields["schema"]
+    spec = hfields.get("partition_spec")
+    lo, hi = source.agg(F.min(prune_on), F.max(prune_on)).first()
+    m: dict = {"files": [], "stats": {}}
+    touched: list[str] = []
+    if lo is not None:
+        m = _plan_pruned_state(spark, root, parent, [(prune_on, lo, hi)])
+        fstats = m.get("stats", {})
+
+        def can_match(f: str) -> bool:
+            s = fstats.get(f, {}).get(prune_on)
+            if not s or s[0] is None or s[1] is None:
+                return True  # no stats: conservatively rewrite
+            return not (s[1] < lo or s[0] > hi)
+
+        touched = [f for f in m["files"] if can_match(f)]
+    mview = {"schema": schema, "partition_spec": spec}
+    target = None
+    if touched:
+        target = _live_view(spark, root, mview, touched)
+        merged = merge_upsert(
+            target, source, keys=keys, when_matched_update=when_matched_update
+        )
+    else:  # no candidate file can hold a match: the whole batch inserts
+        merged = source
+    merged = merged.select(*_visible_names(schema))
+    _enforce_constraints(merged, root)
+    files, wstats = _write_data_files(merged, root, stats_cols, spec)
+    change_files = None
+    if change_rows is not None:
+        change_files = _write_change_files(change_rows, root)
+    elif cdf and touched:
+        change_files = _write_change_files(
+            _merge_transitions(
+                target, source, keys, when_matched_update, _visible_names(schema)
+            ),
+            root,
+        )
+    return _commit_delta(
+        spark,
+        root,
+        parent,
+        "merge",
+        files,
+        wstats,
+        schema=schema,
+        txn=txn,
+        partition_spec=spec,
+        files_removed=touched,
+        stats_del=[f for f in touched if f in m.get("stats", {})],
+        extra_base=(
+            {"change_files": change_files} if change_files is not None else None
+        ),
+    )
+
+
 def merge_commit(
     root: str,
     source: DataFrame,
@@ -2139,6 +2241,23 @@ def merge_commit(
     last_err: Exception | None = None
     for _ in range(max_retries):
         parent = latest_version(spark, root)
+        # shard-lazy fast path (r13 verdict tasks 1-2 on the merge
+        # writer): plan through intersecting shards + commit a delta —
+        # never materializing the full file list. Falls through to the
+        # legacy full-state path when its preconditions don't hold
+        # (full-manifest parent, pending MoR deletes, schema-less
+        # table, evolve=True).
+        if parent and prune_on is not None and not evolve:
+            try:
+                lazy_v = _merge_commit_lazy(
+                    spark, root, source, keys, when_matched_update,
+                    prune_on, stats_cols, txn, change_rows, cdf, parent,
+                )
+            except ConcurrentCommitError as ex:
+                last_err = ex
+                continue
+            if lazy_v is not None:
+                return lazy_v
         m = _read_manifest(spark, root, parent) if parent else {}
         untouched: list[str] = []
         # MERGE schema evolution (Delta's autoMerge): with evolve=True a

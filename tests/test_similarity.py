@@ -1058,3 +1058,174 @@ def test_filtered_search_strategies_and_probe_all_exactness(spark, sf_dir):
     auto, s3 = cosine_topk_filtered(em, "embedding", "vec_id", qvec, pred, k=10)
     assert s3 == "prefilter"
     assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in auto.collect()] == exact_rows
+
+
+def test_filtered_index_meta_cols_lifecycle(spark, tmp_path):
+    """r13 verdict task 4: metadata columns persisted WITH the index
+    (meta_cols opt-in) serve filtered searches inside probed cells —
+    probe-all filtered search == exact filtered brute force; appends
+    must carry the meta columns (refused otherwise) and deletes keep
+    them; an index written WITHOUT meta_cols refuses filtered search."""
+    import math
+
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_append_to_index,
+        ann_delete_from_index,
+        ann_load_index,
+        ann_write_index,
+    )
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (i, unit(math.cos(i * 0.37), math.sin(i * 0.37), 0.1 * (i % 5), 1.0),
+         i % 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lbl int"
+    )
+    assigned, centroids = ivf_build(df, "embedding", "vec_id", n_cells=4, seed=7)
+    assigned = assigned.join(df.select("vec_id", "lbl"), "vec_id")
+    path = str(tmp_path / "idx")
+    ann_write_index(
+        path, assigned, centroids, "vec_id", "embedding", meta_cols=["lbl"]
+    )
+    idx = ann_load_index(spark, path)
+    assert idx.meta_cols == ["lbl"]
+    q = unit(1.0, 0.2, 0.1, 1.0)
+    got = [
+        r["vec_id"]
+        for r in idx.filtered_exact_search(
+            q, F.col("lbl") == 1, k=5, n_probe=4
+        ).collect()
+    ]
+    exact = [
+        r["vec_id"]
+        for r in cosine_topk(
+            df.filter(F.col("lbl") == 1), "embedding", "vec_id", q, k=5
+        ).collect()
+    ]
+    assert got == exact  # probe-all == exact filtered answer
+    # appends must carry the stored meta columns
+    newbie = spark.createDataFrame(
+        [(100, unit(1.0, 0.2, 0.1, 1.0))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="meta column"):
+        ann_append_to_index(spark, path, newbie)
+    ann_append_to_index(spark, path, newbie.withColumn("lbl", F.lit(1)))
+    idx = ann_load_index(spark, path)
+    got = [
+        r["vec_id"]
+        for r in idx.filtered_exact_search(
+            q, F.col("lbl") == 1, k=1, n_probe=4
+        ).collect()
+    ]
+    assert got == [100]  # the appended exact-match row serves filtered
+    # deletes rewrite rows wholesale: meta columns ride along
+    ann_delete_from_index(
+        spark, path, spark.createDataFrame([(100,)], "vec_id long")
+    )
+    idx = ann_load_index(spark, path)
+    got = [
+        r["vec_id"]
+        for r in idx.filtered_exact_search(
+            q, F.col("lbl") == 1, k=5, n_probe=4
+        ).collect()
+    ]
+    assert got == exact
+    # an index without meta_cols refuses filtered search loudly
+    path2 = str(tmp_path / "idx2")
+    ann_write_index(path2, assigned, centroids, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="meta_cols"):
+        ann_load_index(spark, path2).filtered_exact_search(q, F.col("lbl") == 1)
+
+
+def test_ann_selectivity_from_stats_zero_scan(spark, tmp_path):
+    """The manifest-stats selectivity estimator: discrete-uniform
+    interpolation over recorded per-file [min,max] + __rows — exact on
+    a uniform integer column, range-clamped, refusing unrecorded rows,
+    and touching ZERO data files (the estimator never receives a
+    DataFrame; it reads manifest JSON only)."""
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_selectivity_from_stats,
+    )
+
+    root = str(tmp_path / "tab")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("long").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("lbl"),
+    )
+    S.append(df.repartition(4), root, stats_cols=["lbl"])
+    # point predicate on a 0..2 column: discrete form gives exactly 1/3
+    assert ann_selectivity_from_stats(spark, root, "lbl", 1, 1) == pytest.approx(
+        1.0 / 3.0, abs=1e-12
+    )
+    # full-range predicate saturates at 1; disjoint range at 0
+    assert ann_selectivity_from_stats(spark, root, "lbl", 0, 2) == 1.0
+    assert ann_selectivity_from_stats(spark, root, "lbl", 5, 9) == 0.0
+    # a column without recorded bounds counts fully (upper-bound lean)
+    assert ann_selectivity_from_stats(spark, root, "nope", 0, 1) == 1.0
+
+
+def test_ann_sync_from_changes_netting_and_replay(spark, tmp_path):
+    """CDF-driven index sync: per-id netting (a row inserted and then
+    deleted INSIDE the synced range must not reach the index; an update
+    nets to its last post-image), and a replayed range (crash before
+    the high-water bump) cannot duplicate rows — delete-covers-
+    duplicates."""
+    import math
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.similarity import (
+        ann_load_index,
+        ann_sync_from_changes,
+        ann_write_index,
+    )
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, unit(math.cos(i), math.sin(i), 1.0)) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    root, path = str(tmp_path / "tab"), str(tmp_path / "idx")
+    S.set_change_feed(spark, root, True)
+    S.append(vecs(range(20)), root, stats_cols=["vec_id"])  # v1
+    assigned, centroids = ivf_build(
+        S.read_snapshot(spark, root, 1), "embedding", "vec_id", n_cells=2,
+        seed=5,
+    )
+    ann_write_index(path, assigned, centroids, "vec_id", "embedding")
+    S.append(vecs([100, 101]), root, stats_cols=["vec_id"])  # v2
+    S.mor_delete(
+        spark.createDataFrame([(100,), (3,)], "vec_id long"), root,
+        keys=["vec_id"],
+    )  # v3: 100 was inserted at v2 -> nets to NOTHING; 3 nets to delete
+    v = ann_sync_from_changes(spark, path, root)
+    assert v == 3
+    idx = ann_load_index(spark, path)
+    ids = sorted(r.vec_id for r in idx.table.select("vec_id").collect())
+    expect = sorted(set(range(20)) - {3} | {101})
+    assert ids == expect
+    # crash replay: reset the high-water mark, re-sync — no duplicates
+    import json as _json
+
+    from nagios_custom_etl_spark import fsio
+
+    meta = _json.loads(fsio.read_text(spark, f"{path}/_ann_index_meta.json"))
+    meta["synced_version"] = 0
+    fsio.write_text(spark, f"{path}/_ann_index_meta.json", _json.dumps(meta))
+    assert ann_sync_from_changes(spark, path, root) == 3
+    idx = ann_load_index(spark, path)
+    ids = sorted(r.vec_id for r in idx.table.select("vec_id").collect())
+    assert ids == expect  # exactly once, no duplicates
+    # and a no-op re-sync holds still
+    assert ann_sync_from_changes(spark, path, root) == 3

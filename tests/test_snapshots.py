@@ -4436,3 +4436,211 @@ def test_delete_update_where_file_pruned_cow_and_feed(spark, root):
     # UPDATE refuses unknown assignment targets
     with pytest.raises(ValueError, match="unknown column"):
         S.update_where(spark, root, {"zz": "1"}, "i = 20")
+
+
+def test_mtxn_feed_crash_matrix_exactly_once(spark, tmp_path):
+    """r13 verdict task 8: 2PC over a change-feed-enabled participant —
+    at EVERY crash point (before any publish / after one participant /
+    after publishes but before record retirement) recovery yields the
+    staged batch's feed slice exactly once, and re-running recovery
+    changes nothing."""
+    for i, crash in enumerate(("before_any", "after_one", "before_retire")):
+        ra = str(tmp_path / f"a{i}")
+        rb = str(tmp_path / f"b{i}")
+        S.set_change_feed(spark, ra, True)
+        S.append(_df(spark, 0, 3), ra, stats_cols=["i"])  # A v1
+        S.append(_df(spark, 100, 103), rb)  # B v1
+        S.multi_stage(
+            [(_df(spark, 10, 14), ra), (_df(spark, 110, 114), rb)], "tx"
+        )
+        rec = {"txn_id": "tx", "roots": [ra, rb]}
+        for r in (ra, rb):
+            fsio.create_text_atomic(
+                spark, f"{r}/_snapshots/mtxn-tx.json", json.dumps(rec)
+            )
+        if crash == "after_one":
+            S.publish_staged(spark, rb, "mtxn-tx")
+        elif crash == "before_retire":
+            S.publish_staged(spark, ra, "mtxn-tx")
+            S.publish_staged(spark, rb, "mtxn-tx")
+        S.multi_txn_recover(spark, ra)
+        # the staged batch's feed slice appears exactly once
+        v2 = (
+            S.read_changes(spark, ra, 1)
+            .filter(F.col("_change_type") == "insert")
+            .collect()
+        )
+        assert sorted(r.i for r in v2) == [10, 11, 12, 13], crash
+        # idempotent: recovery from either root changes nothing
+        va, nfeed = S.latest_version(spark, ra), len(v2)
+        S.multi_txn_recover(spark, rb)
+        S.multi_txn_recover(spark, ra)
+        assert S.latest_version(spark, ra) == va, crash
+        assert S.read_changes(spark, ra, 1).count() == nfeed, crash
+        for r in (ra, rb):
+            assert not fsio.exists(spark, f"{r}/_snapshots/mtxn-tx.json"), crash
+        # the cut is uniform after recovery
+        dfs = S.multi_read(spark, [ra, rb])
+        assert (10, "r10") in _rows(dfs[ra]) and (110, "r110") in _rows(dfs[rb])
+
+
+def test_merge_commit_shard_lazy_path(spark, root, monkeypatch):
+    """Shard-lazy MERGE (r13 verdict tasks 1-2 on the merge writer): on
+    a sharded-checkpoint delta-parent table the merge plans through
+    intersecting shards only (strictly fewer checkpoint bytes than full
+    reconstruction), commits a DELTA record removing exactly the
+    touched files, and the content equals the semantic merge result;
+    insert-only merges remove nothing; the feed records atomically."""
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 501).coalesce(1), root, stats_cols=["i"])  # v2
+    S._ensure_checkpoint(spark, root, 2)
+    S.set_change_feed(spark, root, True)
+    src = spark.createDataFrame(
+        [Row(i=3, s="u3"), Row(i=7, s="u7")], "i int, s string"
+    )
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    v3 = S.merge_commit(
+        root, src, keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )
+    lazy_bytes = S._CKPT_BYTES_READ["n"]
+    raw = json.loads(fsio.read_text(spark, S._manifest_path(root, v3)))
+    assert raw["format"] == "delta-v1"
+    assert len(raw["files_removed"]) == 1  # i=3 and i=7 share one file
+    assert raw["files_removed"] == raw.get("stats_del")
+    # planning read strictly fewer checkpoint bytes than reconstruction
+    S._STATE_CACHE.clear()
+    S._CKPT_BYTES_READ["n"] = 0
+    m_full = S._read_manifest(spark, root, v3)
+    assert 0 < lazy_bytes < S._CKPT_BYTES_READ["n"]
+    assert len(m_full["files"]) == 17
+    got = dict(_rows(S.read_snapshot(spark, root)))
+    assert got[3] == "u3" and got[7] == "u7" and got[8] == "r8"
+    assert S.metadata_count(spark, root, version=v3) == 161
+    # the feed recorded pre/post pairs atomically in the same commit
+    feed = sorted(
+        (r["_change_type"], r.i, r.s)
+        for r in S.read_changes(spark, root, v3 - 1, v3).collect()
+    )
+    assert feed == [
+        ("update_postimage", 3, "u3"),
+        ("update_postimage", 7, "u7"),
+        ("update_preimage", 3, "r3"),
+        ("update_preimage", 7, "r7"),
+    ]
+    # insert-only merge (key range beyond every shard envelope): removes
+    # nothing, inserts the batch, feed derives at read time
+    v4 = S.merge_commit(
+        root,
+        spark.createDataFrame([Row(i=9999, s="new")], "i int, s string"),
+        keys=["i"], prune_on="i",
+        when_matched_update={"i": F.col("s.i"), "s": F.col("s.s")},
+    )
+    raw4 = json.loads(fsio.read_text(spark, S._manifest_path(root, v4)))
+    assert raw4["format"] == "delta-v1" and raw4["files_removed"] == []
+    ins = sorted(
+        r.i for r in S.read_changes(spark, root, v3, v4)
+        .filter(F.col("_change_type") == "insert").collect()
+    )
+    assert ins == [9999]
+    assert S.metadata_count(spark, root, version=v4) == 162
+
+
+def test_distributed_manifest_planning_matches_single_node(
+    spark, root, monkeypatch
+):
+    """Distributed manifest planning (r13 'What's missing' item 2):
+    executor tasks parse the intersecting shards and apply the per-file
+    check; the driver folds the delta chain, force-emitted re-statted
+    members re-decide through their override stats, and the planned set
+    is IDENTICAL to the single-node planner's — with refusals for
+    unqualified table shapes."""
+    from nagios_custom_etl_spark.sources.manifest_scan import (
+        plan_files_distributed,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_MIN_FILES", 8)
+    monkeypatch.setattr(S, "_SHARD_SIZE", 4)
+    base = spark.range(0, 160).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    S.append(base.repartitionByRange(16, "i"), root, stats_cols=["i"])  # v1
+    S.append(_df(spark, 500, 501).coalesce(1), root, stats_cols=["i"])  # v2
+    S._ensure_checkpoint(spark, root, 2)
+    S.append(_df(spark, 600, 601).coalesce(1), root, stats_cols=["i"])  # v3
+    # v4: a DELTA that re-stats a checkpoint MEMBER the executors'
+    # stale shard view would REJECT — its new range intersects the
+    # predicate, so only the force-emit + driver-recheck path can plan
+    # it (the resurrection case)
+    m3 = S._read_manifest(spark, root, 3)
+    victim = next(
+        f for f in m3["files"]
+        if (s := m3["stats"].get(f, {}).get("i"))
+        and s[0] is not None and s[0] >= 100
+    )
+    hf, _ = S._parent_head(spark, root, 3)
+    fsio.create_text_atomic(
+        spark,
+        S._manifest_path(root, 4),
+        json.dumps(
+            {
+                "format": "delta-v1",
+                "base": {
+                    **hf, "version": 4, "parent": 3, "op": "record-ndv",
+                    "committed_at": 4.0,
+                },
+                "files_added": [],
+                "files_removed": [],
+                "stats_set": {
+                    victim: {**m3["stats"][victim], "i": [20, 22]}
+                },
+            }
+        ),
+    )
+    S._STATE_CACHE.clear()
+    v = S.latest_version(spark, root)
+    assert v == 4
+    planned, n_shards, total = plan_files_distributed(
+        spark, root, v, [("i", 10, 25)]
+    )
+    # single-node reference: the exact per-file check over the pruned
+    # planning state
+    S._STATE_CACHE.clear()
+    m = S._plan_pruned_state(spark, root, v, [("i", 10, 25)])
+    fstats = m.get("stats", {})
+
+    def keeps(f):
+        s = fstats.get(f, {}).get("i")
+        if s and s[0] is not None and s[1] is not None:
+            return not (s[1] < 10 or s[0] > 25)
+        return True
+
+    expect = sorted(f for f in m["files"] if keeps(f))
+    assert planned == expect
+    assert 0 < n_shards < 5  # envelope exclusion happened driver-side
+    assert total == m["_files_total"] == 18
+    # the planned set actually reads correctly
+    df = S._read_files(spark, root, planned, m.get("schema"))
+    got = sorted(r.i for r in df.filter(F.col("i").between(10, 25)).collect())
+    assert got == list(range(10, 26))
+    # refusals: full-manifest base / pending MoR deletes fall back
+    r2 = root + "_plain"
+    S.append(_df(spark, 0, 4), r2)
+    with pytest.raises(ValueError, match="sharded checkpoint"):
+        plan_files_distributed(spark, r2, 1, [("i", 0, 1)])
+    S.mor_delete(spark.createDataFrame([Row(i=3)]), root, keys=["i"])
+    # checkpoint the MoR-pending version so the walk reaches a sharded
+    # base whose fields carry the pending deletes — the MoR refusal
+    S._ensure_checkpoint(spark, root, S.latest_version(spark, root))
+    with pytest.raises(ValueError, match="MoR"):
+        plan_files_distributed(
+            spark, root, S.latest_version(spark, root), [("i", 0, 1)]
+        )
