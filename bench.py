@@ -164,6 +164,13 @@ HEADLINE = [
     # reconstruction per run, so shard-write cost and planner overhead
     # both surface here)
     "x143_manifest_list_sharding",
+    # r14 addition: incremental checkpoints + shard-lazy appends — the
+    # metadata-layer WRITE-path representative (a 16-file range-
+    # clustered write + a full sharded checkpoint + two cold lazy
+    # appends + an incremental checkpoint + an index-only count + a
+    # pruned read per run, so checkpoint-write and lazy-commit
+    # regressions surface here)
+    "x148_incremental_checkpoints",
 ]
 
 
@@ -231,6 +238,12 @@ BAND_MAX = {
     # range-clustered write + sharded checkpoint + one cold-cache
     # pruned read + one cold-cache full reconstruction.
     "x143_manifest_list_sharding": 2.20,
+    # r14: first settled measurement 2.043 (cool box, 0 violations).
+    # Same write-heavy metadata profile as x143 (a 16-file clustered
+    # write + full sharded checkpoint + two lazy appends + an
+    # incremental checkpoint per run), so the same ~1.66x load-wave
+    # allowance applies — the x143 precedent's band ratio.
+    "x148_incremental_checkpoints": 3.40,
 }
 BAND_VIOLATION_LIMIT = 5
 BAND_MAX_RETRIES = 2
