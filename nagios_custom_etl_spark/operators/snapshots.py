@@ -1406,12 +1406,39 @@ def _project_to_schema(
     return df.select(*cols)
 
 
+def _dv_rel_expr(root: str):
+    """Column expression recovering a row's MANIFEST-RELATIVE file path
+    from the carried ``__dv_path`` (a url-decoded ``_metadata.file_path``
+    URI): scheme-strip to a bare absolute path, then cut the table
+    root's prefix. The manifest-relative spelling is the deletion-vector
+    join key — absolute URIs must never be persisted (roots move; the
+    input_file_name/_file_stats lesson). Local roots compare against
+    ``os.path.abspath``; ``scheme://`` roots against ``/netloc/path``."""
+    import os
+    import posixpath
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    if "://" in root:
+        u = urlparse(root)
+        prefix = f"/{u.netloc}{posixpath.normpath(u.path)}"
+    else:
+        prefix = os.path.abspath(root)
+    stripped = F.regexp_replace(
+        F.col("__dv_path"), r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/"
+    )
+    # 1-indexed substring: skip the prefix and its trailing slash
+    return F.substring(stripped, len(prefix) + 2, 2147483647)
+
+
 def _read_files(
     spark: SparkSession,
     root: str,
     files: list[str],
     schema: list[list[str]] | None,
     partition_spec: list[str] | None = None,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Plan a read over manifest-listed files. With a recorded table
     schema the files may be heterogeneous (schema evolution):
@@ -1431,11 +1458,24 @@ def _read_files(
     cast reconciles it. Partitioned groups also carry their own
     ``basePath`` (how Spark reconstitutes ``col=val`` path values as
     columns). The union is over O(retained commits) groups, bounded by
-    compaction."""
+    compaction.
+
+    ``keep_pos`` carries each row's physical identity — ``__dv_path``
+    (url-decoded ``_metadata.file_path``) and ``__dv_pos``
+    (``_metadata.row_index``) — through the projection: the deletion-
+    vector read/write path (Delta DVs / Iceberg positional deletes).
+    Generated per split by the parquet reader, zero shuffle."""
     from pyspark.sql import functions as F
 
+    def with_pos(df: DataFrame) -> DataFrame:
+        if not keep_pos:
+            return df
+        return df.withColumn(
+            "__dv_path", F.url_decode(F.col("_metadata.file_path"))
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+
     if schema is None:
-        return spark.read.parquet(*[f"{root}/{f}" for f in files])
+        return with_pos(spark.read.parquet(*[f"{root}/{f}" for f in files]))
 
     def dkey(f: str) -> str:
         segs = f.split("/")
@@ -1448,15 +1488,19 @@ def _read_files(
     for f in files:
         groups.setdefault(dkey(f), []).append(f)
 
+    keep = ("__dv_path", "__dv_pos") if keep_pos else ()
+
     def cast_to_schema(df: DataFrame) -> DataFrame:
-        return _project_to_schema(df, schema)
+        return _project_to_schema(df, schema, keep=keep)
 
     parts = []
     for sub, fl in sorted(groups.items()):
         rd = spark.read.option("mergeSchema", "true")
         if partition_spec:
             rd = rd.option("basePath", f"{root}/{sub}")
-        parts.append(cast_to_schema(rd.parquet(*[f"{root}/{f}" for f in fl])))
+        parts.append(
+            cast_to_schema(with_pos(rd.parquet(*[f"{root}/{f}" for f in fl])))
+        )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -1489,27 +1533,47 @@ def _mor_extra(m: dict, new_files: list[str], version: int) -> dict | None:
 
 
 def _live_view(
-    spark: SparkSession, root: str, m: dict, files: list[str]
+    spark: SparkSession, root: str, m: dict, files: list[str],
+    keep_pos: bool = False,
 ) -> DataFrame:
-    """Plan ``files`` and apply the manifest's pending equality deletes
-    — the merge-on-read (MoR) read path, Iceberg's equality-delete
-    semantics: a delete entry committed at sequence ``dseq`` erases
-    matching keys from every data file with a SMALLER sequence (files a
-    mor_upsert added in the same commit carry the delete's own seq, so
-    the delete never eats its companion inserts). Planned as one
-    anti-join: row files group by their seq (O(commits since last
-    compact) groups, bounded by compaction), delete files union into a
-    keyed build side, and the join condition is key-equality AND
-    ``dseq > seq`` — Spark extracts the equi keys for a hash join and
-    applies the seq comparison as a residual, so the read stays one
-    shuffle-free pass when the delete side broadcasts (it is the
-    accumulated change keys, megabytes against a 100 TB scan). Tables
-    with no pending deletes skip all of this."""
+    """Plan ``files`` and apply the manifest's pending deletes — the
+    merge-on-read (MoR) read path. Two entry kinds live in ``deletes``:
+
+    EQUALITY entries (Iceberg v2 equality deletes): an entry committed
+    at sequence ``dseq`` erases matching keys from every data file with
+    a SMALLER sequence (files a mor_upsert added in the same commit
+    carry the delete's own seq, so the delete never eats its companion
+    inserts). Planned as one anti-join: row files group by their seq
+    (O(commits since last compact) groups, bounded by compaction),
+    delete files union into a keyed build side, and the join condition
+    is key-equality AND ``dseq > seq`` — Spark extracts the equi keys
+    for a hash join and applies the seq comparison as a residual, so
+    the read stays one shuffle-free pass when the delete side
+    broadcasts (it is the accumulated change keys, megabytes against a
+    100 TB scan).
+
+    POSITIONAL entries (``pos: true`` — Delta deletion vectors /
+    Iceberg positional deletes, x154): the entry's files hold
+    ``(_dv_file, _dv_pos)`` rows naming exact physical positions in
+    exact immutable data files. Applied as a broadcast anti-join on
+    (manifest-relative path, ``_metadata.row_index``) — no seq residual
+    needed (a position names one row of one immutable file forever),
+    and rows from untargeted files simply never match. The position
+    sets are the accumulated deleted rows, bounded by compaction
+    cadence like the equality side.
+
+    ``keep_pos`` leaves ``__dv_path``/``__dv_pos`` on the output (the
+    dv_delete writer needs row identity AFTER existing deletes apply).
+    Tables with no pending deletes and no ``keep_pos`` skip all of
+    this."""
     from pyspark.sql import functions as F
 
     schema, spec = m.get("schema"), m.get("partition_spec")
     dels = m.get("deletes") or []
-    if not dels:
+    eq = [e for e in dels if not e.get("pos")]
+    pos = [e for e in dels if e.get("pos")]
+    with_pos = keep_pos or bool(pos)
+    if not dels and not with_pos:
         return _read_files(spark, root, files, schema, spec)
     seqs = m.get("seqs", {})
     groups: dict[int, list[str]] = {}
@@ -1517,23 +1581,44 @@ def _live_view(
         groups.setdefault(int(seqs.get(f, 0)), []).append(f)
     df = None
     for s, fl in sorted(groups.items()):
-        part = _read_files(spark, root, fl, schema, spec).withColumn(
-            "_mor_seq", F.lit(s)
-        )
+        part = _read_files(spark, root, fl, schema, spec, keep_pos=with_pos)
+        if eq:
+            part = part.withColumn("_mor_seq", F.lit(s))
         df = part if df is None else df.unionByName(part)
-    keys = dels[0]["keys"]
-    dd = None
-    for e in dels:
-        part = (
-            spark.read.parquet(*[f"{root}/{f}" for f in e["files"]])
-            .select(*[F.col(k).alias(f"_mor_{k}") for k in keys])
-            .withColumn("_mor_dseq", F.lit(int(e["seq"])))
+    if pos:
+        dv = None
+        for e in pos:
+            part = spark.read.parquet(
+                *[f"{root}/{f}" for f in e["files"]]
+            ).select("_dv_file", "_dv_pos")
+            dv = part if dv is None else dv.unionByName(part)
+        df = (
+            df.withColumn("__dv_rel", _dv_rel_expr(root))
+            .join(
+                F.broadcast(dv),
+                on=(F.col("__dv_rel") == F.col("_dv_file"))
+                & (F.col("__dv_pos") == F.col("_dv_pos")),
+                how="left_anti",
+            )
+            .drop("__dv_rel")
         )
-        dd = part if dd is None else dd.unionByName(part)
-    cond = F.col("_mor_dseq") > F.col("_mor_seq")
-    for k in keys:
-        cond = cond & (F.col(k) == F.col(f"_mor_{k}"))
-    return df.join(dd, on=cond, how="left_anti").drop("_mor_seq")
+    if eq:
+        keys = eq[0]["keys"]
+        dd = None
+        for e in eq:
+            part = (
+                spark.read.parquet(*[f"{root}/{f}" for f in e["files"]])
+                .select(*[F.col(k).alias(f"_mor_{k}") for k in keys])
+                .withColumn("_mor_dseq", F.lit(int(e["seq"])))
+            )
+            dd = part if dd is None else dd.unionByName(part)
+        cond = F.col("_mor_dseq") > F.col("_mor_seq")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"_mor_{k}"))
+        df = df.join(dd, on=cond, how="left_anti").drop("_mor_seq")
+    if with_pos and not keep_pos:
+        df = df.drop("__dv_path", "__dv_pos")
+    return df
 
 
 def _check_mor_keys(m: dict, keys: list[str]) -> None:
@@ -1545,6 +1630,9 @@ def _check_mor_keys(m: dict, keys: list[str]) -> None:
     if missing:
         raise ValueError(f"MoR keys {missing} are not table columns")
     for e in m.get("deletes", []) or []:
+        if e.get("pos"):
+            continue  # positional entries are key-agnostic: they name
+            # exact (file, row) positions and coexist with any key set
         if list(e["keys"]) != list(keys):
             raise ValueError(
                 f"MoR key mismatch: table has pending deletes on {e['keys']}, "
@@ -1614,6 +1702,206 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         partition_spec=m.get("partition_spec"),
         extra=extra,
     )
+
+
+def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
+    """DELETE WHERE <any predicate> as POSITIONAL deletion vectors —
+    Delta DVs / Iceberg v2 positional deletes (x154), the predicate-
+    shaped complement to the key-shaped :func:`mor_delete`: no data
+    file is rewritten (copy-on-write :func:`delete_where` pays a full
+    rewrite of every touched file) and no key columns are needed — the
+    commit adds one small parquet of ``(_dv_file, _dv_pos)`` rows
+    naming the exact physical positions of the matched rows, plus a
+    ``pos: true`` entry in the manifest's ``deletes`` list.
+
+    Positions are computed on the LIVE view (existing equality and
+    positional deletes applied first), so a position can never be
+    deleted twice — entry ``count``s are additive by construction,
+    which is what keeps :func:`metadata_count` EXACT on DV-pending
+    tables (recorded rows minus recorded positions; min/max/sum still
+    refuse — a deleted extremum can't be subtracted). The find scan is
+    file-pruned through :func:`_locate_files` (predicate pushed to
+    parquet row-group stats), and the position write is O(matched
+    rows): at 100 TB, "delete 0.1% of rows scattered across a million
+    files" costs one pruned scan + megabytes of positions, not a
+    million file rewrites. Reads pay a broadcast anti-join on
+    (file, position) — cheaper than the equality side (no seq
+    residual) and skipped entirely for files no entry targets — until
+    :func:`compact` materializes the survivors.
+
+    With the change feed on, the matched rows' pre-images are recorded
+    atomically with the commit (Delta derives CDF from DVs the same
+    way). A no-match predicate is a NO-OP: nothing commits, the
+    version stays (the x149 delete_where convention). Branch roots
+    refuse (position files store root-relative target paths, which a
+    ``../..`` re-root would garble); :func:`create_branch` refuses
+    DV-pending sources for the same reason."""
+    from pyspark.sql import functions as F
+
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError("dv_delete on an empty table")
+    m = _read_manifest(spark, root, parent)
+    if any(f.startswith("../") for f in m["files"]):
+        raise ValueError(
+            "dv_delete on a branch root: position files store root-"
+            "relative target paths, which parent refs would garble — "
+            "compact() the branch to detach first"
+        )
+    cand = _locate_files(spark, root, m, pred)
+    if not cand:
+        return parent  # no row matches: nothing to commit (no-op)
+    live = _live_view(spark, root, m, cand, keep_pos=True)
+    matched = live.filter(pred).persist()
+    try:
+        n = matched.count()
+        if n == 0:  # all matches were already-dead rows
+            return parent
+        dvdf = matched.select(
+            _dv_rel_expr(root).alias("_dv_file"),
+            F.col("__dv_pos").cast("long").alias("_dv_pos"),
+        )
+        dfiles, _ = _write_data_files(dvdf.coalesce(1), root)
+        extra: dict = {}
+        if change_feed_enabled(spark, root):
+            pre = matched.drop("__dv_path", "__dv_pos")
+            extra["change_files"] = _write_change_files(
+                pre.withColumn("_change_type", F.lit("delete")), root
+            )
+        version = parent + 1
+        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
+        entry = {
+            "pos": True,
+            "files": sorted(dfiles),
+            "seq": version,
+            "targets": sorted(cand),
+            "count": int(n),
+        }
+        extra.update(
+            {"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]}
+        )
+        return _commit(
+            spark,
+            root,
+            m["files"],
+            "dv-delete",
+            parent,
+            m.get("stats"),
+            m.get("schema"),
+            partition_spec=m.get("partition_spec"),
+            extra=extra,
+        )
+    finally:
+        matched.unpersist()
+
+
+def dv_update(
+    spark: SparkSession,
+    root: str,
+    pred: str,
+    set_exprs: dict,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE <predicate> as deletion vectors — the
+    DV-shaped twin of the copy-on-write :func:`update_where` (Delta's
+    DV-enabled UPDATE): ONE commit records the matched rows' positions
+    as a ``pos: true`` entry (killing the old images in place, zero
+    data files rewritten) and appends ONLY the updated rows as new
+    files. A touched file holding 10^6 rows of which 10 match costs 10
+    positions + 10 new rows, not a 10^6-row rewrite — at 100 TB the
+    write amplification drops from O(touched file bytes) to O(matched
+    rows). ``set_exprs`` maps column → Column or SQL string; untouched
+    columns carry verbatim; updating the partition column legally moves
+    rows across partitions (the new files land under their new
+    ``col=val`` dirs). Positions are live-view-computed, so
+    :func:`metadata_count` stays EXACT (old rows − positions + new
+    rows). With the change feed on, ``update_preimage``/
+    ``update_postimage`` pairs are recorded atomically with the commit.
+    New files carry the commit's sequence, so pending EQUALITY deletes
+    (committed earlier, lower seq) never eat the rewritten rows —
+    the mor_upsert companion-insert rule. No-match predicates are
+    NO-OPs; branch roots refuse (see :func:`dv_delete`)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    parent = latest_version(spark, root)
+    if parent == 0:
+        raise ValueError("dv_update on an empty table")
+    m = _read_manifest(spark, root, parent)
+    if any(f.startswith("../") for f in m["files"]):
+        raise ValueError(
+            "dv_update on a branch root: position files store root-"
+            "relative target paths, which parent refs would garble — "
+            "compact() the branch to detach first"
+        )
+    schema = m.get("schema")
+    if schema:
+        visible = set(_visible_names(schema))
+        bad = [c for c in set_exprs if c not in visible]
+        if bad:
+            raise ValueError(f"SET columns {bad} are not table columns")
+    cand = _locate_files(spark, root, m, pred)
+    if not cand:
+        return parent
+    live = _live_view(spark, root, m, cand, keep_pos=True)
+    matched = live.filter(pred).persist()
+    try:
+        n = matched.count()
+        if n == 0:
+            return parent
+        dvdf = matched.select(
+            _dv_rel_expr(root).alias("_dv_file"),
+            F.col("__dv_pos").cast("long").alias("_dv_pos"),
+        )
+        dfiles, _ = _write_data_files(dvdf.coalesce(1), root)
+        pre = matched.drop("__dv_path", "__dv_pos")
+        cols = _visible_names(schema) if schema else pre.columns
+        sets = {
+            c: (e if isinstance(e, Column) else F.expr(str(e)))
+            for c, e in set_exprs.items()
+        }
+        post = pre.select(
+            *[sets.get(c, F.col(c)).alias(c) for c in cols]
+        )
+        _enforce_constraints(post, root)
+        spec = m.get("partition_spec")
+        nfiles, wstats = _write_data_files(post, root, stats_cols, spec)
+        extra: dict = {}
+        if change_feed_enabled(spark, root):
+            extra["change_files"] = _write_change_files(
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                ),
+                root,
+            )
+        version = parent + 1
+        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
+        seqs.update({f: version for f in nfiles})
+        entry = {
+            "pos": True,
+            "files": sorted(dfiles),
+            "seq": version,
+            "targets": sorted(cand),
+            "count": int(n),
+        }
+        extra.update(
+            {"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]}
+        )
+        return _commit(
+            spark,
+            root,
+            m["files"] + nfiles,
+            "dv-update",
+            parent,
+            {**(m.get("stats") or {}), **wstats},
+            schema,
+            partition_spec=spec,
+            extra=extra,
+        )
+    finally:
+        matched.unpersist()
 
 
 def mor_upsert(
@@ -1888,10 +2176,14 @@ def metadata_count(
     """``COUNT(*)`` answered from the MANIFEST alone — zero data-file
     opens, zero Spark jobs (Delta/Iceberg's metadata-only count): every
     writer records a per-file ``__rows`` stat, and a snapshot's count is
-    their sum. Refused when the manifest carries pending MoR deletes
-    (dead rows are still physically present in the files — a metadata
-    count would overstate; compact first or scan) or when any planned
-    file predates row-count recording (no silent wrong answers)."""
+    their sum. Refused when the manifest carries pending EQUALITY MoR
+    deletes (dead rows are still physically present in the files — a
+    metadata count would overstate; compact first or scan) or when any
+    planned file predates row-count recording (no silent wrong
+    answers). Pending POSITIONAL deletes (x154) stay EXACT: each entry
+    records its position cardinality, computed on the live view so
+    entries never overlap — count = recorded rows − recorded
+    positions."""
     v = latest_version(spark, root) if version is None else version
     # r13 manifest-list fast path: a checkpointed version's count sums
     # the per-shard `rows` recorded in the INDEX — one small JSON read,
@@ -1901,21 +2193,44 @@ def metadata_count(
     if fsio.exists(spark, _ckpt_path(root, v)):
         obj = _read_ckpt_text(spark, _ckpt_path(root, v))
         if obj.get("format") == "ckpt-list-v1":
-            if obj["base"].get("deletes"):
+            dels = obj["base"].get("deletes") or []
+            if any(not e.get("pos") for e in dels):
                 raise ValueError(
                     "pending MoR deletes: metadata count would include "
                     "dead rows — compact() first or count through "
                     "read_snapshot"
                 )
-            rows = [sm.get("rows") for sm in obj["shards"]]
-            if all(r is not None for r in rows):
-                return sum(int(r) for r in rows)
+            if not dels:
+                rows = [sm.get("rows") for sm in obj["shards"]]
+                if all(r is not None for r in rows):
+                    return sum(int(r) for r in rows)
+            # positional entries: fall through — the full path validates
+            # every target is still live and subtracts exactly
     m = _read_manifest(spark, root, v)
-    if m.get("deletes"):
+    eq_dels = [e for e in m.get("deletes") or [] if not e.get("pos")]
+    pos_dels = [e for e in m.get("deletes") or [] if e.get("pos")]
+    if eq_dels:
         raise ValueError(
             "pending MoR deletes: metadata count would include dead rows — "
             "compact() first or count through read_snapshot"
         )
+    dv_dead = 0
+    if pos_dels:
+        # positional entries record their exact cardinality (positions
+        # are computed on the live view, so entries never overlap — the
+        # counts are additive): count = recorded rows − recorded
+        # positions, still zero data-file opens. Refused only when a
+        # later rewrite removed a targeted file (its positions may
+        # already be materialized away — the subtraction would double).
+        fset = set(m["files"])
+        for e in pos_dels:
+            if not set(e.get("targets", ())) <= fset:
+                raise ValueError(
+                    "a positional-delete target was rewritten since the "
+                    "entry committed: the recorded position count no "
+                    "longer matches live rows — compact() first"
+                )
+            dv_dead += int(e.get("count", 0))
     stats = m.get("stats", {})
     missing = [f for f in m["files"] if "__rows" not in stats.get(f, {})]
     if missing:
@@ -1923,7 +2238,7 @@ def metadata_count(
             f"{len(missing)} files predate row-count stats (e.g. "
             f"{missing[0]!r}); re-commit (compact) to record them"
         )
-    return sum(int(stats[f]["__rows"]) for f in m["files"])
+    return sum(int(stats[f]["__rows"]) for f in m["files"]) - dv_dead
 
 
 def metadata_minmax(
@@ -2237,6 +2552,35 @@ def merge_commit(
             "change_rows passed but the change feed is not enabled on "
             f"{root!r}: set_change_feed first (a silently dropped feed "
             "is worse than an error)"
+        )
+    # Ambiguous-match guard (Delta's "multiple source rows matched"
+    # refusal): a source holding two rows with the same non-NULL key
+    # would match one target row TWICE — the join would duplicate the
+    # target row and the change feed would record two preimages for a
+    # row that existed once, double-removing on multiset replay (the
+    # st37 k=0 incident: an update branch and a negated-key insert
+    # branch colliding at 0). NULL-keyed rows never match (SQL MERGE
+    # semantics) — duplicate NULL-key inserts are well-defined multiset
+    # inserts and pass. One limit-1 aggregate over the (batch-sized)
+    # source, refused BEFORE any data file is written.
+    nn = source
+    for k in keys:
+        nn = nn.filter(F.col(k).isNotNull())
+    amb = (
+        nn.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if amb:
+        kv = {k: amb[0][k] for k in keys}
+        raise ValueError(
+            f"ambiguous MERGE into {root!r}: source has multiple rows "
+            f"for key {kv} — a target row matching twice has no "
+            "deterministic result and its change feed would double-"
+            "remove on replay; dedup the source first (the CDC apply "
+            "sink's keep-max-seq reduction is the standard shape)"
         )
     last_err: Exception | None = None
     for _ in range(max_retries):
@@ -3487,6 +3831,12 @@ def create_branch(
     broot = f"{root}/_branches/{name}"
     if _manifest_versions(spark, broot):
         raise ValueError(f"branch {name!r} already exists")
+    if any(e.get("pos") for e in m.get("deletes") or []):
+        raise ValueError(
+            "source has pending positional delete vectors: their stored "
+            "target paths are root-relative and cannot ride a branch "
+            "re-root — compact() the source first"
+        )
     up = lambda f: f"{_BRANCH_UP}/{f}"  # noqa: E731
     extra: dict = {"branched_from_version": v}
     if m.get("deletes"):
@@ -3937,7 +4287,7 @@ def _refuse_mapping_conflicts(spark, root: str, m: dict, col: str) -> None:
             "path segments, which a metadata rename cannot re-map"
         )
     for e in m.get("deletes") or []:
-        if col in e["keys"]:
+        if col in e.get("keys", ()):  # positional entries have no keys
             raise ValueError(
                 f"{col!r} is a pending MoR delete key; compact() to "
                 "materialize the deletes first"

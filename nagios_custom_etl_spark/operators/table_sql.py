@@ -26,10 +26,15 @@ Supported statements (keywords case-insensitive):
   path; ``AND <cond>`` guards the update per matched key (the ``s``/
   ``t`` aliases name source and target — condition FALSE/NULL keeps the
   target row); arbitrary per-column expressions stay on the Python API
-- ``DELETE FROM '<root>' WHERE <pred>`` — file-pruned copy-on-write
-  (:func:`..operators.snapshots.delete_where`)
-- ``UPDATE '<root>' SET <col> = <expr>[, ...] WHERE <pred>`` —
-  file-pruned copy-on-write (:func:`..operators.snapshots.update_where`)
+- ``DELETE FROM '<root>' WHERE <pred> [USING DV]`` — file-pruned
+  copy-on-write (:func:`..operators.snapshots.delete_where`), or with
+  ``USING DV`` positional deletion vectors (zero data-file rewrites,
+  :func:`..operators.snapshots.dv_delete`)
+- ``UPDATE '<root>' SET <col> = <expr>[, ...] WHERE <pred> [USING
+  DV]`` — file-pruned copy-on-write
+  (:func:`..operators.snapshots.update_where`), or with ``USING DV``
+  positions + updated-rows-only new files
+  (:func:`..operators.snapshots.dv_update`)
 - ``RESTORE '<root>' TO VERSION AS OF <n>`` — rollback-as-commit
 - ``OPTIMIZE '<root>' [ZORDER BY (<c1>[, <c2>...])]``
 - ``VACUUM '<root>' RETAIN <n> VERSIONS``
@@ -73,12 +78,13 @@ _MERGE = re.compile(
     re.I | re.S,
 )
 _DELETE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+{_ROOT}\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    rf"^\s*DELETE\s+FROM\s+{_ROOT}\s+WHERE\s+(?P<pred>.+?)"
+    rf"(?:\s+USING\s+(?P<dv>DV))?\s*;?\s*$",
     re.I | re.S,
 )
 _UPDATE = re.compile(
     rf"^\s*UPDATE\s+{_ROOT}\s+SET\s+(?P<sets>.+?)\s+"
-    rf"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    rf"WHERE\s+(?P<pred>.+?)(?:\s+USING\s+(?P<dv>DV))?\s*;?\s*$",
     re.I | re.S,
 )
 _RESTORE = re.compile(
@@ -221,13 +227,23 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
         )
     m = _DELETE.match(stmt)
     if m:
-        v = S.delete_where(spark, m["root"], m["pred"])
+        # USING DV routes to positional deletion vectors (x154): zero
+        # data files rewritten; default stays file-pruned copy-on-write
+        if m["dv"]:
+            v = S.dv_delete(spark, m["root"], m["pred"])
+        else:
+            v = S.delete_where(spark, m["root"], m["pred"])
         return spark.createDataFrame([(int(v),)], "version long")
     m = _UPDATE.match(stmt)
     if m:
-        v = S.update_where(
-            spark, m["root"], _split_assignments(m["sets"]), m["pred"]
-        )
+        if m["dv"]:
+            v = S.dv_update(
+                spark, m["root"], m["pred"], _split_assignments(m["sets"])
+            )
+        else:
+            v = S.update_where(
+                spark, m["root"], _split_assignments(m["sets"]), m["pred"]
+            )
         return spark.createDataFrame([(int(v),)], "version long")
     m = _RESTORE.match(stmt)
     if m:
@@ -253,8 +269,9 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
         "TAG '<tag>' | TIMESTAMP AS OF <epoch>|'<iso>'] | MERGE INTO "
         "'<root>' USING <view> ON <keys> WHEN MATCHED [AND <cond>] THEN "
         "UPDATE SET * WHEN NOT MATCHED THEN INSERT * [PRUNE ON <col>] | "
-        "DELETE FROM '<root>' WHERE <pred> | UPDATE '<root>' SET <col> = "
-        "<expr>[, ...] WHERE <pred> | RESTORE '<root>' TO VERSION AS OF "
+        "DELETE FROM '<root>' WHERE <pred> [USING DV] | UPDATE '<root>' "
+        "SET <col> = <expr>[, ...] WHERE <pred> [USING DV] | RESTORE "
+        "'<root>' TO VERSION AS OF "
         "<n> | OPTIMIZE '<root>' [ZORDER BY (<cols>)] | "
         f"VACUUM '<root>' RETAIN <n> VERSIONS. Got: {stmt!r}"
     )

@@ -12316,3 +12316,200 @@ def x153_distributed_manifest_planning(spark: SparkSession, sf_dir: str) -> Data
         F.lit(bool(pruned_shards)).alias("pruned_shards"),
         F.lit(bool(total_exact)).alias("total_exact"),
     )
+
+
+@register(
+    "x154_positional_delete_vectors",
+    oracle="""
+    -- POSITIONAL deletion vectors (Delta DVs / Iceberg v2 positional
+    -- deletes): two predicate deletes commit small (file, row_index)
+    -- position files — NO data file is rewritten (files_unchanged) —
+    -- and metadata_count stays EXACT through both (meta_n1) because
+    -- each entry records its live-view-computed position cardinality
+    -- (entries provably never overlap). A later append lands g=3
+    -- v=0 rows that the earlier "g = 3" DV must NOT touch (positions
+    -- are file-scoped: new files are untargeted), and the count stays
+    -- exact (meta_n2). compact() then materializes the survivors
+    -- byte-equally (compact_equal). All groups recompute literally.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 97 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 6 = 1
+    ), live2 AS (
+      SELECT * FROM base WHERE NOT (v % 5 = 0) AND NOT (g = 3)
+    ), appended AS (
+      SELECT k + 10000000 AS k, CAST(3 AS BIGINT) AS g,
+             CAST(0 AS BIGINT) AS v
+      FROM base WHERE k % 5 = 1
+    ), final AS (
+      SELECT * FROM live2 UNION ALL SELECT * FROM appended
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+           CAST((SELECT COUNT(*) FROM live2) AS BIGINT) AS meta_n1,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS meta_n2,
+           CAST(TRUE AS BOOLEAN) AS files_unchanged,
+           CAST(TRUE AS BOOLEAN) AS compact_equal
+    FROM final GROUP BY g ORDER BY g
+    """,
+    doc="X154 positional deletion vectors (operators/snapshots.py::"
+    "dv_delete + _live_view's pos entries): DELETE WHERE <predicate> "
+    "commits one small parquet of (_dv_file, _dv_pos) rows naming "
+    "exact physical positions (_metadata.row_index) in exact immutable "
+    "files — no data file rewritten, no key columns needed; reads "
+    "apply a broadcast anti-join on (manifest-relative path, position) "
+    "with no seq residual, skipped for untargeted files. Positions are "
+    "computed on the LIVE view so entries never overlap — which keeps "
+    "metadata_count EXACT on DV-pending tables (rows minus recorded "
+    "positions; min/max/sum still refuse). At 100 TB: deleting 0.1% "
+    "of rows scattered over 10^6 files costs one pruned find scan + "
+    "megabytes of positions instead of a million file rewrites; "
+    "compact() materializes and clears. Conservative surfaces refuse "
+    "verbatim (branches, incremental readers, the shard-lazy merge "
+    "falls back) because the entries live in the same manifest "
+    "`deletes` list as equality MoR entries.",
+)
+def x154_positional_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x154_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 1)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 97).cast("long").alias("v"),
+        )
+    )
+    S.append(base.filter(F.col("k") % 4 == 1).coalesce(1), root, stats_cols=["k"])
+    S.append(base.filter(F.col("k") % 4 == 3).coalesce(1), root, stats_cols=["k"])
+    files_before = S._read_manifest(spark, root, 2)["files"]
+    S.dv_delete(spark, root, "v % 5 = 0")
+    S.dv_delete(spark, root, "g = 3")  # overlaps the first on v%5=0 rows
+    m4 = S._read_manifest(spark, root, 4)
+    files_unchanged = m4["files"] == files_before
+    meta_n1 = S.metadata_count(spark, root)
+    appended = base.filter(F.col("k") % 5 == 1).select(
+        (F.col("k") + 10000000).alias("k"),
+        F.lit(3).cast("long").alias("g"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    S.append(appended.coalesce(1), root, stats_cols=["k"])
+    meta_n2 = S.metadata_count(spark, root)
+    pre_compact = S.read_snapshot(spark, root)
+    S.compact(spark, root)
+    post = S.read_snapshot(spark, root)
+    compact_equal = (
+        post.exceptAll(pre_compact).count() == 0
+        and pre_compact.exceptAll(post).count() == 0
+    )
+    return (
+        post.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sv"))
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            "sv",
+            F.lit(int(meta_n1)).cast("long").alias("meta_n1"),
+            F.lit(int(meta_n2)).cast("long").alias("meta_n2"),
+            F.lit(bool(files_unchanged)).alias("files_unchanged"),
+            F.lit(bool(compact_equal)).alias("compact_equal"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "x155_dv_update",
+    oracle="""
+    -- DV-shaped UPDATE (Delta's deletion-vector UPDATE): one commit
+    -- records matched positions (killing old images in place) and
+    -- appends ONLY the updated rows as new files — old files survive
+    -- byte-identical (files_kept), write amplification O(matched
+    -- rows). A following DV DELETE keyed on the UPDATED values proves
+    -- the new files are first-class DV targets. metadata_count stays
+    -- exact through both (meta_n1/meta_n2); the update's feed records
+    -- one pre/post pair per matched row (n_pairs). All literal.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 89 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 4 = 2
+    ), upd AS (
+      SELECT k, g, CASE WHEN g = 4 THEN v + 1000 ELSE v END AS v FROM base
+    ), fin AS (
+      SELECT * FROM upd WHERE NOT (v % 7 = 0)
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS meta_n1,
+           CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS meta_n2,
+           CAST((SELECT COUNT(*) FROM base WHERE g = 4) AS BIGINT)
+             AS n_pairs,
+           CAST(TRUE AS BOOLEAN) AS files_kept
+    FROM fin GROUP BY g ORDER BY g
+    """,
+    doc="X155 deletion-vector UPDATE (operators/snapshots.py::"
+    "dv_update; SQL: UPDATE ... WHERE ... USING DV): positions for the "
+    "matched rows + new files holding ONLY their updated images, one "
+    "atomic commit — a 10-row update inside a 10^6-row file costs 10 "
+    "positions + 10 rows, not a file rewrite; updating the partition "
+    "column legally moves rows across col=val dirs; new files carry "
+    "the commit's seq so pending equality deletes never eat them; "
+    "update_preimage/update_postimage pairs record atomically when "
+    "the feed is on; metadata_count stays exact (old rows − positions "
+    "+ new rows). The follow-up dv_delete here predicates on the "
+    "POST-update values, pinning that DV-written files are themselves "
+    "DV-targetable.",
+)
+def x155_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x155_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 2)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 89).cast("long").alias("v"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base.filter(F.col("k") % 8 == 2).coalesce(1), root, stats_cols=["k"])
+    S.append(base.filter(F.col("k") % 8 == 6).coalesce(1), root, stats_cols=["k"])
+    files_before = S._read_manifest(spark, root, 2)["files"]
+    v3 = S.dv_update(spark, root, "g = 4", {"v": "v + 1000"})
+    meta_n1 = S.metadata_count(spark, root)
+    ch = S.read_changes(spark, root, 2, v3)
+    n_pairs = ch.filter(F.col("_change_type") == "update_preimage").count()
+    n_posts = ch.filter(F.col("_change_type") == "update_postimage").count()
+    S.dv_delete(spark, root, "v % 7 = 0")
+    meta_n2 = S.metadata_count(spark, root)
+    m = S._read_manifest(spark, root, S.latest_version(spark, root))
+    files_kept = set(files_before) <= set(m["files"]) and n_pairs == n_posts
+    return (
+        S.read_snapshot(spark, root)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sv"))
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            "sv",
+            F.lit(int(meta_n1)).cast("long").alias("meta_n1"),
+            F.lit(int(meta_n2)).cast("long").alias("meta_n2"),
+            F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
+            F.lit(bool(files_kept)).alias("files_kept"),
+        )
+        .orderBy("g")
+    )

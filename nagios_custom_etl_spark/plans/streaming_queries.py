@@ -3313,3 +3313,146 @@ def st36_streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("feed_equal", F.lit(bool(feed_equal)))
         .orderBy("g")
     )
+
+
+@register(
+    "st37_streaming_mv_table",
+    oracle="""
+    -- The fully-closed streaming loop: a mutating snapshot table's
+    -- change feed STREAMS through the st36 source into foreachBatch,
+    -- which folds each micro-batch's transitions (signed-delta
+    -- algebra) into an MV persisted AS ITS OWN SNAPSHOT TABLE —
+    -- read-merge-overwrite with the batch id as the txn token, so a
+    -- replayed batch is provably skippable (exactly-once across
+    -- restarts). Two availableNow passes over one checkpoint: batch 0
+    -- folds the seed append, batch 1 folds a MERGE + MoR delete. The
+    -- final MV equals this recompute; n_versions pins exactly one MV
+    -- commit per batch; replay_noop pins the token guard.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 500 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), s2 AS (
+      SELECT k, g, CASE WHEN k % 3 = 0 THEN v + 50 ELSE v END AS v FROM base
+      UNION ALL
+      SELECT -k, g, CAST(11 AS BIGINT) FROM base WHERE k % 7 = 0 AND k > 0
+    ), s3 AS (
+      SELECT * FROM s2 WHERE k % 11 <> 0
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+           CAST(TRUE AS BOOLEAN) AS replay_noop,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM s3 GROUP BY g ORDER BY g
+    """,
+    doc="ST-ext streaming MV maintained as a SNAPSHOT TABLE from the "
+    "streaming change-feed source (st36's source + operators/merge.py"
+    "::mv_apply_delta + the snapshot table as the sink): the complete "
+    "production loop — base table mutates (merge + MoR delete), its "
+    "feed streams with commit-version offsets, each micro-batch "
+    "read-merge-OVERWRITES the summary table under the batch-id txn "
+    "token (the x69 read-merge-overwrite maintainer convention), so "
+    "recovery replays are no-ops and the MV table is itself "
+    "time-travelable/taggable/vacuumable like any other. 100 TB: "
+    "per-trigger cost O(transitions) + an MV-sized (groups, not rows) "
+    "overwrite — the base is never re-scanned.",
+)
+def st37_streaming_mv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.merge import mv_apply_delta, mv_build
+    from nagios_custom_etl_spark.sources.snapshot_changes import (
+        SnapshotChangesSource,
+    )
+
+    spark.dataSource.register(SnapshotChangesSource)
+    base_dir = os.path.join(tempfile.gettempdir(), f"nagios_etl_st37_{os.getpid()}")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    root = os.path.join(base_dir, "tab")
+    mv_root = os.path.join(base_dir, "mv")
+    ckpt = os.path.join(base_dir, "ckpt")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 500).cast("long").alias("v"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base, root, stats_cols=["k"])  # v1
+
+    def sink(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        token = f"st37-{batch_id}"
+        if S.txn_version(sp, mv_root, token) is not None:
+            return  # replayed batch: the MV commit already landed
+        if batch_df.isEmpty():
+            return
+        if S.latest_version(sp, mv_root) > 0:
+            cur = S.read_snapshot(sp, mv_root)
+        else:
+            cur = mv_build(
+                batch_df.limit(0).select("g", "v"), ["g"], "n",
+                {"sv": ("v", 38, 0)},
+            )
+        ins = batch_df.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("g", "v")
+        dels = batch_df.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        ).select("g", "v")
+        nxt = mv_apply_delta(cur, ins, dels, ["g"], "n", {"sv": ("v", 38, 0)})
+        S.overwrite(nxt, mv_root, txn=token)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", root)
+            .option("schema_ddl", "k bigint, g bigint, v bigint")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # batch 0: the seed append's inserts
+    # k > 0 on the insert branch: the fixture contains o_orderkey=0, and
+    # -0 == 0 would collide with the update branch — two source rows for
+    # one key, which merge_commit now refuses as an ambiguous match
+    batch2 = (
+        base.filter(F.col("k") % 3 == 0).withColumn("v", F.col("v") + 50)
+    ).unionByName(
+        base.filter((F.col("k") % 7 == 0) & (F.col("k") > 0)).select(
+            (-F.col("k")).alias("k"), "g", F.lit(11).cast("long").alias("v")
+        )
+    )
+    S.merge_commit(
+        root, batch2, keys=["k"], prune_on="k",
+        when_matched_update={c: F.col(f"s.{c}") for c in ("k", "g", "v")},
+    )  # v2
+    S.mor_delete(
+        S.read_snapshot(spark, root).filter(F.col("k") % 11 == 0).select("k"),
+        root, keys=["k"],
+    )  # v3
+    drain()  # batch 1: v2 + v3 transitions, resumed from the checkpoint
+    # crash-recovery replay: re-running a committed batch is a no-op
+    before = S.latest_version(spark, mv_root)
+    sink(S.read_changes(spark, root, 0, 1), 0)
+    replay_noop = S.latest_version(spark, mv_root) == before
+    return (
+        S.read_snapshot(spark, mv_root)
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sv").cast("long").alias("sv"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .withColumn("n_versions", F.lit(int(before)).cast("long"))
+        .orderBy("g")
+    )

@@ -1251,6 +1251,27 @@ def test_merge_commit_prune_on_must_be_a_key(spark, root):
         S.merge_commit(root, _keyed(spark, 0, 2), keys=["k"], prune_on="v")
 
 
+def test_merge_commit_refuses_ambiguous_duplicate_key_source(spark, root):
+    # Delta's "multiple source rows matched" refusal: two source rows
+    # with the same non-NULL key would match one target row twice — the
+    # join duplicates the target and the change feed records two
+    # preimages for a row that existed once (double-remove on replay).
+    # Refused BEFORE any data file is written: the table stays at v1.
+    S.append(_keyed(spark, 0, 5).coalesce(1), root, stats_cols=["k"])
+    dup = spark.createDataFrame(
+        [Row(k=2, v="a"), Row(k=2, v="b")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="ambiguous MERGE"):
+        S.merge_commit(root, dup, keys=["k"], prune_on="k")
+    assert S.latest_version(spark, root) == 1
+    # duplicate NULL-key rows never match (SQL MERGE): both insert
+    nulls = spark.createDataFrame(
+        [Row(k=None, v="n1"), Row(k=None, v="n2")], "k int, v string"
+    )
+    v = S.merge_commit(root, nulls, keys=["k"], prune_on="k")
+    assert S.read_snapshot(spark, root, v).count() == 7
+
+
 # --- timestamp time travel (x90) ---------------------------------------------
 
 
@@ -4644,3 +4665,216 @@ def test_distributed_manifest_planning_matches_single_node(
         plan_files_distributed(
             spark, root, S.latest_version(spark, root), [("i", 0, 1)]
         )
+
+
+# --- positional deletion vectors (x154) ---------------------------------------
+
+
+def _dvt(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(k=i, g=i % 4, v=f"r{i}") for i in range(lo, hi)],
+        "k int, g int, v string",
+    )
+
+
+def test_dv_delete_basic_exact_count_and_noop(spark, root):
+    S.append(_dvt(spark, 0, 40).coalesce(1), root, stats_cols=["k"])
+    S.append(_dvt(spark, 40, 80).coalesce(1), root, stats_cols=["k"])
+    files_before = S._read_manifest(spark, root, 2)["files"]
+    v3 = S.dv_delete(spark, root, "k % 5 = 0")
+    assert v3 == 3
+    m = S._read_manifest(spark, root, v3)
+    # no data file rewritten: the file list is byte-identical
+    assert m["files"] == files_before
+    assert [e for e in m["deletes"] if e.get("pos")]
+    got = sorted(r.k for r in S.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(80) if i % 5 != 0]
+    # metadata count stays EXACT on DV-pending tables
+    assert S.metadata_count(spark, root) == len(got)
+    # overlapping second DV never re-deletes a dead position: counts
+    # stay additive and the metadata count stays exact
+    v4 = S.dv_delete(spark, root, "g = 0")  # overlaps k%5=0 on k%20==0
+    live = [i for i in range(80) if i % 5 != 0 and i % 4 != 0]
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == live
+    assert S.metadata_count(spark, root) == len(live)
+    # no-match predicate: a NO-OP, no version committed
+    assert S.dv_delete(spark, root, "k = -1") == v4
+    assert S.latest_version(spark, root) == v4
+    # time travel: the pre-DV snapshot still reads every row
+    assert S.read_snapshot(spark, root, 2).count() == 80
+
+
+def test_dv_delete_hive_escaped_partition_values(spark, root):
+    # the input_file_name/_file_stats lesson: partition segments with
+    # chars Spark Hive-escapes (':' -> '%3A') must round-trip through
+    # the DV path join (url-encoding on _metadata.file_path)
+    df = spark.createDataFrame(
+        [Row(k=i, hh=f"{i % 2:02d}:00:00", v=i * 10) for i in range(20)],
+        "k int, hh string, v int",
+    )
+    S.append(df.coalesce(1), root, stats_cols=["k"], partition_by="hh")
+    S.dv_delete(spark, root, "k % 3 = 0")
+    got = sorted(r.k for r in S.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(20) if i % 3 != 0]
+    assert S.metadata_count(spark, root) == len(got)
+
+
+def test_dv_delete_coexists_with_equality_mor(spark, root):
+    S.append(_dvt(spark, 0, 30).coalesce(1), root, stats_cols=["k"])
+    S.dv_delete(spark, root, "k % 7 = 0")
+    S.mor_delete(
+        spark.createDataFrame([Row(k=3), Row(k=10)], "k int"), root, ["k"]
+    )
+    live = [i for i in range(30) if i % 7 != 0 and i not in (3, 10)]
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == live
+    # equality entries pending: count refuses (their cardinality is
+    # unrecorded), minmax refuses on ANY pending delete
+    with pytest.raises(ValueError, match="pending MoR"):
+        S.metadata_count(spark, root)
+    with pytest.raises(ValueError, match="pending MoR"):
+        S.metadata_minmax(spark, root, "k")
+    # dv_delete over a table with pending equality deletes: positions
+    # computed on the live view (a dead key can't match again)
+    S.dv_delete(spark, root, "g = 1")
+    live2 = [i for i in live if i % 4 != 1]
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == live2
+
+
+def test_dv_delete_append_after_and_compact_materializes(spark, root):
+    S.set_change_feed(spark, root, True)
+    S.append(_dvt(spark, 0, 25).coalesce(1), root, stats_cols=["k"])
+    S.dv_delete(spark, root, "g = 2")
+    # an append after the DV: new files are untargeted, their rows
+    # survive any predicate overlap, and the exact count still holds
+    S.append(_dvt(spark, 100, 110).coalesce(1), root, stats_cols=["k"])
+    live = [i for i in range(25) if i % 4 != 2] + list(range(100, 110))
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == live
+    assert S.metadata_count(spark, root) == len(live)
+    # the DV'd rows fed their pre-images at the dv-delete commit
+    ch = S.read_changes(spark, root, 1, 2)
+    assert sorted(r.k for r in ch.collect()) == [
+        i for i in range(25) if i % 4 == 2
+    ]
+    assert set(r._change_type for r in ch.collect()) == {"delete"}
+    # compact materializes the survivors, clears the list, and records
+    # an EMPTY feed contribution (logically row-preserving — x142)
+    vc = S.compact(spark, root)
+    mc = S._read_manifest(spark, root, vc)
+    assert not mc.get("deletes")
+    assert mc.get("change_files") == []
+    assert sorted(r.k for r in S.read_snapshot(spark, root).collect()) == live
+    assert S.metadata_count(spark, root) == len(live)
+
+
+def test_dv_delete_refusals_and_carriers(spark, root):
+    S.append(_dvt(spark, 0, 10).coalesce(1), root, stats_cols=["k"])
+    S.append(_dvt(spark, 10, 20).coalesce(1), root, stats_cols=["k"])
+    S.dv_delete(spark, root, "k = 5 OR k = 15")  # one entry, both files
+    # branches refuse DV-pending sources (root-relative target paths)
+    with pytest.raises(ValueError, match="positional"):
+        S.create_branch(spark, root, "b1")
+    # incremental readers refuse stepping over a dv-delete (row-
+    # mutating, no file diff — silently stepping would be wrong)
+    with pytest.raises(ValueError, match="not append"):
+        S.read_incremental(spark, root, 2, 3)
+    # a COW merge that rewrites ONE targeted file (key-pruned to the
+    # second): the read stays exact — the rewrite materialized the
+    # second file's DV part, the first file's still applies — but the
+    # metadata count refuses (a target left the file list, so the
+    # entry's recorded cardinality no longer matches live rows)
+    src = spark.createDataFrame([Row(k=12, g=0, v="upd")], "k int, g int, v string")
+    S.merge_commit(
+        root, src, keys=["k"], prune_on="k",
+        when_matched_update={"k": F.col("s.k"), "g": F.col("s.g"), "v": F.col("s.v")},
+    )
+    rows = {r.k: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert rows[12] == "upd" and 5 not in rows and 15 not in rows
+    assert len(rows) == 18
+    with pytest.raises(ValueError, match="rewritten"):
+        S.metadata_count(spark, root)
+    # a FULL rewrite (compact) materializes everything: exact again
+    S.compact(spark, root)
+    assert S.metadata_count(spark, root) == 18
+
+
+def test_dv_delete_branch_root_refused_and_vacuum_keeps_dv_files(spark, root):
+    S.append(_dvt(spark, 0, 12).coalesce(1), root, stats_cols=["k"])
+    S.create_branch(spark, root, "b")
+    broot = f"{root}/_branches/b"
+    with pytest.raises(ValueError, match="branch root"):
+        S.dv_delete(spark, broot, "k = 1")
+    v2 = S.dv_delete(spark, root, "k % 2 = 0")
+    S.append(_dvt(spark, 20, 24).coalesce(1), root, stats_cols=["k"])
+    # vacuum to the DV version: its position files must survive
+    S.vacuum(spark, root, keep_last=2)
+    assert sorted(r.k for r in S.read_snapshot(spark, root, v2).collect()) == [
+        1, 3, 5, 7, 9, 11
+    ]
+
+
+def test_dv_update_positions_plus_new_rows_only(spark, root):
+    S.set_change_feed(spark, root, True)
+    S.append(_dvt(spark, 0, 30).coalesce(1), root, stats_cols=["k"])
+    files_before = S._read_manifest(spark, root, 1)["files"]
+    v2 = S.dv_update(spark, root, "g = 1", {"v": "concat(v, '!')"})
+    m = S._read_manifest(spark, root, v2)
+    # old files untouched; exactly the updated rows landed as new files
+    assert set(files_before) <= set(m["files"])
+    rows = {r.k: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        assert rows[i] == (f"r{i}!" if i % 4 == 1 else f"r{i}")
+    # metadata count exact through the update (old − positions + new)
+    assert S.metadata_count(spark, root) == 30
+    # feed: pre/post pairs recorded atomically
+    ch = S.read_changes(spark, root, 1, v2)
+    pre = sorted(r.k for r in ch.filter(F.col("_change_type") == "update_preimage").collect())
+    post = [(r.k, r.v) for r in ch.filter(F.col("_change_type") == "update_postimage").collect()]
+    assert pre == [i for i in range(30) if i % 4 == 1]
+    assert all(v.endswith("!") for _, v in post) and len(post) == len(pre)
+    # no-op predicate: nothing commits
+    assert S.dv_update(spark, root, "k = -5", {"v": "'x'"}) == v2
+    # SET guards: unknown columns refuse
+    with pytest.raises(ValueError, match="not table columns"):
+        S.dv_update(spark, root, "k = 1", {"nope": "'x'"})
+
+
+def test_dv_update_partition_move_and_eq_delete_interplay(spark, root):
+    # updating the partition column legally moves rows across col=val
+    # dirs; a pending EQUALITY delete (lower seq) must not eat the
+    # rewritten rows (they carry the update commit's seq)
+    df = spark.createDataFrame(
+        [Row(k=i, p="a" if i < 6 else "b", v=i) for i in range(12)],
+        "k int, p string, v int",
+    )
+    S.append(df.coalesce(1), root, stats_cols=["k"], partition_by="p")
+    S.mor_delete(
+        spark.createDataFrame([Row(k=2), Row(k=7)], "k int"), root, ["k"]
+    )  # v2: equality entry at seq 2
+    v3 = S.dv_update(spark, root, "k >= 9", {"p": "'c'"})
+    got = {(r.k, r.p) for r in S.read_snapshot(spark, root).collect()}
+    expect = {
+        (i, "a" if i < 6 else "b") for i in range(9) if i not in (2, 7)
+    } | {(i, "c") for i in range(9, 12)}
+    assert got == expect
+    # partition pruning still sound: 'c' rows live under p=c dirs
+    m = S._read_manifest(spark, root, v3)
+    new_files = [f for f in m["files"] if "p=c" in f]
+    assert new_files, "updated rows must land under their new partition dir"
+
+
+def test_table_sql_using_dv_routes(spark, root):
+    from nagios_custom_etl_spark.operators.table_sql import table_sql
+
+    S.append(_dvt(spark, 0, 20).coalesce(1), root, stats_cols=["k"])
+    files_before = S._read_manifest(spark, root, 1)["files"]
+    table_sql(spark, f"DELETE FROM '{root}' WHERE k % 5 = 0 USING DV")
+    table_sql(spark, f"UPDATE '{root}' SET v = concat(v, '+') WHERE g = 2 USING DV")
+    m = S._read_manifest(spark, root, 3)
+    assert set(files_before) <= set(m["files"])  # no data file rewritten
+    assert len([e for e in m["deletes"] if e.get("pos")]) == 2
+    rows = {r.k: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert sorted(rows) == [i for i in range(20) if i % 5 != 0]
+    for k, v in rows.items():
+        assert v == (f"r{k}+" if k % 4 == 2 else f"r{k}")
+    assert S.metadata_count(spark, root) == len(rows)
