@@ -295,25 +295,24 @@ def _cluster_key(stats: dict):
     return key
 
 
-def _build_shard(
-    spark: SparkSession,
-    root: str,
-    version: int,
-    idx: int,
-    sub: list[str],
-    stats: dict,
-    seqs: dict | None,
-) -> dict:
-    """Write one shard file for member files ``sub`` and return its
-    index meta: per-shard row sum (None when any member predates
-    ``__rows`` — lets metadata_count answer from the INDEX alone),
-    integer [total, nonnull] sum aggregates replaying
-    :func:`_metadata_sum_parts`' exact member semantics (zero-row files
-    contribute nothing; a non-zero member missing the keys kills the
-    column for the shard, so the index fast path falls back to the full
-    reconstruction and its precise refusal), and the [min, max] ENVELOPE
-    of every stats column whose bounds are known for ALL members (any
-    unknown member -> no envelope -> conservative include)."""
+def _shard_payload(
+    version: int, idx: int, sub: list[str], stats: dict, seqs: dict | None
+) -> tuple[str, str, dict]:
+    """PURE computation of one shard: (json text, content digest, index
+    meta). No IO and no Spark — callable identically on the driver and
+    inside an executor task (:func:`_build_shards_distributed`), which
+    is what makes the distributed checkpoint write provably equal to
+    the single-node one: same inputs → same bytes → same
+    content-addressed name. Meta carries the per-shard row sum (None
+    when any member predates ``__rows`` — lets metadata_count answer
+    from the INDEX alone), integer [total, nonnull] sum aggregates
+    replaying :func:`_metadata_sum_parts`' exact member semantics
+    (zero-row files contribute nothing; a non-zero member missing the
+    keys kills the column for the shard, so the index fast path falls
+    back to the full reconstruction and its precise refusal), and the
+    [min, max] ENVELOPE of every stats column whose bounds are known
+    for ALL members (any unknown member -> no envelope -> conservative
+    include)."""
     shard: dict = {"files": sub, "stats": {f: stats[f] for f in sub if f in stats}}
     if seqs is not None:
         shard["seqs"] = {f: seqs[f] for f in sub if f in seqs}
@@ -325,7 +324,6 @@ def _build_shard(
             ranges[c] = [min(e[0] for e in ents), max(e[1] for e in ents)]
     text = json.dumps(shard)
     digest = hashlib.md5(text.encode()).hexdigest()[:8]
-    _write_ckpt_text(spark, _shard_path(root, version, idx, digest), text)
     rows = None
     if all("__rows" in (stats.get(f) or {}) for f in sub):
         rows = sum(int(stats[f]["__rows"]) for f in sub)
@@ -354,13 +352,100 @@ def _build_shard(
             nonnull += int(s["__rows"]) - int(s[f"__nulls_{c}"])
         if ok:
             sums[c] = [total, nonnull]
-    return {
+    meta = {
         "path": f"ckptshard-{version:08d}-{idx:04d}-{digest}.json",
         "n_files": len(sub),
         "rows": rows,
         "sums": sums,
         "ranges": ranges,
     }
+    return text, digest, meta
+
+
+def _build_shard(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    idx: int,
+    sub: list[str],
+    stats: dict,
+    seqs: dict | None,
+) -> dict:
+    """Driver-side shard build: compute the payload and write it."""
+    text, digest, meta = _shard_payload(version, idx, sub, stats, seqs)
+    _write_ckpt_text(spark, _shard_path(root, version, idx, digest), text)
+    return meta
+
+
+#: shard-count threshold above which a checkpoint's shard files are
+#: written by EXECUTOR tasks instead of a driver loop (Iceberg
+#: distributes its manifest writes the same way); below it the Spark
+#: job overhead exceeds the serial write cost
+_DIST_CKPT_MIN_SHARDS = 64
+#: test-visible instrumentation: shards written via the distributed path
+_DIST_SHARD_WRITES = {"n": 0}
+
+
+def _build_shards_distributed(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    chunks: list[list[str]],
+    stats: dict,
+    seqs: dict | None,
+    start_idx: int,
+) -> list[dict]:
+    """Write checkpoint shards as a SPARK JOB — one executor task per
+    shard (r14: the write-side twin of x153's distributed manifest
+    READS): each task computes :func:`_shard_payload` for its member
+    slice and writes the content-addressed file through ``pyarrow.fs``,
+    returning (index meta, bytes written) to the driver. Driver cost is
+    O(shards) metas collected + the index write — at 10^6 files a full
+    checkpoint writes ~10^3 shard files in parallel across the cluster
+    instead of serially through one Python loop. Payload purity makes
+    the result BYTE-IDENTICAL to the driver loop (same content → same
+    digest → same name), so the two paths are interchangeable and the
+    x156 oracle pins their equality. An already-existing shard file
+    (content-addressed collision with a racing checkpointer writing the
+    same version — identical bytes by construction) is skipped; tasks
+    write complete content to a ``_tmp_*`` sibling then rename, so a
+    reader never observes a torn shard."""
+    import uuid as _uuid
+
+    sdir = _snap_dir(root)
+    tasks = [
+        (
+            start_idx + j,
+            sub,
+            {f: stats[f] for f in sub if f in stats},
+            None if seqs is None else {f: seqs[f] for f in sub if f in seqs},
+        )
+        for j, sub in enumerate(chunks)
+    ]
+
+    def run(t):
+        idx, sub, sstats, sseqs = t
+        from pyarrow.fs import FileType
+
+        from nagios_custom_etl_spark.sources.snapshot_tail import _open_fs
+
+        text, digest, meta = _shard_payload(version, idx, sub, sstats, sseqs)
+        fs, base = _open_fs(sdir)
+        dst = f"{base}/{meta['path']}"
+        if fs.get_file_info(dst).type != FileType.NotFound:
+            return meta, 0  # content-addressed: identical bytes exist
+        tmp = f"{dst}_tmp_{_uuid.uuid4().hex[:12]}"
+        with fs.open_output_stream(tmp) as out:
+            out.write(text.encode("utf-8"))
+        fs.move(tmp, dst)
+        return meta, len(text)
+
+    results = (
+        spark.sparkContext.parallelize(tasks, len(tasks)).map(run).collect()
+    )
+    _CKPT_BYTES_WRITTEN["n"] += sum(b for _, b in results)
+    _DIST_SHARD_WRITES["n"] += sum(1 for _, b in results if b)
+    return [m for m, _ in results]
 
 
 def _try_incremental_ckpt(spark: SparkSession, root: str, version: int) -> bool:
@@ -496,18 +581,25 @@ def _try_incremental_ckpt(spark: SparkSession, root: str, version: int) -> bool:
         return False  # fold inconsistency: take the exact full write
     metas = list(reused)
     ordered = sorted(pool, key=_cluster_key(pool_stats))
-    for i in range(0, len(ordered), _SHARD_SIZE):
-        metas.append(
-            _build_shard(
-                spark,
-                root,
-                version,
-                len(metas),
-                ordered[i : i + _SHARD_SIZE],
-                pool_stats,
-                pool_seqs if has_seqs else None,
+    chunks = [
+        ordered[i : i + _SHARD_SIZE]
+        for i in range(0, len(ordered), _SHARD_SIZE)
+    ]
+    if len(chunks) >= _DIST_CKPT_MIN_SHARDS:
+        metas.extend(
+            _build_shards_distributed(
+                spark, root, version, chunks, pool_stats,
+                pool_seqs if has_seqs else None, len(metas),
             )
         )
+    else:
+        for sub in chunks:
+            metas.append(
+                _build_shard(
+                    spark, root, version, len(metas), sub, pool_stats,
+                    pool_seqs if has_seqs else None,
+                )
+            )
     index = {
         "format": "ckpt-list-v1",
         "base": {k: v for k, v in fields.items() if k not in _DIFFED_KEYS},
@@ -546,13 +638,21 @@ def _write_checkpoint(
     stats = state.get("stats") or {}
     seqs = state.get("seqs")
     ordered = sorted(files, key=_cluster_key(stats))
-    shards_meta = [
-        _build_shard(
-            spark, root, version, i // _SHARD_SIZE, ordered[i : i + _SHARD_SIZE],
-            stats, seqs,
-        )
+    chunks = [
+        ordered[i : i + _SHARD_SIZE]
         for i in range(0, len(ordered), _SHARD_SIZE)
     ]
+    if len(chunks) >= _DIST_CKPT_MIN_SHARDS:
+        # big table: executor tasks write the shards (x156) — the pure
+        # payload makes the result byte-identical to the driver loop
+        shards_meta = _build_shards_distributed(
+            spark, root, version, chunks, stats, seqs, 0
+        )
+    else:
+        shards_meta = [
+            _build_shard(spark, root, version, i, sub, stats, seqs)
+            for i, sub in enumerate(chunks)
+        ]
     index = {
         "format": "ckpt-list-v1",
         "base": {k: v for k, v in state.items() if k not in _DIFFED_KEYS},
@@ -1520,13 +1620,35 @@ def _all_data_refs(m: dict) -> set[str]:
     return refs
 
 
+def _carry_mor(
+    extra: dict, m: dict, untouched: list[str], files: list[str], version: int
+) -> None:
+    """Carry pending deletes through a PARTIAL rewrite (merge /
+    delete_where / update_where): untouched files keep their seqs, the
+    rewritten files take this commit's seq (above every pending
+    equality delete — the companion-insert rule). A DV-only parent
+    carries just the entry list (see :func:`_mor_extra`)."""
+    if not (m.get("deletes") and untouched):
+        return
+    extra["deletes"] = m["deletes"]
+    if m.get("seqs") or any(not e.get("pos") for e in m["deletes"]):
+        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
+        seqs.update({f: version for f in files})
+        extra["seqs"] = seqs
+
+
 def _mor_extra(m: dict, new_files: list[str], version: int) -> dict | None:
     """Carry a parent's MoR state (``seqs`` + pending ``deletes``)
     through a commit that adds ``new_files`` at ``version``. None when
     the table has no pending deletes — plain tables keep their slim
-    manifests."""
+    manifests. A DV-only parent (positional entries, no seqs map)
+    carries just the entry list: positional deletes are file+position
+    scoped, so no sequence bookkeeping is needed and the commit stays
+    an O(touched) delta record at any table file count."""
     if not m.get("deletes"):
         return None
+    if not m.get("seqs") and all(e.get("pos") for e in m["deletes"]):
+        return {"deletes": m["deletes"]}
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m.get("files", [])}
     seqs.update({f: version for f in new_files})
     return {"seqs": seqs, "deletes": m["deletes"]}
@@ -1769,7 +1891,6 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
                 pre.withColumn("_change_type", F.lit("delete")), root
             )
         version = parent + 1
-        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
         entry = {
             "pos": True,
             "files": sorted(dfiles),
@@ -1777,9 +1898,20 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
             "targets": sorted(cand),
             "count": int(n),
         }
-        extra.update(
-            {"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]}
-        )
+        extra["deletes"] = (m.get("deletes") or []) + [entry]
+        # seqs only matter to the EQUALITY anti-join (dseq > seq
+        # residual) — positional entries are file+position scoped. On a
+        # DV-only table, omitting the map keeps this commit an
+        # O(positions) delta record at ANY table file count (a full
+        # seqs map would re-serialize O(files) and force a full
+        # manifest); a later mor_delete mints its own map and the
+        # default seq 0 < its dseq is exactly right for these files.
+        if m.get("seqs") or any(
+            not e.get("pos") for e in m.get("deletes") or []
+        ):
+            extra["seqs"] = {
+                f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]
+            }
         return _commit(
             spark,
             root,
@@ -1877,8 +2009,6 @@ def dv_update(
                 root,
             )
         version = parent + 1
-        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
-        seqs.update({f: version for f in nfiles})
         entry = {
             "pos": True,
             "files": sorted(dfiles),
@@ -1886,9 +2016,17 @@ def dv_update(
             "targets": sorted(cand),
             "count": int(n),
         }
-        extra.update(
-            {"seqs": seqs, "deletes": (m.get("deletes") or []) + [entry]}
-        )
+        extra["deletes"] = (m.get("deletes") or []) + [entry]
+        # seqs carried/minted only when the equality machinery needs
+        # them (see dv_delete): keeps a DV-only update an O(matched)
+        # delta record; new files at the commit's seq so pending
+        # equality deletes (lower dseq) never eat the rewritten rows
+        if m.get("seqs") or any(
+            not e.get("pos") for e in m.get("deletes") or []
+        ):
+            seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
+            seqs.update({f: version for f in nfiles})
+            extra["seqs"] = seqs
         return _commit(
             spark,
             root,
@@ -2696,15 +2834,12 @@ def merge_commit(
             f: s for f, s in m.get("stats", {}).items() if f in set(untouched)
         }
         extra: dict = {"change_files": change_files} if change_files is not None else {}
-        if m.get("deletes") and untouched:
-            # pending MoR deletes still govern the untouched files (their
-            # dead rows were NOT materialized away); the rewritten files
-            # carry this commit's seq, above every pending delete. A full
-            # rewrite (no untouched files) materialized every delete and
-            # drops the list instead.
-            seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
-            seqs.update({f: parent + 1 for f in files})
-            extra.update({"seqs": seqs, "deletes": m["deletes"]})
+        # pending MoR deletes still govern the untouched files (their
+        # dead rows were NOT materialized away); the rewritten files
+        # carry this commit's seq, above every pending delete. A full
+        # rewrite (no untouched files) materialized every delete and
+        # drops the list instead.
+        _carry_mor(extra, m, untouched, files, parent + 1)
         extra = extra or None
         try:
             return _commit(
@@ -2843,10 +2978,7 @@ def delete_where(
     spec = m.get("partition_spec")
     files, stats = _write_data_files(survivors, root, stats_cols, spec)
     carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
-    if m.get("deletes") and untouched:
-        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
-        seqs.update({f: parent + 1 for f in files})
-        extra.update({"seqs": seqs, "deletes": m["deletes"]})
+    _carry_mor(extra, m, untouched, files, parent + 1)
     return _commit(
         spark,
         root,
@@ -2931,10 +3063,7 @@ def update_where(
     spec = m.get("partition_spec")
     files, stats = _write_data_files(new_rows, root, stats_cols, spec)
     carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
-    if m.get("deletes") and untouched:
-        seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in untouched}
-        seqs.update({f: parent + 1 for f in files})
-        extra.update({"seqs": seqs, "deletes": m["deletes"]})
+    _carry_mor(extra, m, untouched, files, parent + 1)
     return _commit(
         spark,
         root,
@@ -4598,15 +4727,35 @@ def compact_small(
     (Z-order) that keeps x123's multi-column skipping paying on a
     growing table without ever re-paying the full-table rewrite.
     Cluster columns are added to the recorded stats so the new files
-    prune immediately."""
+    prune immediately.
+
+    POSITIONAL deletes (x154/x157) do NOT refuse: a ``pos`` entry is
+    file-scoped, so a partial rewrite is sound — the merge reads the
+    small files through the live view (their positions materialize into
+    the merged output) and each entry is REWRITTEN to cover only its
+    surviving targets (position files filtered, counts recounted;
+    entries left with no live target drop). Untouched big files keep
+    their positions applied at read exactly as before, and
+    ``metadata_count`` stays exact through the pass — the maintenance
+    loop keeps running on a table under constant predicate DML, which
+    is precisely when slivers accumulate. A position-materializing pass
+    stamps ``data_change: true`` + ``deletes_materialized`` (the
+    compact convention — incremental readers must not skip it) and
+    records an EMPTY feed contribution when the feed is on (logically
+    row-preserving, the x142 rule). EQUALITY deletes still refuse —
+    they apply by seq across every file, so a partial rewrite would
+    materialize them unevenly."""
+    from pyspark.sql import functions as F
+
     parent = latest_version(spark, root)
     if parent == 0:
         return None
     m = _read_manifest(spark, root, parent)
-    if m.get("deletes"):
+    dels = m.get("deletes") or []
+    if any(not e.get("pos") for e in dels):
         raise ValueError(
-            "pending MoR deletes: a partial rewrite would materialize "
-            "them unevenly — compact() folds them first"
+            "pending equality MoR deletes: a partial rewrite would "
+            "materialize them unevenly — compact() folds them first"
         )
     stats = m.get("stats", {})
 
@@ -4627,7 +4776,9 @@ def compact_small(
         # churn commits, not convergence
         return None
     schema, spec = m.get("schema"), m.get("partition_spec")
-    view = _read_files(spark, root, small, schema, spec)
+    # positions of the merged files materialize into the output; big
+    # files' positions stay pending (entries rewritten below)
+    view = _live_view(spark, root, m, small)
     stats_cols = (
         sorted(
             {c for s in stats.values() for c in s if not c.startswith("__")}
@@ -4642,6 +4793,50 @@ def compact_small(
     )
     files, new_stats = _write_data_files(shaped, root, stats_cols, spec)
     carried = {f: s for f, s in stats.items() if f in set(big)}
+    extra: dict = {"small_file_compaction": True}
+    big_set = set(big)
+    new_dels: list[dict] = []
+    materialized = False
+    for e in dels:
+        kept = [t for t in e.get("targets", ()) if t in big_set]
+        if set(kept) == set(e.get("targets", ())):
+            new_dels.append(e)  # untouched: position files shared as-is
+            continue
+        materialized = True
+        if not kept:
+            continue  # every target merged away: entry drops
+        dv = (
+            spark.read.parquet(*[f"{root}/{f}" for f in e["files"]])
+            .filter(F.col("_dv_file").isin(kept))
+            .persist()
+        )
+        try:
+            n2 = dv.count()
+            if n2 == 0:
+                continue
+            dfiles, _ = _write_data_files(dv.coalesce(1), root)
+            new_dels.append(
+                {
+                    **e,
+                    "files": sorted(dfiles),
+                    "targets": sorted(kept),
+                    "count": int(n2),
+                }
+            )
+        finally:
+            dv.unpersist()
+    if new_dels:
+        extra["deletes"] = new_dels  # pos-only: no seqs map needed
+    if materialized:
+        # the compact convention: materializing deletes is data_change
+        # (readers must not skip it) but logically row-preserving, so
+        # the feed contribution is recorded-EMPTY (x142)
+        extra["data_change"] = True
+        extra["deletes_materialized"] = True
+        if change_feed_enabled(spark, root):
+            extra["change_files"] = []
+    else:
+        extra["data_change"] = False
     return _commit(
         spark,
         root,
@@ -4651,7 +4846,7 @@ def compact_small(
         {**carried, **new_stats},
         schema,
         partition_spec=spec,
-        extra={"data_change": False, "small_file_compaction": True},
+        extra=extra,
     )
 
 

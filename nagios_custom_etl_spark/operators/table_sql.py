@@ -35,6 +35,9 @@ Supported statements (keywords case-insensitive):
   (:func:`..operators.snapshots.update_where`), or with ``USING DV``
   positions + updated-rows-only new files
   (:func:`..operators.snapshots.dv_update`)
+- ``INSERT INTO '<root>' [(c1, c2, ...)] SELECT ...|VALUES ...`` —
+  append through full Spark SQL (the optional column list renames by
+  position); schema drift fails, INSERT never evolves
 - ``RESTORE '<root>' TO VERSION AS OF <n>`` — rollback-as-commit
 - ``OPTIMIZE '<root>' [ZORDER BY (<c1>[, <c2>...])]``
 - ``VACUUM '<root>' RETAIN <n> VERSIONS``
@@ -85,6 +88,12 @@ _DELETE = re.compile(
 _UPDATE = re.compile(
     rf"^\s*UPDATE\s+{_ROOT}\s+SET\s+(?P<sets>.+?)\s+"
     rf"WHERE\s+(?P<pred>.+?)(?:\s+USING\s+(?P<dv>DV))?\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_ROOT}\s*"
+    rf"(?:\((?P<cols>{_ID}(?:\s*,\s*{_ID})*)\)\s*)?"
+    rf"(?P<body>(?:SELECT|VALUES)\b.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _RESTORE = re.compile(
@@ -245,6 +254,29 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
                 spark, m["root"], _split_assignments(m["sets"]), m["pred"]
             )
         return spark.createDataFrame([(int(v),)], "version long")
+    m = _INSERT.match(stmt)
+    if m:
+        # the SELECT/VALUES body runs through FULL Spark SQL (temp
+        # views, functions, joins — same bridge as SNAPSHOT views); an
+        # optional column list renames by position (VALUES yields
+        # col1/col2/... otherwise). Schema drift surfaces as append's
+        # usual analysis error — INSERT never evolves.
+        body = m["body"]
+        df = (
+            spark.sql(f"SELECT * FROM ({body})")
+            if body.lstrip()[:6].upper() == "VALUES"
+            else spark.sql(body)
+        )
+        if m["cols"]:
+            names = _split_ids(m["cols"])
+            if len(names) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(names)} names but the "
+                    f"body produces {len(df.columns)} columns"
+                )
+            df = df.toDF(*names)
+        v = S.append(df, m["root"])
+        return spark.createDataFrame([(int(v),)], "version long")
     m = _RESTORE.match(stmt)
     if m:
         v = S.rollback(spark, m["root"], int(m["version"]))
@@ -270,7 +302,8 @@ def table_sql(spark: SparkSession, stmt: str) -> DataFrame:
         "'<root>' USING <view> ON <keys> WHEN MATCHED [AND <cond>] THEN "
         "UPDATE SET * WHEN NOT MATCHED THEN INSERT * [PRUNE ON <col>] | "
         "DELETE FROM '<root>' WHERE <pred> [USING DV] | UPDATE '<root>' "
-        "SET <col> = <expr>[, ...] WHERE <pred> [USING DV] | RESTORE "
+        "SET <col> = <expr>[, ...] WHERE <pred> [USING DV] | INSERT "
+        "INTO '<root>' [(cols)] SELECT ...|VALUES ... | RESTORE "
         "'<root>' TO VERSION AS OF "
         "<n> | OPTIMIZE '<root>' [ZORDER BY (<cols>)] | "
         f"VACUUM '<root>' RETAIN <n> VERSIONS. Got: {stmt!r}"

@@ -12278,12 +12278,31 @@ def x153_distributed_manifest_planning(spark: SparkSession, sf_dir: str) -> Data
     S._SHARD_MIN_FILES, S._SHARD_SIZE = 8, 4
     try:
         S.append(base.repartitionByRange(16, "rid"), root, stats_cols=["rid"])
-        S.append(base.limit(0).coalesce(1), root, stats_cols=["rid"])  # v2
+        # v2/v3: planted single-row appends FAR outside the probe range
+        # (a limit(0) append's part-file count is session-conf-dependent
+        # — an envelope-less zero-row shard broke the pruned flag, the
+        # r14 parity catch): v2 lands in the checkpoint as an excludable
+        # shard, v3 exercises the delta-above-base driver path
+        one = base.limit(1).select(
+            (F.col("k") + 9000000).alias("k"), (F.col("rid") + 9000000).alias("rid")
+        )
+        S.append(one.coalesce(1), root, stats_cols=["rid"])  # v2
         S._ensure_checkpoint(spark, root, 2)
-        S.append(base.limit(0).coalesce(1), root, stats_cols=["rid"])  # v3
+        S.append(
+            one.select((F.col("k") + 1).alias("k"), (F.col("rid") + 1).alias("rid"))
+            .coalesce(1),
+            root, stats_cols=["rid"],
+        )  # v3
         v = S.latest_version(spark, root)
         planned, n_shards, total = plan_files_distributed(
             spark, root, v, [("rid", 17, 48)]
+        )
+        import json as _json
+
+        from nagios_custom_etl_spark import fsio as _fsio
+
+        n_all_shards = len(
+            _json.loads(_fsio.read_text(spark, S._ckpt_path(root, 2)))["shards"]
         )
         S._STATE_CACHE.clear()
         m = S._plan_pruned_state(spark, root, v, [("rid", 17, 48)])
@@ -12297,7 +12316,9 @@ def x153_distributed_manifest_planning(spark: SparkSession, sf_dir: str) -> Data
 
         expect = sorted(f for f in m["files"] if keeps(f))
         plan_equal = planned == expect
-        pruned_shards = 0 < n_shards < 4  # 16 files / 4 per shard
+        # behavioral, not a layout constant: at least one shard's
+        # envelope (the rid+9e6 planted one by construction) excludes
+        pruned_shards = 0 < n_shards < n_all_shards
         total_exact = total == m["_files_total"]
         box = (
             S._read_files(spark, root, planned, m.get("schema"))
@@ -12510,6 +12531,312 @@ def x155_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(meta_n2)).cast("long").alias("meta_n2"),
             F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
             F.lit(bool(files_kept)).alias("files_kept"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "x156_distributed_ckpt_write",
+    oracle="""
+    -- Distributed checkpoint shard WRITES (the write-side twin of
+    -- x153's distributed manifest reads — Iceberg distributes both):
+    -- executor tasks compute each shard's payload and write the
+    -- content-addressed file through pyarrow.fs; the driver collects
+    -- O(shards) index metas and publishes the index. The payload is
+    -- PURE, so wiping the checkpoint and rewriting through the driver
+    -- loop reproduces byte-identical shards under identical names
+    -- (names_equal, bytes_equal) — the two paths are interchangeable.
+    -- dist_used pins that the Spark-job path actually ran; the
+    -- metadata count and the pruned-read box recompute literally.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+      FROM orders WHERE o_orderkey % 10 = 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sk,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_total,
+           CAST(TRUE AS BOOLEAN) AS dist_used,
+           CAST(TRUE AS BOOLEAN) AS names_equal,
+           CAST(TRUE AS BOOLEAN) AS bytes_equal
+    FROM base WHERE rid BETWEEN 25 AND 70
+    """,
+    doc="X156 distributed checkpoint shard writes (operators/"
+    "snapshots.py::_build_shards_distributed over the pure "
+    "_shard_payload): above _DIST_CKPT_MIN_SHARDS, checkpoint shards "
+    "are written by one executor task each (pyarrow.fs tmp+rename, "
+    "content-addressed skip on collision) instead of a serial driver "
+    "loop — at 10^6 files a full checkpoint's ~10^3 shard writes "
+    "parallelize across the cluster while the driver holds only the "
+    "collected metas + the index publish. Payload purity makes the "
+    "distributed result BYTE-IDENTICAL to the single-node write (same "
+    "content -> same digest -> same name), pinned here by wiping the "
+    "distributed checkpoint and rewriting through the driver loop. "
+    "Removes the last driver-serial step of the r13-r14 metadata-plane "
+    "arc (sharded ckpts -> incremental ckpts -> distributed reads -> "
+    "distributed writes).",
+)
+def x156_distributed_ckpt_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from nagios_custom_etl_spark import fsio
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x156_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+        .withColumn("rid", F.row_number().over(Window.orderBy("k")))
+    )
+    saved = (S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS)
+    S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS = 8, 4, 2
+    try:
+        S.append(base.repartitionByRange(16, "rid"), root, stats_cols=["rid"])
+        S._DIST_SHARD_WRITES["n"] = 0
+        S._ensure_checkpoint(spark, root, 1)
+        dist_used = S._DIST_SHARD_WRITES["n"] == 4
+        names = [
+            sm["path"]
+            for sm in _json.loads(
+                fsio.read_text(spark, S._ckpt_path(root, 1))
+            )["shards"]
+        ]
+        blobs = {
+            n: fsio.read_text(spark, f"{S._snap_dir(root)}/{n}") for n in names
+        }
+        fs, jp, _ = fsio._fs(spark, S._ckpt_path(root, 1))
+        fs.delete(jp, False)
+        for n in names:
+            f2, j2, _ = fsio._fs(spark, f"{S._snap_dir(root)}/{n}")
+            f2.delete(j2, False)
+        S._DIST_CKPT_MIN_SHARDS = 9999  # force the driver loop
+        S._STATE_CACHE.clear()
+        S._write_checkpoint(spark, root, 1)
+        names_b = [
+            sm["path"]
+            for sm in _json.loads(
+                fsio.read_text(spark, S._ckpt_path(root, 1))
+            )["shards"]
+        ]
+        names_equal = names_b == names
+        bytes_equal = all(
+            fsio.read_text(spark, f"{S._snap_dir(root)}/{n}") == blobs[n]
+            for n in names
+        )
+        S._STATE_CACHE.clear()
+        n_total = S.metadata_count(spark, root)
+        dfp, _, _ = S.read_snapshot_pruned(spark, root, "rid", 25, 70)
+        box = dfp.filter(F.col("rid").between(25, 70)).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sk")
+        )
+    finally:
+        S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS = saved
+    return box.select(
+        "n",
+        "sk",
+        F.lit(int(n_total)).cast("long").alias("n_total"),
+        F.lit(bool(dist_used)).alias("dist_used"),
+        F.lit(bool(names_equal)).alias("names_equal"),
+        F.lit(bool(bytes_equal)).alias("bytes_equal"),
+    )
+
+
+@register(
+    "x157_dv_aware_compact_small",
+    oracle="""
+    -- DV-aware incremental compaction: a table under constant
+    -- predicate DML accumulates small slivers AND deletion vectors;
+    -- compact_small merges only the slivers, materializing exactly
+    -- THEIR positions into the merged output, and REWRITES the pos
+    -- entry to cover only the surviving big-file targets (positions
+    -- refiltered, count recounted) — the big file is never read or
+    -- rewritten, reads stay exact, metadata_count stays exact
+    -- (meta_n), and the feed contribution is recorded-EMPTY (x142:
+    -- materialization is logically row-preserving). entry_big_only
+    -- pins the rewrite; equality deletes still refuse. All literal.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 61 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 12 = 5
+    ), sliv AS (
+      SELECT k + 10000000 AS k, g, v FROM base WHERE k % 13 IN (1, 2, 3)
+    ), allr AS (
+      SELECT * FROM base UNION ALL SELECT * FROM sliv
+    ), live AS (
+      SELECT * FROM allr WHERE k % 10 <> 1
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+           CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS meta_n,
+           CAST(TRUE AS BOOLEAN) AS entry_big_only,
+           CAST(TRUE AS BOOLEAN) AS feed_empty,
+           CAST(TRUE AS BOOLEAN) AS live_preserved
+    FROM live GROUP BY g ORDER BY g
+    """,
+    doc="X157 DV-aware incremental compaction (operators/snapshots.py::"
+    "compact_small over pos entries): positional deletes are file-"
+    "scoped, so the bin-pack pass stays sound on a DV-pending table — "
+    "merged slivers read through the live view (their positions "
+    "materialize), untouched big files keep their entries, and each "
+    "entry rewrites to its surviving targets with a recounted "
+    "cardinality (stale targets self-heal, so metadata_count recovers "
+    "exactness after a COW rewrite too). Stamps data_change + "
+    "deletes_materialized when positions materialize; feed "
+    "contribution recorded-EMPTY. At 100 TB this is the missing "
+    "maintenance loop for predicate-DML-heavy tables: the steady "
+    "state pays O(sliver bytes + touched position files), never the "
+    "big files — equality deletes (seq-scoped, all-file) still "
+    "refuse to partial-rewrite.",
+)
+def x157_dv_aware_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x157_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 12 == 5)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 61).cast("long").alias("v"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base.coalesce(1), root, stats_cols=["k"])  # the big file
+    for r in (1, 2, 3):
+        S.append(
+            base.filter(F.col("k") % 13 == r)
+            .select((F.col("k") + 10000000).alias("k"), "g", "v")
+            .coalesce(1),
+            root, stats_cols=["k"],
+        )
+    S.dv_delete(spark, root, "k % 10 = 1")  # hits big AND slivers
+    m0 = S._read_manifest(spark, root, S.latest_version(spark, root))
+    sizes = {f: int(m0["stats"][f]["__bytes"]) for f in m0["files"]}
+    big_file = max(sizes, key=sizes.get)
+    live_before = S.read_snapshot(spark, root)
+    rows_before = sorted((r.k, r.g, r.v) for r in live_before.collect())
+    v = S.compact_small(spark, root, small_bytes=sizes[big_file], min_merge=2)
+    m = S._read_manifest(spark, root, v)
+    pos = m.get("deletes") or []
+    entry_big_only = (
+        len(pos) == 1
+        and pos[0].get("pos")
+        and set(pos[0]["targets"]) == {big_file}
+    )
+    feed_empty = m.get("change_files") == [] and m.get("deletes_materialized")
+    meta_n = S.metadata_count(spark, root)
+    after = S.read_snapshot(spark, root)
+    live_preserved = (
+        sorted((r.k, r.g, r.v) for r in after.collect()) == rows_before
+    )
+    return (
+        after.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sv"))
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            "sv",
+            F.lit(int(meta_n)).cast("long").alias("meta_n"),
+            F.lit(bool(entry_big_only)).alias("entry_big_only"),
+            F.lit(bool(feed_empty)).alias("feed_empty"),
+            F.lit(bool(live_preserved)).alias("live_preserved"),
+        )
+        .orderBy("g")
+    )
+
+
+@register(
+    "x158_table_sql_insert",
+    oracle="""
+    -- INSERT INTO through the table-format SQL dialect: the body runs
+    -- in FULL Spark SQL (a SELECT over a temp view here; a VALUES
+    -- literal with a positional column list too), appended as a
+    -- normal snapshot commit — so inserts compose with time travel
+    -- (n_v1 pins the pre-insert count via VERSION AS OF). All rows
+    -- recompute literally.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 53 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 9 = 4
+    ), ins1 AS (
+      SELECT k + 500000 AS k, g, v + 7 AS v FROM base WHERE g <= 3
+    ), planted AS (
+      SELECT CAST(900001 AS BIGINT) AS k, CAST(0 AS BIGINT) AS g,
+             CAST(11 AS BIGINT) AS v
+      UNION ALL SELECT 900002, 8, 13
+    ), allr AS (
+      SELECT * FROM base UNION ALL SELECT * FROM ins1
+      UNION ALL SELECT * FROM planted
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_v1
+    FROM allr GROUP BY g ORDER BY g
+    """,
+    doc="X158 SQL INSERT surface (operators/table_sql.py): INSERT INTO "
+    "'<root>' [(cols)] SELECT ...|VALUES ... appends through full "
+    "Spark SQL — temp views, functions, joins all usable in the body; "
+    "the optional column list renames by position (VALUES yields "
+    "col1/col2 otherwise); schema drift fails loudly, INSERT never "
+    "evolves. Commits are plain appends: delta-logged O(K) manifests, "
+    "time-travelable, feed-derivable, WAP-gateable like any other.",
+)
+def x158_table_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.operators.table_sql import table_sql
+
+    root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x158_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 4)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 53).cast("long").alias("v"),
+        )
+    )
+    S.append(base.coalesce(1), root, stats_cols=["k"])  # v1
+    base.createOrReplaceTempView("x158_base")
+    table_sql(
+        spark,
+        f"INSERT INTO '{root}' "
+        "SELECT k + 500000 AS k, g, v + 7 AS v FROM x158_base WHERE g <= 3",
+    )
+    table_sql(
+        spark,
+        f"INSERT INTO '{root}' (k, g, v) VALUES "
+        "(CAST(900001 AS BIGINT), CAST(0 AS BIGINT), CAST(11 AS BIGINT)), "
+        "(CAST(900002 AS BIGINT), CAST(8 AS BIGINT), CAST(13 AS BIGINT))",
+    )
+    n_v1 = S.read_snapshot(spark, root, 1).count()
+    return (
+        S.read_snapshot(spark, root)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sv"))
+        .select(
+            F.col("g").cast("long").alias("g"),
+            F.col("n").cast("long").alias("n"),
+            "sv",
+            F.lit(int(n_v1)).cast("long").alias("n_v1"),
         )
         .orderBy("g")
     )

@@ -3456,3 +3456,111 @@ def st37_streaming_mv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(int(before)).cast("long"))
         .orderBy("g")
     )
+
+
+@register(
+    "st38_streaming_dv_feed",
+    oracle="""
+    -- Deletion-vector commits feed the STREAMING change-feed source:
+    -- dv_update records pre/post pairs and dv_delete records delete
+    -- pre-images atomically with their commits, so the st36 source
+    -- consumes them exactly like merge transitions — offsets are
+    -- commit versions, the dv_delete here predicates on POST-update
+    -- values, and the streamed multiset equals the batch read_changes
+    -- (feed_equal). Per-(version, type) row counts and v-sums
+    -- recompute literally.
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey % 9 AS BIGINT) AS g,
+             CAST(o_orderkey % 71 AS BIGINT) AS v
+      FROM orders WHERE o_orderkey % 8 = 1
+    ), upd AS (
+      SELECT k, g, CASE WHEN g = 5 THEN v + 500 ELSE v END AS v FROM base
+    ), legs AS (
+      SELECT 1 AS cv, 'insert' AS ct, v FROM base
+      UNION ALL
+      SELECT 2, 'update_preimage', v FROM base WHERE g = 5
+      UNION ALL
+      SELECT 2, 'update_postimage', v + 500 FROM base WHERE g = 5
+      UNION ALL
+      SELECT 3, 'delete', v FROM upd WHERE v % 9 = 0
+    )
+    SELECT CAST(cv AS BIGINT) AS cv, ct, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sv,
+           CAST(TRUE AS BOOLEAN) AS feed_equal
+    FROM legs GROUP BY cv, ct ORDER BY cv, ct
+    """,
+    doc="ST-ext streaming consumption of deletion-vector commits "
+    "(sources/snapshot_changes.py + operators/snapshots.py::dv_update/"
+    "dv_delete): DV writers record their transitions atomically in the "
+    "manifest (update pre/post pairs, delete pre-images), so the "
+    "streaming CDF source consumes a predicate UPDATE/DELETE exactly "
+    "like a merge — no special casing, refusals unchanged for "
+    "feed-off DV commits. The dv_delete predicates on post-update "
+    "values, pinning transition ordering across the two DV commits. "
+    "100 TB: a downstream consumer follows predicate DML on a huge "
+    "table at O(transitions) per trigger; the positions themselves "
+    "never leave the table's metadata plane.",
+)
+def st38_streaming_dv_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nagios_custom_etl_spark.operators import snapshots as S
+    from nagios_custom_etl_spark.sources.snapshot_changes import (
+        SnapshotChangesSource,
+    )
+
+    spark.dataSource.register(SnapshotChangesSource)
+    base_dir = os.path.join(tempfile.gettempdir(), f"nagios_etl_st38_{os.getpid()}")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    root = os.path.join(base_dir, "tab")
+    out_dir = os.path.join(base_dir, "out")
+    ckpt = os.path.join(base_dir, "ckpt")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 1)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 9).cast("long").alias("g"),
+            (F.col("o_orderkey") % 71).cast("long").alias("v"),
+        )
+    )
+    S.set_change_feed(spark, root, True)
+    S.append(base, root, stats_cols=["k"])  # v1: derived inserts
+    S.dv_update(spark, root, "g = 5", {"v": "v + 500"})  # v2: pairs
+    S.dv_delete(spark, root, "v % 9 = 0")  # v3: post-update pre-images
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("schema_ddl", "k bigint, g bigint, v bigint")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir)
+    cols = ["k", "g", "v", "_change_type", "_commit_version"]
+    sstream = streamed.select(*cols)
+    sbatch = S.read_changes(spark, root, 0).select(
+        *[
+            F.col(c).cast("long").alias(c) if c != "_change_type" else F.col(c)
+            for c in cols
+        ]
+    )
+    feed_equal = (
+        sstream.exceptAll(sbatch).isEmpty() and sbatch.exceptAll(sstream).isEmpty()
+    )
+    return (
+        streamed.groupBy(
+            F.col("_commit_version").cast("long").alias("cv"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("sv"))
+        .select("cv", "ct", F.col("n").cast("long").alias("n"), "sv")
+        .withColumn("feed_equal", F.lit(bool(feed_equal)))
+        .orderBy("cv", "ct")
+    )

@@ -4878,3 +4878,156 @@ def test_table_sql_using_dv_routes(spark, root):
     for k, v in rows.items():
         assert v == (f"r{k}+" if k % 4 == 2 else f"r{k}")
     assert S.metadata_count(spark, root) == len(rows)
+
+
+# --- distributed checkpoint shard writes (x156) -------------------------------
+
+
+def test_distributed_ckpt_write_byte_identical_to_driver_loop(spark, root):
+    saved = (S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS)
+    S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS = 8, 4, 2
+    try:
+        df = spark.createDataFrame(
+            [Row(k=i, v=i * 3) for i in range(64)], "k int, v int"
+        )
+        S.append(df.repartitionByRange(16, "k"), root, stats_cols=["k"])
+        S._DIST_SHARD_WRITES["n"] = 0
+        S._ensure_checkpoint(spark, root, 1)
+        assert S._DIST_SHARD_WRITES["n"] == 4  # 16 files / 4 per shard
+        idx_a = fsio.read_text(spark, S._ckpt_path(root, 1))
+        names = [sm["path"] for sm in json.loads(idx_a)["shards"]]
+        blobs_a = {
+            n: fsio.read_text(spark, f"{S._snap_dir(root)}/{n}") for n in names
+        }
+        # wipe the checkpoint, rewrite through the DRIVER loop: the
+        # pure payload must reproduce the same names and bytes
+        fs, jp, _ = fsio._fs(spark, S._ckpt_path(root, 1))
+        fs.delete(jp, False)
+        for n in names:
+            f2, j2, _ = fsio._fs(spark, f"{S._snap_dir(root)}/{n}")
+            f2.delete(j2, False)
+        S._DIST_CKPT_MIN_SHARDS = 9999
+        S._DIST_SHARD_WRITES["n"] = 0
+        S._STATE_CACHE.clear()
+        S._write_checkpoint(spark, root, 1)
+        assert S._DIST_SHARD_WRITES["n"] == 0  # driver loop this time
+        idx_b = fsio.read_text(spark, S._ckpt_path(root, 1))
+        assert [sm["path"] for sm in json.loads(idx_b)["shards"]] == names
+        for n in names:
+            assert fsio.read_text(spark, f"{S._snap_dir(root)}/{n}") == blobs_a[n]
+        # the distributed checkpoint serves the index-only fast paths
+        assert S.metadata_count(spark, root) == 64
+        dfp, n_planned, total = S.read_snapshot_pruned(spark, root, "k", 10, 20)
+        assert total == 16 and n_planned < 16
+        assert sorted(r.k for r in dfp.filter(F.col("k").between(10, 20)).collect()) == list(range(10, 21))
+    finally:
+        S._SHARD_MIN_FILES, S._SHARD_SIZE, S._DIST_CKPT_MIN_SHARDS = saved
+
+
+def test_dv_commit_is_o_of_positions_not_files(spark, root):
+    # a DV-only delete on a delta-chain table must commit an O(entry)
+    # delta record — no seqs map over the table's files (positional
+    # entries are file+position scoped; the equality machinery's seq
+    # bookkeeping is not needed until an equality delete mints it)
+    df = spark.createDataFrame(
+        [Row(k=i, v=i * 2) for i in range(120)], "k int, v int"
+    )
+    S.append(df.repartitionByRange(12, "k"), root, stats_cols=["k"])
+    S.append(df.limit(0).coalesce(1), root, stats_cols=["k"])  # v2: delta
+    v3 = S.dv_delete(spark, root, "k % 40 = 7")
+    raw = json.loads(fsio.read_text(spark, S._manifest_path(root, v3)))
+    assert raw.get("format") == S._DELTA_FORMAT  # not a full manifest
+    assert "seqs" not in raw and "seqs" not in raw["base"]
+    assert not raw["files_added"] and not raw["files_removed"]
+    dels = raw["base"]["deletes"]
+    assert len(dels) == 1 and dels[0]["pos"] and dels[0]["count"] == 3
+    # an append AFTER the DV stays a slim delta too (_mor_extra carries
+    # only the entry list for DV-only parents)
+    v4 = S.append(
+        spark.createDataFrame([Row(k=500, v=0)], "k int, v int").coalesce(1),
+        root, stats_cols=["k"],
+    )
+    raw4 = json.loads(fsio.read_text(spark, S._manifest_path(root, v4)))
+    assert raw4.get("format") == S._DELTA_FORMAT
+    assert "seqs" not in raw4 and "seqs" not in raw4["base"]
+    assert len(raw4["files_added"]) == 1
+    # reconstruction + read still exact across the chain
+    S._STATE_CACHE.clear()
+    got = sorted(r.k for r in S.read_snapshot(spark, root).collect())
+    assert got == [i for i in range(120) if i % 40 != 7] + [500]
+    assert S.metadata_count(spark, root) == len(got)
+
+
+def test_compact_small_dv_aware_partial_materialization(spark, root):
+    # a table under constant predicate DML: small DV'd slivers merge
+    # with their positions materialized; a big DV'd file keeps its
+    # entry (rewritten to only the surviving targets, count recounted)
+    S.set_change_feed(spark, root, True)
+    big_df = spark.createDataFrame(
+        [Row(k=i, v=f"b{i}") for i in range(1000)], "k int, v string"
+    )
+    S.append(big_df.coalesce(1), root, stats_cols=["k"])  # one big file
+    for lo in (2000, 2010, 2020):  # three tiny slivers
+        S.append(
+            spark.createDataFrame(
+                [Row(k=i, v=f"s{i}") for i in range(lo, lo + 10)],
+                "k int, v string",
+            ).coalesce(1),
+            root, stats_cols=["k"],
+        )
+    S.dv_delete(spark, root, "k % 100 = 1")  # hits big + slivers? k%100==1: big yes (1,101,...), slivers no
+    S.dv_delete(spark, root, "k IN (2001, 2011, 2015)")  # sliver positions
+    mb = S._read_manifest(spark, root, S.latest_version(spark, root))
+    big_file = next(f for f in mb["files"] if (mb["stats"][f]["__bytes"] or 0) > 4000)
+    live_before = sorted(
+        (r.k, r.v) for r in S.read_snapshot(spark, root).collect()
+    )
+    n_before = S.metadata_count(spark, root)
+    v = S.compact_small(spark, root, small_bytes=4000, min_merge=2)
+    assert v is not None
+    m = S._read_manifest(spark, root, v)
+    assert big_file in m["files"]  # big file untouched
+    # entries: the big-file entry survives with only big targets; the
+    # sliver-only entry dropped (all targets merged away)
+    pos = [e for e in m["deletes"]]
+    assert all(e.get("pos") for e in pos) and len(pos) == 1
+    assert set(pos[0]["targets"]) == {big_file}
+    assert pos[0]["count"] == 10  # k in {1,101,...,901}
+    assert m.get("data_change") is True and m.get("deletes_materialized")
+    assert m.get("change_files") == []  # recorded-empty feed (x142)
+    live_after = sorted(
+        (r.k, r.v) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert live_after == live_before
+    assert S.metadata_count(spark, root) == n_before
+    # convergent: a second pass with the same threshold does nothing
+    # position-related (merged output is right-sized or fewer slivers)
+    v2 = S.compact_small(spark, root, small_bytes=4000, min_merge=2)
+    if v2 is not None:
+        assert sorted(
+            (r.k, r.v) for r in S.read_snapshot(spark, root).collect()
+        ) == live_before
+    # equality deletes still refuse
+    S.mor_delete(spark.createDataFrame([Row(k=3)], "k int"), root, ["k"])
+    with pytest.raises(ValueError, match="equality"):
+        S.compact_small(spark, root, small_bytes=4000)
+
+
+def test_table_sql_insert_into(spark, root):
+    from nagios_custom_etl_spark.operators.table_sql import table_sql
+
+    S.append(_dvt(spark, 0, 5).coalesce(1), root, stats_cols=["k"])
+    table_sql(
+        spark, f"INSERT INTO '{root}' (k, g, v) VALUES (100, 1, 'x'), (101, 2, 'y')"
+    )
+    S.read_snapshot(spark, root).createOrReplaceTempView("t_sql_ins")
+    table_sql(
+        spark,
+        f"INSERT INTO '{root}' SELECT k + 200 AS k, g, v FROM t_sql_ins WHERE k >= 100",
+    )
+    got = sorted(r.k for r in S.read_snapshot(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 300, 301]
+    # column-count mismatch refuses before any write
+    with pytest.raises(ValueError, match="column list"):
+        table_sql(spark, f"INSERT INTO '{root}' (k, g) VALUES (1, 2, 'z')")
+    assert S.latest_version(spark, root) == 3
