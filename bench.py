@@ -171,6 +171,11 @@ HEADLINE = [
     # pruned read per run, so checkpoint-write and lazy-commit
     # regressions surface here)
     "x148_incremental_checkpoints",
+    # deletion-vector family representative (two appends + two
+    # overlapping dv commits + an append + a full compact + exact
+    # metadata counts per run — the predicate-DML write path and the
+    # positional anti-join read path both surface here)
+    "x154_positional_delete_vectors",
 ]
 
 
@@ -244,6 +249,12 @@ BAND_MAX = {
     # incremental checkpoint per run), so the same ~1.66x load-wave
     # allowance applies — the x143 precedent's band ratio.
     "x148_incremental_checkpoints": 3.40,
+    # r14: settled 4.452 on a cool floor (0.314, 0 violations; a
+    # post-battery warm run read 5.995 — trust the settled number).
+    # Write-heavy contract run (2 appends + 2 dv commits with find
+    # scans + append + full compact + 2 exceptAll equality joins per
+    # run) — the x143/x148 load-wave allowance ratio (~1.66x).
+    "x154_positional_delete_vectors": 7.40,
 }
 BAND_VIOLATION_LIMIT = 5
 BAND_MAX_RETRIES = 2

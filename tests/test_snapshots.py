@@ -5031,3 +5031,80 @@ def test_table_sql_insert_into(spark, root):
     with pytest.raises(ValueError, match="column list"):
         table_sql(spark, f"INSERT INTO '{root}' (k, g) VALUES (1, 2, 'z')")
     assert S.latest_version(spark, root) == 3
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_dv_family_random_model(spark, root, trial, tmp_path):
+    """Model-based randomized guard for the deletion-vector family: a
+    random op sequence (append / dv_delete / dv_update / mor_delete /
+    compact_small / compact) against a plain Python dict model. After
+    every op the live read must equal the model; metadata_count must be
+    EXACT whenever no equality delete is pending (the DV count
+    invariant) and must refuse while one is."""
+    import random
+
+    rng = random.Random(1000 + trial)
+    model: dict[int, tuple[int, int]] = {}  # k -> (g, v)
+    next_k = 0
+    eq_pending = False
+    sub = str(tmp_path / f"dvmodel{trial}")
+
+    def do_append():
+        nonlocal next_k
+        n = rng.randint(3, 12)
+        rows = [Row(k=k, g=k % 5, v=rng.randint(0, 50)) for k in range(next_k, next_k + n)]
+        next_k += n
+        S.append(
+            spark.createDataFrame(rows, "k int, g int, v int").coalesce(1),
+            sub, stats_cols=["k"],
+        )
+        for r in rows:
+            model[r.k] = (r.g, r.v)
+
+    do_append()
+    ops = ["append", "dv_delete", "dv_update", "mor_delete", "compact_small", "compact"]
+    for _ in range(9):
+        op = rng.choice(ops)
+        if op == "append":
+            do_append()
+        elif op == "dv_delete":
+            m_, r_ = rng.choice([(3, 0), (4, 1), (5, 2), (7, 3)])
+            S.dv_delete(spark, sub, f"v % {m_} = {r_}")
+            for k in [k for k, (g, v) in model.items() if v % m_ == r_]:
+                del model[k]
+        elif op == "dv_update":
+            m_, r_ = rng.choice([(3, 1), (4, 2), (5, 0)])
+            d = rng.randint(1, 9)
+            S.dv_update(spark, sub, f"g = {r_} AND v % {m_} = 0", {"v": f"v + {d}"})
+            for k, (g, v) in list(model.items()):
+                if g == r_ and v % m_ == 0:
+                    model[k] = (g, v + d)
+        elif op == "mor_delete":
+            ks = rng.sample(sorted(model), min(2, len(model))) if model else []
+            if not ks:
+                continue
+            S.mor_delete(
+                spark.createDataFrame([Row(k=int(k)) for k in ks], "k int"),
+                sub, ["k"],
+            )
+            for k in ks:
+                model.pop(k, None)
+            eq_pending = True
+        elif op == "compact_small":
+            if eq_pending:
+                with pytest.raises(ValueError, match="equality"):
+                    S.compact_small(spark, sub, small_bytes=1 << 20)
+            else:
+                S.compact_small(spark, sub, small_bytes=1 << 20)
+        elif op == "compact":
+            S.compact(spark, sub)
+            eq_pending = False
+        got = sorted(
+            (r.k, r.g, r.v) for r in S.read_snapshot(spark, sub).collect()
+        )
+        assert got == sorted((k, g, v) for k, (g, v) in model.items()), op
+        if eq_pending:
+            with pytest.raises(ValueError, match="pending MoR"):
+                S.metadata_count(spark, sub)
+        else:
+            assert S.metadata_count(spark, sub) == len(model), op
