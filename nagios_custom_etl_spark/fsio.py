@@ -8,6 +8,32 @@ manifests/sidecars with ``os.*`` simply does not run there. The ANN index
 sidecar (operators/similarity.py) and the snapshot manifest layer
 (operators/snapshots.py) both route through this module.
 
+LOCAL FAST PATH (r14 optimization round, guide §5/§7.3): every Hadoop
+call from Python is 2-6 py4j round trips (~1-3 ms each), and a single
+table commit makes dozens of them — profiled at ~35% of the wall time of
+the metadata-heavy bench queries, pure driver-side overhead that exists
+only in local mode. When a path provably resolves to the LOCAL
+filesystem (``file:`` scheme, or scheme-less under a ``file:`` Hadoop
+``fs.defaultFS``) each operation short-circuits to the equivalent
+``os``/``shutil`` call. Semantics are preserved or strengthened:
+
+- :func:`create_text_atomic` keeps the two-phase tmp + no-overwrite
+  move; locally the move is ``os.link`` + ``unlink``, which is ATOMIC
+  no-overwrite on POSIX — strictly stronger than Hadoop's
+  check-then-rename on RawLocalFileSystem (the guarantee Delta accepts
+  for ``file:/``).
+- :func:`rename_nooverwrite` mirrors Hadoop-local exactly: existence
+  check then ``os.rename`` — the source vanishes atomically (claim
+  arbitration unchanged), the no-overwrite check has the same TOCTOU
+  window RawLocalFileSystem has today.
+- Listings return the same sorted relative names; absent paths behave
+  identically ([] / False / FileNotFoundError).
+
+Remote schemes (and bare paths when ``fs.defaultFS`` is not ``file:``)
+take the Hadoop path unchanged — nothing in the engine assumes local
+mode; the fast path is a driver-overhead optimization, not a semantic
+fork.
+
 The one primitive object stores make awkward — atomic create-if-absent —
 is exposed as :func:`create_text_atomic`. It is two-phase so a reader can
 never observe a torn commit: the full content is written under a temp
@@ -24,9 +50,43 @@ the caller layers a lock service — protocol unchanged either way.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
 import uuid
 
 from py4j.protocol import Py4JJavaError
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+# id(spark) -> fs.defaultFS is file: (None entries never stored)
+_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+
+
+def _local_path(spark, path: str) -> str | None:
+    """The plain OS path when ``path`` provably lives on the LOCAL
+    filesystem, else None (take the Hadoop route). ``file:`` URIs are
+    local by definition; scheme-less paths are local iff the session's
+    ``fs.defaultFS`` is ``file:`` (cached per session — on a cluster
+    whose default FS is HDFS, bare paths correctly stay on Hadoop)."""
+    if path.startswith("file:"):
+        p = path[5:]
+        if p.startswith("//"):  # file://host/path — strip empty authority
+            p = p[2:]
+            p = p[p.index("/") :] if "/" in p else "/"
+        return p or "/"
+    if _SCHEME_RE.match(path):
+        return None  # foreign scheme: hdfs:, s3a:, abfss:, ...
+    key = id(spark)
+    isloc = _DEFAULT_FS_LOCAL.get(key)
+    if isloc is None:
+        try:
+            conf = spark._jsc.hadoopConfiguration()
+            isloc = str(conf.get("fs.defaultFS", "file:///")).startswith("file:")
+        except Exception:  # noqa: BLE001 — torn-down session: no fast path
+            return None
+        _DEFAULT_FS_LOCAL[key] = isloc
+    return path if isloc else None
 
 
 def _fs(spark, path: str):
@@ -37,6 +97,12 @@ def _fs(spark, path: str):
 
 def write_text(spark, path: str, text: str) -> None:
     """Write (overwrite) a small text file."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        os.makedirs(os.path.dirname(lp) or "/", exist_ok=True)
+        with open(lp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        return
     fs, jpath, _ = _fs(spark, path)
     out = fs.create(jpath, True)
     try:
@@ -49,15 +115,41 @@ def create_text_atomic(spark, path: str, text: str) -> None:
     """Create ``path`` with ``text`` iff it does not already exist.
 
     Two-phase (see module docstring): content lands complete under a
-    sibling ``_tmp_*`` name, then a no-overwrite ``FileContext.rename``
-    moves it into place — so the destination path NEVER holds partial
-    content (the old create-then-write form exposed an empty/torn
-    window a concurrent ``latest_version`` + manifest read could hit).
+    sibling ``_tmp_*`` name, then a no-overwrite move puts it in place —
+    so the destination path NEVER holds partial content (the old
+    create-then-write form exposed an empty/torn window a concurrent
+    ``latest_version`` + manifest read could hit).
     Raises :class:`FileExistsError` for the loser of a commit race (its
     temp file is cleaned up); other IO failures propagate unchanged. A
     writer that crashes before rename leaves only a ``_tmp_*`` file,
     which readers ignore and the orphan GC sweeps.
+
+    Locally the move is ``os.link`` (atomic no-overwrite on POSIX) with
+    a check-then-rename fallback for link-less filesystems; remotely it
+    is the no-overwrite ``FileContext.rename`` Delta commits through.
     """
+    lp = _local_path(spark, path)
+    if lp is not None:
+        d = os.path.dirname(lp) or "/"
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        try:
+            os.link(tmp, lp)
+        except FileExistsError as ex:
+            os.unlink(tmp)
+            raise FileExistsError(path) from ex
+        except OSError:
+            # filesystem without hard links: Hadoop-local parity
+            # (check-then-rename)
+            if os.path.exists(lp):
+                os.unlink(tmp)
+                raise FileExistsError(path) from None
+            os.rename(tmp, lp)
+            return
+        os.unlink(tmp)
+        return
     fs, jpath, jvm = _fs(spark, path)
     qual = fs.makeQualified(jpath)
     tmp = fs.makeQualified(
@@ -89,13 +181,26 @@ def create_text_atomic(spark, path: str, text: str) -> None:
 
 def rename_nooverwrite(spark, src: str, dst: str) -> None:
     """Atomically rename ``src`` to ``dst``, failing if ``dst`` exists —
-    the same no-overwrite ``FileContext.rename`` the manifest commit
-    uses, exposed for ARBITRATION: of N processes racing to claim a
-    file (e.g. WAP publish vs abort claiming the staged manifest),
-    exactly one rename succeeds; losers get :class:`FileExistsError`
-    (dst taken) or :class:`FileNotFoundError` (src already claimed
-    away). Both src and dst must share a filesystem (same table root
-    in practice)."""
+    the same no-overwrite rename the manifest commit uses, exposed for
+    ARBITRATION: of N processes racing to claim a file (e.g. WAP publish
+    vs abort claiming the staged manifest), exactly one rename succeeds;
+    losers get :class:`FileExistsError` (dst taken) or
+    :class:`FileNotFoundError` (src already claimed away). Both src and
+    dst must share a filesystem (same table root in practice).
+
+    Locally this mirrors Hadoop's RawLocalFileSystem exactly: existence
+    check then ``rename(2)`` — the SOURCE vanishes atomically (so a
+    claimed file can never be claimed twice), the dst no-overwrite check
+    has the same narrow TOCTOU window the Hadoop local path has."""
+    lsrc, ldst = _local_path(spark, src), _local_path(spark, dst)
+    if lsrc is not None and ldst is not None:
+        if os.path.exists(ldst):
+            raise FileExistsError(dst)
+        try:
+            os.rename(lsrc, ldst)
+        except FileNotFoundError as ex:
+            raise FileNotFoundError(src) from ex
+        return
     fs, jsrc, jvm = _fs(spark, src)
     qsrc = fs.makeQualified(jsrc)
     qdst = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst))
@@ -120,6 +225,10 @@ def rename_nooverwrite(spark, src: str, dst: str) -> None:
 
 
 def read_text(spark, path: str) -> str:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        with open(lp, encoding="utf-8") as fh:
+            return fh.read()
     fs, jpath, jvm = _fs(spark, path)
     stream = fs.open(jpath)
     try:
@@ -135,17 +244,36 @@ def read_text(spark, path: str) -> str:
 
 
 def exists(spark, path: str) -> bool:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return os.path.exists(lp)
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.exists(jpath))
 
 
 def delete(spark, path: str, recursive: bool = True) -> bool:
     """Delete a path; returns False if it was already absent."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        if not os.path.lexists(lp):
+            return False
+        if os.path.isdir(lp) and not os.path.islink(lp):
+            if recursive:
+                shutil.rmtree(lp)
+            else:
+                os.rmdir(lp)  # non-empty dir raises, like Hadoop delete(d, false)
+        else:
+            os.unlink(lp)
+        return True
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.delete(jpath, recursive))
 
 
 def mkdirs(spark, path: str) -> None:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
+        return
     fs, jpath, _ = _fs(spark, path)
     fs.mkdirs(jpath)
 
@@ -154,6 +282,13 @@ def list_names(spark, path: str) -> list[str]:
     """Basenames of a directory's children ([] if the dir is absent) —
     used only on METADATA directories (manifests, one data subdir);
     table reads never list, they plan from explicit manifest file lists."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        if not os.path.exists(lp):
+            return []
+        if os.path.isfile(lp):  # Hadoop listStatus(file) lists the file
+            return [os.path.basename(lp)]
+        return sorted(os.listdir(lp))
     fs, jpath, _ = _fs(spark, path)
     if not fs.exists(jpath):
         return []
@@ -164,6 +299,27 @@ def list_files_recursive(spark, path: str) -> list[str]:
     """Relative paths of every FILE under ``path``, at any depth ([] if
     the dir is absent). Metadata-scale use only (orphan GC's walk of one
     data directory; partitioned data dirs hold ``col=val`` subdirs)."""
+    return [f for f, _ in list_files_with_sizes(spark, path)]
+
+
+def list_files_with_sizes(spark, path: str) -> list[tuple[str, int]]:
+    """(relative path, byte length) of every FILE under ``path``, sorted
+    by path ([] if the dir is absent). ONE listing returns both — the
+    write path records an AddFile size per just-written file, and N
+    per-file ``getFileStatus`` round trips after a listing that already
+    carried the lengths were pure overhead (profiled at ~0.1 s per
+    32-file commit in local mode)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        if not os.path.exists(lp):
+            return []
+        out = []
+        base = lp.rstrip("/")
+        for dirpath, _dirnames, filenames in os.walk(base):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                out.append((os.path.relpath(full, base), os.stat(full).st_size))
+        return sorted(out)
     fs, jpath, _ = _fs(spark, path)
     if not fs.exists(jpath):
         return []
@@ -173,7 +329,7 @@ def list_files_recursive(spark, path: str) -> list[str]:
     while it.hasNext():
         st = it.next()
         full = str(st.getPath().toUri().getPath())
-        out.append(full[len(base) + 1 :])
+        out.append((full[len(base) + 1 :], int(st.getLen())))
     return sorted(out)
 
 
@@ -181,6 +337,9 @@ def mtime_ms(spark, path: str) -> int:
     """Modification time of a path in epoch millis — the retention
     signal orphan GC uses to spare files an in-flight writer just wrote
     but has not yet committed (Delta VACUUM's retention check)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return os.stat(lp).st_mtime_ns // 1_000_000
     fs, jpath, _ = _fs(spark, path)
     return int(fs.getFileStatus(jpath).getModificationTime())
 
@@ -188,5 +347,22 @@ def mtime_ms(spark, path: str) -> int:
 def file_size(spark, path: str) -> int:
     """Byte length of a file — the AddFile ``size`` every table format
     records; compact_small's bin-packing input."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return os.stat(lp).st_size
     fs, jpath, _ = _fs(spark, path)
     return int(fs.getFileStatus(jpath).getLen())
+
+
+def stat_mtime_size(spark, path: str) -> tuple[int, int]:
+    """(mtime_ms, byte length) from ONE stat — the manifest state
+    cache's file-identity probe makes this pair of calls on every
+    access, and two separate ``getFileStatus`` round trips per probe
+    were measurable overhead in local mode."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        st = os.stat(lp)
+        return st.st_mtime_ns // 1_000_000, st.st_size
+    fs, jpath, _ = _fs(spark, path)
+    st = fs.getFileStatus(jpath)
+    return int(st.getModificationTime()), int(st.getLen())

@@ -757,7 +757,7 @@ def _apply_delta(prev: dict, d: dict) -> dict:
 
 
 def _file_ident(spark: SparkSession, path: str) -> tuple[int, int]:
-    return fsio.mtime_ms(spark, path), fsio.file_size(spark, path)
+    return fsio.stat_mtime_size(spark, path)
 
 
 def _state(spark: SparkSession, root: str, version: int) -> dict:
@@ -1096,7 +1096,12 @@ def _commit_delta(
 
 
 def _file_stats(
-    spark: SparkSession, root: str, sub: str, files: list[str], stats_cols: list[str]
+    spark: SparkSession,
+    root: str,
+    sub: str,
+    files: list[str],
+    stats_cols: list[str],
+    schema=None,
 ) -> dict:
     """Per-file min/max for ``stats_cols`` PLUS the per-file row count
     (reserved key ``__rows`` — always recorded, the basis of
@@ -1117,24 +1122,16 @@ def _file_stats(
     arbitrary precision) and ``__nulls_<c>`` — the basis of
     metadata-only SUM/AVG (:func:`metadata_sum`). Integer-only by the
     HUGEINT-rule discipline: a float sum depends on reduction order and
-    would not equal a recompute bit-for-bit, so it is never recorded."""
+    would not equal a recompute bit-for-bit, so it is never recorded.
+
+    ``schema`` (the just-written leaf schema, known to the writer)
+    skips parquet footer inference at read-planning time — one fewer
+    driver-side footer pass per write (r14 optimization)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
-    dtypes = dict(df.dtypes)
-    int_cols = [
-        c
-        for c in stats_cols
-        if dtypes.get(c) in ("tinyint", "smallint", "int", "bigint")
-    ]
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stats_cols:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    for c in int_cols:
-        aggs += [
-            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_sum_{c}"),
-            F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"),
-        ]
+    rd = spark.read if schema is None else spark.read.schema(schema)
+    df = rd.parquet(*[f"{root}/{f}" for f in files])
+    aggs, int_cols = _stats_aggs(dict(df.dtypes), stats_cols)
     rows = (
         df.groupBy(F.input_file_name().alias("_f"))
         .agg(*aggs)
@@ -1154,20 +1151,84 @@ def _file_stats(
         full = unquote(full)
         return full[full.index(f"/{sub}/") + 1 :]
 
+    return {rel(r["_f"]): _stats_entry(r, stats_cols, int_cols) for r in rows}
+
+
+def _stats_aggs(dtypes: dict, stats_cols: list[str]) -> tuple[list, list[str]]:
+    """The per-file stats aggregate expressions (row count, min/max per
+    stats col, exact decimal sum + null count per INTEGER stats col) —
+    factored from :func:`_file_stats`."""
+    from pyspark.sql import functions as F
+
+    int_cols = [
+        c
+        for c in stats_cols
+        if dtypes.get(c) in ("tinyint", "smallint", "int", "bigint")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    for c in int_cols:
+        aggs += [
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_sum_{c}"),
+            F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"),
+        ]
+    return aggs, int_cols
+
+
+def _stats_entry(r, stats_cols: list[str], int_cols: list[str]) -> dict:
+    """One manifest stats entry from a collect()ed aggregate group row —
+    the exact JSON shape every reader expects."""
     return {
-        rel(r["_f"]): {
-            "__rows": int(r["__rows"]),
-            **{c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols},
-            **{
-                f"__sum_{c}": (
-                    int(r[f"_sum_{c}"]) if r[f"_sum_{c}"] is not None else None
-                )
-                for c in int_cols
-            },
-            **{f"__nulls_{c}": int(r[f"_nulls_{c}"]) for c in int_cols},
-        }
-        for r in rows
+        "__rows": int(r["__rows"]),
+        **{c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols},
+        **{
+            f"__sum_{c}": (
+                int(r[f"_sum_{c}"]) if r[f"_sum_{c}"] is not None else None
+            )
+            for c in int_cols
+        },
+        **{f"__nulls_{c}": int(r[f"_nulls_{c}"]) for c in int_cols},
     }
+
+
+def _single_file_stats(root: str, relpath: str, stats_cols: list[str]) -> dict:
+    """Stats entry for ONE just-written file, computed on the driver via
+    ``pyarrow`` instead of a read-back Spark job — legal only on the
+    ``single_file`` write path (the batch is small by contract) and only
+    for INTEGER stats columns, where every aggregate is exact by
+    construction: min/max skip nulls exactly like ``F.min``/``F.max``,
+    the sum is carried in decimal128(38,0) — the same arbitrary-
+    precision lattice the Spark path uses — and the null count is the
+    column's. Float columns fall back to the Spark job (NaN ordering
+    differs between engines). Scheme-portable via pyarrow.fs (x156)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from nagios_custom_etl_spark.sources.snapshot_tail import _open_fs
+
+    fs, path = _open_fs(f"{root}/{relpath}")
+    t = pq.read_table(path, columns=stats_cols, filesystem=fs)
+    entry: dict = {"__rows": t.num_rows}
+    if t.num_rows == 0:
+        return entry
+    for c in stats_cols:
+        col = t.column(c)
+        if col.null_count == len(col):
+            entry[c] = [None, None]
+            entry[f"__sum_{c}"] = None
+        else:
+            mm = pc.min_max(col)
+            entry[c] = [mm["min"].as_py(), mm["max"].as_py()]
+            entry[f"__sum_{c}"] = int(
+                pc.sum(pc.cast(col, pa.decimal128(38, 0))).as_py()
+            )
+        entry[f"__nulls_{c}"] = int(col.null_count)
+    return entry
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _norm_pcols(partition_by) -> list[str]:
@@ -1186,6 +1247,8 @@ def _write_data_files(
     root: str,
     stats_cols: list[str] | None = None,
     partition_by: str | list[str] | None = None,
+    collect_stats: bool = True,
+    single_file: bool = False,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into an immutable uniquely-named data directory and
     return (part files as relative paths, per-file stats). Files are
@@ -1193,19 +1256,59 @@ def _write_data_files(
     across versions. With ``partition_by`` (one column or a list) the
     directory is Hive-layout (nested ``col=val`` subdirs in declaration
     order); the partition values are recoverable from each file's
-    relative path, so manifests need no extra field."""
+    relative path, so manifests need no extra field.
+
+    ``collect_stats=False`` skips the stats read-back entirely and
+    returns ``(files, {})`` — for AUXILIARY files that never enter a
+    manifest's ``stats`` map (MoR equality-delete key files, DV
+    position files): their callers discarded the dict anyway, so the
+    per-write stats Spark job was pure overhead (guide §1.2: don't
+    compute things you throw away — one whole job per mor_delete/
+    dv_delete removed).
+
+    ``single_file=True`` lands the batch as ONE right-sized output file
+    — guide §6: a kilobyte-scale batch sprayed over 32 shuffle
+    partitions is the small-files anti-pattern — which also makes the
+    stats read-back a single-task, single-footer job. repartition(1),
+    NOT coalesce(1): coalesce collapses the whole upstream computation
+    (scan, joins) into the single write task — measured 28% SLOWER on
+    dv_delete, whose upstream is a pruned find scan; the exchange moves
+    only the final (small) rows and the compute stays parallel (guide
+    §2.4 — an exchange that buys the layout is the one exchange the
+    write needs anyway). NOTE an ``observe()``-carried stats variant was
+    measured here and REVERTED: on Spark 4.1.2 any completed Observation
+    leaves session state that later breaks closure cleaning in unrelated
+    queries ("Task not serializable" in pyspark.ml fits) — the
+    generalization of the repo's ObservationManager-through-
+    localCheckpoint lesson. Do not reintroduce observe() anywhere."""
     spark = df.sparkSession
     pcols = _norm_pcols(partition_by)
     sub = f"data-{uuid.uuid4().hex[:12]}"
+    if single_file and not pcols:
+        df = df.repartition(1)
     writer = df.write
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(f"{root}/{sub}")
-    files = [
-        f"{sub}/{f}"
-        for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
+    # ONE recursive listing returns paths AND byte lengths (the AddFile
+    # size every table format records) — per-file getFileStatus round
+    # trips after the listing were profiled overhead
+    listed = [
+        (f"{sub}/{f}", n)
+        for f, n in fsio.list_files_with_sizes(spark, f"{root}/{sub}")
         if f.endswith(".parquet")
     ]
+    files = [f for f, _ in listed]
+    if not collect_stats:
+        return files, {}
+    if single_file and not pcols and len(files) == 1:
+        dtypes = dict(df.dtypes)
+        if all(dtypes.get(c) in _INT_TYPES for c in stats_cols or []):
+            # driver-side pyarrow stats for the one small file — zero
+            # read-back Spark jobs (see _single_file_stats)
+            entry = _single_file_stats(root, files[0], stats_cols or [])
+            entry["__bytes"] = listed[0][1]
+            return files, {files[0]: entry}
     # Partition columns never reach leaf-file schemas (they live only
     # in the col=val path segments), so a stats read on them would raise;
     # pruning on them rides path values in read_snapshot_pruned anyway
@@ -1218,15 +1321,29 @@ def _write_data_files(
     # format pays at write time. A zero-row dynamic-partition write emits
     # NO part files — guard the read (zero paths raises) and commit the
     # harmless empty version (r9 ADVICE; st27's sink relies on it).
-    stats = _file_stats(spark, root, sub, files, stats_cols or []) if files else {}
-    for f in files:
+    # The leaf schema is the batch's schema minus partition columns
+    # (those live in col=val path segments, never in leaf footers) —
+    # passing it skips footer inference in the stats read.
+    leaf_schema = None
+    if files:
+        from pyspark.sql.types import StructType
+
+        leaf_schema = StructType(
+            [f for f in df.schema.fields if f.name not in pcols]
+        )
+    stats = (
+        _file_stats(spark, root, sub, files, stats_cols or [], schema=leaf_schema)
+        if files
+        else {}
+    )
+    for f, nbytes in listed:
         # a 0-row part file produces no group in the stats aggregate;
         # record it explicitly so metadata_count can trust coverage
         stats.setdefault(f, {"__rows": 0})
         # AddFile size (every table format records it): one bounded
         # metadata stat per just-written file — what lets compact_small
         # bin-pack from the manifest without listing/statting the table
-        stats[f]["__bytes"] = fsio.file_size(spark, f"{root}/{f}")
+        stats[f]["__bytes"] = nbytes
     return files, stats
 
 
@@ -1284,8 +1401,16 @@ def append(
     max_retries: int = 3,
     hidden_partition: bool = False,
     allow_spec_change: bool = False,
+    single_file: bool = False,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
+
+    ``single_file=True`` is optimize-write for small batches: the batch
+    lands as ONE right-sized file (guide §6 — a kilobyte-scale batch
+    sprayed over 32 shuffle partitions is the small-files anti-pattern
+    twice over), which also turns the stats read-back into a
+    single-task, single-footer job. Layout-sensitive callers (planted
+    shard layouts, range clustering) simply don't pass it.
     Parent files keep their recorded stats; new files add theirs. The
     batch's schema is enforced against the table's recorded schema:
     drift raises :class:`SchemaMismatchError` unless ``evolve=True``,
@@ -1340,7 +1465,9 @@ def append(
     spec = _check_partition_spec(m, partition_by, allow_spec_change)
     schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
     _enforce_constraints(df, root)
-    files, stats = _write_data_files(df, root, stats_cols, partition_by)
+    files, stats = _write_data_files(
+        df, root, stats_cols, partition_by, single_file=single_file
+    )
     last_err: Exception | None = None
     for attempt in range(max(1, max_retries)):
         if attempt:  # lost a race: re-read, classify, re-parent
@@ -1551,14 +1678,19 @@ def _read_files(
 
     Files are grouped per data DIRECTORY (= per write) and each group
     is cast to the declared schema BEFORE the union: one write's files
-    share a physical schema, so within a group mergeSchema is safe,
-    while ACROSS groups the physical types may legitimately differ
-    after a type-widening evolution (int files under a now-bigint
-    column) — Spark's footer merge refuses int-vs-long, the per-group
-    cast reconciles it. Partitioned groups also carry their own
-    ``basePath`` (how Spark reconstitutes ``col=val`` path values as
-    columns). The union is over O(retained commits) groups, bounded by
-    compaction.
+    share a physical schema BY CONSTRUCTION (each group is the part
+    files of exactly one ``_write_data_files`` call), while ACROSS
+    groups the physical types may legitimately differ after a
+    type-widening evolution (int files under a now-bigint column) —
+    Spark's footer merge refuses int-vs-long, the per-group cast
+    reconciles it. Because a group is schema-uniform, the read plans
+    WITHOUT ``mergeSchema``: one footer describes the group, whereas
+    ``mergeSchema=true`` launched a distributed footer-merge job per
+    group per read — pure overhead measured at ~0.2-0.4 s per group on
+    the bench (r14 optimization; the union/cast semantics are
+    unchanged). Partitioned groups carry their own ``basePath`` (how
+    Spark reconstitutes ``col=val`` path values as columns). The union
+    is over O(retained commits) groups, bounded by compaction.
 
     ``keep_pos`` carries each row's physical identity — ``__dv_path``
     (url-decoded ``_metadata.file_path``) and ``__dv_pos``
@@ -1595,15 +1727,47 @@ def _read_files(
 
     parts = []
     for sub, fl in sorted(groups.items()):
-        rd = spark.read.option("mergeSchema", "true")
-        if partition_spec:
-            rd = rd.option("basePath", f"{root}/{sub}")
         parts.append(
-            cast_to_schema(with_pos(rd.parquet(*[f"{root}/{f}" for f in fl])))
+            cast_to_schema(
+                with_pos(_group_read(spark, root, sub, fl, bool(partition_spec)))
+            )
         )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    return df
+
+
+# Analyzed per-group DataFrame memo: data dirs are IMMUTABLE (files are
+# never rewritten or renamed after _write_data_files), so the resolved
+# relation for an exact (dir, file tuple) is safely reusable within its
+# session — the same lesson as catalog._TABLE_MEMO: repeated
+# spark.read.parquet of the same files re-lists and re-reads footers on
+# EVERY call, and a snapshot query that plans the same version several
+# times (live view, find pass, pre/post comparison) paid that driver-side
+# analysis each time. Hidden _metadata columns stay selectable from the
+# memoized relation (selected lazily by keep_pos readers). Entries for
+# stopped sessions purge on access; vacuumed files can only be referenced
+# through manifests that no longer exist, so a stale entry is unreachable.
+_READ_MEMO: dict[tuple, tuple] = {}
+_READ_MEMO_MAX = 512
+
+
+def _group_read(
+    spark: SparkSession, root: str, sub: str, fl: list[str], has_spec: bool
+) -> DataFrame:
+    key = (id(spark), root, sub, tuple(fl), has_spec)
+    hit = _READ_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    rd = spark.read
+    if has_spec:
+        rd = rd.option("basePath", f"{root}/{sub}")
+    df = rd.parquet(*[f"{root}/{f}" for f in fl])
+    if len(_READ_MEMO) >= _READ_MEMO_MAX:
+        for k in list(_READ_MEMO)[: _READ_MEMO_MAX // 2]:
+            del _READ_MEMO[k]
+    _READ_MEMO[key] = (spark, df)
     return df
 
 
@@ -1808,7 +1972,7 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         extra["change_files"] = _write_change_files(
             pre.withColumn("_change_type", F.lit("delete")), root
         )
-    dfiles, _ = _write_data_files(keyset, root)
+    dfiles, _ = _write_data_files(keyset, root, collect_stats=False)
     version = parent + 1
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
     entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
@@ -1824,6 +1988,29 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         partition_spec=m.get("partition_spec"),
         extra=extra,
     )
+
+
+def _dv_summary(root: str, dfiles: list[str]) -> tuple[int, list[str]]:
+    """(row count, sorted distinct ``_dv_file`` targets) of just-written
+    position files, read back through ``pyarrow.fs`` on the DRIVER —
+    zero Spark jobs (the count job + distinct job they replace were
+    ~2 jobs per predicate-DML commit). Bounded by design: the position
+    payload is O(matched rows) and its distinct-file list is the exact
+    ``targets`` list the manifest is about to hold in driver memory
+    anyway. Scheme-portable via the same pyarrow.fs resolution the
+    distributed checkpoint shard writes use (x156)."""
+    import pyarrow.parquet as pq
+
+    from nagios_custom_etl_spark.sources.snapshot_tail import _open_fs
+
+    n = 0
+    targets: set[str] = set()
+    for f in dfiles:
+        fs, path = _open_fs(f"{root}/{f}")
+        t = pq.read_table(path, columns=["_dv_file"], filesystem=fs)
+        n += t.num_rows
+        targets.update(t.column(0).to_pylist())
+    return n, sorted(targets)
 
 
 def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
@@ -1851,6 +2038,18 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
     residual) and skipped entirely for files no entry targets — until
     :func:`compact` materializes the survivors.
 
+    r14 optimization: the find and the position compute are ONE pass —
+    the predicate pushes into the parquet scan of the live view (the
+    same row-group-stats skipping the old separate
+    :func:`_locate_files` pre-pass got, without its full extra scan);
+    the matched rows persist once and feed the count, the position
+    write and the targets aggregate. ``targets`` is now EXACTLY the
+    distinct files of the recorded positions (the old pre-pass
+    conservatively included files whose only matches were already-dead
+    rows; every consumer — metadata_count's rewrite guard,
+    compact_small's entry rewrite — is sound under the tighter set,
+    since positions can only reference live rows of these files).
+
     With the change feed on, the matched rows' pre-images are recorded
     atomically with the commit (Delta derives CDF from DVs the same
     way). A no-match predicate is a NO-OP: nothing commits, the
@@ -1870,22 +2069,34 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
             "relative target paths, which parent refs would garble — "
             "compact() the branch to detach first"
         )
-    cand = _locate_files(spark, root, m, pred)
-    if not cand:
-        return parent  # no row matches: nothing to commit (no-op)
-    live = _live_view(spark, root, m, cand, keep_pos=True)
-    matched = live.filter(pred).persist()
+    # ONE pass (r14): the predicate pushes into the live view's parquet
+    # scan (the same row-group-stats skipping the old separate
+    # _locate_files pre-pass got, without its full extra scan); the
+    # position WRITE is the find scan's only action, and the matched
+    # count + exact targets come back from the written file's footer and
+    # one tiny column via pyarrow (_dv_summary) — no count job, no
+    # distinct job. With the feed on, matched persists so the
+    # change-file write reuses the scan the position write materialized.
+    live = _live_view(spark, root, m, m["files"], keep_pos=True)
+    extra: dict = {}
+    feed_on = change_feed_enabled(spark, root)
+    matched = live.filter(pred)
+    if feed_on:
+        matched = matched.persist()
     try:
-        n = matched.count()
-        if n == 0:  # all matches were already-dead rows
-            return parent
         dvdf = matched.select(
             _dv_rel_expr(root).alias("_dv_file"),
             F.col("__dv_pos").cast("long").alias("_dv_pos"),
         )
-        dfiles, _ = _write_data_files(dvdf.coalesce(1), root)
-        extra: dict = {}
-        if change_feed_enabled(spark, root):
+        dfiles, _ = _write_data_files(
+            dvdf, root, collect_stats=False, single_file=True
+        )
+        n, targets = _dv_summary(root, dfiles)
+        if n == 0:  # no live row matches: nothing to commit (no-op)
+            if dfiles:  # drop the empty position dir eagerly
+                fsio.delete(spark, f"{root}/{dfiles[0].split('/', 1)[0]}")
+            return parent
+        if feed_on:
             pre = matched.drop("__dv_path", "__dv_pos")
             extra["change_files"] = _write_change_files(
                 pre.withColumn("_change_type", F.lit("delete")), root
@@ -1895,7 +2106,7 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
             "pos": True,
             "files": sorted(dfiles),
             "seq": version,
-            "targets": sorted(cand),
+            "targets": targets,
             "count": int(n),
         }
         extra["deletes"] = (m.get("deletes") or []) + [entry]
@@ -1972,20 +2183,25 @@ def dv_update(
         bad = [c for c in set_exprs if c not in visible]
         if bad:
             raise ValueError(f"SET columns {bad} are not table columns")
-    cand = _locate_files(spark, root, m, pred)
-    if not cand:
-        return parent
-    live = _live_view(spark, root, m, cand, keep_pos=True)
-    matched = live.filter(pred).persist()
+    # one pass (r14, see dv_delete): the predicate pushes into the live
+    # view's parquet scan; matched is cached once and feeds the position
+    # write, the targets aggregate, the post-image build and the feed
+    live = _live_view(spark, root, m, m["files"], keep_pos=True)
+    matched = live.filter(pred).persist()  # lazy: the position write below
+    # materializes the cache; post-image and feed writes then read it
     try:
-        n = matched.count()
-        if n == 0:
-            return parent
         dvdf = matched.select(
             _dv_rel_expr(root).alias("_dv_file"),
             F.col("__dv_pos").cast("long").alias("_dv_pos"),
         )
-        dfiles, _ = _write_data_files(dvdf.coalesce(1), root)
+        dfiles, _ = _write_data_files(
+            dvdf, root, collect_stats=False, single_file=True
+        )
+        n, targets = _dv_summary(root, dfiles)
+        if n == 0:
+            if dfiles:  # drop the empty position dir eagerly
+                fsio.delete(spark, f"{root}/{dfiles[0].split('/', 1)[0]}")
+            return parent
         pre = matched.drop("__dv_path", "__dv_pos")
         cols = _visible_names(schema) if schema else pre.columns
         sets = {
@@ -2013,7 +2229,7 @@ def dv_update(
             "pos": True,
             "files": sorted(dfiles),
             "seq": version,
-            "targets": sorted(cand),
+            "targets": targets,
             "count": int(n),
         }
         extra["deletes"] = (m.get("deletes") or []) + [entry]
@@ -2075,7 +2291,9 @@ def mor_upsert(
     nfiles, nstats = _write_data_files(
         source, root, stats_cols, spec
     )
-    dfiles, _ = _write_data_files(source.select(*keys).dropDuplicates(keys), root)
+    dfiles, _ = _write_data_files(
+        source.select(*keys).dropDuplicates(keys), root, collect_stats=False
+    )
     extra: dict = {}
     if change_feed_enabled(spark, root):
         from pyspark.sql import functions as F
@@ -2898,7 +3116,8 @@ def _locate_files(spark: SparkSession, root: str, m: dict, pred: str) -> list[st
         groups.setdefault(dkey(f), []).append(f)
     parts = []
     for sub, fl in sorted(groups.items()):
-        rd = spark.read.option("mergeSchema", "true")
+        # one write's files are schema-uniform — no footer-merge job
+        rd = spark.read
         if spec:
             rd = rd.option("basePath", f"{root}/{sub}")
         df = rd.parquet(*[f"{root}/{f}" for f in fl]).withColumn(
@@ -3485,11 +3704,19 @@ def compact(
         or None
     )
     spec = m.get("partition_spec")
+    # target 1 + no clustering + unpartitioned: stats ride the write job
+    # via observe() (one job instead of write + read-back — guide §1.2);
+    # _write_data_files does the coalesce(1) itself on that path
+    use_obs = target_file_count == 1 and not cluster_by and not spec
     if cluster_by:
         shaped = _zorder_shape(df, cluster_by, target_file_count, zorder_bits)
+    elif use_obs:
+        shaped = df
     else:
         shaped = df.coalesce(target_file_count)
-    files, stats = _write_data_files(shaped, root, stats_cols, spec)
+    files, stats = _write_data_files(
+        shaped, root, stats_cols, spec, single_file=use_obs
+    )
     # Delta's dataChange=false is legal ONLY for row-preserving rewrites
     # (OPTIMIZE): when this compaction also MATERIALIZES pending MoR
     # deletes, rows are dropped, so the marker is withheld — incremental
@@ -4322,7 +4549,8 @@ def read_changes(
         op = m.get("op", "")
         if "change_files" in m:
             if m["change_files"]:
-                raw = spark.read.option("mergeSchema", "true").parquet(
+                # one commit's change files are one write: schema-uniform
+                raw = spark.read.parquet(
                     *[f"{root}/{f}" for f in m["change_files"]]
                 )
                 leg = (
@@ -4814,7 +5042,7 @@ def compact_small(
             n2 = dv.count()
             if n2 == 0:
                 continue
-            dfiles, _ = _write_data_files(dv.coalesce(1), root)
+            dfiles, _ = _write_data_files(dv.coalesce(1), root, collect_stats=False)
             new_dels.append(
                 {
                     **e,

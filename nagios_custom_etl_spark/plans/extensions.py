@@ -9175,7 +9175,14 @@ def x117_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame
     root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x117_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     for k in range(3):
-        S.append(o.filter(F.col("o_orderkey") % 3 == k), root, stats_cols=["o_custkey"])
+        # single_file: each batch is ~100 KB at sf0.1 — one right-sized
+        # file per append (guide §6), stats observed on the write job
+        S.append(
+            o.filter(F.col("o_orderkey") % 3 == k),
+            root,
+            stats_cols=["o_custkey"],
+            single_file=True,
+        )
     n_meta = S.metadata_count(spark, root)
     lo, hi = S.metadata_minmax(spark, root, "o_custkey")
     dels = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
@@ -9246,7 +9253,12 @@ def x118_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"nagios_etl_x118_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     for k in range(3):
-        S.append(o.filter(F.col("o_orderkey") % 3 == k), root, stats_cols=["o_custkey"])
+        S.append(
+            o.filter(F.col("o_orderkey") % 3 == k),
+            root,
+            stats_cols=["o_custkey"],
+            single_file=True,
+        )
     sum_meta = S.metadata_sum(spark, root, "o_custkey")
     avg_meta = S.metadata_avg(spark, root, "o_custkey")
     try:
@@ -9890,7 +9902,7 @@ def x126_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("int").alias("qty"),
         F.col("o_orderstatus").alias("status"),
     )
-    v1 = S.append(era1, root, stats_cols=["qty"])
+    v1 = S.append(era1, root, stats_cols=["qty"], single_file=True)
     v1_files = set(S._read_manifest(spark, root, v1)["files"])
     v2 = S.rename_column(spark, root, "qty", "cust_id")
     zero_copy = set(S._read_manifest(spark, root, v2)["files"]) == v1_files
@@ -9899,7 +9911,7 @@ def x126_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey").cast("bigint") + F.lit(8589934592)).alias("cust_id"),
         F.col("o_orderstatus").alias("status"),
     )
-    S.append(era2, root, stats_cols=["cust_id"], evolve=True)
+    S.append(era2, root, stats_cols=["cust_id"], evolve=True, single_file=True)
     S.drop_column(spark, root, "status")
     final = S.read_snapshot(spark, root)
     dropped_hidden = final.columns == ["k", "cust_id"]
@@ -11316,7 +11328,7 @@ def x143_manifest_list_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     S._SHARD_MIN_FILES, S._SHARD_SIZE = 8, 4
     try:
         S.append(base.repartitionByRange(16, "rid"), root, stats_cols=["rid"])
-        S.append(base.limit(0).coalesce(1), root, stats_cols=["rid"])  # v2 delta
+        S.append(base.limit(0), root, stats_cols=["rid"], single_file=True)  # v2 delta
         S._ensure_checkpoint(spark, root, 2)  # sharded: 16 files / 4 per shard
         S._STATE_CACHE.clear()
         S._CKPT_BYTES_READ["n"] = 0
@@ -11765,7 +11777,7 @@ def x148_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     S._SHARD_MIN_FILES, S._SHARD_SIZE = 8, 4
     try:
         S.append(base.repartitionByRange(16, "rid"), root, stats_cols=["rid"])
-        S.append(base.limit(0).coalesce(1), root, stats_cols=["rid"])  # v2 delta
+        S.append(base.limit(0), root, stats_cols=["rid"], single_file=True)  # v2 delta
         S._CKPT_BYTES_WRITTEN["n"] = 0
         S._ensure_checkpoint(spark, root, 2)  # full sharded write
         full_w = S._CKPT_BYTES_WRITTEN["n"]
@@ -11773,12 +11785,12 @@ def x148_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two 1-file lazy appends from a COLD process: zero ckpt bytes
         S._STATE_CACHE.clear()
         S._CKPT_BYTES_READ["n"] = 0
-        S.append(one.coalesce(1), root, stats_cols=["rid"])  # v3
+        S.append(one, root, stats_cols=["rid"], single_file=True)  # v3
         S.append(
             one.select(
                 (F.col("k") + 1).alias("k"), (F.col("rid") + 1).alias("rid")
-            ).coalesce(1),
-            root, stats_cols=["rid"],
+            ),
+            root, stats_cols=["rid"], single_file=True,
         )  # v4
         lazy_zero = S._CKPT_BYTES_READ["n"] == 0
         S._STATE_CACHE.clear()
@@ -12408,8 +12420,8 @@ def x154_positional_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("o_orderkey") % 97).cast("long").alias("v"),
         )
     )
-    S.append(base.filter(F.col("k") % 4 == 1).coalesce(1), root, stats_cols=["k"])
-    S.append(base.filter(F.col("k") % 4 == 3).coalesce(1), root, stats_cols=["k"])
+    S.append(base.filter(F.col("k") % 4 == 1), root, stats_cols=["k"], single_file=True)
+    S.append(base.filter(F.col("k") % 4 == 3), root, stats_cols=["k"], single_file=True)
     files_before = S._read_manifest(spark, root, 2)["files"]
     S.dv_delete(spark, root, "v % 5 = 0")
     S.dv_delete(spark, root, "g = 3")  # overlaps the first on v%5=0 rows
@@ -12421,7 +12433,7 @@ def x154_positional_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(3).cast("long").alias("g"),
         F.lit(0).cast("long").alias("v"),
     )
-    S.append(appended.coalesce(1), root, stats_cols=["k"])
+    S.append(appended, root, stats_cols=["k"], single_file=True)
     meta_n2 = S.metadata_count(spark, root)
     pre_compact = S.read_snapshot(spark, root)
     S.compact(spark, root)
