@@ -12438,9 +12438,25 @@ def x154_positional_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFram
     pre_compact = S.read_snapshot(spark, root)
     S.compact(spark, root)
     post = S.read_snapshot(spark, root)
+    # multiset equality as ONE short-circuiting action (r14): per-row
+    # count compare over a null-safe full outer join — the two exceptAll
+    # counts computed the same boolean in two actions of two shuffles
+    # each. eqNullSafe keeps the semantics exactly exceptAll's (NULL
+    # rows group together), though x154's rows are non-null by
+    # construction.
+    cols = post.columns
+    a = pre_compact.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n1")).alias("a")
+    b = post.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n2")).alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],
+    )
     compact_equal = (
-        post.exceptAll(pre_compact).count() == 0
-        and pre_compact.exceptAll(post).count() == 0
+        a.join(b, cond, "full_outer")
+        .filter(
+            F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0))
+        )
+        .isEmpty()
     )
     return (
         post.groupBy("g")

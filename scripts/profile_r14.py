@@ -62,9 +62,17 @@ def _wrap_module(mod, skip=("F", "DataFrame", "SparkSession")) -> None:
 
 def cmd_steps(names: list[str]) -> None:
     from nagios_custom_etl_spark import fsio
-    from nagios_custom_etl_spark.operators import snapshots, similarity, dedup
+    from nagios_custom_etl_spark.operators import (
+        dedup,
+        graph,
+        maintenance,
+        similarity,
+        sketches,
+        snapshots,
+    )
+    from nagios_custom_etl_spark.functions import text as ftext
 
-    for mod in (snapshots, similarity, dedup, fsio):
+    for mod in (snapshots, similarity, dedup, fsio, maintenance, sketches, graph, ftext):
         _wrap_module(mod)
     spark = get_spark("profile-r14")
     registry = all_queries()
