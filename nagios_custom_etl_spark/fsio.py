@@ -29,10 +29,15 @@ filesystem (``file:`` scheme, or scheme-less under a ``file:`` Hadoop
 - Listings return the same sorted relative names; absent paths behave
   identically ([] / False / FileNotFoundError).
 
-Remote schemes (and bare paths when ``fs.defaultFS`` is not ``file:``)
-take the Hadoop path unchanged — nothing in the engine assumes local
-mode; the fast path is a driver-overhead optimization, not a semantic
-fork.
+REMOTE ROUTING (r15, r14-verdict item 4): remote URIs are served by
+``pyarrow.fs`` when it can load the scheme (s3/s3a/s3n, gs, hdfs,
+abfss, ...) — the driver's own process, no py4j — with Hadoop as the
+LAST RESORT for schemes pyarrow cannot serve, for bare paths under a
+non-local ``fs.defaultFS``, and for the two ATOMIC ops
+(:func:`create_text_atomic` / :func:`rename_nooverwrite`), whose
+no-overwrite-rename commit guarantee pyarrow does not provide. Nothing
+in the engine assumes local mode; the routing is a driver-overhead
+optimization, not a semantic fork.
 
 The one primitive object stores make awkward — atomic create-if-absent —
 is exposed as :func:`create_text_atomic`. It is two-phase so a reader can
@@ -59,34 +64,104 @@ from py4j.protocol import Py4JJavaError
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
-# id(spark) -> fs.defaultFS is file: (None entries never stored)
-_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+# id(spark) -> (session, fs.defaultFS is file:) — the session object is
+# stored so a hit can be identity-verified: after a session is GC'd a new
+# one can reuse the same id() and must not inherit the stale verdict
+# (the _READ_MEMO identity-guard discipline)
+_DEFAULT_FS_LOCAL: dict[int, tuple] = {}
 
 
 def _local_path(spark, path: str) -> str | None:
     """The plain OS path when ``path`` provably lives on the LOCAL
     filesystem, else None (take the Hadoop route). ``file:`` URIs are
-    local by definition; scheme-less paths are local iff the session's
+    local by definition — EXCEPT ``file://host/...`` with a non-empty
+    remote authority, which Hadoop resolves (we must not silently drop
+    the host); scheme-less paths are local iff the session's
     ``fs.defaultFS`` is ``file:`` (cached per session — on a cluster
     whose default FS is HDFS, bare paths correctly stay on Hadoop)."""
     if path.startswith("file:"):
         p = path[5:]
-        if p.startswith("//"):  # file://host/path — strip empty authority
+        if p.startswith("//"):  # file://authority/path
             p = p[2:]
-            p = p[p.index("/") :] if "/" in p else "/"
+            if "/" in p:
+                auth, rest = p.split("/", 1)
+                p = "/" + rest
+            else:
+                auth, p = p, "/"
+            if auth not in ("", "localhost"):
+                return None  # remote authority: let Hadoop resolve it
         return p or "/"
     if _SCHEME_RE.match(path):
         return None  # foreign scheme: hdfs:, s3a:, abfss:, ...
     key = id(spark)
-    isloc = _DEFAULT_FS_LOCAL.get(key)
-    if isloc is None:
+    hit = _DEFAULT_FS_LOCAL.get(key)
+    if hit is not None and hit[0] is spark:
+        isloc = hit[1]
+    else:
         try:
             conf = spark._jsc.hadoopConfiguration()
             isloc = str(conf.get("fs.defaultFS", "file:///")).startswith("file:")
         except Exception:  # noqa: BLE001 — torn-down session: no fast path
             return None
-        _DEFAULT_FS_LOCAL[key] = isloc
+        _DEFAULT_FS_LOCAL[key] = (spark, isloc)
     return path if isloc else None
+
+
+# (scheme, authority) -> pyarrow FileSystem (client construction is the
+# expensive part for object stores; the FS object is thread-safe)
+_PA_FS_CACHE: dict[tuple[str, str], object] = {}
+
+# Hadoop scheme aliases pyarrow resolves under its canonical scheme
+_PA_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, fs-native path) when ``path`` is a REMOTE
+    URI pyarrow.fs can serve, else None (fall back to Hadoop/py4j).
+
+    r14-verdict item 4: the local fast path made driver-side metadata
+    ops ~free in local mode, but remote schemes still paid 2-6 py4j
+    round trips per op. pyarrow.fs serves s3://(s3a/s3n), gs://,
+    hdfs:// (and anything else ``FileSystem.from_uri`` accepts) from
+    the driver's own process — the same resolution the streaming
+    sources and x156's executor-side shard writes already rely on.
+    Hadoop remains the last resort for schemes pyarrow cannot load
+    and for the ATOMIC ops (create_text_atomic /
+    rename_nooverwrite), whose no-overwrite rename guarantee pyarrow
+    does not provide. ``file://`` URIs with a remote authority also
+    fall back (pyarrow would silently drop the host)."""
+    from urllib.parse import urlparse
+
+    m = _SCHEME_RE.match(path)
+    if not m:
+        return None  # bare path: defaultFS territory (Hadoop)
+    parsed = urlparse(path)
+    scheme = _PA_SCHEME_ALIASES.get(parsed.scheme, parsed.scheme)
+    if scheme == "file" and parsed.netloc not in ("", "localhost"):
+        return None  # remote authority on file:// — Hadoop resolves it
+    key = (scheme, parsed.netloc)
+    uri = path if parsed.scheme == scheme else path.replace(
+        f"{parsed.scheme}:", f"{scheme}:", 1
+    )
+    hit = _PA_FS_CACHE.get(key)
+    if hit is not None:
+        # fs-native path without re-constructing the client: bucket
+        # stores address objects as "bucket/key" (netloc + path), path
+        # filesystems (hdfs, file) keep the authority in the FS itself
+        p = (
+            f"{parsed.netloc}{parsed.path}"
+            if scheme in ("s3", "gs")
+            else parsed.path
+        )
+        return hit, p
+    try:
+        from pyarrow import fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(uri)
+    except Exception:  # noqa: BLE001 — scheme pyarrow can't serve
+        return None
+    _PA_FS_CACHE[key] = fs
+    return fs, p
 
 
 def _fs(spark, path: str):
@@ -102,6 +177,15 @@ def write_text(spark, path: str, text: str) -> None:
         os.makedirs(os.path.dirname(lp) or "/", exist_ok=True)
         with open(lp, "w", encoding="utf-8") as fh:
             fh.write(text)
+        return
+    pf = _pa_fs(path)
+    if pf is not None:
+        fs, p = pf
+        parent = p.rsplit("/", 1)[0] if "/" in p else ""
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(p) as out:
+            out.write(text.encode("utf-8"))
         return
     fs, jpath, _ = _fs(spark, path)
     out = fs.create(jpath, True)
@@ -229,6 +313,11 @@ def read_text(spark, path: str) -> str:
     if lp is not None:
         with open(lp, encoding="utf-8") as fh:
             return fh.read()
+    pf = _pa_fs(path)
+    if pf is not None:
+        fs, p = pf
+        with fs.open_input_stream(p) as fh:
+            return fh.read().decode("utf-8")
     fs, jpath, jvm = _fs(spark, path)
     stream = fs.open(jpath)
     try:
@@ -247,6 +336,12 @@ def exists(spark, path: str) -> bool:
     lp = _local_path(spark, path)
     if lp is not None:
         return os.path.exists(lp)
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        return fs.get_file_info(p).type != pafs.FileType.NotFound
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.exists(jpath))
 
@@ -265,6 +360,23 @@ def delete(spark, path: str, recursive: bool = True) -> bool:
         else:
             os.unlink(lp)
         return True
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return False
+        if info.type == pafs.FileType.Directory:
+            if not recursive:
+                children = fs.get_file_info(pafs.FileSelector(p))
+                if children:  # non-empty dir raises, like Hadoop delete(d, false)
+                    raise OSError(f"directory not empty: {path}")
+            fs.delete_dir(p)
+        else:
+            fs.delete_file(p)
+        return True
     fs, jpath, _ = _fs(spark, path)
     return bool(fs.delete(jpath, recursive))
 
@@ -273,6 +385,11 @@ def mkdirs(spark, path: str) -> None:
     lp = _local_path(spark, path)
     if lp is not None:
         os.makedirs(lp, exist_ok=True)
+        return
+    pf = _pa_fs(path)
+    if pf is not None:
+        fs, p = pf
+        fs.create_dir(p, recursive=True)
         return
     fs, jpath, _ = _fs(spark, path)
     fs.mkdirs(jpath)
@@ -289,6 +406,19 @@ def list_names(spark, path: str) -> list[str]:
         if os.path.isfile(lp):  # Hadoop listStatus(file) lists the file
             return [os.path.basename(lp)]
         return sorted(os.listdir(lp))
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return []
+        if info.type == pafs.FileType.File:
+            return [info.base_name]
+        return sorted(
+            i.base_name for i in fs.get_file_info(pafs.FileSelector(p))
+        )
     fs, jpath, _ = _fs(spark, path)
     if not fs.exists(jpath):
         return []
@@ -320,6 +450,20 @@ def list_files_with_sizes(spark, path: str) -> list[tuple[str, int]]:
                 full = os.path.join(dirpath, fn)
                 out.append((os.path.relpath(full, base), os.stat(full).st_size))
         return sorted(out)
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        base = p.rstrip("/")
+        infos = fs.get_file_info(
+            pafs.FileSelector(base, recursive=True, allow_not_found=True)
+        )
+        return sorted(
+            (i.path[len(base) + 1 :], int(i.size))
+            for i in infos
+            if i.type == pafs.FileType.File
+        )
     fs, jpath, _ = _fs(spark, path)
     if not fs.exists(jpath):
         return []
@@ -340,6 +484,16 @@ def mtime_ms(spark, path: str) -> int:
     lp = _local_path(spark, path)
     if lp is not None:
         return os.stat(lp).st_mtime_ns // 1_000_000
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        if info.mtime_ns is not None:
+            return info.mtime_ns // 1_000_000
     fs, jpath, _ = _fs(spark, path)
     return int(fs.getFileStatus(jpath).getModificationTime())
 
@@ -350,6 +504,16 @@ def file_size(spark, path: str) -> int:
     lp = _local_path(spark, path)
     if lp is not None:
         return os.stat(lp).st_size
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        if info.size is not None:
+            return int(info.size)
     fs, jpath, _ = _fs(spark, path)
     return int(fs.getFileStatus(jpath).getLen())
 
@@ -363,6 +527,16 @@ def stat_mtime_size(spark, path: str) -> tuple[int, int]:
     if lp is not None:
         st = os.stat(lp)
         return st.st_mtime_ns // 1_000_000, st.st_size
+    pf = _pa_fs(path)
+    if pf is not None:
+        from pyarrow import fs as pafs
+
+        fs, p = pf
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            raise FileNotFoundError(path)
+        if info.mtime_ns is not None and info.size is not None:
+            return info.mtime_ns // 1_000_000, int(info.size)
     fs, jpath, _ = _fs(spark, path)
     st = fs.getFileStatus(jpath)
     return int(st.getModificationTime()), int(st.getLen())

@@ -1249,6 +1249,7 @@ def _write_data_files(
     partition_by: str | list[str] | None = None,
     collect_stats: bool = True,
     single_file: bool = False,
+    rebalance: bool = False,
 ) -> tuple[list[str], dict]:
     """Write ``df`` into an immutable uniquely-named data directory and
     return (part files as relative paths, per-file stats). Files are
@@ -1280,12 +1281,24 @@ def _write_data_files(
     leaves session state that later breaks closure cleaning in unrelated
     queries ("Task not serializable" in pyspark.ml fits) — the
     generalization of the repo's ObservationManager-through-
-    localCheckpoint lesson. Do not reintroduce observe() anywhere."""
+    localCheckpoint lesson. Do not reintroduce observe() anywhere.
+
+    ``rebalance=True`` is the SCALE-ADAPTIVE variant of ``single_file``
+    (r14 verdict: a forced ``repartition(1)`` funnels an unbounded
+    payload through one task): an AQE REBALANCE hint sizes the output
+    partitions from the actual shuffle bytes — a kilobyte batch lands
+    as ONE file exactly like ``single_file`` (measured), a multi-GB
+    batch splits into right-sized files with the write staying parallel
+    (guide §2: derive partitioning from input size, not a constant).
+    Used by the DV position writes, whose matched-row payload is
+    unknown before the write by design (the one-pass find)."""
     spark = df.sparkSession
     pcols = _norm_pcols(partition_by)
     sub = f"data-{uuid.uuid4().hex[:12]}"
     if single_file and not pcols:
         df = df.repartition(1)
+    elif rebalance and not pcols:
+        df = df.hint("rebalance")
     writer = df.write
     if pcols:
         writer = writer.partitionBy(*pcols)
@@ -1529,6 +1542,7 @@ def overwrite(
     txn: str | None = None,
     partition_by: str | list[str] | None = None,
     hidden_partition: bool = False,
+    single_file: bool = False,
 ) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
@@ -1536,13 +1550,17 @@ def overwrite(
     table, so it records ``df``'s schema wholesale (Delta's
     overwriteSchema path). ``txn`` is the same idempotence token as
     :func:`append`'s — a read-merge-overwrite maintainer records its
-    batch id so a replayed batch is provably skippable."""
+    batch id so a replayed batch is provably skippable. ``single_file``
+    is :func:`append`'s optimize-write for contractually small tables
+    (e.g. a groups-bounded MV maintained by read-merge-overwrite)."""
     spark = df.sparkSession
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     _enforce_constraints(df, root)
-    files, stats = _write_data_files(df, root, stats_cols, partition_by)
+    files, stats = _write_data_files(
+        df, root, stats_cols, partition_by, single_file=single_file
+    )
     pcols = _norm_pcols(partition_by)
     schema_df = df.drop(*pcols) if hidden_partition and pcols else df
     return _commit(
@@ -1690,7 +1708,11 @@ def _read_files(
     the bench (r14 optimization; the union/cast semantics are
     unchanged). Partitioned groups carry their own ``basePath`` (how
     Spark reconstitutes ``col=val`` path values as columns). The union
-    is over O(retained commits) groups, bounded by compaction.
+    is over O(retained commits) groups, bounded by compaction — and
+    groups whose PHYSICAL footer schemas are identical (checked via one
+    memoized footer per immutable dir) coalesce into one scan leg (r15),
+    so an unevolved table reads as a single multi-path scan however
+    many commits built it.
 
     ``keep_pos`` carries each row's physical identity — ``__dv_path``
     (url-decoded ``_metadata.file_path``) and ``__dv_pos``
@@ -1725,17 +1747,72 @@ def _read_files(
     def cast_to_schema(df: DataFrame) -> DataFrame:
         return _project_to_schema(df, schema, keep=keep)
 
+    # COALESCE SAME-SCHEMA GROUPS into one multi-path scan (r15): a
+    # table built from K small commits otherwise plans K scan legs + a
+    # K-way union per read — O(K) driver-side analysis and a K-leg
+    # physical plan where one leg suffices (x141's 35-commit probes
+    # measured ~2 s per read in pure plan assembly). Two groups may be
+    # read as one EXACTLY when their physical footer schemas are equal
+    # (within a group that holds BY CONSTRUCTION; across groups it is
+    # checked against one memoized footer per immutable data dir) —
+    # type-widened or renamed eras fingerprint differently and keep
+    # their own leg, so the per-group cast still reconciles them.
+    # Partitioned tables keep per-group reads: each group carries its
+    # own basePath, and a merged read would need partition discovery
+    # across unrelated data-* dirs.
     parts = []
-    for sub, fl in sorted(groups.items()):
-        parts.append(
-            cast_to_schema(
-                with_pos(_group_read(spark, root, sub, fl, bool(partition_spec)))
+    if partition_spec:
+        for sub, fl in sorted(groups.items()):
+            parts.append(
+                cast_to_schema(with_pos(_group_read(spark, root, sub, fl, True)))
             )
-        )
+    else:
+        by_schema: dict[str, list[tuple[str, list[str]]]] = {}
+        for sub, fl in sorted(groups.items()):
+            fp = _group_schema_fingerprint(root, sub, sorted(fl)[0])
+            by_schema.setdefault(fp, []).append((sub, fl))
+        for gs in by_schema.values():
+            sub_key = "|".join(sub for sub, _ in gs)
+            files_all = [f for _, fl in gs for f in fl]
+            parts.append(
+                cast_to_schema(
+                    with_pos(_group_read(spark, root, sub_key, files_all, False))
+                )
+            )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+# (root, data dir) -> physical footer schema fingerprint. Data dirs are
+# immutable after _write_data_files (the _READ_MEMO argument), so one
+# footer read per dir per process suffices; wipe-rebuilt roots get fresh
+# uuid dir names, so a stale entry is unreachable.
+_GROUP_SCHEMA_MEMO: dict[tuple, str] = {}
+_GROUP_SCHEMA_MEMO_MAX = 4096
+
+
+def _group_schema_fingerprint(root: str, sub: str, one_file: str) -> str:
+    """Physical schema fingerprint of a write group, from ONE member
+    footer (groups are schema-uniform by construction) via pyarrow on
+    the driver — metadata stripped, so only names/types/nullability
+    distinguish eras."""
+    key = (root, sub)
+    hit = _GROUP_SCHEMA_MEMO.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    from nagios_custom_etl_spark.sources.snapshot_tail import _open_fs
+
+    fs, path = _open_fs(f"{root}/{one_file}")
+    fp = str(pq.read_schema(path, filesystem=fs).remove_metadata())
+    if len(_GROUP_SCHEMA_MEMO) >= _GROUP_SCHEMA_MEMO_MAX:
+        for k in list(_GROUP_SCHEMA_MEMO)[: _GROUP_SCHEMA_MEMO_MAX // 2]:
+            del _GROUP_SCHEMA_MEMO[k]
+    _GROUP_SCHEMA_MEMO[key] = fp
+    return fp
 
 
 # Analyzed per-group DataFrame memo: data dirs are IMMUTABLE (files are
@@ -1972,7 +2049,11 @@ def mor_delete(deletes: DataFrame, root: str, keys: list[str]) -> int:
         extra["change_files"] = _write_change_files(
             pre.withColumn("_change_type", F.lit("delete")), root
         )
-    dfiles, _ = _write_data_files(keyset, root, collect_stats=False)
+    # rebalance: the key payload is O(deleted keys), unknown up front —
+    # lands as one right-sized file at small scale instead of spraying
+    # the upstream partitioning into N tiny key files (each of which
+    # every later read's anti-join must open), splits when huge
+    dfiles, _ = _write_data_files(keyset, root, collect_stats=False, rebalance=True)
     version = parent + 1
     seqs = {f: int(m.get("seqs", {}).get(f, 0)) for f in m["files"]}
     entry = {"files": sorted(dfiles), "keys": list(keys), "seq": version}
@@ -1994,11 +2075,16 @@ def _dv_summary(root: str, dfiles: list[str]) -> tuple[int, list[str]]:
     """(row count, sorted distinct ``_dv_file`` targets) of just-written
     position files, read back through ``pyarrow.fs`` on the DRIVER —
     zero Spark jobs (the count job + distinct job they replace were
-    ~2 jobs per predicate-DML commit). Bounded by design: the position
-    payload is O(matched rows) and its distinct-file list is the exact
-    ``targets`` list the manifest is about to hold in driver memory
-    anyway. Scheme-portable via the same pyarrow.fs resolution the
-    distributed checkpoint shard writes use (x156)."""
+    ~2 jobs per predicate-DML commit). DRIVER MEMORY IS BOUNDED at
+    O(distinct target files + one record batch), never O(matched rows)
+    (r14 verdict): the row count comes from the parquet FOOTER
+    (``metadata.num_rows`` — zero row reads), and targets accumulate
+    via ``pc.unique`` per streamed record batch, so a predicate delete
+    matching billions of rows never materializes a per-position Python
+    object on the driver — only the distinct-file list the manifest is
+    about to hold anyway. Scheme-portable via the same pyarrow.fs
+    resolution the distributed checkpoint shard writes use (x156)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from nagios_custom_etl_spark.sources.snapshot_tail import _open_fs
@@ -2007,9 +2093,12 @@ def _dv_summary(root: str, dfiles: list[str]) -> tuple[int, list[str]]:
     targets: set[str] = set()
     for f in dfiles:
         fs, path = _open_fs(f"{root}/{f}")
-        t = pq.read_table(path, columns=["_dv_file"], filesystem=fs)
-        n += t.num_rows
-        targets.update(t.column(0).to_pylist())
+        with pq.ParquetFile(path, filesystem=fs) as pf:
+            n += pf.metadata.num_rows
+            if pf.metadata.num_rows == 0:
+                continue
+            for batch in pf.iter_batches(columns=["_dv_file"]):
+                targets.update(pc.unique(batch.column(0)).to_pylist())
     return n, sorted(targets)
 
 
@@ -2028,12 +2117,11 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
     deleted twice — entry ``count``s are additive by construction,
     which is what keeps :func:`metadata_count` EXACT on DV-pending
     tables (recorded rows minus recorded positions; min/max/sum still
-    refuse — a deleted extremum can't be subtracted). The find scan is
-    file-pruned through :func:`_locate_files` (predicate pushed to
-    parquet row-group stats), and the position write is O(matched
-    rows): at 100 TB, "delete 0.1% of rows scattered across a million
-    files" costs one pruned scan + megabytes of positions, not a
-    million file rewrites. Reads pay a broadcast anti-join on
+    refuse — a deleted extremum can't be subtracted). The predicate
+    pushes into the live view's parquet scan (row-group stats
+    skipping), and the position write is O(matched rows): at 100 TB,
+    "delete 0.1% of rows scattered across a million files" costs one
+    pruned scan + megabytes of positions, not a million file rewrites. Reads pay a broadcast anti-join on
     (file, position) — cheaper than the equality side (no seq
     residual) and skipped entirely for files no entry targets — until
     :func:`compact` materializes the survivors.
@@ -2088,8 +2176,13 @@ def dv_delete(spark: SparkSession, root: str, pred: str) -> int:
             _dv_rel_expr(root).alias("_dv_file"),
             F.col("__dv_pos").cast("long").alias("_dv_pos"),
         )
+        # rebalance, not single_file (r14 verdict): the matched-row count
+        # is unknown before the write (the one-pass find), so the
+        # position payload must not funnel through one task — AQE sizes
+        # the position files from the actual bytes (1 file at small
+        # scale, parallel right-sized files for a wide match)
         dfiles, _ = _write_data_files(
-            dvdf, root, collect_stats=False, single_file=True
+            dvdf, root, collect_stats=False, rebalance=True
         )
         n, targets = _dv_summary(root, dfiles)
         if n == 0:  # no live row matches: nothing to commit (no-op)
@@ -2194,8 +2287,13 @@ def dv_update(
             _dv_rel_expr(root).alias("_dv_file"),
             F.col("__dv_pos").cast("long").alias("_dv_pos"),
         )
+        # rebalance, not single_file (r14 verdict): the matched-row count
+        # is unknown before the write (the one-pass find), so the
+        # position payload must not funnel through one task — AQE sizes
+        # the position files from the actual bytes (1 file at small
+        # scale, parallel right-sized files for a wide match)
         dfiles, _ = _write_data_files(
-            dvdf, root, collect_stats=False, single_file=True
+            dvdf, root, collect_stats=False, rebalance=True
         )
         n, targets = _dv_summary(root, dfiles)
         if n == 0:
@@ -2292,7 +2390,10 @@ def mor_upsert(
         source, root, stats_cols, spec
     )
     dfiles, _ = _write_data_files(
-        source.select(*keys).dropDuplicates(keys), root, collect_stats=False
+        source.select(*keys).dropDuplicates(keys),
+        root,
+        collect_stats=False,
+        rebalance=True,  # see mor_delete: right-size the key files
     )
     extra: dict = {}
     if change_feed_enabled(spark, root):
@@ -3318,7 +3419,9 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
             _ensure_checkpoint(spark, root, v)
     reachable: set[str] = set()
     for v in keep_versions:
-        reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
+        # _state, not _read_manifest: _all_data_refs is read-only, so the
+        # O(files) deep copy per retained version was pure overhead (r15)
+        reachable.update(_all_data_refs(_state(spark, root, v)))
     # TWO-PASS (r12 ADVICE): collect every expired version's refs
     # ASCENDING and BEFORE deleting any manifest — delta versions
     # reconstruct through their ancestors, so a delete-as-you-go walk
@@ -3334,7 +3437,7 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[str]:
     expired_refs: dict[int, set[str]] = {}
     for v in expired:
         try:
-            expired_refs[v] = _all_data_refs(_read_manifest(spark, root, v))
+            expired_refs[v] = _all_data_refs(_state(spark, root, v))
         except Exception:
             expired_refs[v] = set()
     # expired sharded checkpoints: their ckptshard-* files go with the
@@ -3575,7 +3678,8 @@ def gc_orphans(
     cutoff_ms = (time.time() - min_age_sec) * 1000.0
     reachable: set[str] = set()
     for v in _manifest_versions(spark, root):
-        reachable.update(_all_data_refs(_read_manifest(spark, root, v)))
+        # read-only consumer: skip _read_manifest's deep copy (r15)
+        reachable.update(_all_data_refs(_state(spark, root, v)))
     # Staged-but-unpublished WAP batches are referenced by their staged
     # manifest, not by any version — they are pending work, not orphans
     # (abort_staged is their reclaim path, at any age). Claimed batches
@@ -3704,18 +3808,20 @@ def compact(
         or None
     )
     spec = m.get("partition_spec")
-    # target 1 + no clustering + unpartitioned: stats ride the write job
-    # via observe() (one job instead of write + read-back — guide §1.2);
-    # _write_data_files does the coalesce(1) itself on that path
-    use_obs = target_file_count == 1 and not cluster_by and not spec
+    # target 1 + no clustering + unpartitioned: the single_file write
+    # path — repartition(1) inside _write_data_files plus driver-side
+    # pyarrow stats for the one output file (_single_file_stats), so the
+    # stats read-back Spark job drops (guide §1.2). NOT observe(), which
+    # is banned repo-wide (see _write_data_files' docstring).
+    use_single_file = target_file_count == 1 and not cluster_by and not spec
     if cluster_by:
         shaped = _zorder_shape(df, cluster_by, target_file_count, zorder_bits)
-    elif use_obs:
+    elif use_single_file:
         shaped = df
     else:
         shaped = df.coalesce(target_file_count)
     files, stats = _write_data_files(
-        shaped, root, stats_cols, spec, single_file=use_obs
+        shaped, root, stats_cols, spec, single_file=use_single_file
     )
     # Delta's dataChange=false is legal ONLY for row-preserving rewrites
     # (OPTIMIZE): when this compaction also MATERIALIZES pending MoR
@@ -4426,10 +4532,19 @@ def _write_change_files(df: DataFrame, root: str) -> list[str]:
     immutable ``cdc-<uuid>/`` dir — referenced from the committing
     manifest's ``change_files``, kept alive by vacuum exactly as long
     as the version is retained, swept by orphan GC if the commit loses
-    its race."""
+    its race.
+
+    REBALANCE-sized (r15, guide §6): the change payload is O(touched
+    rows) and unknown up front, and the df's natural partitioning here
+    is the upstream scan/join layout — at fixture scale that sprayed a
+    kilobyte feed over 32 one-kilobyte files, multiplying every
+    downstream cost (write tasks, listing, read_changes scan legs,
+    streaming-source partitions) by 32. The AQE rebalance lands a small
+    feed as ONE file and splits a huge one into right-sized files with
+    the write staying parallel."""
     spark = df.sparkSession
     sub = f"cdc-{uuid.uuid4().hex[:12]}"
-    df.write.parquet(f"{root}/{sub}")
+    df.hint("rebalance").write.parquet(f"{root}/{sub}")
     return [
         f"{sub}/{f}"
         for f in fsio.list_files_recursive(spark, f"{root}/{sub}")
@@ -5042,7 +5157,12 @@ def compact_small(
             n2 = dv.count()
             if n2 == 0:
                 continue
-            dfiles, _ = _write_data_files(dv.coalesce(1), root, collect_stats=False)
+            # rebalance (not coalesce(1)): the surviving-position payload
+            # of a rewritten entry is unbounded at scale; the rows are
+            # already cached so the sizing shuffle is cheap
+            dfiles, _ = _write_data_files(
+                dv, root, collect_stats=False, rebalance=True
+            )
             new_dels.append(
                 {
                     **e,

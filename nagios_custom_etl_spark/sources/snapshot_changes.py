@@ -3,11 +3,13 @@ layer (r13 verdict task 3 — st36): the streaming twin of
 ``operators/snapshots.py::read_changes``, closing the loop Delta closes
 with ``readChangeFeed`` on a streaming read. Offsets are COMMIT
 VERSIONS (checkpointed like any offset), each micro-batch covers the
-versions committed since the checkpointed offset, and the batch's input
-partitions are exactly those versions' CHANGE FILES — recorded ones
-read as-is (they carry their own ``_change_type``), add-only commits
-derive ``insert`` rows from their added files, file-replacing commits
-derive ``delete``+``insert`` legs from the manifest file diff. A
+versions committed since the checkpointed offset, and the batch's rows
+are exactly those versions' CHANGE FILES — recorded ones read as-is
+(they carry their own ``_change_type``), add-only commits derive
+``insert`` rows from their added files, file-replacing commits derive
+``delete``+``insert`` legs from the manifest file diff. Files are
+BUNDLED into byte-budgeted input partitions (``_BUNDLE_BYTES``) so a
+small micro-batch is one task, not one near-empty Python task per file. A
 downstream incremental maintainer (x140's ``mv_apply_delta``) therefore
 consumes O(changed rows) per trigger off a 100 TB table.
 
@@ -57,13 +59,26 @@ from nagios_custom_etl_spark.sources.snapshot_tail import (
 _FILE_DIFF_OPS = ("overwrite", "replace-partitions", "fast-forward")
 
 
+#: target bytes per input partition when BUNDLING change files (r15,
+#: guide §2.2/§6): one InputPartition per change file meant one Spark
+#: task + one executor-side Python worker round trip per file — at
+#: fixture scale a micro-batch over 5 commits paid ~37 near-empty tasks.
+#: Files are packed (in feed order) into partitions up to this budget,
+#: so a small batch is ONE task while a 100 TB backlog still fans out
+#: into ~split-sized parallel reads. Overridable per stream via the
+#: ``bundle_bytes`` option.
+_BUNDLE_BYTES = 128 * 1024 * 1024
+
+
 @dataclass
 class ChangeFilePartition(InputPartition):
-    path: str  # absolute (fs-relative) parquet path
-    commit_version: int
-    #: None => a RECORDED change file carrying its own _change_type
-    #: column; else the derived type ('insert' / 'delete') to synthesize
-    ctype: str | None
+    #: bundled (path, commit_version, ctype) triples, in feed order.
+    #: ctype None => a RECORDED change file carrying its own
+    #: _change_type column; else the derived type ('insert' / 'delete')
+    #: to synthesize. Bundling changes only task boundaries — the rows
+    #: and their per-version columns are identical to one-file-per-
+    #: partition planning.
+    files: tuple
     #: per declared column: (candidate physical names, has_default,
     #: default) — snapshot_tail's column-mapping resolution, driver-side
     resolve: tuple = ()
@@ -79,6 +94,9 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         self.columns = [
             tuple(c.strip().rsplit(" ", 1)) for c in ddl_schema.split(",")
         ]
+        self.bundle_bytes = int(
+            options.get("bundle_bytes", str(_BUNDLE_BYTES))
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -130,7 +148,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         prev: set[str] = (
             set(_load_state(fs, base, lo)["files"]) if lo > 0 else set()
         )
-        parts: list[InputPartition] = []
+        entries: list[tuple[str, int, str | None]] = []
         for v in range(lo + 1, hi + 1):
             raw = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
             if raw.get("format") == "delta-v1":
@@ -154,8 +172,8 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 # recorded feed — read as-is; an EMPTY recorded list is a
                 # statement ("no transitions": feed-on compaction, all-
                 # miss delete) and contributes nothing without refusing
-                parts.extend(
-                    ChangeFilePartition(f"{base}/{f}", v, None, res)
+                entries.extend(
+                    (f"{base}/{f}", v, None)
                     for f in fields["change_files"] or ()
                 )
             elif op in _METADATA_ONLY_OPS and cur == prev:
@@ -163,19 +181,10 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             elif op == "replace" and fields.get("data_change") is False:
                 pass  # row-preserving rewrite (compaction/Z-order)
             elif op in ("append", "wap-publish", "merge") and not removed:
-                parts.extend(
-                    ChangeFilePartition(f"{base}/{f}", v, "insert", res)
-                    for f in added
-                )
+                entries.extend((f"{base}/{f}", v, "insert") for f in added)
             elif op in _FILE_DIFF_OPS or op.startswith("rollback-to-"):
-                parts.extend(
-                    ChangeFilePartition(f"{base}/{f}", v, "delete", res)
-                    for f in removed
-                )
-                parts.extend(
-                    ChangeFilePartition(f"{base}/{f}", v, "insert", res)
-                    for f in added
-                )
+                entries.extend((f"{base}/{f}", v, "delete") for f in removed)
+                entries.extend((f"{base}/{f}", v, "insert") for f in added)
             else:
                 raise ValueError(
                     f"snapshot_changes: version {v} ({op!r}) recorded no "
@@ -184,6 +193,25 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     "deletes; start the stream from a later version"
                 )
             prev = cur
+        if not entries:
+            return []
+        # bundle files (in feed order) into byte-budgeted partitions: one
+        # batched stat call, then greedy packing — a small micro-batch is
+        # ONE task instead of one near-empty Python task per file, a big
+        # backlog still fans out at ~split granularity (guide §2.2)
+        infos = fs.get_file_info([p for p, _, _ in entries])
+        parts: list[InputPartition] = []
+        bundle: list[tuple[str, int, str | None]] = []
+        bundled_bytes = 0
+        for e, info in zip(entries, infos):
+            sz = info.size or 0
+            if bundle and bundled_bytes + sz > self.bundle_bytes:
+                parts.append(ChangeFilePartition(tuple(bundle), res))
+                bundle, bundled_bytes = [], 0
+            bundle.append(e)
+            bundled_bytes += sz
+        if bundle:
+            parts.append(ChangeFilePartition(tuple(bundle), res))
         return parts
 
     def read(self, partition: ChangeFilePartition) -> Iterator:
@@ -191,37 +219,44 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fs, _ = _open_fs(self.root)  # executor-side fs re-resolve
-        table = pq.read_table(partition.path, filesystem=fs)
-        n = table.num_rows
         resolve = partition.resolve or tuple(
             ((name,), False, None) for name, _ in self.columns
         )
-        arrays, fields = [], []
-        for (name, simple), (cands, has_default, default) in zip(
-            self.columns, resolve
-        ):
-            typ = _arrow_type(simple)
-            src = next((c for c in cands if c in table.column_names), None)
-            if src is not None:
-                arrays.append(table.column(src).cast(typ).combine_chunks())
-            elif has_default:
-                arrays.append(pa.array([default] * n).cast(typ))
+        for path, commit_version, ctype in partition.files:
+            table = pq.read_table(path, filesystem=fs)
+            n = table.num_rows
+            arrays, fields = [], []
+            for (name, simple), (cands, has_default, default) in zip(
+                self.columns, resolve
+            ):
+                typ = _arrow_type(simple)
+                src = next(
+                    (c for c in cands if c in table.column_names), None
+                )
+                if src is not None:
+                    arrays.append(
+                        table.column(src).cast(typ).combine_chunks()
+                    )
+                elif has_default:
+                    arrays.append(pa.array([default] * n).cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+                fields.append(pa.field(name, typ))
+            if ctype is None:
+                # recorded change file: carries its own transition types
+                arrays.append(
+                    table.column("_change_type")
+                    .cast(pa.string())
+                    .combine_chunks()
+                )
             else:
-                arrays.append(pa.nulls(n, typ))
-            fields.append(pa.field(name, typ))
-        if partition.ctype is None:
-            # recorded change file: carries its own transition types
-            arrays.append(
-                table.column("_change_type").cast(pa.string()).combine_chunks()
-            )
-        else:
-            arrays.append(pa.array([partition.ctype] * n, pa.string()))
-        fields.append(pa.field("_change_type", pa.string()))
-        arrays.append(pa.array([partition.commit_version] * n, pa.int64()))
-        fields.append(pa.field("_commit_version", pa.int64()))
-        yield from pa.Table.from_arrays(
-            arrays, schema=pa.schema(fields)
-        ).to_batches()
+                arrays.append(pa.array([ctype] * n, pa.string()))
+            fields.append(pa.field("_change_type", pa.string()))
+            arrays.append(pa.array([commit_version] * n, pa.int64()))
+            fields.append(pa.field("_commit_version", pa.int64()))
+            yield from pa.Table.from_arrays(
+                arrays, schema=pa.schema(fields)
+            ).to_batches()
 
     def commit(self, end: dict) -> None:  # checkpoint owns progress
         pass

@@ -78,6 +78,12 @@ def _arrow_type(simple: str):
 def _open_fs(root: str):
     from pyarrow import fs as pafs
 
+    if root.startswith("file:") and not root.startswith("file://"):
+        # Hadoop-accepted single-slash form (file:/x): local by
+        # definition — strip the scheme before choosing LocalFileSystem
+        # (from_uri would reject it, and the literal string is not a
+        # local path)
+        return pafs.LocalFileSystem(), root[5:]
     if "://" in root:
         f, path = pafs.FileSystem.from_uri(root)
         return f, path
@@ -150,10 +156,22 @@ def _load_state(fs, base: str, version: int) -> dict:
     return state
 
 
+#: target bytes per input partition when BUNDLING new files (r15, guide
+#: §2.2/§6 — the snapshot_changes convention): one InputPartition per
+#: added file meant one Spark task + one executor-side Python worker
+#: round trip per file, near-empty at small commit sizes. Files pack
+#: (in version order) into partitions up to this budget, so a small
+#: micro-batch is one task while a large backlog still fans out at
+#: ~split granularity. Overridable per stream via ``bundle_bytes``.
+_BUNDLE_BYTES = 128 * 1024 * 1024
+
+
 @dataclass
 class NewFilePartition(InputPartition):
-    path: str  # absolute (fs-relative) data file path
-    commit_version: int
+    #: bundled (path, commit_version) pairs, in version order. Bundling
+    #: changes only task boundaries — rows and their provenance columns
+    #: are identical to one-file-per-partition planning.
+    files: tuple
     # per declared column, aligned with the reader's column list:
     # (candidate physical names — current name first then the alias
     # chain, has_default, default). Resolved DRIVER-side in partitions()
@@ -189,6 +207,9 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self.columns = [
             tuple(c.strip().rsplit(" ", 1)) for c in ddl_schema.split(",")
         ]
+        self.bundle_bytes = int(
+            options.get("bundle_bytes", str(_BUNDLE_BYTES))
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -245,7 +266,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         res = self._resolution(
             lraw["base"] if lraw.get("format") == "delta-v1" else lraw
         )
-        parts: list[InputPartition] = []
+        entries: list[tuple[str, int]] = []
         prev: set[str] = set(_load_state(fs, base, lo)["files"]) if lo > 0 else set()
         for v in range(lo + 1, hi + 1):  # versions consumed by THIS batch
             m = _read_json(fs, f"{base}/{_SNAP_DIR}/v{v:08d}.json")
@@ -262,9 +283,7 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                 cur = set(m["files"])
                 added = sorted(f for f in cur if f not in prev)
             if op in ("append", "wap-publish"):  # both strictly additive
-                parts.extend(
-                    NewFilePartition(f"{base}/{f}", v, res) for f in sorted(added)
-                )
+                entries.extend((f"{base}/{f}", v) for f in sorted(added))
             elif self.skip_compactions and op == "replace" and dchange is False:
                 pass  # row-preserving rewrite: no delta (see __init__ note)
             elif op in _METADATA_ONLY_OPS and cur == prev:
@@ -279,41 +298,65 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
                     "tailing a mutating table is unsound; use snapshot CDC"
                 )
             prev = cur
+        if not entries:
+            return []
+        # bundle files into byte-budgeted partitions (one batched stat
+        # call + greedy packing in version order — see _BUNDLE_BYTES)
+        infos = fs.get_file_info([p for p, _ in entries])
+        parts: list[InputPartition] = []
+        bundle: list[tuple[str, int]] = []
+        bundled_bytes = 0
+        for e, info in zip(entries, infos):
+            sz = info.size or 0
+            if bundle and bundled_bytes + sz > self.bundle_bytes:
+                parts.append(NewFilePartition(tuple(bundle), res))
+                bundle, bundled_bytes = [], 0
+            bundle.append(e)
+            bundled_bytes += sz
+        if bundle:
+            parts.append(NewFilePartition(tuple(bundle), res))
         return parts
 
     def read(self, partition: NewFilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        # partition.path is fs-RELATIVE (FileSystem.from_uri strips the
-        # scheme when resolving s3://-style roots), so the filesystem must
-        # be re-resolved here on the executor — a bare pq.read_table would
+        # paths are fs-RELATIVE (FileSystem.from_uri strips the scheme
+        # when resolving s3://-style roots), so the filesystem must be
+        # re-resolved here on the executor — a bare pq.read_table would
         # try the stripped path against the local FS and fail for any
         # non-local root.
         fs, _ = _open_fs(self.root)
-        table = pq.read_table(partition.path, filesystem=fs)
-        n = table.num_rows
         resolve = partition.resolve or tuple(
             ((name,), False, None) for name, _ in self.columns
         )
-        arrays, fields = [], []
-        for (name, simple), (cands, has_default, default) in zip(
-            self.columns, resolve
-        ):
-            typ = _arrow_type(simple)
-            # name-first-then-aliases: a pre-rename file stores the
-            # column under a former physical name (see partitions())
-            src = next((c for c in cands if c in table.column_names), None)
-            if src is not None:
-                arrays.append(table.column(src).cast(typ).combine_chunks())
-            elif has_default:  # Iceberg initial-default, like _read_files
-                arrays.append(pa.array([default] * n).cast(typ))
-            else:  # pre-evolution file: typed-null backfill
-                arrays.append(pa.nulls(n, typ))
-            fields.append(pa.field(name, typ))
-        arrays.append(pa.array([partition.commit_version] * n, pa.int64()))
-        fields.append(pa.field("commit_version", pa.int64()))
-        yield from pa.Table.from_arrays(arrays, schema=pa.schema(fields)).to_batches()
+        for path, commit_version in partition.files:
+            table = pq.read_table(path, filesystem=fs)
+            n = table.num_rows
+            arrays, fields = [], []
+            for (name, simple), (cands, has_default, default) in zip(
+                self.columns, resolve
+            ):
+                typ = _arrow_type(simple)
+                # name-first-then-aliases: a pre-rename file stores the
+                # column under a former physical name (see partitions())
+                src = next(
+                    (c for c in cands if c in table.column_names), None
+                )
+                if src is not None:
+                    arrays.append(
+                        table.column(src).cast(typ).combine_chunks()
+                    )
+                elif has_default:  # Iceberg initial-default
+                    arrays.append(pa.array([default] * n).cast(typ))
+                else:  # pre-evolution file: typed-null backfill
+                    arrays.append(pa.nulls(n, typ))
+                fields.append(pa.field(name, typ))
+            arrays.append(pa.array([commit_version] * n, pa.int64()))
+            fields.append(pa.field("commit_version", pa.int64()))
+            yield from pa.Table.from_arrays(
+                arrays, schema=pa.schema(fields)
+            ).to_batches()
 
     def commit(self, end: dict) -> None:  # checkpoint owns progress
         pass

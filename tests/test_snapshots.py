@@ -3849,7 +3849,9 @@ def test_metadata_only_commits_steppable_incrementally(spark, root):
         {"root": root}, "k int, quantity int, _commit_version long"
     )
     parts = rd.partitions({"version": 1}, {"version": 3})
-    assert parts and all(p.commit_version == 3 for p in parts)
+    # bundled partitions (r15): every (path, version) pair must come
+    # from the one data-changing commit, v3
+    assert parts and all(v == 3 for p in parts for _, v in p.files)
 
 
 def test_snapshot_tail_resolves_renames_both_directions(spark, root):
