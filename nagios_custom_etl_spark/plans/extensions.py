@@ -9176,7 +9176,9 @@ def x117_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame
     shutil.rmtree(root, ignore_errors=True)
     for k in range(3):
         # single_file: each batch is ~100 KB at sf0.1 — one right-sized
-        # file per append (guide §6), stats observed on the write job
+        # file per append (guide §6); stats come from a driver-side
+        # pyarrow read of the one just-written file (_single_file_stats
+        # — NEVER observe(), which is banned repo-wide)
         S.append(
             o.filter(F.col("o_orderkey") % 3 == k),
             root,
@@ -11152,15 +11154,26 @@ def x141_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 7)
         .select(F.col("o_orderkey").cast("long").alias("k"))
     )
-    S.overwrite(base.filter(F.col("k") % 35 == 0).coalesce(1), root)  # v1 (full)
+    # single_file (r15): each slice is a ~KB batch — the coalesce(1)
+    # variant paid a distributed stats read-back job per commit on top
+    # of the write job; single_file writes one file and computes the
+    # __rows stat on the driver from its footer (35 Spark jobs instead
+    # of 70, commit content identical)
+    S.overwrite(
+        base.filter(F.col("k") % 35 == 0), root, single_file=True
+    )  # v1 (full)
     for j in range(1, 24):
-        S.append(base.filter(F.col("k") % 35 == j).coalesce(1), root)  # v2..v24
+        S.append(
+            base.filter(F.col("k") % 35 == j), root, single_file=True
+        )  # v2..v24
     S.create_tag(spark, root, "probe12", 12)
     # survivor set {12, 21, 22, 23, 24}: non-contiguous, every member
     # checkpointed by vacuum before the expired manifests drop
     S.vacuum(spark, root, keep_last=4)
     for j in range(24, 35):
-        S.append(base.filter(F.col("k") % 35 == j).coalesce(1), root)  # v25..v35
+        S.append(
+            base.filter(F.col("k") % 35 == j), root, single_file=True
+        )  # v25..v35
     S._STATE_CACHE.clear()  # force a fresh process's log walk
     p12 = S.read_snapshot_tag(spark, root, "probe12").withColumn("probe", F.lit("v12"))
     p23 = S.read_snapshot(spark, root, 23).withColumn("probe", F.lit("v23"))

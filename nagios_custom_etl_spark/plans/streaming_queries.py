@@ -26,6 +26,29 @@ from nagios_custom_etl_spark.streaming.ops import (
 )
 
 
+def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset equality as ONE short-circuiting action (the r14 x154
+    pattern): per-distinct-row count compare over a null-safe full outer
+    join — the same boolean as the two ``exceptAll(...).isEmpty()``
+    actions it replaces (multiset equality <=> per-distinct-row counts
+    equal; eqNullSafe groups NULL rows exactly as exceptAll does), in
+    one job instead of two double-shuffle jobs."""
+    from functools import reduce
+
+    cols = list(a.columns)
+    ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n1")).alias("a")
+    gb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n2")).alias("b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],
+    )
+    return (
+        ga.join(gb, cond, "full_outer")
+        .filter(F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0)))
+        .isEmpty()
+    )
+
+
 @register(
     "st1_stream_tumbling_window",
     oracle="""
@@ -3234,7 +3257,9 @@ def st36_streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     S.set_change_feed(spark, root, True)
-    S.append(base, root, stats_cols=["k"])  # v1: derived inserts
+    # single_file: the base is a ~100 KB slice at sf0.1 — one right-sized
+    # file per append (guide §6) instead of the scan layout's 32
+    S.append(base, root, stats_cols=["k"], single_file=True)  # v1: inserts
     batch = (
         base.filter(F.col("k") % 4 == 0).withColumn("v", F.col("v") + 100)
     ).unionByName(
@@ -3271,7 +3296,7 @@ def st36_streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g",
             F.lit(7).cast("long").alias("v"),
         ),
-        root, stats_cols=["k"],
+        root, stats_cols=["k"], single_file=True,
     )  # v5: derived inserts
     drain()  # resumes from the checkpointed offset: v3 + v4(empty) + v5
     streamed = spark.read.parquet(out_dir)
@@ -3283,9 +3308,7 @@ def st36_streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols
         ]
     )
-    feed_equal = (
-        sstream.exceptAll(sbatch).isEmpty() and sbatch.exceptAll(sstream).isEmpty()
-    )
+    feed_equal = _multiset_equal(sstream, sbatch)
     versions = sorted(
         r["_commit_version"]
         for r in streamed.select("_commit_version").distinct().collect()
@@ -3383,7 +3406,7 @@ def st37_streaming_mv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     S.set_change_feed(spark, root, True)
-    S.append(base, root, stats_cols=["k"])  # v1
+    S.append(base, root, stats_cols=["k"], single_file=True)  # v1
 
     def sink(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -3406,7 +3429,9 @@ def st37_streaming_mv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_change_type").isin("update_preimage", "delete")
         ).select("g", "v")
         nxt = mv_apply_delta(cur, ins, dels, ["g"], "n", {"sv": ("v", 38, 0)})
-        S.overwrite(nxt, mv_root, txn=token)
+        # single_file: the MV is groups-bounded (9 groups here) — one
+        # right-sized file per batch overwrite
+        S.overwrite(nxt, mv_root, txn=token, single_file=True)
 
     def drain() -> None:
         q = (
@@ -3527,7 +3552,7 @@ def st38_streaming_dv_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     S.set_change_feed(spark, root, True)
-    S.append(base, root, stats_cols=["k"])  # v1: derived inserts
+    S.append(base, root, stats_cols=["k"], single_file=True)  # v1: inserts
     S.dv_update(spark, root, "g = 5", {"v": "v + 500"})  # v2: pairs
     S.dv_delete(spark, root, "v % 9 = 0")  # v3: post-update pre-images
     q = (
@@ -3551,9 +3576,7 @@ def st38_streaming_dv_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols
         ]
     )
-    feed_equal = (
-        sstream.exceptAll(sbatch).isEmpty() and sbatch.exceptAll(sstream).isEmpty()
-    )
+    feed_equal = _multiset_equal(sstream, sbatch)
     return (
         streamed.groupBy(
             F.col("_commit_version").cast("long").alias("cv"),
