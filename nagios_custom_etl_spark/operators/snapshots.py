@@ -1194,8 +1194,9 @@ def _stats_entry(r, stats_cols: list[str], int_cols: list[str]) -> dict:
 
 def _single_file_stats(root: str, relpath: str, stats_cols: list[str]) -> dict:
     """Stats entry for ONE just-written file, computed on the driver via
-    ``pyarrow`` instead of a read-back Spark job — legal only on the
-    ``single_file`` write path (the batch is small by contract) and only
+    ``pyarrow`` instead of a read-back Spark job — legal only when the
+    write is provably SMALL (``_write_data_files`` checks the listed
+    byte total against ``_DRIVER_STATS_MAX_BYTES``) and only
     for INTEGER stats columns, where every aggregate is exact by
     construction: min/max skip nulls exactly like ``F.min``/``F.max``,
     the sum is carried in decimal128(38,0) — the same arbitrary-
@@ -1229,6 +1230,12 @@ def _single_file_stats(root: str, relpath: str, stats_cols: list[str]) -> dict:
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+#: ceiling for computing write stats on the DRIVER via pyarrow instead
+#: of a distributed read-back job: the whole write's bytes (known from
+#: the listing) must fit comfortably in one bounded driver pass. Writes
+#: above it — the actual at-scale case — take the Spark stats job.
+_DRIVER_STATS_MAX_BYTES = 16 * 1024 * 1024
 
 
 def _norm_pcols(partition_by) -> list[str]:
@@ -1314,20 +1321,33 @@ def _write_data_files(
     files = [f for f, _ in listed]
     if not collect_stats:
         return files, {}
-    if single_file and not pcols and len(files) == 1:
-        dtypes = dict(df.dtypes)
-        if all(dtypes.get(c) in _INT_TYPES for c in stats_cols or []):
-            # driver-side pyarrow stats for the one small file — zero
-            # read-back Spark jobs (see _single_file_stats)
-            entry = _single_file_stats(root, files[0], stats_cols or [])
-            entry["__bytes"] = listed[0][1]
-            return files, {files[0]: entry}
     # Partition columns never reach leaf-file schemas (they live only
     # in the col=val path segments), so a stats read on them would raise;
     # pruning on them rides path values in read_snapshot_pruned anyway
     # (r9 ADVICE).
     if pcols and stats_cols:
         stats_cols = [c for c in stats_cols if c not in pcols]
+    # Driver-side pyarrow stats for SMALL writes (r15, generalizing the
+    # r14 single-file path): the listing already carries every part
+    # file's byte length, so when the whole write is provably small
+    # (<= _DRIVER_STATS_MAX_BYTES) and every stats column is integer
+    # (exactness by the HUGEINT-rule discipline — floats keep the Spark
+    # job for NaN ordering), the per-file stats come from bounded
+    # driver reads of just-written page-cached bytes instead of a whole
+    # distributed read-back job per commit (~0.2 s each; the streaming
+    # sinks pay one per micro-batch). Size-bounded, so large writes
+    # keep the distributed pass — adaptive, not a local-mode tune.
+    if files:
+        dtypes = dict(df.dtypes)
+        if all(dtypes.get(c) in _INT_TYPES for c in stats_cols or []) and (
+            sum(n for _, n in listed) <= _DRIVER_STATS_MAX_BYTES
+        ):
+            stats = {}
+            for f, nbytes in listed:
+                entry = _single_file_stats(root, f, stats_cols or [])
+                entry["__bytes"] = nbytes
+                stats[f] = entry
+            return files, stats
     # stats are always collected (at minimum the per-file __rows count
     # behind metadata-only aggregates) — one pass over just-written,
     # page-cached bytes; the standard stats-collection cost every table

@@ -96,7 +96,7 @@ def cmd_jobs(names: list[str]) -> None:
     jobs), which explain() output cannot show."""
     spark = get_spark("profile-r14")
     registry = all_queries()
-    store = spark._jsparkSession.sharedState().statusStore()
+    store = spark.sparkContext._jsc.sc().statusStore()
     for name in names:
         registry[name].fn(spark, SF_DIR).collect()  # warm (JIT, memos)
         before = store.jobsList(None).size()
@@ -109,7 +109,9 @@ def cmd_jobs(names: list[str]) -> None:
 
 def cmd_explain(names: list[str]) -> None:
     suffix = os.environ.get("PLAN_SUFFIX", "before")
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    outdir = os.environ.get("PLAN_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("profile-r14")
     registry = all_queries()

@@ -69,6 +69,40 @@ def test_single_file_stats_parity_with_spark_job(spark, root):
         assert via_arrow == via_spark, f"stats_cols={cols}"
 
 
+def test_multi_file_driver_stats_parity(spark, root, monkeypatch):
+    """_write_data_files takes the driver-side pyarrow stats path for
+    ANY small write (total listed bytes <= _DRIVER_STATS_MAX_BYTES, all
+    stats columns integer) — not just single-file writes. The entries
+    must equal the distributed _file_stats job field-for-field, and the
+    Spark job must provably not run on the driver path."""
+    cols = ["i", "v", "allnull"]
+    df = _df(spark, 0, 300).repartition(4, "i")
+    files, stats = S._write_data_files(df, root, stats_cols=cols)
+    assert len(files) > 1  # genuinely multi-file
+    sub = files[0].split("/")[0]
+    via_spark = S._file_stats(spark, root, sub, files, cols)
+    for f in files:
+        got = dict(stats[f])
+        assert got.pop("__bytes") > 0
+        assert got == via_spark[f], f
+    # the driver path must not have launched the Spark stats job: with
+    # _file_stats exploding, a small write still collects full stats
+    def boom(*a, **k):  # pragma: no cover - failure arm
+        raise AssertionError("distributed stats job ran on the small-write path")
+
+    monkeypatch.setattr(S, "_file_stats", boom)
+    files2, stats2 = S._write_data_files(
+        _df(spark, 300, 500).repartition(3, "i"), root, stats_cols=cols
+    )
+    assert files2 and all("__rows" in stats2[f] for f in files2)
+    # ...and a write above the byte ceiling falls back to the Spark job
+    monkeypatch.setattr(S, "_DRIVER_STATS_MAX_BYTES", 0)
+    with pytest.raises(AssertionError, match="distributed stats job"):
+        S._write_data_files(
+            _df(spark, 500, 600).repartition(2, "i"), root, stats_cols=cols
+        )
+
+
 def test_single_file_stats_zero_row_file(spark, root):
     df = _df(spark, 0, 0).repartition(1)
     sub = "data-zero"
