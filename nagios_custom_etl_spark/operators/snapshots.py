@@ -1435,6 +1435,7 @@ def append(
     hidden_partition: bool = False,
     allow_spec_change: bool = False,
     single_file: bool = False,
+    rebalance: bool = False,
 ) -> int:
     """Commit a new version = parent's files + ``df``'s new files.
 
@@ -1444,6 +1445,11 @@ def append(
     twice over), which also turns the stats read-back into a
     single-task, single-footer job. Layout-sensitive callers (planted
     shard layouts, range clustering) simply don't pass it.
+    ``rebalance=True`` is the SCALE-ADAPTIVE variant for unbounded
+    payloads (streaming sinks whose batch size is workload-determined):
+    an AQE REBALANCE hint sizes output files from the actual shuffle
+    bytes — one file for a kilobyte batch, right-sized parallel files
+    for a large one (see :func:`_write_data_files`).
     Parent files keep their recorded stats; new files add theirs. The
     batch's schema is enforced against the table's recorded schema:
     drift raises :class:`SchemaMismatchError` unless ``evolve=True``,
@@ -1499,7 +1505,8 @@ def append(
     schema = _merged_schema(m.get("schema"), _schema_list(schema_df), evolve)
     _enforce_constraints(df, root)
     files, stats = _write_data_files(
-        df, root, stats_cols, partition_by, single_file=single_file
+        df, root, stats_cols, partition_by,
+        single_file=single_file, rebalance=rebalance,
     )
     last_err: Exception | None = None
     for attempt in range(max(1, max_retries)):
@@ -1563,6 +1570,7 @@ def overwrite(
     partition_by: str | list[str] | None = None,
     hidden_partition: bool = False,
     single_file: bool = False,
+    rebalance: bool = False,
 ) -> int:
     """Commit a new version referencing ONLY ``df``'s files. The
     replaced files stay on disk, reachable through older manifests —
@@ -1572,14 +1580,17 @@ def overwrite(
     :func:`append`'s — a read-merge-overwrite maintainer records its
     batch id so a replayed batch is provably skippable. ``single_file``
     is :func:`append`'s optimize-write for contractually small tables
-    (e.g. a groups-bounded MV maintained by read-merge-overwrite)."""
+    (e.g. a groups-bounded MV maintained by read-merge-overwrite);
+    ``rebalance`` its scale-adaptive variant for grain-sized tables
+    whose grain is workload-determined."""
     spark = df.sparkSession
     if txn is not None and txn_version(spark, root, txn) is not None:
         raise ValueError(f"txn {txn!r} already committed; check txn_version first")
     parent = latest_version(spark, root)
     _enforce_constraints(df, root)
     files, stats = _write_data_files(
-        df, root, stats_cols, partition_by, single_file=single_file
+        df, root, stats_cols, partition_by,
+        single_file=single_file, rebalance=rebalance,
     )
     pcols = _norm_pcols(partition_by)
     schema_df = df.drop(*pcols) if hidden_partition and pcols else df
@@ -2331,7 +2342,12 @@ def dv_update(
         )
         _enforce_constraints(post, root)
         spec = m.get("partition_spec")
-        nfiles, wstats = _write_data_files(post, root, stats_cols, spec)
+        # rebalance: the updated-row payload is matched-set-sized,
+        # unknown up front — right-size instead of inheriting the
+        # find-scan's partitioning (guide §2/§6)
+        nfiles, wstats = _write_data_files(
+            post, root, stats_cols, spec, rebalance=True
+        )
         extra: dict = {}
         if change_feed_enabled(spark, root):
             extra["change_files"] = _write_change_files(
@@ -2406,8 +2422,10 @@ def mor_upsert(
         source = source.select(*_visible_names(m["schema"]))
     spec = m.get("partition_spec")
     _enforce_constraints(source, root)
+    # rebalance: the upsert batch inherits the caller's partitioning
+    # (often a wide shuffle) — right-size the landed files (guide §6)
     nfiles, nstats = _write_data_files(
-        source, root, stats_cols, spec
+        source, root, stats_cols, spec, rebalance=True
     )
     dfiles, _ = _write_data_files(
         source.select(*keys).dropDuplicates(keys),
@@ -2925,7 +2943,11 @@ def _merge_commit_lazy(
         merged = source
     merged = merged.select(*_visible_names(schema))
     _enforce_constraints(merged, root)
-    files, wstats = _write_data_files(merged, root, stats_cols, spec)
+    # rebalance: the rewrite payload (touched rows + source) leaves a
+    # join shuffle as one sliver per shuffle partition — right-size it
+    files, wstats = _write_data_files(
+        merged, root, stats_cols, spec, rebalance=True
+    )
     change_files = None
     if change_rows is not None:
         change_files = _write_change_files(change_rows, root)
@@ -3147,7 +3169,7 @@ def merge_commit(
         spec = m.get("partition_spec")
         _enforce_constraints(merged, root)
         files, stats = _write_data_files(
-            merged, root, stats_cols, spec
+            merged, root, stats_cols, spec, rebalance=True
         )
         change_files = None
         if change_rows is not None:
@@ -3316,7 +3338,9 @@ def delete_where(
             root,
         )
     spec = m.get("partition_spec")
-    files, stats = _write_data_files(survivors, root, stats_cols, spec)
+    files, stats = _write_data_files(
+        survivors, root, stats_cols, spec, rebalance=True
+    )
     carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
     _carry_mor(extra, m, untouched, files, parent + 1)
     return _commit(
@@ -3401,7 +3425,9 @@ def update_where(
         extra["change_files"] = _write_change_files(pre.unionByName(post), root)
     _enforce_constraints(new_rows, root)
     spec = m.get("partition_spec")
-    files, stats = _write_data_files(new_rows, root, stats_cols, spec)
+    files, stats = _write_data_files(
+        new_rows, root, stats_cols, spec, rebalance=True
+    )
     carried = {f: s for f, s in m.get("stats", {}).items() if f in set(untouched)}
     _carry_mor(extra, m, untouched, files, parent + 1)
     return _commit(
@@ -4122,8 +4148,10 @@ def stage_append(
     m = _read_manifest(spark, root, parent) if parent else {}
     spec = m.get("partition_spec")
     schema = _merged_schema(m.get("schema"), _schema_list(df), evolve)
+    # rebalance: a staged batch is workload-sized (WAP sinks stage one
+    # micro-batch per call) — right-size the staged files (guide §6)
     files, stats = _write_data_files(
-        df, root, stats_cols, spec
+        df, root, stats_cols, spec, rebalance=True
     )
     staged = {
         "stage_id": stage_id,

@@ -1263,10 +1263,10 @@ def st21_snapshot_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
 
-    S.append(d.filter(F.col("doc_id") < 200), root)
-    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), root)
+    S.append(d.filter(F.col("doc_id") < 200), root, single_file=True)
+    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), root, single_file=True)
     drain()  # consumes v1 + v2
-    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), root)
+    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), root, single_file=True)
     drain()  # resumes from the checkpointed offset: only v3
     return (
         spark.read.parquet(out_dir)
@@ -1412,10 +1412,10 @@ def st23_medallion_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
 
-    S.append(d.filter(F.col("doc_id") < 200), bronze)
-    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), bronze)
+    S.append(d.filter(F.col("doc_id") < 200), bronze, single_file=True)
+    S.append(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), bronze, single_file=True)
     drain()  # merges v1 + v2 into silver
-    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), bronze)
+    S.append(d.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)), bronze, single_file=True)
     drain()  # resumes from the checkpointed offset: only v3's delta
     before = S.latest_version(spark, silver)
     sink(d, 0)  # crash-recovery replay of batch 0: must not re-merge
@@ -1529,10 +1529,10 @@ def st24_hll_distinct_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
 
-    S.append(ev.filter(F.col("event_id") < 2000), bronze)
-    S.append(ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)), bronze)
+    S.append(ev.filter(F.col("event_id") < 2000), bronze, single_file=True)
+    S.append(ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)), bronze, single_file=True)
     drain()  # merges v1 + v2 registers into silver
-    S.append(ev.filter((F.col("event_id") >= 4000) & (F.col("event_id") < 6000)), bronze)
+    S.append(ev.filter((F.col("event_id") >= 4000) & (F.col("event_id") < 6000)), bronze, single_file=True)
     drain()  # resumes from the checkpointed offset: only v3's registers
     before = S.latest_version(spark, silver)
     reg, rho = hll_reg_rho("user_id", p=8)
@@ -1660,11 +1660,11 @@ def st25_streaming_wap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 11 == 0, -F.abs("value")).otherwise(F.col("value")),
     )
     n_violations = bad.filter(F.col("value") < 0).count()
-    S.append(ev.filter(F.col("event_id") < 300), bronze)
+    S.append(ev.filter(F.col("event_id") < 300), bronze, single_file=True)
     drain()  # batch 0: clean -> published
-    S.append(bad, bronze)
+    S.append(bad, bronze, single_file=True)
     drain()  # batch 1: planted violations -> aborted
-    S.append(ev.filter((F.col("event_id") >= 600) & (F.col("event_id") < 900)), bronze)
+    S.append(ev.filter((F.col("event_id") >= 600) & (F.col("event_id") < 900)), bronze, single_file=True)
     drain()  # batch 2: clean -> published
     before = S.latest_version(spark, silver)
     gate(ev.filter(F.col("event_id") < 300), 0)  # crash-recovery replay
@@ -1888,7 +1888,7 @@ def st27_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for the check and again for the write. An all-empty batch
         # commits a zero-row version — harmless, and it records the txn
         # token, which is exactly what a replay wants to find.
-        S.append(add, jroot, txn=token)
+        S.append(add, jroot, txn=token, rebalance=True)
 
     def drain() -> None:
         q = (
@@ -1909,12 +1909,12 @@ def st27_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interleave appends on BOTH sides with drains (the second batch
     # covers TWO A commits and one B commit — multi-version batches and
     # a moved B side in the same delta)
-    S.append(o.filter(F.col("o_orderkey") % 3 == 0), aroot)
-    S.append(c.filter(F.col("c_custkey") % 2 == 0), broot)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 0), aroot, single_file=True)
+    S.append(c.filter(F.col("c_custkey") % 2 == 0), broot, single_file=True)
     drain()
-    S.append(c.filter(F.col("c_custkey") % 2 == 1), broot)
-    S.append(o.filter(F.col("o_orderkey") % 3 == 1), aroot)
-    S.append(o.filter(F.col("o_orderkey") % 3 == 2), aroot)
+    S.append(c.filter(F.col("c_custkey") % 2 == 1), broot, single_file=True)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 1), aroot, single_file=True)
+    S.append(o.filter(F.col("o_orderkey") % 3 == 2), aroot, single_file=True)
     drain()
     before = S.latest_version(spark, jroot)
     # crash-recovery replay of batch 0: pinned cursor + txn token
@@ -2351,7 +2351,7 @@ def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # token — exactly what a replay wants to find (st27's comment);
         # per-file stats on both id columns keep the pair listing above
         # file-pruned on every later trigger
-        S.append(inserts, jroot, txn=token, stats_cols=["o_orderkey", "c_custkey"])
+        S.append(inserts, jroot, txn=token, stats_cols=["o_orderkey", "c_custkey"], rebalance=True)
 
     def drain() -> None:
         q = (
@@ -2368,10 +2368,10 @@ def st29_cdc_maintained_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase split by a seq-mixing hash -> heavy out-of-order delivery
     # (some keys' replacement/delete arrives BEFORE their base row)
     phase = (F.col("o_orderkey") * 7 + F.col("seq")) % 2
-    S.append(b_base, bbronze)
+    S.append(b_base, bbronze, single_file=True)
     a_changes.filter(phase == 0).coalesce(2).write.mode("append").parquet(src)
     drain()
-    S.append(b_upd, bbronze)
+    S.append(b_upd, bbronze, single_file=True)
     a_changes.filter(phase == 1).coalesce(1).write.mode("append").parquet(src)
     drain()
     before = S.latest_version(spark, jroot)

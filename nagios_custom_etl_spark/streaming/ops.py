@@ -428,7 +428,11 @@ def snapshot_append_sink(
             return  # replayed batch: already committed, exactly-once
         if batch_df.isEmpty():
             return  # trailing no-data trigger: nothing to publish
-        v = S.append(batch_df, root, txn=token)
+        # rebalance: a micro-batch inherits the upstream scan/shuffle
+        # partitioning, spraying kilobyte files per commit (guide §6);
+        # the AQE hint sizes output files from actual batch bytes, so
+        # a large backlog batch still writes in parallel
+        v = S.append(batch_df, root, txn=token, rebalance=True)
         if auto_compact_files is not None:
             m = S._read_manifest(spark, root, v)
             if len(m["files"]) > auto_compact_files:
@@ -551,7 +555,11 @@ def snapshot_agg_merge_sink(
             merged = _remerge(cur.unionByName(delta))
         else:
             merged = delta
-        S.overwrite(merged, silver_root, txn=token)
+        # rebalance: the published grain table is re-aggregated through
+        # a shuffle, so its natural layout is one near-empty file per
+        # shuffle partition; the AQE hint right-sizes it to the actual
+        # grain bytes (one file at fixture scale, parallel at 100 TB)
+        S.overwrite(merged, silver_root, txn=token, rebalance=True)
         if auto_vacuum_keep is not None:
             if len(S._manifest_versions(spark, silver_root)) > auto_vacuum_keep:
                 S.vacuum(spark, silver_root, keep_last=auto_vacuum_keep)
@@ -729,6 +737,9 @@ def cdc_apply_sink(
                 _compute_changes(spark, delta, batch_id),
                 changes_root,
                 txn=f"{token}-chg",
+                # batch-sized change set: right-size instead of spraying
+                # one file per upstream shuffle partition (guide §6)
+                rebalance=True,
             )
         chg = None
         if inline_feed:
@@ -1050,6 +1061,9 @@ def scd2_cdc_sink(
                 _compute_transitions(rebuilt, stored_touched, batch_id),
                 changes_root,
                 txn=f"{token}-chg",
+                # batch-sized transition set: right-size instead of
+                # spraying one file per shuffle partition (guide §6)
+                rebalance=True,
             )
         chg = None
         if inline_feed:
